@@ -1,0 +1,243 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics surface over the driver's TPC-H-ish tables —
+  * the category sweep of SURVEY.md §2b (joins, aggregations, grouping
+  * sets, windows, sorts/top-k, set ops), each written the way it must be
+  * written for a 1000-executor / 100 TB cluster:
+  *
+  *   - monetary values quantized to integer cents (`round(v*100)` →
+  *     BIGINT) so aggregates are exact, deterministic, and
+  *     oracle-comparable (double sums are order-dependent);
+  *   - dimension joins broadcast (`broadcast(customer)`) — no shuffle of
+  *     the fact table;
+  *   - top-k via `orderBy.limit` (planned as TakeOrderedAndProject:
+  *     per-partition heaps + single driver merge, never a global sort)
+  *     or per-group via `row_number` window with explicit tiebreaks;
+  *   - aggregations are hash-based with map-side partial aggregation;
+  *     output ordered by group keys for deterministic comparison.
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** exact integer cents from a 2-decimal double price */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  // -------------------------------------------------------------------
+  // TPC-H Q1-style pricing summary: scan → partial agg → 6-group final
+  // agg. One narrow shuffle of 6 rows per mapper at any scale.
+  // -------------------------------------------------------------------
+  private def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price_cents"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Broadcast dimension join: fact `orders` never shuffles; `customer`
+  // (the dim) broadcasts. At 100 TB the fact side stays
+  // shuffle-free; only the 6-row aggregate moves.
+  // -------------------------------------------------------------------
+  private def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(cents(col("o_totalprice"))).as("revenue_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val revenueBySegmentSql =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Anti / semi joins (NOT EXISTS / EXISTS). Spark plans broadcast-hash
+  // anti when the right side is small; at scale the build side is the
+  // distinct key set, not the full table.
+  // -------------------------------------------------------------------
+  private def custNoOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  private val custNoOrdersSql =
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  private def custSemiNation(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_nationkey")
+
+  private val custSemiNationSql =
+    """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Per-group top-k: row_number window with explicit tiebreak — the
+  // scalable dedup/top-k idiom (partition-local sort, no global sort).
+  // -------------------------------------------------------------------
+  private def topkPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val joined = orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  private val topkPerSegmentSql =
+    """SELECT c_mktsegment, o_orderkey, price_cents, rn FROM (
+      |  SELECT c_mktsegment, o_orderkey,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey ASC) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) q
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Global top-k: orderBy+limit → TakeOrderedAndProject (no full sort).
+  // -------------------------------------------------------------------
+  private def top100Orders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  private val top100OrdersSql =
+    """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+      |FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Grouping sets / rollup (null indicators coalesced for deterministic
+  // cross-engine ordering).
+  // -------------------------------------------------------------------
+  private def rollupLineitem(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  private val rollupLineitemSql =
+    """SELECT coalesce(l_returnflag,'ALL') AS flag,
+      |  coalesce(l_linestatus,'ALL') AS status,
+      |  COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Set op: INTERSECT distinct (hash-based, partial-aggregated).
+  // -------------------------------------------------------------------
+  private def buyersIntersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+      .intersect(t(spark, dir, "customer").select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  private val buyersIntersectSql =
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT SELECT c_custkey FROM customer ORDER BY custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Batch tumbling-window aggregation over the events table (hour
+  // buckets; the Structured Streaming twin lives in graft.streaming).
+  // Timestamps rendered as strings for engine-neutral comparison.
+  // -------------------------------------------------------------------
+  private def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("value"))).as("sum_value_cents"))
+      .orderBy("hour", "event_type")
+
+  private val eventsHourlySql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events GROUP BY 1,2 ORDER BY hour, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Exact distinct counting (shuffle on (type,user) then count) — the
+  // exact twin; the approximate HLL version is in Dedup (not
+  // oracle-comparable by construction).
+  // -------------------------------------------------------------------
+  private def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  private val distinctUsersSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_pricing_summary"   -> (pricingSummary _),
+    "ax_revenue_by_segment" -> (revenueBySegment _),
+    "ax_cust_no_orders"    -> (custNoOrders _),
+    "ax_cust_semi_nation"  -> (custSemiNation _),
+    "ax_topk_per_segment"  -> (topkPerSegment _),
+    "ax_top100_orders"     -> (top100Orders _),
+    "ax_rollup_lineitem"   -> (rollupLineitem _),
+    "ax_buyers_intersect"  -> (buyersIntersect _),
+    "ax_events_hourly"     -> (eventsHourly _),
+    "ax_distinct_users"    -> (distinctUsers _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ax_pricing_summary"   -> pricingSummarySql,
+    "ax_revenue_by_segment" -> revenueBySegmentSql,
+    "ax_cust_no_orders"    -> custNoOrdersSql,
+    "ax_cust_semi_nation"  -> custSemiNationSql,
+    "ax_topk_per_segment"  -> topkPerSegmentSql,
+    "ax_top100_orders"     -> top100OrdersSql,
+    "ax_rollup_lineitem"   -> rollupLineitemSql,
+    "ax_buyers_intersect"  -> buyersIntersectSql,
+    "ax_events_hourly"     -> eventsHourlySql,
+    "ax_distinct_users"    -> distinctUsersSql
+  )
+}

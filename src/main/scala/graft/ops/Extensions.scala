@@ -1,0 +1,19 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of the extension operators beyond reference parity (SURVEY.md
+  * §2b + the north star's LLM-data-pipeline set): analytics (joins, aggs,
+  * windows, sorts, set ops), dedup family, similarity search, text
+  * analysis, multimodal plumbing. Populated module by module; each module
+  * contributes `queries` (Spark) and, where SQL-expressible, `oracleSql`
+  * (DuckDB).
+  */
+object Extensions {
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Analytics.queries ++ Dedup.queries ++ TextAnalysis.queries ++
+      Similarity.queries ++ Multimodal.queries
+  def oracleSql: Map[String, String] =
+    Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
+      Similarity.oracleSql ++ Multimodal.oracleSql
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed
+  * metadata, with the decode step stubbed (no image/audio libs in this
+  * container — the STUB below is a clearly-marked deterministic fake)
+  * while the Spark-side machinery — schema, batch iteration, partition
+  * shape, typed Dataset encoders — is real and tested.
+  *
+  * The testdata has no binary column, so `payload` is manufactured from
+  * `documents.text` (UTF-8 bytes) — at 100 TB this column would be real
+  * image/audio bytes read from parquet, and everything downstream is
+  * unchanged.
+  *
+  * Scale notes: decode runs inside `mapPartitions` (the Scala analogue
+  * of `mapInPandas` batch UDFs) — per-partition batching, no
+  * per-row interpreter round trips, no shuffle; metadata extraction is
+  * pure Column ops.
+  */
+object Multimodal {
+
+  /** decoded-asset record produced by the (stubbed) decoder */
+  final case class DecodedAsset(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      mean_byte: Long)
+
+  private def withPayload(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+
+  // -------------------------------------------------------------------
+  // mm_metadata: typed metadata over the opaque binary column — byte
+  // length, content digest, and (stub) decoded dimensions derived
+  // deterministically from the byte length. Pure Column ops →
+  // oracle-backed in DuckDB over the same manufactured payload.
+  // -------------------------------------------------------------------
+  private def metadata(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("digest"),
+        (lit(64L) + length(col("payload")).cast("long") % 960).as("width"),
+        (lit(64L) + (length(col("payload")).cast("long") * 7) % 960).as("height"))
+      .orderBy("doc_id")
+
+  private val metadataSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS digest,
+      |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 960 AS width,
+      |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 960 AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // mm_decode_stats: the batch-decode path. mapPartitions consumes the
+  // binary payloads partition-at-a-time and emits typed records; the
+  // decode itself is a STUB (deterministic fake standing in for e.g.
+  // JPEG decode + resize + feature extraction). Rows-only check.
+  // -------------------------------------------------------------------
+  private def decodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets: Dataset[DecodedAsset] = withPayload(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          // ===== STUB DECODER =====================================
+          // Real pipeline: ImageIO/ffmpeg decode → resize → feature
+          // extraction. Not available in this container; this fake is
+          // deterministic in the payload bytes so results are stable.
+          val n = bytes.length.toLong
+          val mean = if (n == 0) 0L else bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)) / n
+          DecodedAsset(id, n, 64L + n % 960, 64L + (n * 7) % 960, mean)
+          // ========================================================
+        }
+      }
+    assets.toDF()
+      .groupBy((col("n_bytes") / 100).cast("long").as("size_bucket"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("width")).as("sum_width"),
+        sum(col("mean_byte")).as("sum_mean_byte"))
+      .orderBy("size_bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata"     -> (metadata _),
+    "mm_decode_stats" -> (decodeStats _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_metadata" -> metadataSql
+  )
+}

@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: statistics,
+  * quality scoring, language ID, token counting, fingerprinting.
+  *
+  * Every operator is a pure Column pipeline (codegen'd, zero UDFs,
+  * embarrassingly parallel — scan-bounded at any scale). Oracle-backed
+  * queries restrict themselves to engine-portable string primitives
+  * (length/replace/lower/trim + `\s+` regex, identical in Java regex and
+  * RE2); the BPE-ish tokenizer uses Java-regex-specific classes and is
+  * checked rows-only.
+  *
+  * The oracle SQL for scoring queries is GENERATED from the same Scala
+  * config (stopword lists, thresholds) that builds the Column pipeline —
+  * single source of truth, no drift.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------
+  // Portable primitives, built once for both backends.
+  //   occurrences(s, pat) = (len(s) - len(replace(s, pat, ''))) / len(pat)
+  // ---------------------------------------------------------------
+  private def occCol(s: Column, pat: String): Column =
+    ((length(s) - length(regexp_replace(s, java.util.regex.Pattern.quote(pat), ""))) /
+      lit(pat.length)).cast("long")
+
+  private def occSql(s: String, pat: String): String = {
+    val quoted = pat.replace("'", "''")
+    s"CAST((length($s) - length(replace($s, '$quoted', ''))) / ${pat.length} AS BIGINT)"
+  }
+
+  // token count = spaces + 1 on the space-normalized text
+  private def tokensCol(norm: Column): Column =
+    (length(norm) - length(regexp_replace(norm, " ", "")) + 1).cast("long")
+  private val tokensSql =
+    "CAST(length(norm) - length(replace(norm, ' ', '')) + 1 AS BIGINT)"
+
+  private def normCol: Column =
+    trim(regexp_replace(lower(col("text")), "\\s+", " "))
+  private val normSqlDef =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  // ---------------------------------------------------------------
+  // tx_stats: per-document statistics. Oracle-backed.
+  // ---------------------------------------------------------------
+  private def stats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("norm", normCol)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        tokensCol(col("norm")).as("tokens"),
+        (length(col("norm")) - (tokensCol(col("norm")) - 1)).cast("long")
+          .as("alpha_chars"),
+        occCol(col("norm"), ".").as("dots"))
+      .orderBy("doc_id")
+
+  private val statsSql =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS chars,
+       |  $tokensSql AS tokens,
+       |  CAST(length(norm) - ($tokensSql - 1) AS BIGINT) AS alpha_chars,
+       |  ${occSql("norm", ".")} AS dots
+       |FROM (SELECT doc_id, text, $normSqlDef AS norm FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // tx_langid: n-gram/stopword-count heuristic. For each language a
+  // small marker-word list; score = Σ occurrences of ' w ' in the
+  // padded normalized text; prediction = argmax with fixed tie order.
+  // Oracle generated from the same marker table. Oracle-backed.
+  // ---------------------------------------------------------------
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "en", "una"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  private def langScoreCol(padded: Column, words: Seq[String]): Column =
+    words.map(w => occCol(padded, s" $w ")).reduce(_ + _)
+
+  private def langScoreSql(words: Seq[String]): String =
+    words.map(w => occSql("padded", s" $w ")).mkString("(", " + ", ")")
+
+  private def langid(spark: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), normCol, lit(" "))
+    val scored = docs(spark, dir)
+      .withColumn("padded", padded)
+      .select(Seq(col("doc_id"), col("lang")) ++
+        markers.map { case (l, ws) => langScoreCol(col("padded"), ws).as(s"s_$l") }: _*)
+    // argmax with declaration-order tiebreak ('und' unless any score > 0)
+    val best = markers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"s_$l") > 0 &&
+        markers.filter(_._1 != l).map(o => col(s"s_$l") >= col(s"s_${o._1}"))
+          .reduce(_ && _) &&
+        markers.takeWhile(_._1 != l)
+          .map(o => col(s"s_$l") > col(s"s_${o._1}"))
+          .foldLeft(lit(true): Column)(_ && _),
+        lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("lang_pred", best)
+      .select(col("doc_id"), col("lang"), col("lang_pred"),
+        (col("lang") === col("lang_pred")).cast("long").as("agree"))
+      .orderBy("doc_id")
+  }
+
+  private val langidSql: String = {
+    val scoreDefs = markers
+      .map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(",\n  ")
+    val bestExpr = markers.foldRight("'und'") { case ((l, _), acc) =>
+      val geAll = markers.filter(_._1 != l).map(o => s"s_$l >= s_${o._1}")
+      val gtEarlier = markers.takeWhile(_._1 != l).map(o => s"s_$l > s_${o._1}")
+      val conds = (Seq(s"s_$l > 0") ++ geAll ++ gtEarlier).mkString(" AND ")
+      s"CASE WHEN $conds THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang, lang_pred,
+       |  CAST(lang = lang_pred AS BIGINT) AS agree
+       |FROM (
+       |  SELECT doc_id, lang, $bestExpr AS lang_pred
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      $scoreDefs
+       |    FROM (SELECT doc_id, lang,
+       |          ' ' || $normSqlDef || ' ' AS padded FROM documents) p
+       |  ) s
+       |) q ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // tx_quality: integer quality score 0..4 from portable metrics:
+  // length in bounds, token count in bounds, mean word length sane,
+  // stopword hit. Oracle-backed.
+  // ---------------------------------------------------------------
+  private def quality(spark: SparkSession, dir: String): DataFrame = {
+    val norm = normCol
+    val toks = tokensCol(col("norm"))
+    val alpha = length(col("norm")) - (toks - 1)
+    val stop = langScoreCol(concat(lit(" "), col("norm"), lit(" ")),
+      markers.flatMap(_._2))
+    docs(spark, dir)
+      .withColumn("norm", norm)
+      .select(
+        col("doc_id"),
+        ((length(col("norm")) >= 50 && length(col("norm")) <= 10000).cast("long") +
+          (toks >= 10).cast("long") +
+          (alpha >= toks * 2 && alpha <= toks * 12).cast("long") +
+          (stop > 0).cast("long")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val qualitySql: String = {
+    val toks = tokensSql
+    val alpha = s"(length(norm) - ($toks - 1))"
+    val stop = markers.flatMap(_._2).map(w => occSql("(' ' || norm || ' ')", s" $w "))
+      .mkString("(", " + ", ")")
+    s"""SELECT doc_id,
+       |  CAST(length(norm) BETWEEN 50 AND 10000 AS BIGINT)
+       |  + CAST($toks >= 10 AS BIGINT)
+       |  + CAST(($alpha >= $toks * 2 AND $alpha <= $toks * 12) AS BIGINT)
+       |  + CAST($stop > 0 AS BIGINT) AS quality
+       |FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // tx_fingerprint: md5 of the whitespace-normalized lowercase text —
+  // the canonical near-exact-dup fingerprint. Oracle-backed.
+  // ---------------------------------------------------------------
+  private def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), md5(normCol).as("fp"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    s"""SELECT doc_id, md5($normSqlDef) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // tx_token_bpe: BPE-ish token counting with a GPT-style pre-tokenizer
+  // regex (Java regex classes — not RE2-portable → rows-only check).
+  // ---------------------------------------------------------------
+  private val bpePattern =
+    """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  private def tokenBpe(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------
+  // tx_rolling_fp: winnowing-style rolling fingerprint — min xxhash64
+  // over character 8-grams (document-level robust hash). Rows-only
+  // (xxhash64 is Spark-specific).
+  // ---------------------------------------------------------------
+  private def rollingFp(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("norm", normCol)
+      .select(col("doc_id"), expr(
+        """array_min(transform(
+          |  sequence(1, greatest(length(norm) - 7, 1)),
+          |  i -> xxhash64(substring(norm, i, 8))))""".stripMargin).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_stats"       -> (stats _),
+    "tx_langid"      -> (langid _),
+    "tx_quality"     -> (quality _),
+    "tx_fingerprint" -> (fingerprint _),
+    "tx_token_bpe"   -> (tokenBpe _),
+    "tx_rolling_fp"  -> (rollingFp _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_stats"       -> statsSql,
+    "tx_langid"      -> langidSql,
+    "tx_quality"     -> qualitySql,
+    "tx_fingerprint" -> fingerprintSql
+  )
+}
