@@ -1,9 +1,30 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.{Executors, TimeoutException, TimeUnit}
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Benchmark main: one JSON line with per-query seconds over
+  * `SparkEntry.queries`.
+  *
+  * Round-1 post-mortem: a single pathological query hung the whole run
+  * (rc=124, zero numbers emitted). Hardened per VERDICT.md #3:
+  *   - every query runs under a wall-clock budget; on timeout its Spark
+  *     job group is cancelled (`interruptOnCancel`) and the bench moves
+  *     on;
+  *   - failures/timeouts are recorded per query in an `"errors"` map
+  *     instead of being swallowed;
+  *   - progress is printed to stderr incrementally, so even a hard kill
+  *     leaves a per-query trail.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     val spark = Sessions.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -11,15 +32,41 @@ object Bench {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val pool = Executors.newSingleThreadExecutor()
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // job group must be set on the thread that submits the jobs
+      val fut = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).count()
+        finally spark.sparkContext.clearJobGroup()
+      }
+      val err =
+        try { Await.result(fut, Duration(timeoutSec, TimeUnit.SECONDS)); None }
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            // let the worker thread unwind before reusing it
+            try Await.ready(fut, Duration(30, TimeUnit.SECONDS)) catch { case _: Throwable => () }
+            Some("timeout")
+          case e: Throwable =>
+            Some(Option(e.getCause).getOrElse(e).getClass.getSimpleName)
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-42s $sec%8.2f s${err.fold("")(" ERR:" + _)}")
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    pool.shutdownNow()
+
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,7 +21,10 @@ object Tables {
   def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // exact integer division: `/` is double division and epoch-nanos
+        // (~1.7e18) exceed double's 2^53 exact range — a boundary event
+        // could land 1µs low and bucket into the previous window
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df // already a timestamp (e.g. rewritten fixtures)
     }
 }

@@ -4,23 +4,155 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Shared MinHash + LSH machinery for the near-dup operators.
+  *
+  * Round-1 post-mortem (VERDICT.md): computing shingles → signatures →
+  * bands as a `withColumn` chain of nested array HOFs let Catalyst's
+  * `CollapseProject` inline the whole pipeline into every downstream
+  * consumer — multiplicative re-evaluation in interpreted (non-codegen)
+  * mode, and the benchmark hung for hours on a single task. This rewrite
+  * is scale-native instead:
+  *
+  *   - features become ROWS (`explode`), not nested arrays;
+  *   - the k min-hashes are k `min(...)` aggregates in ONE hash-aggregate
+  *     over (doc_id) — whole-stage codegen'd, map-side partial min, one
+  *     shuffle of (doc_id, k longs);
+  *   - min-hash family is affine: h_s(x) = (a_s·(H(x) mod p) + b_s) mod p
+  *     with p < 2^30, so ONE md5 per feature serves all k hashes and no
+  *     intermediate exceeds 2^60 (DuckDB BIGINT overflow-checks, Spark
+  *     wraps — staying < 2^63 keeps both engines in exact agreement);
+  *   - candidate verification is count-based Jaccard over the token rows
+  *     (two broadcast-able joins + a count aggregate), not
+  *     `array_intersect` over re-evaluated arrays;
+  *   - every bucket join is skew-capped (`MaxBucket`), including the
+  *     n-gram and SimHash variants that round 1 left uncapped.
+  *
+  * The DuckDB oracle SQL is GENERATED from the same constants and the
+  * same pipeline shape (`oracleSql`) — no drift possible.
+  *
+  * Reference anchor: the reference repo has no dedup operators (it is an
+  * expression transpiler, SURVEY.md §0); this family is the mandated
+  * LLM-training-data extension.
+  */
+private[ops] object MinHashLsh {
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand: Int = NumHashes / Bands
+  /** skew cap: a degenerate band bucket (boilerplate text) is dropped
+    * rather than allowed to go n² in the self-join. */
+  val MaxBucket = 64
+  /** report pairs with Jaccard ≥ 0.300 (permille, exact integer math). */
+  val ThresholdPm = 300
+  /** prime < 2^30 — keeps a·h+b < 2^60 in both engines. */
+  val P = 1073741789L
+
+  /** affine min-hash coefficients, fixed seed, inlined into both engines */
+  val (coefA, coefB): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(20260812)
+    (Array.fill(NumHashes)(1L + rng.nextInt((P - 1).toInt)),
+      Array.fill(NumHashes)(rng.nextInt(P.toInt).toLong))
+  }
+
+  /** LSH-candidate near-dup pairs with exact-Jaccard verification, over a
+    * `(doc_id, feature)` token table (features already distinct per doc).
+    */
+  def verifiedPairs(tok: DataFrame): DataFrame = {
+    // one md5 per feature; all 32 min-hashes derive from it affinely
+    val base = PortableHash.hashCol(col("feature")) % P
+    val minAggs = (0 until NumHashes).map(s =>
+      min((lit(coefA(s)) * base + lit(coefB(s))) % P).as(s"m$s"))
+    val aggs = minAggs :+ count(lit(1)).as("n")
+    // one shuffle on doc_id; map-side partial min/count
+    val sig = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+
+    // band hash = portable hash of the band's signature slice
+    val bandCols = (0 until Bands).map { bi =>
+      val slice = (0 until RowsPerBand).map(r => col(s"m${bi * RowsPerBand + r}"))
+      PortableHash.hashCol(concat_ws(",", slice: _*))
+    }
+    val banded = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= MaxBucket)
+      .select("doc_id", "band", "bh")
+
+    val a = capped.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val b = capped.select(col("band"), col("bh"), col("doc_id").as("b"))
+    val cand = a.join(b, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    // count-based exact Jaccard: |A∩B| via a feature-equality join,
+    // |A∪B| = n_a + n_b - |A∩B|. All integers → identical cross-engine.
+    val inter = cand
+      .join(tok.select(col("doc_id").as("a"), col("feature")), "a")
+      .join(tok.select(col("doc_id").as("b"), col("feature")), Seq("b", "feature"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val n = sig.select(col("doc_id"), col("n"))
+    inter
+      .join(n.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(n.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard_pm",
+        floor(col("inter") * lit(1000.0) / (col("na") + col("nb") - col("inter")))
+          .cast("long"))
+      .filter(col("jaccard_pm") >= ThresholdPm)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard_pm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[verifiedPairs]]; `tokCte` must define
+    * `tok(doc_id, feature)` with per-doc-distinct features.
+    */
+  def oracleSql(tokCte: String): String = {
+    val minCols = (0 until NumHashes)
+      .map(s => s"min((${coefA(s)} * (h % $P) + ${coefB(s)}) % $P) AS m$s")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { bi =>
+      val slice = (0 until RowsPerBand).map(r => s"m${bi * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $bi AS band, ${PortableHash.hashSql(s"concat_ws(',', $slice)")} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $tokCte,
+       |hashed AS (SELECT doc_id, ${PortableHash.hashSql("feature")} AS h FROM tok),
+       |sig AS (SELECT doc_id,
+       |    $minCols,
+       |    count(*) AS n
+       |  FROM hashed GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |capped AS (SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bucket_n
+       |    FROM banded) c
+       |  WHERE bucket_n <= $MaxBucket),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM capped x JOIN capped y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |inter AS (SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN tok ta ON ta.doc_id = c.a
+       |  JOIN tok tb ON tb.doc_id = c.b AND tb.feature = ta.feature
+       |  GROUP BY c.a, c.b)
+       |SELECT i.a AS doc_a, i.b AS doc_b,
+       |  CAST(floor(i.inter * 1000.0 / (sa.n + sb.n - i.inter)) AS BIGINT) AS jaccard_pm
+       |FROM inter i
+       |JOIN sig sa ON sa.doc_id = i.a
+       |JOIN sig sb ON sb.doc_id = i.b
+       |WHERE floor(i.inter * 1000.0 / (sa.n + sb.n - i.inter)) >= $ThresholdPm
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}
+
 /** Deduplication family for large-scale training-data pipelines.
   *
   * Scale design (the part that matters at 100 TB):
   *   - exact dedup is `row_number() OVER (PARTITION BY content_hash)` —
   *     one shuffle on the 128-bit hash, never a global `distinct` over
   *     wide rows; the text itself never shuffles, only (hash, doc_id);
-  *   - near-dup is MinHash + LSH banding: O(n·k) signature computation
-  *     (embarrassingly parallel Column expressions, no UDFs), then one
-  *     shuffle on (band, band_hash) — candidate generation is linear,
-  *     never an n² cross join. Oversized buckets (degenerate shingles)
-  *     are capped to bound skew, mirroring AQE-style skew hygiene;
-  *   - SimHash packs a document into one 64-bit word; banding on 16-bit
-  *     chunks finds Hamming≤k neighbors with one shuffle;
-  *   - verification (exact Jaccard) runs only on LSH candidates.
-  *
-  * All signatures/hashes derive from `xxhash64` with fixed seeds →
-  * fully deterministic across runs and cluster sizes.
+  *   - near-dup (MinHash / char-n-gram / SimHash) tokenizes to rows and
+  *     aggregates — see [[MinHashLsh]] for the full design. Candidate
+  *     generation is one shuffle on (band, band_hash), O(n), skew-capped;
+  *   - embedding near-dup buckets by random-hyperplane signature and
+  *     only compares within buckets (also skew-capped);
+  *   - verification (exact Jaccard / quantized cosine) runs only on LSH
+  *     candidates, in exact integer math → oracle-checkable.
   */
 object Dedup {
 
@@ -58,164 +190,187 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 
   // -------------------------------------------------------------------
-  // MinHash + LSH near-dup. k=32 hashes, b=8 bands × r=4 rows.
-  // Pure Column/HOF pipeline (codegen'd, no UDFs):
-  //   words → 3-word shingles → k seeded minhashes → band fold-hashes
-  //   → explode bands → bucket self-join (a<b) → exact-Jaccard verify.
+  // Tokenizers: each emits (doc_id, feature) rows with per-doc-distinct
+  // features. The `repartition(doc_id)` is a deliberate materialization
+  // barrier: the split/normalize work is computed once per row and
+  // shuffled as DATA, so the downstream HOF lambda reads a concrete
+  // array instead of re-evaluating the expression per element (the
+  // round-1 blowup). The hash partitioning on doc_id is then REUSED by
+  // the groupBy(doc_id) signature aggregate — no extra shuffle.
   // -------------------------------------------------------------------
-  private val NumHashes = 32
-  private val Bands = 8
-  private val RowsPerBand = NumHashes / Bands
   private val ShingleWords = 3
-  private val MaxBucket = 64 // skew cap: drop degenerate buckets
 
-  private def shingleCol: Column = {
-    val words = split(lower(col("text")), "\\s+")
+  /** 3-word shingles over whitespace-normalized lowercase text */
+  private def wordShingleTok(spark: SparkSession, dir: String): DataFrame = {
     val n = ShingleWords
-    array_distinct(
-      when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
-      .otherwise(array(concat_ws(" ", words))))
+    val ws = docs(spark, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .repartition(col("doc_id"))
+    ws.select(col("doc_id"), explode(array_distinct(
+      when(size(col("ws")) >= n,
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(n)))))
+        .otherwise(array(concat_ws(" ", col("ws")))))).as("feature"))
   }
 
-  private def signatureCol(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      s => array_min(transform(sh, x => xxhash64(x, s))))
+  private val wordShingleTokCte =
+    """tok AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+      |    ELSE [array_to_string(ws, ' ')] END) AS feature
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      |        FROM documents) w)""".stripMargin
 
-  private def bandsCol(sig: Column): Column =
-    transform(sequence(lit(0), lit(Bands - 1)),
-      b => aggregate(
-        slice(sig, b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
-        lit(0L), (acc, v) => xxhash64(acc, v)))
+  /** 8-char n-grams over the space-normalized lowercase text */
+  private val NgramChars = 8
 
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-      .select(col("doc_id"), shingleCol.as("shingles"))
-      .withColumn("sig", signatureCol(col("shingles")))
-      .withColumn("bands", bandsCol(col("sig")))
-
-    val exploded = d.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-
-    // skew hygiene: cap bucket size so a degenerate shingle can't n² a bucket
-    val bucketed = exploded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= MaxBucket)
-
-    val a = bucketed.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val b = bucketed.select(col("band"), col("bh"), col("doc_id").as("b"))
-    val candidates = a.join(b, Seq("band", "bh")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-
-    // verify candidates with exact Jaccard over shingle sets
-    val sh = d.select(col("doc_id"), col("shingles"))
-    candidates
-      .join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("shingles", "sh_a"), "a")
-      .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("shingles", "sh_b"), "b")
-      .withColumn("jaccard_pm",
-        (size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1000) /
-          size(array_union(col("sh_a"), col("sh_b")))).cast("long"))
-      .filter(col("jaccard_pm") >= 300)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard_pm"))
-      .orderBy("doc_a", "doc_b")
+  private def charNgramTok(spark: SparkSession, dir: String): DataFrame = {
+    val n = NgramChars
+    val nd = docs(spark, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .repartition(col("doc_id"))
+    nd.select(col("doc_id"), explode(array_distinct(
+      when(length(col("norm")) >= n,
+        transform(sequence(lit(1), length(col("norm")) - (n - 1)),
+          i => col("norm").substr(i, lit(n))))
+        .otherwise(array(col("norm"))))).as("feature"))
   }
 
+  private val charNgramTokCte =
+    s"""tok AS (SELECT DISTINCT doc_id, unnest(CASE WHEN length(norm) >= $NgramChars
+       |    THEN list_transform(range(1, length(norm) - ${NgramChars - 2}),
+       |                        i -> substring(norm, i, $NgramChars))
+       |    ELSE [norm] END) AS feature
+       |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |        FROM documents) t)""".stripMargin
+
   // -------------------------------------------------------------------
-  // SimHash: 64-bit signature; near-dups = Hamming distance ≤ 3 found
-  // via 16-bit band blocking (a pair within distance 3 shares at least
-  // one of 4 bands). SQL-expr HOFs (shift ops need column shift
-  // amounts, which only the SQL surface exposes).
+  // MinHash + LSH near-dup over word shingles / char n-grams.
   // -------------------------------------------------------------------
-  private def simhashDf(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .withColumn("tok_hashes",
-        expr("transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
-           |  acc + CASE WHEN
-           |    aggregate(tok_hashes, 0L,
-           |      (a, h) -> a + IF(((h >> i) & 1) = 1, 1L, -1L)) >= 0
-           |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
-      .select("doc_id", "simhash")
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    MinHashLsh.verifiedPairs(wordShingleTok(spark, dir))
+
+  private def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    MinHashLsh.verifiedPairs(charNgramTok(spark, dir))
+
+  // -------------------------------------------------------------------
+  // SimHash: 60-bit signature (DuckDB overflow-checks `1 << 63`, so we
+  // stay at 60 bits = 4 clean 15-bit bands); near-dups = Hamming ≤ 3,
+  // found via band blocking (a pair within distance 3 agrees on ≥ 1 of
+  // the 4 bands). Token hash → 60 conditional-sum aggregates in ONE
+  // hash aggregate — codegen'd, one shuffle, no nested HOFs.
+  //
+  // Scale note: 15-bit bands = 32k buckets/band; at 10^9 docs buckets
+  // average n/32k — the MaxBucket cap (round 1 had none here) bounds
+  // the in-bucket self-join regardless.
+  // -------------------------------------------------------------------
+  private val SimBits = 60
+  private val SimBands = 4
+  private val SimBandBits = SimBits / SimBands // 15
+  private val SimBandMask = (1L << SimBandBits) - 1 // 32767
+  private val MaxHamming = 3
+
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    // duplicate tokens intentionally kept: SimHash weights by frequency
+    val tok = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .select(col("doc_id"), PortableHash.hashCol(col("w")).as("h"))
+    val bitAggs = (0 until SimBits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"c$i"))
+    tok.groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimBits)
+          .map(i => when(col(s"c$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val s = simhashDf(spark, dir)
+    val s = simhashSig(spark, dir)
+    val bandCols = (0 until SimBands).map(b =>
+      shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(SimBandMask)))
     val banded = s.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0,3), b -> (simhash >> (b*16)) & 65535)"))
-        .as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= MinHashLsh.MaxBucket)
+    val a = capped.select(col("band"), col("bh"),
       col("doc_id").as("a"), col("simhash").as("sim_a"))
-    val b = banded.select(col("band"), col("bh"),
+    val b = capped.select(col("band"), col("bh"),
       col("doc_id").as("b"), col("simhash").as("sim_b"))
     a.join(b, Seq("band", "bh")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+        expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= MaxHamming)
       .orderBy("a", "b")
   }
 
-  // -------------------------------------------------------------------
-  // Character n-gram Jaccard near-dup: 8-char shingles, same LSH
-  // banding machinery (different feature space than word-shingle
-  // MinHash — catches near-dups with word-level edits).
-  // -------------------------------------------------------------------
-  private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
-    val n = 8
-    // substring with a column start position needs the SQL surface
-    val d = docs(spark, dir)
-      .withColumn("norm", norm)
-      .withColumn("grams", expr(
-        s"""array_distinct(CASE WHEN length(norm) >= $n
-           |  THEN transform(sequence(1, length(norm) - $n + 1),
-           |       i -> substring(norm, i, $n))
-           |  ELSE array(norm) END)""".stripMargin))
-      .select(col("doc_id"), col("grams"))
-      .withColumn("sig", signatureCol(col("grams")))
-      .withColumn("bands", bandsCol(col("sig")))
-
-    val exploded = d.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-    val a = exploded.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val b = exploded.select(col("band"), col("bh"), col("doc_id").as("b"))
-    val candidates = a.join(b, Seq("band", "bh")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val g = d.select(col("doc_id"), col("grams"))
-    candidates
-      .join(g.withColumnRenamed("doc_id", "a").withColumnRenamed("grams", "g_a"), "a")
-      .join(g.withColumnRenamed("doc_id", "b").withColumnRenamed("grams", "g_b"), "b")
-      .withColumn("jaccard_pm",
-        (size(array_intersect(col("g_a"), col("g_b"))) * lit(1000) /
-          size(array_union(col("g_a"), col("g_b")))).cast("long"))
-      .filter(col("jaccard_pm") >= 300)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard_pm"))
-      .orderBy("doc_a", "doc_b")
+  private val simhashPairsSql: String = {
+    val ph = PortableHash.hashSql("w")
+    val sums = (0 until SimBits)
+      .map(i => s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS c$i")
+      .mkString(",\n    ")
+    val assemble = (0 until SimBits)
+      .map(i => s"(CASE WHEN c$i >= 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until SimBands).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * SimBandBits}) & $SimBandMask AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |hashed AS (SELECT doc_id, $ph AS h FROM tok),
+       |bits AS (SELECT doc_id,
+       |    $sums
+       |  FROM hashed GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $assemble AS simhash FROM bits),
+       |banded AS (
+       |  $bandSelects),
+       |capped AS (SELECT doc_id, simhash, band, bh FROM (
+       |    SELECT doc_id, simhash, band, bh, count(*) OVER (PARTITION BY band, bh) AS bucket_n
+       |    FROM banded) c
+       |  WHERE bucket_n <= ${MinHashLsh.MaxBucket})
+       |SELECT a, b, hamming FROM (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |  FROM capped x JOIN capped y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id) p
+       |WHERE hamming <= $MaxHamming
+       |ORDER BY a, b""".stripMargin
   }
 
   // -------------------------------------------------------------------
-  // Embedding near-dup: random-hyperplane LSH (16 deterministic
-  // hash-derived hyperplanes → 16-bit bucket), exact quantized-cosine
-  // verify within buckets. Quantized integer arithmetic → deterministic.
+  // Embedding near-dup: random-hyperplane LSH (16 fixed-seed ±1
+  // hyperplanes inlined from [[Hyperplanes]] → 16-bit bucket), exact
+  // quantized-cosine verify within buckets. Integer arithmetic up to
+  // the final cosine (permille, floored) → deterministic and
+  // oracle-backed. Emits EVERY in-bucket candidate with its cosine plus
+  // the ≥0.95 near-dup flag — the driver's synthetic embeddings contain
+  // no true near-dups (max pairwise cosine ≈ 0.51), so a flag-only
+  // output would be vacuously empty and the oracle check meaningless.
   // -------------------------------------------------------------------
+  private val CosineNearDupPm = 950L // near-dup flag: cosine ≥ 0.950
+
   private def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val dotCols = (0 until Hyperplanes.Planes).map(p =>
+      expr(s"aggregate(zip_with(q, ${Hyperplanes.sparkArray(p)}, (x, s) -> x * s), " +
+        "0L, (acc, v) -> acc + v)").as(s"dp$p"))
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       // quantize once: int micro-units, exact integer math from here on
       .withColumn("q", expr("transform(embedding, v -> CAST(round(v*10000) AS BIGINT))"))
-      // 16 random hyperplanes; weight(p,d) = ±1 from xxhash64(p,d). Signs
-      // computed on the raw floats (sign is scale-invariant).
-      .withColumn("bucket", expr(
-        """aggregate(sequence(0, 15), 0L, (acc, p) ->
-          |  acc + CASE WHEN aggregate(sequence(0, size(embedding)-1), 0D,
-          |    (s, d) -> s + IF(((xxhash64(p, d) >> 1) & 1) = 1,
-          |                     CAST(embedding[d] AS DOUBLE),
-          |                     -CAST(embedding[d] AS DOUBLE))) >= 0D
-          |  THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin))
-      .select("vec_id", "q", "bucket")
+      .select(Seq(col("vec_id"), col("q")) ++ dotCols: _*)
+      .select(col("vec_id"), col("q"),
+        (0 until Hyperplanes.Planes)
+          .map(p => when(col(s"dp$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as("bucket"))
       // shuffle on bucket = materialization barrier: q/bucket computed
       // once per row, never per candidate pair (and the exact layout a
       // 100 TB run would persist, partitioned by bucket)
       .repartition(col("bucket"))
+      // skew cap, same hygiene as the text LSH buckets
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("bucket_n") <= MinHashLsh.MaxBucket)
 
     val a = e.select(col("bucket"), col("vec_id").as("a"), col("q").as("qa"))
     val b = e.select(col("bucket"), col("vec_id").as("b"), col("q").as("qb"))
@@ -224,21 +379,56 @@ object Dedup {
         "aggregate(zip_with(qa, qb, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
       .withColumn("na", expr("aggregate(qa, 0L, (acc, v) -> acc + v*v)"))
       .withColumn("nb", expr("aggregate(qb, 0L, (acc, v) -> acc + v*v)"))
-      // cosine ≥ 0.95 ⇔ dot ≥ 0 and dot² ≥ 0.9025·na·nb. Compared in
-      // double (the squares overflow Long); inputs are exact integers so
-      // the comparison is stable across runs.
-      .filter(col("dot") > 0 &&
-        col("dot").cast("double") * col("dot").cast("double") * lit(10000.0) >=
-          col("na").cast("double") * col("nb").cast("double") * lit(9025.0))
-      .select(col("a").as("vec_a"), col("b").as("vec_b"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      // cosine in permille, floored: integer inputs → the double
+      // division/sqrt are the identical IEEE ops in both engines.
+      .withColumn("cos_pm",
+        floor(lit(1000.0) * col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cos_pm"),
+        (col("cos_pm") >= CosineNearDupPm).cast("long").as("is_neardup"))
       .distinct()
       .orderBy("vec_a", "vec_b")
+  }
+
+  private val embedNearDupSql: String = {
+    val dots = (0 until Hyperplanes.Planes).map(p =>
+      s"CAST(list_sum(list_transform(list_zip(q, ${Hyperplanes.duckArray(p)}), t -> t[1] * t[2])) AS BIGINT) AS dp$p")
+      .mkString(",\n    ")
+    val assemble = (0 until Hyperplanes.Planes)
+      .map(p => s"(CASE WHEN dp$p >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH qt AS (SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(round(v*10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |dp AS (SELECT vec_id, q,
+       |    $dots
+       |  FROM qt),
+       |sig AS (SELECT vec_id, q, $assemble AS bucket FROM dp),
+       |capped AS (SELECT vec_id, q, bucket FROM (
+       |    SELECT vec_id, q, bucket, count(*) OVER (PARTITION BY bucket) AS bucket_n
+       |    FROM sig) c
+       |  WHERE bucket_n <= ${MinHashLsh.MaxBucket}),
+       |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b,
+       |    CAST(list_sum(list_transform(list_zip(x.q, y.q), t -> t[1] * t[2])) AS BIGINT) AS dot,
+       |    CAST(list_sum(list_transform(x.q, v -> v * v)) AS BIGINT) AS na,
+       |    CAST(list_sum(list_transform(y.q, v -> v * v)) AS BIGINT) AS nb
+       |  FROM capped x JOIN capped y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |scored AS (SELECT a, b,
+       |    CAST(floor(1000.0 * CAST(dot AS DOUBLE) /
+       |      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_pm
+       |  FROM pairs WHERE na > 0 AND nb > 0)
+       |SELECT DISTINCT a AS vec_a, b AS vec_b, cos_pm,
+       |  CAST(cos_pm >= $CosineNearDupPm AS BIGINT) AS is_neardup
+       |FROM scored
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   // -------------------------------------------------------------------
   // Approximate distinct (HLL sketch — TypedImperativeAggregate inside
   // Spark): dedup *counting* without a distinct shuffle of the keys.
-  // Approximate by construction → no DuckDB oracle.
+  // Approximate by construction → no DuckDB oracle (the exact twin,
+  // ax_distinct_users, is oracle-backed).
   // -------------------------------------------------------------------
   private def approxUsers(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.events(spark, dir)
@@ -258,6 +448,10 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "dd_exact_keep_min" -> exactKeepMinSql,
-    "dd_exact_groups"   -> exactGroupsSql
+    "dd_exact_groups"   -> exactGroupsSql,
+    "dd_minhash_pairs"  -> MinHashLsh.oracleSql(wordShingleTokCte),
+    "dd_ngram_jaccard"  -> MinHashLsh.oracleSql(charNgramTokCte),
+    "dd_simhash_pairs"  -> simhashPairsSql,
+    "dd_embed_neardup"  -> embedNearDupSql
   )
 }

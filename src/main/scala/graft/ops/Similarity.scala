@@ -5,19 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table (`Array[Float]`, dim 64).
   *
-  * Three tiers, in increasing scale-readiness:
+  * Four tiers, in increasing scale-readiness:
   *   1. brute-force top-k — the exactness baseline: one scan, per-row
-  *      dot product via `zip_with`/`aggregate` HOFs (codegen'd), top-k
-  *      via TakeOrderedAndProject. O(n·d), no shuffle of vectors.
+  *      dot product via `zip_with`/`aggregate` HOFs (over a concrete
+  *      quantized column), top-k via TakeOrderedAndProject. O(n·d), no
+  *      shuffle of vectors.
   *   2. quantized top-k — same plan but integer micro-unit arithmetic →
-  *      bit-exact across engines (this one is oracle-backed in DuckDB).
-  *   3. LSH-bucketed ANN — random-hyperplane signatures, candidate
-  *      search restricted to the query's bucket (± probing): the 100 TB
-  *      path where scanning all vectors per query is off the table.
-  *      The bucketed layout is what you'd persist, partitioned by
-  *      bucket, so a query touches one partition.
+  *      bit-exact across engines.
+  *   3. LSH multi-probe ANN — random-hyperplane signatures, candidates =
+  *      vectors within Hamming 1 of the query's bucket. Still a full
+  *      scan + cheap filter (honest demo tier).
+  *   4. bucketed ANN — the 100 TB path: the signature becomes a PHYSICAL
+  *      partition column (`write.partitionBy("bucket")`); a query reads
+  *      ONE partition via partition pruning instead of scanning.
   *
-  * Query vector = vec_id 0 (deterministic; the driver data is seeded).
+  * All hyperplane signs come from [[Hyperplanes]] (fixed-seed ±1 matrix
+  * inlined into both engines) and all arithmetic after quantization is
+  * integer (or floored-double on integer inputs) → every query here is
+  * DuckDB-oracle-checkable. Query vector = vec_id 0 (deterministic).
   */
 object Similarity {
 
@@ -26,6 +31,27 @@ object Similarity {
 
   /** integer micro-quantization: exact, portable arithmetic */
   private val quantize = "transform(embedding, v -> CAST(round(v*10000) AS BIGINT))"
+  private val quantizeDuck =
+    "list_transform(embedding, v -> CAST(round(v*10000) AS BIGINT))"
+
+  /** hyperplane-signature bucket over the quantized vector, first
+    * `planes` rows of the shared sign matrix (Spark side)
+    */
+  private def bucketCol(planes: Int): org.apache.spark.sql.Column = {
+    val dots = (0 until planes).map(p =>
+      expr(s"aggregate(zip_with(q, ${Hyperplanes.sparkArray(p)}, (x, s) -> x * s), " +
+        "0L, (acc, v) -> acc + v)"))
+    dots.zipWithIndex
+      .map { case (d, p) => when(d >= 0, lit(1L << p)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+  }
+
+  /** same bucket as DuckDB SQL (expects a list column named q) */
+  private def bucketSqlDuck(planes: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN CAST(list_sum(list_transform(list_zip(q, ${Hyperplanes.duckArray(p)}), " +
+        s"t -> t[1] * t[2])) AS BIGINT) >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END)")
+      .mkString(" + ")
 
   // -------------------------------------------------------------------
   // sim_topk_quantized: exact top-20 neighbors of vec 0 by quantized
@@ -53,50 +79,60 @@ object Similarity {
        |FROM embeddings b WHERE b.vec_id <> 0
        |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
 
-  private def quantizeDuck =
-    "list_transform(embedding, v -> CAST(round(v*10000) AS BIGINT))"
-
   // -------------------------------------------------------------------
-  // sim_topk_cosine: float cosine brute force (the natural form; float
-  // rounding is engine-specific → rows-only check).
+  // sim_topk_cosine: brute-force cosine top-k. Cosine is computed from
+  // the quantized integer dot/norms (identical in both engines) and
+  // floored to micro-units — raw float accumulation is engine- and
+  // order-dependent, so this is the deterministic formulation of the
+  // "natural" float query. Oracle-backed.
   // -------------------------------------------------------------------
   private def topkCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val query = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("query_e"))
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val query = e.filter(col("vec_id") === 0).select(col("q").as("query_q"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(embedding, query_e, (x, y) -> CAST(x AS DOUBLE)*y), 0D, (acc, v) -> acc + v)"))
-      .withColumn("na", expr(
-        "aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE)*v)"))
-      .withColumn("nb", expr(
-        "aggregate(query_e, 0D, (acc, v) -> acc + CAST(v AS DOUBLE)*v)"))
-      .withColumn("cosine", col("dot") / sqrt(col("na") * col("nb")))
-      .select(col("vec_id"), col("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .withColumn("dot",
+        expr("aggregate(zip_with(q, query_q, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("na", expr("aggregate(q, 0L, (acc, v) -> acc + v*v)"))
+      .withColumn("nb", expr("aggregate(query_q, 0L, (acc, v) -> acc + v*v)"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("cosine_e6",
+        floor(lit(1000000.0) * col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
+      .select(col("vec_id"), col("cosine_e6"))
+      .orderBy(col("cosine_e6").desc, col("vec_id").asc)
       .limit(20)
   }
 
+  private val topkCosineSql =
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |qq AS (SELECT q FROM qt WHERE vec_id = 0),
+       |scored AS (SELECT t.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(t.q, qq.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+       |    CAST(list_sum(list_transform(t.q, v -> v*v)) AS BIGINT) AS na,
+       |    CAST(list_sum(list_transform(qq.q, v -> v*v)) AS BIGINT) AS nb
+       |  FROM qt t, qq WHERE t.vec_id <> 0)
+       |SELECT vec_id,
+       |  CAST(floor(1000000.0 * CAST(dot AS DOUBLE) /
+       |    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cosine_e6
+       |FROM scored WHERE na > 0 AND nb > 0
+       |ORDER BY cosine_e6 DESC, vec_id ASC LIMIT 20""".stripMargin
+
   // -------------------------------------------------------------------
-  // sim_ann_lsh: random-hyperplane LSH. 12-bit signatures; candidates =
+  // sim_ann_lsh: random-hyperplane LSH, 12-bit signatures; candidates =
   // vectors whose signature is within Hamming 1 of the query's (multi-
-  // probe), re-ranked by quantized dot. At scale: persist bucketed,
-  // partition-prune per query instead of scanning.
+  // probe), re-ranked by quantized dot. This tier is deliberately a
+  // scan+filter (cheap bit_count over a 2k-partition scan); the
+  // partition-pruned version is sim_ann_bucketed below. Oracle-backed.
   // -------------------------------------------------------------------
+  private val LshPlanes = 12
+
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val planes = 12
     val e = emb(spark, dir)
       .withColumn("q", expr(quantize))
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
-           |  acc + CASE WHEN aggregate(sequence(0, size(q)-1), 0L,
-           |    (a, d) -> a + IF(((xxhash64(p, d) >> 1) & 1) = 1, q[d], -q[d])) >= 0
-           |  THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin))
-
+      .withColumn("bucket", bucketCol(LshPlanes))
     val query = e.filter(col("vec_id") === 0)
       .select(col("q").as("query_q"), col("bucket").as("query_bucket"))
-
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
       // multi-probe: same bucket or Hamming-1 neighbor bucket
@@ -108,20 +144,77 @@ object Similarity {
       .limit(20)
   }
 
+  private val annLshSql =
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |sig AS (SELECT vec_id, q, ${bucketSqlDuck(LshPlanes)} AS bucket FROM qt),
+       |qq AS (SELECT q, bucket FROM sig WHERE vec_id = 0)
+       |SELECT s.vec_id,
+       |  CAST(list_sum(list_transform(list_zip(s.q, qq.q), t -> t[1]*t[2])) AS BIGINT) AS dot
+       |FROM sig s, qq
+       |WHERE s.vec_id <> 0 AND bit_count(xor(s.bucket, qq.bucket)) <= 1
+       |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // sim_ann_bucketed: the 100 TB ANN layout made physical. The LSH
+  // signature (6 planes → 64 cells, sized so cells stay non-trivial at
+  // test SF; at 10^9 vectors you'd use 16-20 planes) becomes a parquet
+  // PARTITION column; the query computes the probe key from the query
+  // vector and reads exactly one partition — `.explain` shows
+  // PartitionFilters, not a post-scan filter. Oracle-backed.
+  // -------------------------------------------------------------------
+  private val BucketedPlanes = 6
+
+  private def annBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val layout = new java.io.File(
+      s"target/ann_layout/${new java.io.File(dir).getName}").getAbsolutePath
+    emb(spark, dir)
+      .withColumn("q", expr(quantize))
+      .withColumn("bucket", bucketCol(BucketedPlanes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(layout)
+
+    val indexed = spark.read.parquet(layout)
+    // probe-key lookup: one partition-pruned point read for the query
+    // vector's (q, bucket) — a driver-side key fetch, not a data loop
+    val Array(queryQ, queryBucket) = indexed.filter(col("vec_id") === 0)
+      .select(col("q"), col("bucket")).head().toSeq.toArray
+    indexed
+      .filter(col("bucket") === queryBucket) // partition pruning
+      .filter(col("vec_id") =!= 0)
+      .withColumn("query_q",
+        lit(queryQ.asInstanceOf[scala.collection.Seq[Any]]
+          .map(_.asInstanceOf[Long]).toArray))
+      .withColumn("dot",
+        expr("aggregate(zip_with(q, query_q, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+      .select(col("vec_id"), col("dot"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  private val annBucketedSql =
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |sig AS (SELECT vec_id, q, ${bucketSqlDuck(BucketedPlanes)} AS bucket FROM qt),
+       |qq AS (SELECT q, bucket FROM sig WHERE vec_id = 0)
+       |SELECT s.vec_id,
+       |  CAST(list_sum(list_transform(list_zip(s.q, qq.q), t -> t[1]*t[2])) AS BIGINT) AS dot
+       |FROM sig s, qq
+       |WHERE s.vec_id <> 0 AND s.bucket = qq.bucket
+       |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
+
   // -------------------------------------------------------------------
   // sim_ivf_label: IVF-style coarse quantization demo — centroids from
-  // a groupBy (here the label partition stands in for k-means cells);
+  // a groupBy (the label partition stands in for k-means cells);
   // probe = nearest centroid, search only that cell. The plan shape
   // (centroid broadcast + cell-pruned scan) is the 100 TB IVF path.
+  // Centroid components use floor(avg(..)) — Spark's double→long cast
+  // truncates while DuckDB's rounds, so the floor is explicit in both.
+  // Oracle-backed.
   // -------------------------------------------------------------------
   private def ivfLabel(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("q", expr(quantize))
 
-    // centroids: per-label mean in quantized space (integer avg → exact;
-    // one avg aggregate per dimension, assembled into an array)
     val cent = e.groupBy("label")
-      .agg(array((0 until 64).map(d => avg(col("q").getItem(d)).cast("long")): _*)
-        .as("centroid"))
+      .agg(array((0 until 64).map(d =>
+        floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
 
     val query = e.filter(col("vec_id") === 0).select(col("q").as("query_q"))
 
@@ -143,14 +236,36 @@ object Similarity {
       .limit(20)
   }
 
+  private val ivfLabelSql: String = {
+    val centroid = (0 until 64)
+      .map(d => s"CAST(floor(avg(q[${d + 1}])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH qt AS (SELECT vec_id, label, $quantizeDuck AS q FROM embeddings),
+       |cent AS (SELECT label, $centroid AS centroid FROM qt GROUP BY label),
+       |qq AS (SELECT q FROM qt WHERE vec_id = 0),
+       |probe AS (SELECT c.label AS probe_label FROM cent c, qq
+       |  ORDER BY CAST(list_sum(list_transform(list_zip(c.centroid, qq.q),
+       |    t -> t[1]*t[2])) AS BIGINT) DESC, c.label ASC LIMIT 1)
+       |SELECT t.vec_id, t.label,
+       |  CAST(list_sum(list_transform(list_zip(t.q, qq.q), t2 -> t2[1]*t2[2])) AS BIGINT) AS dot
+       |FROM qt t, qq, probe p
+       |WHERE t.label = p.probe_label AND t.vec_id <> 0
+       |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_quantized" -> (topkQuantized _),
     "sim_topk_cosine"    -> (topkCosine _),
     "sim_ann_lsh"        -> (annLsh _),
+    "sim_ann_bucketed"   -> (annBucketed _),
     "sim_ivf_label"      -> (ivfLabel _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "sim_topk_quantized" -> topkQuantizedSql
+    "sim_topk_quantized" -> topkQuantizedSql,
+    "sim_topk_cosine"    -> topkCosineSql,
+    "sim_ann_lsh"        -> annLshSql,
+    "sim_ann_bucketed"   -> annBucketedSql,
+    "sim_ivf_label"      -> ivfLabelSql
   )
 }
