@@ -12,8 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Similarity.queries ++ Multimodal.queries
+      Similarity.queries ++ Multimodal.queries ++ StreamingGate.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
-      Similarity.oracleSql ++ Multimodal.oracleSql
+      Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+
+/** Driver-gate entries for the Structured Streaming surface (VERDICT.md
+  * round-1 item 6: streaming previously had no CORRECTNESS entry).
+  *
+  * Each query here executes the REAL streaming plan — file source →
+  * watermarked stateful transform → memory sink, `processAllAvailable`
+  * — and returns the sink table, so the driver's DuckDB compare checks
+  * actual streaming execution (state store, watermarks, incremental
+  * triggers) against the batch oracle. This is the replayability
+  * property that makes the batch/streaming split safe at scale: a
+  * bounded replay of the stream must converge to the batch answer.
+  *
+  * `maxFilesPerTrigger=1` keeps multi-trigger incremental state in the
+  * exercised path even when the input is a single file.
+  */
+object StreamingGate {
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
+  }
+
+  private def runToTable(df: DataFrame, name: String, mode: String)(
+      spark: SparkSession): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** hourly tumbling-window counts, streamed end-to-end; batch twin =
+    * ax_events_hourly (same oracle SQL)
+    */
+  private def hourlyStreamed(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventsStream.hourlyByType(eventsStream(spark, dir)),
+      "st_events_hourly_sink", "complete")(spark)
+      .orderBy("hour", "event_type")
+
+  /** streaming exactly-once dedup on event_id; batch twin = DISTINCT */
+  private def dedupStreamed(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventsStream.dedupEvents(eventsStream(spark, dir)),
+      "st_dedup_events_sink", "append")(spark)
+      .select(col("event_id"))
+      .orderBy("event_id")
+
+  private val dedupStreamedSql =
+    "SELECT DISTINCT event_id FROM events ORDER BY event_id"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_events_hourly" -> (hourlyStreamed _),
+    "st_dedup_events"  -> (dedupStreamed _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // identical oracle as the batch twin — generated once in Analytics
+    "st_events_hourly" -> Analytics.oracleSql("ax_events_hourly"),
+    "st_dedup_events"  -> dedupStreamedSql
+  )
+}

@@ -185,7 +185,9 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------
   // tx_token_bpe: BPE-ish token counting with a GPT-style pre-tokenizer
-  // regex (Java regex classes — not RE2-portable → rows-only check).
+  // regex. The pattern restricts itself to the Java-regex ∩ RE2 common
+  // subset (\p{L}/\p{N} classes, non-capturing groups, leftmost-first
+  // alternation — identical in both engines) → oracle-backed.
   // ---------------------------------------------------------------
   private val bpePattern =
     """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
@@ -197,19 +199,39 @@ object TextAnalysis {
           .cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
 
+  private val tokenBpeSql = {
+    // DuckDB string literals are escape-free: only quotes need doubling
+    val quoted = bpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$quoted')) AS BIGINT) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------
-  // tx_rolling_fp: winnowing-style rolling fingerprint — min xxhash64
-  // over character 8-grams (document-level robust hash). Rows-only
-  // (xxhash64 is Spark-specific).
+  // tx_rolling_fp: winnowing-style rolling fingerprint — min portable
+  // hash over character 8-grams (document-level robust hash). The
+  // repartition is a materialization barrier so `norm` is computed
+  // once per row, not once per 8-gram position (CollapseProject would
+  // otherwise inline the regex-normalize into the transform lambda —
+  // the round-1 near-dup blowup pattern). Oracle-backed.
   // ---------------------------------------------------------------
   private def rollingFp(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("norm", normCol)
+      .select(col("doc_id"), normCol.as("norm"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), expr(
         """array_min(transform(
           |  sequence(1, greatest(length(norm) - 7, 1)),
-          |  i -> xxhash64(substring(norm, i, 8))))""".stripMargin).as("rolling_fp"))
+          |  i -> CAST(conv(substring(md5(substring(norm, i, 8)), 1, 15), 16, 10) AS BIGINT)))"""
+          .stripMargin).as("rolling_fp"))
       .orderBy("doc_id")
+
+  private val rollingFpSql =
+    s"""SELECT doc_id,
+       |  list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+       |    i -> ${graft.ops.PortableHash.hashSql("substring(norm, i, 8)")})) AS rolling_fp
+       |FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) t
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_stats"       -> (stats _),
@@ -224,6 +246,8 @@ object TextAnalysis {
     "tx_stats"       -> statsSql,
     "tx_langid"      -> langidSql,
     "tx_quality"     -> qualitySql,
-    "tx_fingerprint" -> fingerprintSql
+    "tx_fingerprint" -> fingerprintSql,
+    "tx_token_bpe"   -> tokenBpeSql,
+    "tx_rolling_fp"  -> rollingFpSql
   )
 }
