@@ -79,15 +79,19 @@ object Compare {
   */
 final case class IfExp(test: Expr, body: Expr, orelse: Expr) extends Expr
 
-/** Function-call inlining (ref: visit_Call, main.py:104-107): args are
-  * inlined, the callee survives as an opaque `Seq[Column] => Column`.
-  * `sql` optionally renders the call for the DuckDB oracle generator.
+/** Function-call inlining (ref: visit_Call, main.py:104-107): positional
+  * args AND keyword args are inlined (the reference visits both
+  * `node.args` and `node.keywords`); the callee survives as an opaque
+  * function over (positional columns, keyword columns). `sql` optionally
+  * renders the call for the DuckDB oracle generator.
   */
 final case class CallFn(
     name: String,
-    fn: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column,
+    fn: (Seq[org.apache.spark.sql.Column], Map[String, org.apache.spark.sql.Column]) =>
+      org.apache.spark.sql.Column,
     args: Seq[Expr],
-    sql: Option[Seq[String] => String] = None
+    sql: Option[(Seq[String], Map[String, String]) => String] = None,
+    kwargs: Seq[(String, Expr)] = Nil
 ) extends Expr
 
 /** Structural tuple. Never a runtime value: destructured by assignment

@@ -61,7 +61,8 @@ object ColumnGen {
         }
       case Compare(_, _, _) =>
         throw new IllegalArgumentException("Polars can't handle chained comparisons")
-      case CallFn(_, fn, args, _) => fn(args.map(go))
+      case CallFn(_, fn, args, _, kwargs) =>
+        fn(args.map(go), kwargs.map { case (k, v) => k -> go(v) }.toMap)
       case WhenChain(cases, orelse) =>
         require(cases.nonEmpty || orelse != null, "No when-then cases provided.")
         val head = F.when(go(cases.head._1), go(cases.head._2))

@@ -51,7 +51,11 @@ object Compiler {
     case Lit(_) => expr
     case BinOp(op, l, r) => BinOp(op, inlineExpr(l, env), inlineExpr(r, env))
     case UnaryOp(op, o)  => UnaryOp(op, inlineExpr(o, env))
-    case c @ CallFn(_, _, args, _) => c.copy(args = args.map(inlineExpr(_, env)))
+    case c @ CallFn(_, _, args, _, kwargs) =>
+      // both positional and keyword arguments inline (main.py:104-107)
+      c.copy(
+        args = args.map(inlineExpr(_, env)),
+        kwargs = kwargs.map { case (k, v) => k -> inlineExpr(v, env) })
     case IfExp(t, b, o) =>
       // visit_IfExp (main.py:109-113): ternaries become single-case chains
       // at inline time.
@@ -282,7 +286,13 @@ object Compiler {
       if (body.isEmpty) resolve(orelse) // all cases pruned (main.py:375-379)
       else {
         val cases = body.map(c => (c.test, resolve(c.state)))
-        WhenChain(cases, resolve(orelse))
+        resolve(orelse) match {
+          // flat chain, not nested otherwise: each later `when` hangs off
+          // the previous then node (ref build_polars_when_then_otherwise,
+          // main.py:49-75) — also yields ONE flat Catalyst CaseWhen
+          case WhenChain(oCases, oElse) => WhenChain(cases ++ oCases, oElse)
+          case other                    => WhenChain(cases, other)
+        }
       }
     case _: UnresolvedState => err("Not all branches return")
   }

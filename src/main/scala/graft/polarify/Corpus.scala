@@ -17,7 +17,21 @@ object Corpus {
   private val x = "x".ref
 
   private def identityCall(arg: Expr): Expr =
-    CallFn("identity", cols => cols.head, Seq(arg), Some(args => args.head))
+    CallFn("identity", (cols, _) => cols.head, Seq(arg), Some((args, _) => args.head))
+
+  /** kwarg-taking callee — covers the keyword arm of visit_Call
+    * (ref main.py:104-107 inlines `node.keywords` alongside `node.args`;
+    * the reference corpus itself never exercises it, so this case is an
+    * addition, not a port).
+    */
+  private def clipCall(arg: Expr, lo: Expr, hi: Expr): Expr =
+    CallFn("clip",
+      (cols, kw) =>
+        org.apache.spark.sql.functions.greatest(kw("lo"),
+          org.apache.spark.sql.functions.least(kw("hi"), cols.head)),
+      Seq(arg),
+      Some((args, kw) => s"greatest(${kw("lo")}, least(${kw("hi")}, ${args.head}))"),
+      kwargs = Seq("lo" -> lo, "hi" -> hi))
 
   val base: Seq[Case] = Seq(
     Case("signum",
@@ -47,6 +61,13 @@ object Corpus {
         "s" := identityCall("k".ref + 3),
         Ret("s".ref)),
       v => v * 2 + 3),
+
+    Case("call_expr_kwargs",
+      Program(
+        "k" := x * 2,
+        "s" := clipCall("k".ref, Lit(-10) - x, Lit(10) + x),
+        Ret("s".ref)),
+      v => math.max(-10 - v, math.min(10 + v, v * 2))),
 
     Case("if_expr",
       Program("s" := ternary(1, x > 0, -1), Ret("s".ref)),

@@ -38,9 +38,11 @@ final case class Program(stmts: Seq[Stmt]) {
     SqlGen.toSql(expr, params)
 
   /** The reference's `transform_func_to_new_source` debug surface
-    * (ref: polarify/__init__.py:17-37) — ours shows the resolved tree.
+    * (ref: polarify/__init__.py:17-37) — renders the resolved tree as the
+    * when-chain it compiles to, e.g.
+    * `when((x > 0), 1).when((x < 0), -1).otherwise(0)`.
     */
-  def explain: String = expr.toString
+  def explain: String = Render.toText(expr)
 }
 
 object Program {

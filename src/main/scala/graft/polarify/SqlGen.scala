@@ -55,9 +55,10 @@ object SqlGen {
         s"(${go(l)} $o ${go(r)})"
       case Compare(_, _, _) =>
         throw new IllegalArgumentException("Polars can't handle chained comparisons")
-      case CallFn(name, _, args, sqlGen) =>
+      case CallFn(name, _, args, sqlGen, kwargs) =>
         sqlGen match {
-          case Some(g) => g(args.map(go))
+          case Some(g) =>
+            g(args.map(go), kwargs.map { case (k, v) => k -> go(v) }.toMap)
           case None => throw new IllegalArgumentException(
             s"CallFn '$name' has no SQL rendering — omit this query from oracleSql")
         }
