@@ -201,6 +201,38 @@ object Analytics {
       |FROM events GROUP BY 1,2 ORDER BY hour, event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // Sessionization: per-user 30-min-gap sessions via session_window
+  // (one shuffle on user_id; Spark merges windows in state — the same
+  // definition streams with bounded state, see graft.streaming). The
+  // oracle is the classic gap-and-islands SQL: new session when the gap
+  // to the previous event is >= 30 min (Spark's [start, last+gap)
+  // exclusivity), running-sum the flags, aggregate per island.
+  // -------------------------------------------------------------------
+  private def sessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.sessionsByUser(graft.Tables.events(spark, dir))
+      .orderBy("user_id", "session_start")
+
+  private val sessionizeSql =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM ordered)
+      |SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM islands GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // -------------------------------------------------------------------
   // Exact distinct counting (shuffle on (type,user) then count) — the
   // exact twin; the approximate HLL version is in Dedup (not
   // oracle-comparable by construction).
@@ -225,6 +257,7 @@ object Analytics {
     "ax_rollup_lineitem"   -> (rollupLineitem _),
     "ax_buyers_intersect"  -> (buyersIntersect _),
     "ax_events_hourly"     -> (eventsHourly _),
+    "ax_sessionize"        -> (sessionize _),
     "ax_distinct_users"    -> (distinctUsers _)
   )
 
@@ -238,6 +271,7 @@ object Analytics {
     "ax_rollup_lineitem"   -> rollupLineitemSql,
     "ax_buyers_intersect"  -> buyersIntersectSql,
     "ax_events_hourly"     -> eventsHourlySql,
+    "ax_sessionize"        -> sessionizeSql,
     "ax_distinct_users"    -> distinctUsersSql
   )
 }

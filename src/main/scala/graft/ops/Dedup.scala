@@ -55,15 +55,29 @@ private[ops] object MinHashLsh {
 
   /** LSH-candidate near-dup pairs with exact-Jaccard verification, over a
     * `(doc_id, feature)` token table (features already distinct per doc).
+    *
+    * The feature STRING dies in the first projection: everything
+    * downstream — signature mins, per-doc sizes, and the intersection
+    * join — runs on the 60-bit feature hash (16 bytes/row instead of
+    * shuffling shingle text), and the hashed token table is persisted
+    * because four consumers derive from it (round-1's plan recomputed
+    * the tokenize 4×, i.e. 4 corpus scans at 100 TB). At real scale this
+    * persist is a disk-backed materialized table partitioned by doc_id;
+    * Jaccard over the hashed shingle space is the standard formulation
+    * (a cross-feature hash collision needs ~2^30 shingles per doc), and
+    * the DuckDB oracle uses the identical hash, so the check stays
+    * bit-exact.
     */
   def verifiedPairs(tok: DataFrame): DataFrame = {
-    // one md5 per feature; all 32 min-hashes derive from it affinely
-    val base = PortableHash.hashCol(col("feature")) % P
+    // one md5 per feature; all downstream work derives from `h`
+    val tokH = tok
+      .select(col("doc_id"), PortableHash.hashCol(col("feature")).as("h"))
+      .persist()
     val minAggs = (0 until NumHashes).map(s =>
-      min((lit(coefA(s)) * base + lit(coefB(s))) % P).as(s"m$s"))
+      min((lit(coefA(s)) * (col("h") % P) + lit(coefB(s))) % P).as(s"m$s"))
     val aggs = minAggs :+ count(lit(1)).as("n")
     // one shuffle on doc_id; map-side partial min/count
-    val sig = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sig = tokH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).persist()
 
     // band hash = portable hash of the band's signature slice
     val bandCols = (0 until Bands).map { bi =>
@@ -82,11 +96,11 @@ private[ops] object MinHashLsh {
     val cand = a.join(b, Seq("band", "bh")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
 
-    // count-based exact Jaccard: |A∩B| via a feature-equality join,
+    // count-based exact Jaccard: |A∩B| via a hash-equality join,
     // |A∪B| = n_a + n_b - |A∩B|. All integers → identical cross-engine.
     val inter = cand
-      .join(tok.select(col("doc_id").as("a"), col("feature")), "a")
-      .join(tok.select(col("doc_id").as("b"), col("feature")), Seq("b", "feature"))
+      .join(tokH.select(col("doc_id").as("a"), col("h")), "a")
+      .join(tokH.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     val n = sig.select(col("doc_id"), col("n"))
     inter
@@ -127,8 +141,8 @@ private[ops] object MinHashLsh {
        |  FROM capped x JOIN capped y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
        |inter AS (SELECT c.a, c.b, count(*) AS inter
        |  FROM cand c
-       |  JOIN tok ta ON ta.doc_id = c.a
-       |  JOIN tok tb ON tb.doc_id = c.b AND tb.feature = ta.feature
+       |  JOIN hashed ta ON ta.doc_id = c.a
+       |  JOIN hashed tb ON tb.doc_id = c.b AND tb.h = ta.h
        |  GROUP BY c.a, c.b)
        |SELECT i.a AS doc_a, i.b AS doc_b,
        |  CAST(floor(i.inter * 1000.0 / (sa.n + sb.n - i.inter)) AS BIGINT) AS jaccard_pm

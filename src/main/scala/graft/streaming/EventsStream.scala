@@ -37,4 +37,26 @@ object EventsStream {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Sessionization: per-user activity sessions closed by a 30-minute
+    * inactivity gap (`session_window` — Spark's native session state;
+    * merging windows, state dropped once the watermark passes a session's
+    * end). The SAME definition runs in batch (watermark skipped — it is
+    * streaming-only) and streaming; the batch twin is the ax_sessionize
+    * gate query, and the streaming path is exercised by
+    * EventsStreamSpec's watermark-advance test.
+    *
+    * Session end follows Spark's [start, last_event + gap) semantics: an
+    * event at exactly last + gap starts a NEW session.
+    */
+  def sessionsByUser(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val e = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    e.groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value_cents"))
+  }
 }
