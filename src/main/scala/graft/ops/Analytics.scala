@@ -169,6 +169,45 @@ object Analytics {
       |ORDER BY flag, status""".stripMargin
 
   // -------------------------------------------------------------------
+  // Full cube over the same keys (rollup's sibling grouping-set op).
+  // -------------------------------------------------------------------
+  private def cubeLineitem(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  private val cubeLineitemSql =
+    """SELECT coalesce(l_returnflag,'ALL') AS flag,
+      |  coalesce(l_linestatus,'ALL') AS status,
+      |  COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Pivot (wide conditional aggregation). The value list is explicit —
+  // at scale an implicit pivot would first run a distinct job over the
+  // pivot column; with known domains that scan is free.
+  // -------------------------------------------------------------------
+  private def pivotLineitem(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast("long")))
+      .orderBy("l_returnflag")
+
+  private val pivotLineitemSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS F,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
   // Set op: INTERSECT distinct (hash-based, partial-aggregated).
   // -------------------------------------------------------------------
   private def buyersIntersect(spark: SparkSession, dir: String): DataFrame =
@@ -255,6 +294,8 @@ object Analytics {
     "ax_topk_per_segment"  -> (topkPerSegment _),
     "ax_top100_orders"     -> (top100Orders _),
     "ax_rollup_lineitem"   -> (rollupLineitem _),
+    "ax_cube_lineitem"     -> (cubeLineitem _),
+    "ax_pivot_lineitem"    -> (pivotLineitem _),
     "ax_buyers_intersect"  -> (buyersIntersect _),
     "ax_events_hourly"     -> (eventsHourly _),
     "ax_sessionize"        -> (sessionize _),
@@ -269,6 +310,8 @@ object Analytics {
     "ax_topk_per_segment"  -> topkPerSegmentSql,
     "ax_top100_orders"     -> top100OrdersSql,
     "ax_rollup_lineitem"   -> rollupLineitemSql,
+    "ax_cube_lineitem"     -> cubeLineitemSql,
+    "ax_pivot_lineitem"    -> pivotLineitemSql,
     "ax_buyers_intersect"  -> buyersIntersectSql,
     "ax_events_hourly"     -> eventsHourlySql,
     "ax_sessionize"        -> sessionizeSql,

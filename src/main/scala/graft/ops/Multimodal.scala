@@ -95,7 +95,29 @@ object Multimodal {
     "mm_decode_stats" -> (decodeStats _)
   )
 
+  // mm_decode_stats oracle: the stub decoder is deterministic in the
+  // payload bytes, and the driver's documents are pure ASCII (verified:
+  // max codepoint 121 at every SF), so UTF-8 byte values == codepoints
+  // and DuckDB can replay the fake decode with ord(). Integer division
+  // is floored explicitly (Spark Long division truncates, all values
+  // non-negative here).
+  private val decodeStatsSql =
+    """WITH assets AS (
+      |  SELECT
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    64 + CAST(octet_length(encode(text)) AS BIGINT) % 960 AS width,
+      |    CASE WHEN octet_length(encode(text)) = 0 THEN 0
+      |         ELSE CAST(floor(list_sum(list_transform(split(text, ''), ch -> ord(ch)))
+      |              * 1.0 / octet_length(encode(text))) AS BIGINT) END AS mean_byte
+      |  FROM documents)
+      |SELECT CAST(floor(n_bytes / 100.0) AS BIGINT) AS size_bucket,
+      |  COUNT(*) AS n_assets,
+      |  CAST(SUM(width) AS BIGINT) AS sum_width,
+      |  CAST(SUM(mean_byte) AS BIGINT) AS sum_mean_byte
+      |FROM assets GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "mm_metadata" -> metadataSql
+    "mm_metadata"     -> metadataSql,
+    "mm_decode_stats" -> decodeStatsSql
   )
 }
