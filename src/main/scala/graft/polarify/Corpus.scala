@@ -69,6 +69,49 @@ object Corpus {
         Ret("s".ref)),
       v => math.max(-10 - v, math.min(10 + v, v * 2))),
 
+    // built from SOURCE TEXT via the parser front-end — puts the whole
+    // source→ast→compile pipeline (the reference's actual entry point,
+    // __init__.py:40-53) under the exhaustive differential oracle AND,
+    // via SparkEntry, under the driver's DuckDB gate
+    Case("pysource_grade",
+      Program.fromPython(
+        """
+          |def grade(x):
+          |    g = 0
+          |    if x >= 60:
+          |        g = 4
+          |    elif x >= 30:
+          |        g = 3
+          |    elif x >= 0:
+          |        g = 2
+          |    else:
+          |        g = 1
+          |    return g * 10 + (1 if x % 2 == 0 else 0)
+          |""".stripMargin),
+      v => (if (v >= 60) 4 else if (v >= 30) 3 else if (v >= 0) 2 else 1) * 10 +
+        (if (v % 2 == 0) 1 else 0)),
+
+    Case("pysource_match",
+      Program.fromPython(
+        """
+          |def route(x):
+          |    match x % 4:
+          |        case 0:
+          |            return x
+          |        case 1 | -1:
+          |            return x * 2
+          |        case r if r > 0:
+          |            return r
+          |        case _:
+          |            return 0 - x
+          |""".stripMargin),
+      v => (v % 4) match {
+        case 0           => v
+        case 1 | -1      => v * 2
+        case r if r > 0  => r
+        case _           => -v
+      }),
+
     Case("if_expr",
       Program("s" := ternary(1, x > 0, -1), Ret("s".ref)),
       v => if (v > 0) 1 else -1),

@@ -47,4 +47,28 @@ final case class Program(stmts: Seq[Stmt]) {
 
 object Program {
   def apply(stmts: Stmt*)(implicit d: DummyImplicit): Program = Program(stmts.toSeq)
+
+  /** The reference's actual front door, source-to-source: parse a Python
+    * function's SOURCE TEXT into a compiled program (ref:
+    * `@polarify` → `inspect.getsource` → `ast.parse`,
+    * polarify/__init__.py:17-53). `functions` plays the role of the
+    * decorated function's globals for call resolution.
+    *
+    * {{{
+    * val signum = Program.fromPython("""
+    * def signum(x):
+    *     s = 0
+    *     if x > 0:
+    *         s = 1
+    *     elif x < 0:
+    *         s = -1
+    *     return s
+    * """)
+    * df.select(signum.column(Map("x" -> col("l_quantity"))))
+    * }}}
+    */
+  def fromPython(
+      source: String,
+      functions: Map[String, parser.PyParser.PyFn] = Map.empty): Program =
+    parser.PyParser.parse(source, functions).program
 }

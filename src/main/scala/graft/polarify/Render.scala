@@ -21,6 +21,11 @@ object Render {
     case Ref(n)         => n
     case BinOp(op, l, r) => s"(${toText(l)} ${op.python} ${toText(r)})"
     case UnaryOp(UnaryOperator.Not, o) => s"(not ${toText(o)})"
+    // negative literals print compactly: CPython's ast (and hence the
+    // parser front-end) represents -1 as USub(Constant(1))
+    case UnaryOp(UnaryOperator.USub, Lit(v: Long))   => s"-$v"
+    case UnaryOp(UnaryOperator.USub, Lit(v: Int))    => s"-$v"
+    case UnaryOp(UnaryOperator.USub, Lit(v: Double)) => s"-$v"
     case UnaryOp(op, o) => s"(${op.python}${toText(o)})"
     case Compare(l, ops, cs) =>
       ops.zip(cs).foldLeft(toText(l)) { case (acc, (op, c)) =>
