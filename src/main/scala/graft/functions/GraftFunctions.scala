@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.{DotProductLong, Interop}
+
+import graft.polarify.Program
+
+/** Scala + SQL surface for graft's native expressions, and SQL
+  * registration for compiled polarify programs.
+  *
+  * Registration goes through the session `FunctionRegistry`, so a
+  * registered name expands to a *native Catalyst expression tree* during
+  * analysis — `spark.sql("SELECT signum_pf(x) ...")` plans the exact same
+  * codegen'd `CaseWhen` as the DataFrame path. No UDF, no serialization
+  * boundary, full optimizer visibility (constant folding, pushdown
+  * through the expression, whole-stage codegen).
+  */
+object GraftFunctions {
+
+  /** native codegen'd dot product over two array<bigint> columns */
+  def dotLong(a: Column, b: Column): Column =
+    Interop.column(
+      DotProductLong(Interop.expression(a), Interop.expression(b)))
+
+  /** Register `dot_long` for SQL use in this session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_long",
+      exprs => {
+        require(exprs.length == 2, s"dot_long expects 2 arguments, got ${exprs.length}")
+        DotProductLong(exprs.head, exprs(1))
+      },
+      "built-in")
+
+  /** Register a compiled polarify program as a SQL function: the
+    * reference's `@polarify`-decorated function made callable from
+    * `spark.sql` text. The builder substitutes the call-site argument
+    * expressions into the compiled when-chain at analysis time — the
+    * SQL analogue of `program.column(env)` (and of the reference
+    * executing its transpiled source, __init__.py:40-53).
+    */
+  def registerProgram(
+      spark: SparkSession,
+      name: String,
+      argNames: Seq[String],
+      program: Program): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => {
+        require(exprs.length == argNames.length,
+          s"$name expects ${argNames.length} arguments, got ${exprs.length}")
+        val env = argNames.zip(exprs.map(Interop.column)).toMap
+        Interop.expression(program.column(env))
+      },
+      "built-in")
+}

@@ -286,7 +286,77 @@ object Analytics {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Exact percentiles (quartiles of price-in-cents per return flag).
+  // Integer cents input + quartile fractions make the interpolation
+  // `a + frac*(b-a)` exact in IEEE double (frac ∈ {0,.25,.5,.75}, spans
+  // < 2^50), so Spark `percentile` and DuckDB `quantile_cont` agree
+  // bit-for-bit; ×4 turns every quartile into an exact integer.
+  // At scale this is a sort-free TypedImperativeAggregate (partial
+  // aggregation per mapper, merge on 6 groups) — for wide-cardinality
+  // columns swap to `approx_percentile` (t-digest) and drop the oracle.
+  // -------------------------------------------------------------------
+  private def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .withColumn("c", cents(col("l_extendedprice")))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(c, array(0.25D, 0.5D, 0.75D))").as("ps"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        (element_at(col("ps"), 1) * 4).cast("long").as("p25_x4"),
+        (element_at(col("ps"), 2) * 4).cast("long").as("p50_x4"),
+        (element_at(col("ps"), 3) * 4).cast("long").as("p75_x4"),
+        col("cnt"))
+      .orderBy("l_returnflag")
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      |  CAST(quantile_cont(c, 0.25) * 4 AS BIGINT) AS p25_x4,
+      |  CAST(quantile_cont(c, 0.5)  * 4 AS BIGINT) AS p50_x4,
+      |  CAST(quantile_cont(c, 0.75) * 4 AS BIGINT) AS p75_x4,
+      |  COUNT(*) AS cnt
+      |FROM (SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) AS c
+      |      FROM lineitem)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Skew-salted fact-fact join: lineitem⋈orders with the orders side
+  // replicated across `SaltFactor` salts and lineitem rows scattered by
+  // a hash salt, so one hot orderkey spreads over SaltFactor reducers
+  // instead of melting one. Same result as the plain join (the oracle
+  // IS the plain join); the salt only reshapes the shuffle. At 100 TB
+  // you'd salt only the keys a stats pass flags as hot, or lean on AQE
+  // skew-split when the skew is mild.
+  // -------------------------------------------------------------------
+  private val SaltFactor = 8
+
+  private def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .withColumn("salt",
+        pmod(hash(col("l_partkey"), col("l_linenumber")), lit(SaltFactor)))
+    val ord = t(spark, dir, "orders")
+      .withColumn("salt", explode(array((0 until SaltFactor).map(lit): _*)))
+    li.join(ord,
+        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val saltedJoinSql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_percentiles"       -> (percentiles _),
+    "ax_salted_join"       -> (saltedJoin _),
     "ax_pricing_summary"   -> (pricingSummary _),
     "ax_revenue_by_segment" -> (revenueBySegment _),
     "ax_cust_no_orders"    -> (custNoOrders _),
@@ -303,6 +373,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_percentiles"       -> percentilesSql,
+    "ax_salted_join"       -> saltedJoinSql,
     "ax_pricing_summary"   -> pricingSummarySql,
     "ax_revenue_by_segment" -> revenueBySegmentSql,
     "ax_cust_no_orders"    -> custNoOrdersSql,

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.dotLong
+
 /** Shared MinHash + LSH machinery for the near-dup operators.
   *
   * Round-1 post-mortem (VERDICT.md): computing shingles → signatures →
@@ -368,8 +370,7 @@ object Dedup {
 
   private def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val dotCols = (0 until Hyperplanes.Planes).map(p =>
-      expr(s"aggregate(zip_with(q, ${Hyperplanes.sparkArray(p)}, (x, s) -> x * s), " +
-        "0L, (acc, v) -> acc + v)").as(s"dp$p"))
+      dotLong(col("q"), expr(Hyperplanes.sparkArray(p))).as(s"dp$p"))
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       // quantize once: int micro-units, exact integer math from here on
       .withColumn("q", expr("transform(embedding, v -> CAST(round(v*10000) AS BIGINT))"))
@@ -389,10 +390,9 @@ object Dedup {
     val a = e.select(col("bucket"), col("vec_id").as("a"), col("q").as("qa"))
     val b = e.select(col("bucket"), col("vec_id").as("b"), col("q").as("qb"))
     a.join(b, "bucket").filter(col("a") < col("b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
-      .withColumn("na", expr("aggregate(qa, 0L, (acc, v) -> acc + v*v)"))
-      .withColumn("nb", expr("aggregate(qb, 0L, (acc, v) -> acc + v*v)"))
+      .withColumn("dot", dotLong(col("qa"), col("qb")))
+      .withColumn("na", dotLong(col("qa"), col("qa")))
+      .withColumn("nb", dotLong(col("qb"), col("qb")))
       .filter(col("na") > 0 && col("nb") > 0)
       // cosine in permille, floored: integer inputs → the double
       // division/sqrt are the identical IEEE ops in both engines.

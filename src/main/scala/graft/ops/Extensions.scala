@@ -12,8 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Similarity.queries ++ Multimodal.queries ++ StreamingGate.queries
+      Similarity.queries ++ Multimodal.queries ++ StreamingGate.queries ++
+      AsOf.queries ++ SqlSurface.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
-      Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql
+      Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
+      AsOf.oracleSql ++ SqlSurface.oracleSql
 }

@@ -3,13 +3,16 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.dotLong
+
 /** Similarity search over the embeddings table (`Array[Float]`, dim 64).
   *
   * Four tiers, in increasing scale-readiness:
   *   1. brute-force top-k — the exactness baseline: one scan, per-row
-  *      dot product via `zip_with`/`aggregate` HOFs (over a concrete
-  *      quantized column), top-k via TakeOrderedAndProject. O(n·d), no
-  *      shuffle of vectors.
+  *      dot product via the native codegen'd [[graft.functions.GraftFunctions.dotLong]]
+  *      expression (round-1 used interpreted `zip_with`/`aggregate` HOFs,
+  *      which break whole-stage codegen), top-k via
+  *      TakeOrderedAndProject. O(n·d), no shuffle of vectors.
   *   2. quantized top-k — same plan but integer micro-unit arithmetic →
   *      bit-exact across engines.
   *   3. LSH multi-probe ANN — random-hyperplane signatures, candidates =
@@ -39,8 +42,7 @@ object Similarity {
     */
   private def bucketCol(planes: Int): org.apache.spark.sql.Column = {
     val dots = (0 until planes).map(p =>
-      expr(s"aggregate(zip_with(q, ${Hyperplanes.sparkArray(p)}, (x, s) -> x * s), " +
-        "0L, (acc, v) -> acc + v)"))
+      dotLong(col("q"), expr(Hyperplanes.sparkArray(p))))
     dots.zipWithIndex
       .map { case (d, p) => when(d >= 0, lit(1L << p)).otherwise(lit(0L)) }
       .reduce(_ + _)
@@ -63,8 +65,7 @@ object Similarity {
       .select(col("q").as("query_q"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
-      .withColumn("dot",
-        expr("aggregate(zip_with(q, query_q, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", dotLong(col("q"), col("query_q")))
       .select(col("vec_id"), col("dot"))
       .orderBy(col("dot").desc, col("vec_id").asc)
       .limit(20)
@@ -91,10 +92,9 @@ object Similarity {
     val query = e.filter(col("vec_id") === 0).select(col("q").as("query_q"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
-      .withColumn("dot",
-        expr("aggregate(zip_with(q, query_q, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
-      .withColumn("na", expr("aggregate(q, 0L, (acc, v) -> acc + v*v)"))
-      .withColumn("nb", expr("aggregate(query_q, 0L, (acc, v) -> acc + v*v)"))
+      .withColumn("dot", dotLong(col("q"), col("query_q")))
+      .withColumn("na", dotLong(col("q"), col("q")))
+      .withColumn("nb", dotLong(col("query_q"), col("query_q")))
       .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("cosine_e6",
         floor(lit(1000000.0) * col("dot").cast("double") /
@@ -137,8 +137,7 @@ object Similarity {
       .crossJoin(broadcast(query))
       // multi-probe: same bucket or Hamming-1 neighbor bucket
       .filter(expr("bit_count(bucket ^ query_bucket) <= 1"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(q, query_q, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", dotLong(col("q"), col("query_q")))
       .select(col("vec_id"), col("dot"))
       .orderBy(col("dot").desc, col("vec_id").asc)
       .limit(20)
@@ -183,8 +182,7 @@ object Similarity {
       .withColumn("query_q",
         lit(queryQ.asInstanceOf[scala.collection.Seq[Any]]
           .map(_.asInstanceOf[Long]).toArray))
-      .withColumn("dot",
-        expr("aggregate(zip_with(q, query_q, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", dotLong(col("q"), col("query_q")))
       .select(col("vec_id"), col("dot"))
       .orderBy(col("dot").desc, col("vec_id").asc)
       .limit(20)
@@ -220,8 +218,7 @@ object Similarity {
 
     // nearest centroid to the query (broadcast both tiny sides)
     val probe = cent.crossJoin(broadcast(query))
-      .withColumn("cdot",
-        expr("aggregate(zip_with(centroid, query_q, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cdot", dotLong(col("centroid"), col("query_q")))
       .orderBy(col("cdot").desc, col("label").asc)
       .limit(1)
       .select(col("label").as("probe_label"), col("query_q"))
@@ -229,8 +226,7 @@ object Similarity {
     // search only the probed cell
     e.filter(col("vec_id") =!= 0)
       .join(broadcast(probe), col("label") === col("probe_label"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(q, query_q, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", dotLong(col("q"), col("query_q")))
       .select(col("vec_id"), col("label"), col("dot"))
       .orderBy(col("dot").desc, col("vec_id").asc)
       .limit(20)
