@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed physical layout → co-located (zero-exchange) joins.
+  *
+  * The 100 TB story: a fact table that is repeatedly joined on the same
+  * key should be *written* hash-bucketed on that key (`bucketBy` +
+  * `sortBy`, one layout cost at ingest). Every later join between
+  * tables bucketed on the join key with the same bucket count is
+  * planned WITHOUT a shuffle on either side — the scans' output
+  * partitioning already satisfies the join's distribution requirement,
+  * so `EnsureRequirements` inserts no Exchange. At petabyte scale that
+  * turns the dominant cost of every fact-fact join (two full-table
+  * shuffles) into zero.
+  *
+  * The gate query writes both driver tables bucketed by orderkey, joins
+  * them with a MERGE hint (the tables are tiny at test SF, so without
+  * the hint Spark would broadcast — the hint forces the plan shape the
+  * layout exists for), and aggregates. The oracle is the plain join:
+  * bucketing must never change results, only the plan.
+  */
+object Bucketing {
+
+  val Buckets = 16
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** write both sides bucketed by the join key, return (lineitem, orders).
+    * External tables under target/ — the on-disk layout outlives the
+    * in-memory catalog (a fresh JVM sees the path but not the table
+    * entry), so stale layouts are deleted before re-creation.
+    */
+  def bucketedTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+
+    def ensure(table: String, source: String, key: String): DataFrame = {
+      if (!spark.catalog.tableExists(table)) {
+        val path = new java.io.File(s"target/bucketed_tables/$table").getAbsoluteFile
+        deleteRecursively(path)
+        spark.read.parquet(s"$dir/$source.parquet")
+          .write.bucketBy(Buckets, key).sortBy(key)
+          .option("path", path.toString)
+          .mode("overwrite").saveAsTable(table)
+      }
+      spark.table(table)
+    }
+
+    (ensure(s"graft_li_bkt_$tag", "lineitem", "l_orderkey"),
+      ensure(s"graft_ord_bkt_$tag", "orders", "o_orderkey"))
+  }
+
+  /** the co-located join itself (pre-aggregation), for plan assertions */
+  def colocatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = bucketedTables(spark, dir)
+    li.hint("MERGE").join(ord, col("l_orderkey") === col("o_orderkey"))
+  }
+
+  private def bucketedJoin(spark: SparkSession, dir: String): DataFrame =
+    colocatedJoin(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderstatus")
+
+  private val bucketedJoinSql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_bucketed_join" -> (bucketedJoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ax_bucketed_join" -> bucketedJoinSql)
+}

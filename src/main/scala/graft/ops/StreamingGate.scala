@@ -61,14 +61,57 @@ object StreamingGate {
   private val dedupStreamedSql =
     "SELECT DISTINCT event_id FROM events ORDER BY event_id"
 
+  /** custom-state operator streamed end-to-end (flatMapGroupsWithState,
+    * Update mode): the memory sink accumulates one row per (user,
+    * trigger); every metric is monotone, so the converged answer is the
+    * per-user max. Oracle = batch gaps-and-islands SQL.
+    */
+  private def streaksStreamed(spark: SparkSession, dir: String): DataFrame =
+    runToTable(
+      graft.streaming.EventsStream.purchaseStreaks(eventsStream(spark, dir)).toDF(),
+      "st_purchase_streaks_sink", "update")(spark)
+      .groupBy("user_id")
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max(col("sum_value_cents")).as("sum_value_cents"),
+        max(col("best_purchase_streak")).as("best_purchase_streak"))
+      .orderBy("user_id")
+
+  private val streaksStreamedSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS cents,
+      |    (event_type = 'purchase') AS isp
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, isp,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - row_number() OVER (PARTITION BY user_id, isp ORDER BY ts, event_id)
+      |      AS grp
+      |  FROM e),
+      |runs AS (
+      |  SELECT user_id, count(*) AS len
+      |  FROM r WHERE isp GROUP BY user_id, grp),
+      |best AS (
+      |  SELECT user_id, max(len) AS best_purchase_streak FROM runs GROUP BY 1),
+      |tot AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(cents) AS BIGINT) AS sum_value_cents
+      |  FROM e GROUP BY 1)
+      |SELECT t.user_id, t.n_events, t.sum_value_cents,
+      |  COALESCE(b.best_purchase_streak, 0) AS best_purchase_streak
+      |FROM tot t LEFT JOIN best b ON t.user_id = b.user_id
+      |ORDER BY t.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_events_hourly" -> (hourlyStreamed _),
-    "st_dedup_events"  -> (dedupStreamed _)
+    "st_events_hourly"     -> (hourlyStreamed _),
+    "st_dedup_events"      -> (dedupStreamed _),
+    "st_purchase_streaks"  -> (streaksStreamed _)
   )
 
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
-    "st_events_hourly" -> Analytics.oracleSql("ax_events_hourly"),
-    "st_dedup_events"  -> dedupStreamedSql
+    "st_events_hourly"     -> Analytics.oracleSql("ax_events_hourly"),
+    "st_dedup_events"      -> dedupStreamedSql,
+    "st_purchase_streaks"  -> streaksStreamedSql
   )
 }

@@ -94,6 +94,58 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("purchase streaks: multi-trigger streaming state converges to the batch pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def row(id: Long, m: Int, user: Long, typ: String, v: Double) =
+      (id, new Timestamp(m * 60000L), user, typ, v, "{}")
+
+    // user 1: P P v P P P (best streak 3, split across two triggers:
+    // P P | v P P P — state must carry cur=2 into the next trigger and
+    // correctly reset on the view); user 2: v v (best 0)
+    val batch1 = Seq(
+      row(1, 0, 1, "purchase", 1.0), row(2, 1, 1, "purchase", 1.0),
+      row(10, 0, 2, "view", 2.0))
+    val batch2 = Seq(
+      row(3, 2, 1, "view", 1.0), row(4, 3, 1, "purchase", 1.0),
+      row(5, 4, 1, "purchase", 1.0), row(6, 5, 1, "purchase", 1.0),
+      row(11, 1, 2, "view", 2.0))
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val q = EventsStream.purchaseStreaks(events)
+      .writeStream.format("memory").queryName("streaks_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val finalRows = spark.table("streaks_test")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n"), max("sum_value_cents").as("s"),
+        max("best_purchase_streak").as("b"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    assert(finalRows.toSeq === Seq((1L, 6L, 600L, 3L), (2L, 2L, 400L, 0L)))
+
+    // batch path of the same operator agrees
+    val batchRows = EventsStream.purchaseStreaks(
+        spark.createDataset(batch1 ++ batch2)
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("user_id")
+      .collect().map(u => (u.user_id, u.n_events, u.sum_value_cents, u.best_purchase_streak))
+    assert(batchRows.toSeq === finalRows.toSeq)
+  }
+
   test("streaming dedup emits each event_id once") {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream
