@@ -336,7 +336,10 @@ object Analytics {
         pmod(hash(col("l_partkey"), col("l_linenumber")), lit(SaltFactor)))
     val ord = t(spark, dir, "orders")
       .withColumn("salt", explode(array((0 until SaltFactor).map(lit): _*)))
-    li.join(ord,
+    // MERGE hint: at test SF the replicated orders side is small enough
+    // that AQE would broadcast it, which silently skips the very
+    // shuffle the salt exists to reshape; force the at-scale plan.
+    li.join(ord.hint("MERGE"),
         li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
       .groupBy("o_orderpriority")
       .agg(

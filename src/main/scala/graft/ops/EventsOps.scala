@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-log operators: semi-structured (JSON) extraction and the
+  * binned range join — both everyday needs of a 100 TB event pipeline.
+  */
+object EventsOps {
+
+  // -------------------------------------------------------------------
+  // ax_props_json: JSON property extraction + aggregation. `from_json`
+  // with an explicit schema parses each props string exactly once into
+  // a struct (at scale, never re-parse per field the way chained
+  // `get_json_object` calls would — one parse, then struct field
+  // reads are free). Oracle: DuckDB json_extract_string.
+  // -------------------------------------------------------------------
+  private def propsJson(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n_with_k"))
+      .orderBy("event_type")
+
+  private val propsJsonSql =
+    """SELECT event_type,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(MAX(k) AS BIGINT) AS max_k,
+      |  COUNT(k) AS n_with_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_interval_errors: range join done the scale-native way. Error
+  // events are joined into their user's session interval
+  // [start, last+30min) — a point-in-interval predicate. A naive
+  // `e.user = s.user AND e.ts >= s.s AND e.ts < s.e` plan degenerates
+  // per key (every event × every session of that user); instead both
+  // sides are BINNED to the hour — intervals explode to the hour bins
+  // they cover (sessions are short, so ~1-2 bins each), events map to
+  // one bin — so the join is a plain equi-join on (user, bin) with the
+  // exact range predicate as a residual filter. Candidate count is
+  // O(events × intervals-touching-their-hour), not O(events ×
+  // sessions-per-user). Intervals are disjoint per user, so each event
+  // matches at most once — no dedup step needed.
+  // The oracle is the naive non-equi join (DuckDB plans it as an
+  // IEJoin, fine at oracle scale).
+  // -------------------------------------------------------------------
+  private def intervalErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val sessions = ev
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("s"), col("sw.end").as("e"))
+      .withColumn("bin",
+        explode(sequence(
+          date_trunc("hour", col("s")), date_trunc("hour", col("e")),
+          expr("INTERVAL 1 HOUR"))))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("ts"))
+      .withColumn("bin", date_trunc("hour", col("ts")))
+    sessions
+      .join(errors,
+        col("user_id") === col("eu") && sessions("bin") === errors("bin") &&
+          col("ts") >= col("s") && col("ts") < col("e"))
+      .groupBy(col("user_id"), col("s"))
+      .agg(count(lit(1)).as("n_errors"))
+      .select(col("user_id"),
+        date_format(col("s"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_errors"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val intervalErrorsSql =
+    """WITH ordered AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM ordered),
+      |sess AS (
+      |  SELECT user_id, MIN(ts) AS s, MAX(ts) + INTERVAL 30 MINUTE AS e
+      |  FROM islands GROUP BY user_id, sid),
+      |err AS (
+      |  SELECT user_id AS eu, ts FROM events WHERE event_type = 'error')
+      |SELECT x.user_id, strftime(x.s, '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  COUNT(*) AS n_errors
+      |FROM sess x JOIN err ON x.user_id = err.eu
+      |  AND err.ts >= x.s AND err.ts < x.e
+      |GROUP BY x.user_id, x.s
+      |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_props_json"      -> (propsJson _),
+    "ax_interval_errors" -> (intervalErrors _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ax_props_json"      -> propsJsonSql,
+    "ax_interval_errors" -> intervalErrorsSql)
+}

@@ -13,9 +13,11 @@ object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ Multimodal.queries ++ StreamingGate.queries ++
-      AsOf.queries ++ SqlSurface.queries ++ Bucketing.queries
+      AsOf.queries ++ SqlSurface.queries ++ Bucketing.queries ++
+      EventsOps.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
-      AsOf.oracleSql ++ SqlSurface.oracleSql ++ Bucketing.oracleSql
+      AsOf.oracleSql ++ SqlSurface.oracleSql ++ Bucketing.oracleSql ++
+      EventsOps.oracleSql
 }
