@@ -15,6 +15,26 @@ import graft.polarify.Program
   * boundary, full optimizer visibility (constant folding, pushdown
   * through the expression, whole-stage codegen).
   */
+/** `SparkSessionExtensions` entry point: activate graft's native
+  * functions cluster-wide with
+  * `spark.sql.extensions=graft.functions.GraftSparkExtensions` — no
+  * code change at the call sites, every session (including thrift/SQL
+  * gateways) gets `dot_long` resolved to the native expression.
+  */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.DotProductLong].getName, "dot_long"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, s"dot_long expects 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.graft.DotProductLong(exprs.head, exprs(1))
+      }))
+  }
+}
+
 object GraftFunctions {
 
   /** native codegen'd dot product over two array<bigint> columns */

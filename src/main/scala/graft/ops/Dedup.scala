@@ -450,7 +450,73 @@ object Dedup {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy("event_type")
 
+  // -------------------------------------------------------------------
+  // Duplicate CLUSTERS: the step real dedup pipelines run after pair
+  // generation — connected components over the verified near-dup pair
+  // graph, cluster id = min doc_id in the component, singletons are
+  // their own cluster. Pairs alone under-delete: if A~B and B~C but
+  // A~C missed the threshold, keep-one-per-pair logic keeps 2 of 3.
+  //
+  // Algorithm: iterative min-label propagation — each round every node
+  // takes the min label among itself and its neighbors; lineage is cut
+  // per round with localCheckpoint, and the loop stops when a round
+  // changes nothing (driver sees only per-round change COUNTS, never
+  // data). LSH components are near-cliques (tiny diameter), so this
+  // converges in 2-3 rounds; at billion-node scale with long chains
+  // you'd switch to the large-star/small-star variant of the same
+  // loop. Oracle: recursive-CTE transitive closure over the same pair
+  // SQL.
+  // -------------------------------------------------------------------
+  private[ops] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    var labels = adj.select(col("u")).distinct()
+      .withColumn("label", col("u")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = adj
+        .join(labels.select(col("u").as("v"), col("label").as("vlabel")), "v")
+        .groupBy("u").agg(min("vlabel").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
+        .localCheckpoint()
+      changed = next.filter(col("next_label") < col("label")).count()
+      labels = next.select(col("u"), col("next_label").as("label"))
+      iter += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  private def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = connectedComponents(pairs)
+    docs(spark, dir).select(col("doc_id"))
+      .join(comp.select(col("u").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  private val dupClustersSql: String = {
+    // the verified-pairs query (its own WITH block) embeds as a subquery
+    val pairsSubquery = MinHashLsh.oracleSql(wordShingleTokCte)
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a AS a, doc_b AS b FROM ($pairsSubquery) vp),
+       |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, MIN(dst) AS cluster
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_dup_clusters"   -> (dupClusters _),
     "dd_exact_keep_min" -> (exactKeepMin _),
     "dd_exact_groups"   -> (exactGroups _),
     "dd_minhash_pairs"  -> (minhashPairs _),
@@ -461,6 +527,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dd_dup_clusters"   -> dupClustersSql,
     "dd_exact_keep_min" -> exactKeepMinSql,
     "dd_exact_groups"   -> exactGroupsSql,
     "dd_minhash_pairs"  -> MinHashLsh.oracleSql(wordShingleTokCte),

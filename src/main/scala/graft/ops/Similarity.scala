@@ -249,7 +249,29 @@ object Similarity {
        |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sim_ann_recall: recall@20 of the LSH ANN tier against the exact
+  // brute-force top-20 — the eval loop every production ANN deployment
+  // runs to tune planes/probes. hits = |ANN ∩ exact|; recall_pm =
+  // hits/20 in permille. Oracle recomputes both tiers in DuckDB.
+  // -------------------------------------------------------------------
+  private def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = topkQuantized(spark, dir).select(col("vec_id"))
+    val ann = annLsh(spark, dir).select(col("vec_id"))
+    exact.join(ann, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("hits"), (col("hits") * lit(50)).cast("long").as("recall_pm"))
+  }
+
+  private val annRecallSql =
+    s"""WITH exact20 AS ($topkQuantizedSql),
+       |ann20 AS ($annLshSql)
+       |SELECT CAST(count(*) AS BIGINT) AS hits,
+       |  CAST(count(*) * 50 AS BIGINT) AS recall_pm
+       |FROM exact20 WHERE vec_id IN (SELECT vec_id FROM ann20)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_recall"     -> (annRecall _),
     "sim_topk_quantized" -> (topkQuantized _),
     "sim_topk_cosine"    -> (topkCosine _),
     "sim_ann_lsh"        -> (annLsh _),
@@ -258,6 +280,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_ann_recall"     -> annRecallSql,
     "sim_topk_quantized" -> topkQuantizedSql,
     "sim_topk_cosine"    -> topkCosineSql,
     "sim_ann_lsh"        -> annLshSql,

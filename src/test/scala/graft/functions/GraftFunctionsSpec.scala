@@ -61,6 +61,19 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(cast === 11L)
   }
 
+  test("GraftSparkExtensions injects dot_long into a session function registry") {
+    // spark.sql.extensions is static (read at SparkContext-first-session
+    // build), so exercise the injection the way session building does
+    val registry = org.apache.spark.sql.graft.Interop
+      .applyInjectedFunctions(new GraftSparkExtensions)
+    val fn = registry.lookupFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long"),
+      Seq(lit(Array(2L, 3L)), lit(Array(4L, 5L))).map(
+        org.apache.spark.sql.graft.Interop.expression))
+    assert(fn.isInstanceOf[org.apache.spark.sql.graft.DotProductLong])
+    assert(fn.eval(null) === 23L)
+  }
+
   test("registered polarify program plans the same CaseWhen as the DataFrame path") {
     import graft.polarify.dsl._
     val x = "x".ref
