@@ -90,9 +90,47 @@ object Multimodal {
       .orderBy("size_bucket")
   }
 
+  // -------------------------------------------------------------------
+  // mm_frame_sample: frame sampling over an opaque payload — the video
+  // path's plumbing. The payload is windowed into fixed-size "frames"
+  // (here 64-byte windows of the manufactured payload; a real pipeline
+  // gets frame boundaries from the container format inside the decode
+  // stub) and every 4th frame is emitted with its digest. The operator
+  // shape that matters at 100 TB: a GENERATOR with bounded fan-out
+  // (explode of a computed index sequence — rows ∝ payload size /
+  // stride, never a full decode of unsampled frames), embarrassingly
+  // parallel, no shuffle before the sink. Oracle-backed (ASCII text ⇒
+  // byte windows == char windows in both engines).
+  // -------------------------------------------------------------------
+  private val FrameLen = 64
+  private val FrameStride = 4
+
+  private def frameSample(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      // last frame index, floored at 0 (integer `div`, not double `/`)
+      .withColumn("last_f",
+        greatest(lit(0L), expr(s"(length(text) - 1) div $FrameLen")))
+      .withColumn("fidx",
+        explode(sequence(lit(0L), col("last_f"), lit(FrameStride.toLong))))
+      .select(col("doc_id"), col("fidx"),
+        md5(substring(col("text"),
+          (col("fidx") * FrameLen + 1).cast("int"), lit(FrameLen))).as("frame_digest"))
+      .orderBy("doc_id", "fidx")
+
+  private val frameSampleSql =
+    s"""SELECT doc_id, CAST(fidx AS BIGINT) AS fidx,
+       |  md5(substring(text, CAST(fidx * $FrameLen + 1 AS INT), $FrameLen)) AS frame_digest
+       |FROM (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, greatest((length(text) - 1) // $FrameLen, 0) + 1, $FrameStride)) AS fidx
+       |  FROM documents)
+       |ORDER BY doc_id, fidx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata"     -> (metadata _),
-    "mm_decode_stats" -> (decodeStats _)
+    "mm_decode_stats" -> (decodeStats _),
+    "mm_frame_sample" -> (frameSample _)
   )
 
   // mm_decode_stats oracle: the stub decoder is deterministic in the
@@ -118,6 +156,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "mm_metadata"     -> metadataSql,
-    "mm_decode_stats" -> decodeStatsSql
+    "mm_decode_stats" -> decodeStatsSql,
+    "mm_frame_sample" -> frameSampleSql
   )
 }

@@ -102,7 +102,30 @@ object StreamingGate {
       |FROM tot t LEFT JOIN best b ON t.user_id = b.user_id
       |ORDER BY t.user_id""".stripMargin
 
+  /** stream-stream join end-to-end: two independent readers of the
+    * same file source (each its own watermark), joined on user + a
+    * 1-hour event-time range, append sink. Oracle = the plain batch
+    * join.
+    */
+  private def streamJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(spark, dir).filter(col("event_type") === "purchase")
+    val views = eventsStream(spark, dir).filter(col("event_type") === "view")
+    runToTable(
+      graft.streaming.EventsStream.purchaseViewJoin(purchases, views),
+      "st_stream_join_sink", "append")(spark)
+      .orderBy("purchase_id", "view_id")
+  }
+
+  private val streamJoinStreamedSql =
+    """SELECT p.event_id AS purchase_id, v.event_id AS view_id
+      |FROM events p JOIN events v
+      |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND p.user_id = v.user_id
+      | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+      |ORDER BY purchase_id, view_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_stream_join"       -> (streamJoinStreamed _),
     "st_events_hourly"     -> (hourlyStreamed _),
     "st_dedup_events"      -> (dedupStreamed _),
     "st_purchase_streaks"  -> (streaksStreamed _)
@@ -110,6 +133,7 @@ object StreamingGate {
 
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
+    "st_stream_join"       -> streamJoinStreamedSql,
     "st_events_hourly"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_dedup_events"      -> dedupStreamedSql,
     "st_purchase_streaks"  -> streaksStreamedSql

@@ -233,7 +233,39 @@ object TextAnalysis {
        |FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // tx_top_terms: exact corpus heavy hitters — top 20 terms by
+  // document frequency (each term counted once per doc). The plan is
+  // the scale shape for vocabulary stats: explode to (doc, word) rows,
+  // distinct-by-construction via array_distinct BEFORE exploding (map-
+  // side dedup, nothing wide shuffles), partial-agg count per word,
+  // TakeOrderedAndProject for the top-k (per-partition heaps + driver
+  // merge — never a global sort). Deterministic tiebreak on the term.
+  // For stream-speed approximations Spark ships count_min_sketch; kept
+  // exact here so the oracle can check it.
+  // ---------------------------------------------------------------
+  private def topTerms(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(array_distinct(
+        split(trim(lower(col("text"))), "\\s+"))).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("term").asc)
+      .limit(20)
+
+  private val topTermsSql =
+    """SELECT term, COUNT(*) AS doc_freq
+      |FROM (SELECT DISTINCT doc_id,
+      |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |      FROM documents)
+      |WHERE length(term) >= 3
+      |GROUP BY term
+      |ORDER BY doc_freq DESC, term ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_top_terms"   -> (topTerms _),
     "tx_stats"       -> (stats _),
     "tx_langid"      -> (langid _),
     "tx_quality"     -> (quality _),
@@ -243,6 +275,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_top_terms"   -> topTermsSql,
     "tx_stats"       -> statsSql,
     "tx_langid"      -> langidSql,
     "tx_quality"     -> qualitySql,

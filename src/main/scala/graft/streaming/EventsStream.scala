@@ -72,6 +72,31 @@ object EventsStream {
         col("user_id"), col("n_events"), col("sum_value_cents"))
   }
 
+  /** Watermarked stream-stream join: each purchase event paired with
+    * the same user's view events from the preceding hour. Both sides
+    * carry watermarks and the join condition bounds event-time distance
+    * — the two facts Spark needs to EXPIRE join state (a view's state
+    * is dropped once the watermark passes its ts + 1h), keeping state
+    * O(events in the watermark horizon) instead of unbounded. The same
+    * definition joins two batch frames (watermarks skipped — they are
+    * streaming-only).
+    */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    def wm(df: DataFrame): DataFrame =
+      if (df.isStreaming) df.withWatermark("ts", "2 hours") else df
+    val p = wm(purchases).select(
+      col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"))
+    val v = wm(views).select(
+      col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: per-user lifetime
     * stats plus the longest streak of consecutive `purchase` events in
     * event order — a state machine windowed aggregation cannot express
