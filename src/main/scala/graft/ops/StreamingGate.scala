@@ -33,13 +33,26 @@ object StreamingGate {
 
   private def runToTable(df: DataFrame, name: String, mode: String)(
       spark: SparkSession): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // A stateful streaming op instantiates one state store PER shuffle
+    // partition PER stateful operator (two for a stream-stream join) —
+    // at the gate's data volume, store setup/commit dominates, so pin
+    // streaming shuffles to 8 partitions for this query only. (This is
+    // the real tuning rule at scale too: streaming shuffle partitions
+    // size to state volume, not to batch scan width; they cannot be
+    // changed across restarts of a real query, so they are chosen
+    // deliberately, not inherited.)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
