@@ -357,7 +357,62 @@ object Analytics {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Window-function breadth in one pass: row_number / lag / lead /
+  // ntile / cume_dist over the same (partition, order) — ONE shuffle +
+  // ONE sort serves all five (they share the window spec; Spark plans a
+  // single Window operator). Order is made total with the orderkey
+  // tiebreak so every function is deterministic; cume_dist (a ratio of
+  // two integers) is floored to micro-units for bit-stable comparison.
+  // -------------------------------------------------------------------
+  private def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(spark, dir, "orders")
+      .withColumn("seq", row_number().over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w)).cast("long"))
+      .withColumn("next_price_cents", cents(lead("o_totalprice", 1).over(w)))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("cd_e6", floor(cume_dist().over(w) * 1000000).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("seq").cast("long").as("seq"),
+        col("gap_days"), col("next_price_cents"), col("quartile"), col("cd_e6"))
+      .orderBy("o_orderkey")
+  }
+
+  private val windowSuiteSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS seq,
+      |  CAST(datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS BIGINT) AS gap_days,
+      |  CAST(round(lead(o_totalprice, 1) OVER w * 100) AS BIGINT) AS next_price_cents,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Fuzzy matching: edit distance against a probe (codegen'd built-in
+  // `levenshtein`, identical algorithm in DuckDB). Embarrassingly
+  // parallel scan; a fuzzy self-JOIN at scale would block first (LSH
+  // on n-grams — the Dedup machinery) and verify with this distance.
+  // -------------------------------------------------------------------
+  private val FuzzyProbe = "Customer#000000000"
+
+  private def fuzzyName(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .withColumn("dist", levenshtein(col("c_name"), lit(FuzzyProbe)).cast("long"))
+      .groupBy("c_mktsegment", "dist")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment", "dist")
+
+  private val fuzzyNameSql =
+    s"""SELECT c_mktsegment, CAST(levenshtein(c_name, '$FuzzyProbe') AS BIGINT) AS dist,
+       |  COUNT(*) AS n
+       |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_window_suite"      -> (windowSuite _),
+    "ax_fuzzy_name"        -> (fuzzyName _),
     "ax_percentiles"       -> (percentiles _),
     "ax_salted_join"       -> (saltedJoin _),
     "ax_pricing_summary"   -> (pricingSummary _),
@@ -376,6 +431,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_window_suite"      -> windowSuiteSql,
+    "ax_fuzzy_name"        -> fuzzyNameSql,
     "ax_percentiles"       -> percentilesSql,
     "ax_salted_join"       -> saltedJoinSql,
     "ax_pricing_summary"   -> pricingSummarySql,
