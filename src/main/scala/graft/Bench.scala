@@ -33,11 +33,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val pool = Executors.newSingleThreadExecutor()
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    var pool = Executors.newSingleThreadExecutor()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       // job group must be set on the thread that submits the jobs
       val fut = Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -49,8 +49,17 @@ object Bench {
         catch {
           case _: TimeoutException =>
             spark.sparkContext.cancelJobGroup(name)
-            // let the worker thread unwind before reusing it
-            try Await.ready(fut, Duration(30, TimeUnit.SECONDS)) catch { case _: Throwable => () }
+            // let the worker thread unwind before reusing it; if it is
+            // stuck in non-interruptible code, abandon the poisoned
+            // executor and start a fresh one — otherwise every later
+            // query would queue behind the hang and falsely "timeout"
+            val unwound =
+              try { Await.ready(fut, Duration(30, TimeUnit.SECONDS)); true }
+              catch { case _: Throwable => false }
+            if (!unwound) {
+              pool.shutdownNow()
+              pool = Executors.newSingleThreadExecutor()
+            }
             Some("timeout")
           case e: Throwable =>
             Some(Option(e.getCause).getOrElse(e).getClass.getSimpleName)

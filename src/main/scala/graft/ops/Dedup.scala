@@ -105,7 +105,7 @@ private[ops] object MinHashLsh {
       .join(tokH.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     val n = sig.select(col("doc_id"), col("n"))
-    inter
+    val pairs = inter
       .join(n.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(n.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard_pm",
@@ -114,6 +114,13 @@ private[ops] object MinHashLsh {
       .filter(col("jaccard_pm") >= ThresholdPm)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard_pm"))
       .orderBy("doc_a", "doc_b")
+    // materialize the (small) verified pairs so the two pipeline caches
+    // can be released NOW — without this, every caller leaks two
+    // persisted tables for the session lifetime
+    val out = pairs.localCheckpoint()
+    tokH.unpersist()
+    sig.unpersist()
+    out
   }
 
   /** DuckDB oracle for [[verifiedPairs]]; `tokCte` must define
@@ -369,16 +376,11 @@ object Dedup {
   private val CosineNearDupPm = 950L // near-dup flag: cosine ≥ 0.950
 
   private def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val dotCols = (0 until Hyperplanes.Planes).map(p =>
-      dotLong(col("q"), expr(Hyperplanes.sparkArray(p))).as(s"dp$p"))
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       // quantize once: int micro-units, exact integer math from here on
       .withColumn("q", expr("transform(embedding, v -> CAST(round(v*10000) AS BIGINT))"))
-      .select(Seq(col("vec_id"), col("q")) ++ dotCols: _*)
       .select(col("vec_id"), col("q"),
-        (0 until Hyperplanes.Planes)
-          .map(p => when(col(s"dp$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
-          .reduce(_ + _).as("bucket"))
+        Hyperplanes.bucketCol(col("q"), Hyperplanes.Planes).as("bucket"))
       // shuffle on bucket = materialization barrier: q/bucket computed
       // once per row, never per candidate pair (and the exact layout a
       // 100 TB run would persist, partitioned by bucket)
@@ -406,27 +408,19 @@ object Dedup {
   }
 
   private val embedNearDupSql: String = {
-    val dots = (0 until Hyperplanes.Planes).map(p =>
-      s"CAST(list_sum(list_transform(list_zip(q, ${Hyperplanes.duckArray(p)}), t -> t[1] * t[2])) AS BIGINT) AS dp$p")
-      .mkString(",\n    ")
-    val assemble = (0 until Hyperplanes.Planes)
-      .map(p => s"(CASE WHEN dp$p >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END)")
-      .mkString(" + ")
     s"""WITH qt AS (SELECT vec_id,
        |    list_transform(embedding, v -> CAST(round(v*10000) AS BIGINT)) AS q
        |  FROM embeddings),
-       |dp AS (SELECT vec_id, q,
-       |    $dots
-       |  FROM qt),
-       |sig AS (SELECT vec_id, q, $assemble AS bucket FROM dp),
+       |sig AS (SELECT vec_id, q,
+       |    ${Hyperplanes.bucketSqlDuck("q", Hyperplanes.Planes)} AS bucket FROM qt),
        |capped AS (SELECT vec_id, q, bucket FROM (
        |    SELECT vec_id, q, bucket, count(*) OVER (PARTITION BY bucket) AS bucket_n
        |    FROM sig) c
        |  WHERE bucket_n <= ${MinHashLsh.MaxBucket}),
        |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b,
-       |    CAST(list_sum(list_transform(list_zip(x.q, y.q), t -> t[1] * t[2])) AS BIGINT) AS dot,
-       |    CAST(list_sum(list_transform(x.q, v -> v * v)) AS BIGINT) AS na,
-       |    CAST(list_sum(list_transform(y.q, v -> v * v)) AS BIGINT) AS nb
+       |    ${PortableHash.dotSqlDuck("x.q", "y.q")} AS dot,
+       |    ${PortableHash.dotSqlDuck("x.q", "x.q")} AS na,
+       |    ${PortableHash.dotSqlDuck("y.q", "y.q")} AS nb
        |  FROM capped x JOIN capped y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |scored AS (SELECT a, b,
        |    CAST(floor(1000.0 * CAST(dot AS DOUBLE) /

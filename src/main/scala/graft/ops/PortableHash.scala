@@ -22,9 +22,25 @@ object PortableHash {
   def hashCol(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** [[hashCol]] as Spark SQL text, for use inside lambda bodies
+    * (`transform(..., x -> ...)`) where only SQL text can reference the
+    * lambda variable. Single source of truth with [[hashCol]]: both
+    * must stay the md5-hex-prefix formula or the oracle drifts.
+    */
+  def hashSparkSql(s: String): String =
+    s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
+
   /** Same hash as DuckDB SQL text. */
   def hashSql(s: String): String =
     s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+
+  /** DuckDB integer dot product of two list expressions — the oracle
+    * twin of [[graft.functions.GraftFunctions.dotLong]]. The lambda
+    * variable is deliberately obscure to dodge shadowing of outer
+    * table aliases.
+    */
+  def dotSqlDuck(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), zz -> zz[1]*zz[2])) AS BIGINT)"
 }
 
 /** Deterministic ±1 random-hyperplane sign matrix for embedding LSH.
@@ -48,4 +64,27 @@ object Hyperplanes {
 
   /** DuckDB literal list for plane `p`, e.g. `[1,-1,...]`. */
   def duckArray(p: Int): String = signs(p).mkString("[", ",", "]")
+
+  /** Hyperplane-signature bucket over a quantized vector column: bit p
+    * set iff dot(q, plane_p) >= 0. Shared by the similarity tiers and
+    * the embedding near-dup — ONE formulation, one oracle twin below.
+    */
+  def bucketCol(q: Column, planes: Int): Column = {
+    import graft.functions.GraftFunctions.dotLong
+    (0 until planes)
+      .map(p => dotLong(q, org.apache.spark.sql.functions.expr(sparkArray(p))))
+      .zipWithIndex
+      .map { case (d, p) =>
+        org.apache.spark.sql.functions.when(d >= 0,
+          org.apache.spark.sql.functions.lit(1L << p))
+          .otherwise(org.apache.spark.sql.functions.lit(0L)) }
+      .reduce(_ + _)
+  }
+
+  /** [[bucketCol]] as DuckDB SQL over a list expression `q`. */
+  def bucketSqlDuck(q: String, planes: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN ${PortableHash.dotSqlDuck(q, duckArray(p))} >= 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END)")
+      .mkString(" + ")
 }

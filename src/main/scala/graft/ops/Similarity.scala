@@ -37,23 +37,14 @@ object Similarity {
   private val quantizeDuck =
     "list_transform(embedding, v -> CAST(round(v*10000) AS BIGINT))"
 
-  /** hyperplane-signature bucket over the quantized vector, first
-    * `planes` rows of the shared sign matrix (Spark side)
+  /** hyperplane bucket over the quantized vector — shared formulation,
+    * see [[Hyperplanes.bucketCol]] / [[Hyperplanes.bucketSqlDuck]]
     */
-  private def bucketCol(planes: Int): org.apache.spark.sql.Column = {
-    val dots = (0 until planes).map(p =>
-      dotLong(col("q"), expr(Hyperplanes.sparkArray(p))))
-    dots.zipWithIndex
-      .map { case (d, p) => when(d >= 0, lit(1L << p)).otherwise(lit(0L)) }
-      .reduce(_ + _)
-  }
+  private def bucketCol(planes: Int): org.apache.spark.sql.Column =
+    Hyperplanes.bucketCol(col("q"), planes)
 
-  /** same bucket as DuckDB SQL (expects a list column named q) */
   private def bucketSqlDuck(planes: Int): String =
-    (0 until planes).map(p =>
-      s"(CASE WHEN CAST(list_sum(list_transform(list_zip(q, ${Hyperplanes.duckArray(p)}), " +
-        s"t -> t[1] * t[2])) AS BIGINT) >= 0 THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END)")
-      .mkString(" + ")
+    Hyperplanes.bucketSqlDuck("q", planes)
 
   // -------------------------------------------------------------------
   // sim_topk_quantized: exact top-20 neighbors of vec 0 by quantized
@@ -73,10 +64,9 @@ object Similarity {
 
   private val topkQuantizedSql =
     s"""SELECT b.vec_id,
-       |  CAST(list_sum(list_transform(list_zip(
-       |    (SELECT $quantizeDuck FROM embeddings WHERE vec_id = 0),
-       |    list_transform(b.embedding, v -> CAST(round(v*10000) AS BIGINT))),
-       |    s -> s[1]*s[2])) AS BIGINT) AS dot
+       |  ${PortableHash.dotSqlDuck(
+            s"(SELECT $quantizeDuck FROM embeddings WHERE vec_id = 0)",
+            "list_transform(b.embedding, v -> CAST(round(v*10000) AS BIGINT))")} AS dot
        |FROM embeddings b WHERE b.vec_id <> 0
        |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
 
@@ -108,9 +98,9 @@ object Similarity {
     s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
        |qq AS (SELECT q FROM qt WHERE vec_id = 0),
        |scored AS (SELECT t.vec_id,
-       |    CAST(list_sum(list_transform(list_zip(t.q, qq.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
-       |    CAST(list_sum(list_transform(t.q, v -> v*v)) AS BIGINT) AS na,
-       |    CAST(list_sum(list_transform(qq.q, v -> v*v)) AS BIGINT) AS nb
+       |    ${PortableHash.dotSqlDuck("t.q", "qq.q")} AS dot,
+       |    ${PortableHash.dotSqlDuck("t.q", "t.q")} AS na,
+       |    ${PortableHash.dotSqlDuck("qq.q", "qq.q")} AS nb
        |  FROM qt t, qq WHERE t.vec_id <> 0)
        |SELECT vec_id,
        |  CAST(floor(1000000.0 * CAST(dot AS DOUBLE) /
@@ -148,7 +138,7 @@ object Similarity {
        |sig AS (SELECT vec_id, q, ${bucketSqlDuck(LshPlanes)} AS bucket FROM qt),
        |qq AS (SELECT q, bucket FROM sig WHERE vec_id = 0)
        |SELECT s.vec_id,
-       |  CAST(list_sum(list_transform(list_zip(s.q, qq.q), t -> t[1]*t[2])) AS BIGINT) AS dot
+       |  ${PortableHash.dotSqlDuck("s.q", "qq.q")} AS dot
        |FROM sig s, qq
        |WHERE s.vec_id <> 0 AND bit_count(xor(s.bucket, qq.bucket)) <= 1
        |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
@@ -193,7 +183,7 @@ object Similarity {
        |sig AS (SELECT vec_id, q, ${bucketSqlDuck(BucketedPlanes)} AS bucket FROM qt),
        |qq AS (SELECT q, bucket FROM sig WHERE vec_id = 0)
        |SELECT s.vec_id,
-       |  CAST(list_sum(list_transform(list_zip(s.q, qq.q), t -> t[1]*t[2])) AS BIGINT) AS dot
+       |  ${PortableHash.dotSqlDuck("s.q", "qq.q")} AS dot
        |FROM sig s, qq
        |WHERE s.vec_id <> 0 AND s.bucket = qq.bucket
        |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
@@ -240,10 +230,9 @@ object Similarity {
        |cent AS (SELECT label, $centroid AS centroid FROM qt GROUP BY label),
        |qq AS (SELECT q FROM qt WHERE vec_id = 0),
        |probe AS (SELECT c.label AS probe_label FROM cent c, qq
-       |  ORDER BY CAST(list_sum(list_transform(list_zip(c.centroid, qq.q),
-       |    t -> t[1]*t[2])) AS BIGINT) DESC, c.label ASC LIMIT 1)
+       |  ORDER BY ${PortableHash.dotSqlDuck("c.centroid", "qq.q")} DESC, c.label ASC LIMIT 1)
        |SELECT t.vec_id, t.label,
-       |  CAST(list_sum(list_transform(list_zip(t.q, qq.q), t2 -> t2[1]*t2[2])) AS BIGINT) AS dot
+       |  ${PortableHash.dotSqlDuck("t.q", "qq.q")} AS dot
        |FROM qt t, qq, probe p
        |WHERE t.label = p.probe_label AND t.vec_id <> 0
        |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin

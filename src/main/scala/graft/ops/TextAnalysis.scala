@@ -220,9 +220,9 @@ object TextAnalysis {
       .select(col("doc_id"), normCol.as("norm"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), expr(
-        """array_min(transform(
-          |  sequence(1, greatest(length(norm) - 7, 1)),
-          |  i -> CAST(conv(substring(md5(substring(norm, i, 8)), 1, 15), 16, 10) AS BIGINT)))"""
+        s"""array_min(transform(
+           |  sequence(1, greatest(length(norm) - 7, 1)),
+           |  i -> ${PortableHash.hashSparkSql("substring(norm, i, 8)")}))"""
           .stripMargin).as("rolling_fp"))
       .orderBy("doc_id")
 

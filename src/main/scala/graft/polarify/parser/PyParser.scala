@@ -193,25 +193,18 @@ object PyParser {
       case other => err(s"unsupported assignment target: ${other.getClass.getSimpleName}")
     }
 
-    private def ifStmt(): If = {
-      eatName("if")
-      val test = expr()
-      eat(":")
-      val body = block()
-      val orelse: Seq[Stmt] =
-        if (atName("elif")) Seq(elifAsIf()) // nested If, like Python's ast
-        else if (atName("else")) { next(); eat(":"); block() }
-        else Nil
-      If(test, body, orelse)
-    }
+    private def ifStmt(): If = ifLike("if")
 
-    private def elifAsIf(): If = {
-      eatName("elif")
+    /** `if` and `elif` parse identically apart from the keyword; an
+      * elif chain becomes nested Ifs in orelse, like Python's ast.
+      */
+    private def ifLike(kw: String): If = {
+      eatName(kw)
       val test = expr()
       eat(":")
       val body = block()
       val orelse: Seq[Stmt] =
-        if (atName("elif")) Seq(elifAsIf())
+        if (atName("elif")) Seq(ifLike("elif"))
         else if (atName("else")) { next(); eat(":"); block() }
         else Nil
       If(test, body, orelse)
