@@ -105,11 +105,72 @@ object EventsOps {
       |GROUP BY x.user_id, x.s
       |ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_jsonl_roundtrip: JSONL sink + source — the interchange format of
+  // training-data pipelines. Write a typed projection of events as
+  // JSON-lines, read it back WITH an explicit schema (schema inference
+  // is a full extra pass at 100 TB — never rely on it), aggregate.
+  // The oracle aggregates the original parquet: a lossless roundtrip
+  // must be invisible to the query. Timestamps travel as epoch micros
+  // (JSON has no timestamp type; ISO strings roundtrip too but cost
+  // parse time at scale).
+  // -------------------------------------------------------------------
+  private def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val path = s"target/jsonl_roundtrip/$tag"
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").json(path)
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts_us BIGINT, cents BIGINT")
+      .json(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      .orderBy("event_type")
+  }
+
+  private val jsonlRoundtripSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+      |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // csv roundtrip of a relational projection — header on, explicit
+  // schema on read (same no-inference rule)
+  private def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val path = s"target/csv_roundtrip/$tag"
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    spark.read
+      .schema("c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT")
+      .option("header", "true")
+      .csv(path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("sum_bal_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val csvRoundtripSql =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_props_json"      -> (propsJson _),
-    "ax_interval_errors" -> (intervalErrors _))
+    "ax_interval_errors" -> (intervalErrors _),
+    "ax_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "ax_csv_roundtrip"   -> (csvRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
     "ax_props_json"      -> propsJsonSql,
-    "ax_interval_errors" -> intervalErrorsSql)
+    "ax_interval_errors" -> intervalErrorsSql,
+    "ax_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "ax_csv_roundtrip"   -> csvRoundtripSql)
 }
