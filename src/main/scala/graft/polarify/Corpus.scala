@@ -91,6 +91,56 @@ object Corpus {
       v => (if (v >= 60) 4 else if (v >= 30) 3 else if (v >= 0) 2 else 1) * 10 +
         (if (v % 2 == 0) 1 else 0)),
 
+    Case("pysource_destructure",
+      Program.fromPython(
+        """
+          |def spread(x):
+          |    a, b = x + 1, x - 1
+          |    lo = hi = a * b
+          |    if a > 0:
+          |        hi = a * 2
+          |    return hi - lo
+          |""".stripMargin),
+      v => {
+        val a = v + 1; val b = v - 1
+        val lo = a * b
+        val hi = if (a > 0) a * 2 else lo
+        hi - lo
+      }),
+
+    Case("pysource_early",
+      Program.fromPython(
+        """
+          |def clamp(x):
+          |    cap: int = 50
+          |    if x > cap:
+          |        return cap
+          |    if x < 0 - cap:
+          |        return 0 - cap
+          |    return x
+          |    cap = 99
+          |""".stripMargin),
+      v => if (v > 50) 50 else if (v < -50) -50 else v),
+
+    Case("pysource_call",
+      Program.fromPython(
+        """
+          |def scaled(x):
+          |    s = double(x) + clip(x, lo=0 - 5, hi=5)
+          |    return s
+          |""".stripMargin,
+        functions = Map(
+          "double" -> parser.PyParser.PyFn(
+            (args, _) => args.head * 2,
+            Some((args, _) => s"(${args.head} * 2)")),
+          "clip" -> parser.PyParser.PyFn(
+            (args, kw) =>
+              org.apache.spark.sql.functions.greatest(kw("lo"),
+                org.apache.spark.sql.functions.least(kw("hi"), args.head)),
+            Some((args, kw) =>
+              s"greatest(${kw("lo")}, least(${kw("hi")}, ${args.head}))")))),
+      v => v * 2 + math.max(-5, math.min(5, v))),
+
     Case("pysource_match",
       Program.fromPython(
         """
