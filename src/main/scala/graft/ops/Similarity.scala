@@ -239,6 +239,90 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // sim_kmeans_assign: real Lloyd's k-means over the quantized
+  // embeddings (the IVF cell builder sim_ivf_label stands in for) —
+  // deterministic end to end: init = the vectors of vec_id 0..K-1,
+  // L2² distance in exact integer math (‖q‖² − 2·q·c + ‖c‖², three
+  // dotLong calls), argmin tie-broken by centroid id, centroids
+  // recomputed as per-dimension floor(avg). Two refinement rounds,
+  // then the final assignment is emitted.
+  //
+  // The Spark shape is the one that scales (and is what Spark ML's
+  // KMeans does underneath): centroids BROADCAST to every task, the
+  // assignment argmin is a map-side partial `min(struct(dist, cid))`
+  // aggregate (only one row per vector ever shuffles), and the driver
+  // sees exactly K×64 integers per round. Empty clusters drop out in
+  // both engines identically. Oracle: the same two rounds unrolled as
+  // generated SQL.
+  // -------------------------------------------------------------------
+  private val KmK = 8
+  private val KmRefines = 2
+
+  private def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+      .select(col("vec_id"), col("q")).persist()
+
+    def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+      val centDf = cents.toDF("cid", "cvec")
+      e.crossJoin(broadcast(centDf))
+        .withColumn("dist",
+          dotLong(col("q"), col("q")) - lit(2L) * dotLong(col("q"), col("cvec")) +
+            dotLong(col("cvec"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"), col("m.dist").as("dist"))
+    }
+
+    def recompute(assigned: DataFrame): Seq[(Long, Seq[Long])] =
+      assigned.join(e, "vec_id")
+        .groupBy("cluster")
+        .agg(array((0 until 64).map(d =>
+          floor(avg(col("q").getItem(d))).cast("long")): _*).as("cvec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        .sortBy(_._1).toSeq
+
+    var cents: Seq[(Long, Seq[Long])] = e.filter(col("vec_id") < KmK)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    (1 to KmRefines).foreach { _ => cents = recompute(assign(cents)) }
+
+    val out = assign(cents).orderBy("vec_id").localCheckpoint()
+    e.unpersist()
+    out
+  }
+
+  private val kmeansAssignSql: String = {
+    val centroid = (0 until 64)
+      .map(d => s"CAST(floor(avg(t.q[${d + 1}])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def assignCte(name: String, centsCte: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid, dist, ROW_NUMBER() OVER
+         |      (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT t.vec_id, c.cid,
+         |          ${PortableHash.dotSqlDuck("t.q", "t.q")}
+         |          - 2 * ${PortableHash.dotSqlDuck("t.q", "c.cvec")}
+         |          + ${PortableHash.dotSqlDuck("c.cvec", "c.cvec")} AS dist
+         |        FROM qt t, $centsCte c) d)""".stripMargin
+    def recomputeCte(name: String, assignCteName: String) =
+      s"""$name AS (
+         |  SELECT a.cid, $centroid AS cvec
+         |  FROM $assignCteName a JOIN qt t USING (vec_id)
+         |  WHERE a.rn = 1 GROUP BY a.cid)""".stripMargin
+    val rounds = (1 to KmRefines).map(i =>
+      assignCte(s"a$i", if (i == 1) "c0" else s"c${i - 1}") + ",\n" +
+        recomputeCte(s"c$i", s"a$i")).mkString(",\n")
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, q AS cvec FROM qt WHERE vec_id < $KmK),
+       |$rounds,
+       |${assignCte("afinal", s"c$KmRefines")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist
+       |FROM afinal WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // sim_ann_recall: recall@20 of the LSH ANN tier against the exact
   // brute-force top-20 — the eval loop every production ANN deployment
   // runs to tune planes/probes. hits = |ANN ∩ exact|; recall_pm =
@@ -260,6 +344,7 @@ object Similarity {
        |FROM exact20 WHERE vec_id IN (SELECT vec_id FROM ann20)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_assign"  -> (kmeansAssign _),
     "sim_ann_recall"     -> (annRecall _),
     "sim_topk_quantized" -> (topkQuantized _),
     "sim_topk_cosine"    -> (topkCosine _),
@@ -269,6 +354,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_kmeans_assign"  -> kmeansAssignSql,
     "sim_ann_recall"     -> annRecallSql,
     "sim_topk_quantized" -> topkQuantizedSql,
     "sim_topk_cosine"    -> topkCosineSql,
