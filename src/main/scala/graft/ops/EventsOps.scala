@@ -162,13 +162,42 @@ object EventsOps {
       |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_user_journey: ordered event-sequence aggregation — the feature
+  // extractor behind funnel/session-path analysis. `collect_list` has
+  // NO ordering guarantee in a distributed agg, so the portable recipe
+  // is collect structs → array_sort on (ts, event_id) → project the
+  // event types; the journey is emitted as a joined string (first 8
+  // steps) for a stable cross-engine representation. Per-user arrays
+  // stay small (cap the slice) — a 100 TB run bounds the collect the
+  // same way.
+  // -------------------------------------------------------------------
+  private def userJourney(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(collect_list(col("e")).as("es"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        concat_ws(">", expr(
+          "transform(slice(array_sort(es), 1, 8), x -> x.event_type)"))
+          .as("journey8"))
+      .orderBy("user_id")
+
+  private val userJourneySql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '>') AS journey8
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_user_journey"    -> (userJourney _),
     "ax_props_json"      -> (propsJson _),
     "ax_interval_errors" -> (intervalErrors _),
     "ax_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "ax_csv_roundtrip"   -> (csvRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_user_journey"    -> userJourneySql,
     "ax_props_json"      -> propsJsonSql,
     "ax_interval_errors" -> intervalErrorsSql,
     "ax_jsonl_roundtrip" -> jsonlRoundtripSql,
