@@ -264,7 +264,91 @@ object TextAnalysis {
       |ORDER BY doc_freq DESC, term ASC
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------
+  // tx_split_assign: reproducible train/val/test split — the standard
+  // technique for dataset splits that must survive reruns, engine
+  // changes, and data growth: hash the STABLE KEY (doc_id), bucket the
+  // hash mod 100, and carve fixed ranges (80/10/10). No RNG, no seed
+  // bookkeeping, no shuffling: membership is a pure function of the
+  // row key, so adding documents never reassigns existing ones.
+  // Emits per-split stats; oracle replays the same hash in DuckDB.
+  // ---------------------------------------------------------------
+  private def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket",
+        pmod(PortableHash.hashCol(concat(lit("split:"), col("doc_id"))), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("split")
+
+  private val splitAssignSql = {
+    val h = PortableHash.hashSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS min_doc
+       |FROM (SELECT doc_id, text,
+       |        CASE WHEN ($h) % 100 < 80 THEN 'train'
+       |             WHEN ($h) % 100 < 90 THEN 'val'
+       |             ELSE 'test' END AS split
+       |      FROM documents) s
+       |GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // tx_keywords: per-document keyword extraction by tf·(N/df) — the
+  // log-free TF-IDF variant, kept in exact integer math so it is
+  // oracle-checkable (log's last-ulp varies across libm builds;
+  // rank order is what matters and tf·N/df preserves it for fixed tf).
+  // score = (1000·tf·N) div df; top 3 per doc via row_number with a
+  // term tiebreak. Shapes: one explode, two hash aggregates, one
+  // broadcast of the scalar N, one window — all partial-agg friendly.
+  // ---------------------------------------------------------------
+  private def keywords(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(normCol, " ")).as("term"))
+      .filter(length(col("term")) >= 3)
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("(1000 * tf * n_docs) div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rk").cast("long").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val keywordsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+      |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |        FROM documents) d),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |       WHERE length(term) >= 3 GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, (1000 * tf.tf * n.n_docs) // dfreq.df AS score
+      |  FROM tf JOIN dfreq USING (term), n)
+      |SELECT doc_id, term, CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+      |FROM (SELECT doc_id, term, score,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+      |      FROM scored) r
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_keywords"     -> (keywords _),
+    "tx_split_assign" -> (splitAssign _),
     "tx_top_terms"   -> (topTerms _),
     "tx_stats"       -> (stats _),
     "tx_langid"      -> (langid _),
@@ -275,6 +359,8 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_keywords"     -> keywordsSql,
+    "tx_split_assign" -> splitAssignSql,
     "tx_top_terms"   -> topTermsSql,
     "tx_stats"       -> statsSql,
     "tx_langid"      -> langidSql,
