@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-lifecycle analytics over the event log: funnel staging, cohort
+  * retention, and gap-filled resampling — the three standard shapes of
+  * product/behavior analysis a 100 TB event pipeline must serve.
+  *
+  * Scale notes common to all three: every per-user computation rides a
+  * SINGLE hash shuffle on `user_id` (consecutive window functions over
+  * the same partition spec reuse the child's partitioning — Catalyst
+  * plans them as stacked Window nodes over one Exchange), and the final
+  * reductions are partial-agg friendly. Nothing here widens with the
+  * event count except that one keyed exchange.
+  */
+object Cohorts {
+
+  // -------------------------------------------------------------------
+  // ax_funnel_stages: ordered conversion funnel view → click → purchase.
+  // A user "reaches" a stage only if the stage event happens AT OR AFTER
+  // the time they reached the previous stage (the classic ordered-funnel
+  // semantics; unordered counting wildly overstates conversion). Each
+  // stage timestamp is a windowed conditional MIN that references the
+  // previous stage's column, so the three stages are three chained
+  // projections over ONE user_id exchange — not three scans, not three
+  // shuffles. The output is a single row of stage counts.
+  // -------------------------------------------------------------------
+  private def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("vt",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("ct",
+        min(when(col("event_type") === "click" && col("ts") >= col("vt"),
+          col("ts"))).over(w))
+      .withColumn("pt",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("ct"),
+          col("ts"))).over(w))
+      .select("user_id", "vt", "ct", "pt").distinct()
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("vt")).as("n_view"),
+        count(col("ct")).as("n_view_click"),
+        count(col("pt")).as("n_full_funnel"))
+  }
+
+  private val funnelStagesSql =
+    """WITH w1 AS (
+      |  SELECT user_id, event_type, ts,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS vt
+      |  FROM events),
+      |w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= vt THEN ts END)
+      |    OVER (PARTITION BY user_id) AS ct
+      |  FROM w1),
+      |w3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= ct THEN ts END)
+      |    OVER (PARTITION BY user_id) AS pt
+      |  FROM w2),
+      |u AS (SELECT DISTINCT user_id, vt, ct, pt FROM w3)
+      |SELECT COUNT(*) AS n_users, COUNT(vt) AS n_view,
+      |  COUNT(ct) AS n_view_click, COUNT(pt) AS n_full_funnel
+      |FROM u""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_retention_cohorts: classic cohort retention — users grouped by
+  // the calendar day of their FIRST event (one windowed MIN over the
+  // same user_id exchange), then distinct active users counted per
+  // (cohort day, day offset) for the first week. COUNT(DISTINCT) here
+  // is the real thing, not approx, so the oracle can hash-check it;
+  // at 100 TB you'd swap in approx_count_distinct per cell or keep
+  // exact — the Expand-based distinct aggregate is still one shuffle
+  // on the (cohort, offset, user) triple.
+  // -------------------------------------------------------------------
+  private def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("cohort", min(col("d")).over(w))
+      .withColumn("offset", datediff(col("d"), col("cohort")))
+      .filter(col("offset") <= 7)
+      .groupBy("cohort", "offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset").cast("long").as("offset"), col("n_active"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  private val retentionCohortsSql =
+    """WITH f AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort
+      |  FROM events)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      |  CAST(date_diff('day', cohort, d) AS BIGINT) AS "offset",
+      |  COUNT(DISTINCT user_id) AS n_active
+      |FROM f
+      |WHERE date_diff('day', cohort, d) <= 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_hourly_gapfill: resample the event stream to a dense hourly
+  // grid, zero-filling hours with no traffic — the prerequisite for any
+  // time-series model over event counts (a sparse groupBy silently
+  // omits empty buckets). The grid is generated from the global
+  // [min,max] hour (a 1-row aggregate) × the distinct event types, so
+  // it is tiny and STAYS tiny at 100 TB (hours grow with wall time,
+  // not data volume); the sparse counts are broadcast into a left join
+  // against it — the fact table is touched exactly once.
+  // -------------------------------------------------------------------
+  private def hourlyGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("cnt"))
+    val hours = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = ev.select("event_type").distinct()
+    hours.crossJoin(broadcast(types))
+      .join(broadcast(counts), Seq("h", "event_type"), "left")
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
+  private val hourlyGapfillSql =
+    """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+      |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |          FROM b),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |counts AS (SELECT h, event_type, COUNT(*) AS cnt FROM ev GROUP BY 1, 2)
+      |SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour, g.event_type,
+      |  COALESCE(c.cnt, 0) AS n
+      |FROM (SELECT h, event_type FROM hours CROSS JOIN types) g
+      |LEFT JOIN counts c ON g.h = c.h AND g.event_type = c.event_type
+      |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_funnel_stages"     -> (funnelStages _),
+    "ax_retention_cohorts" -> (retentionCohorts _),
+    "ax_hourly_gapfill"    -> (hourlyGapfill _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ax_funnel_stages"     -> funnelStagesSql,
+    "ax_retention_cohorts" -> retentionCohortsSql,
+    "ax_hourly_gapfill"    -> hourlyGapfillSql)
+}
