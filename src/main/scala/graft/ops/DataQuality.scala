@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators: single-pass column profiling and statistical
+  * outlier detection — the screening steps that run over every ingest
+  * batch of a training-data pipeline before anything else is allowed to.
+  */
+object DataQuality {
+
+  // -------------------------------------------------------------------
+  // ax_profile: per-column profile (non-null count, exact distinct,
+  // min/max) of the orders table in ONE scan. All metrics for all
+  // profiled columns are computed in a single aggregate (the distincts
+  // share one Expand-based pass), producing a 1-row wide result that a
+  // driver-side `stack` reshapes to one row per column — the reshape
+  // costs nothing because it runs on one row. Profiling with one scan
+  // per column (the naive UNION ALL formulation) reads the table N
+  // times; at 100 TB that is the difference between a screening step
+  // and a full re-ingest per column.
+  // -------------------------------------------------------------------
+  private def profile(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("nn1"),
+        countDistinct(col("o_custkey")).as("nd1"),
+        min(col("o_custkey")).cast("string").as("mn1"),
+        max(col("o_custkey")).cast("string").as("mx1"),
+        count(col("o_orderdate")).as("nn2"),
+        countDistinct(col("o_orderdate")).as("nd2"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mn2"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mx2"),
+        count(col("o_orderstatus")).as("nn3"),
+        countDistinct(col("o_orderstatus")).as("nd3"),
+        min(col("o_orderstatus")).as("mn3"),
+        max(col("o_orderstatus")).as("mx3"))
+      .select(col("n_rows"), expr(
+        """stack(3,
+          |  'o_custkey',     nn1, nd1, mn1, mx1,
+          |  'o_orderdate',   nn2, nd2, mn2, mx2,
+          |  'o_orderstatus', nn3, nd3, mn3, mx3)
+          |AS (col_name, n_nonnull, n_distinct, min_s, max_s)""".stripMargin))
+      .select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")
+      .orderBy("col_name")
+
+  private val profileSql =
+    """WITH a AS (SELECT COUNT(*) AS n_rows,
+      |  COUNT(o_custkey) AS nn1, COUNT(DISTINCT o_custkey) AS nd1,
+      |  CAST(MIN(o_custkey) AS VARCHAR) AS mn1,
+      |  CAST(MAX(o_custkey) AS VARCHAR) AS mx1,
+      |  COUNT(o_orderdate) AS nn2, COUNT(DISTINCT o_orderdate) AS nd2,
+      |  strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn2,
+      |  strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx2,
+      |  COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+      |  MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3
+      |  FROM orders)
+      |SELECT 'o_custkey' AS col_name, n_rows, nn1 AS n_nonnull,
+      |  nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM a
+      |UNION ALL SELECT 'o_orderdate', n_rows, nn2, nd2, mn2, mx2 FROM a
+      |UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3, mn3, mx3 FROM a
+      |ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_outliers: per-event-type 3-sigma outliers in EXACT integer math.
+  // Mean/variance come from per-type sums (n, Σx, Σx²) — a partial-agg
+  // groupBy producing one tiny row per type, broadcast back onto the
+  // stream. The test (x·n − Σx)² > 9·(n·Σx² − (Σx)²) is the 3σ rule
+  // with both sides multiplied by n², so it stays in integer arithmetic
+  // and is bit-identical across engines (float stddev would drift in
+  // the last ulp). Magnitudes: units ≤ ~600, n ≤ 2^17 per type at
+  // sf0.1 → both sides < 2^55, no overflow headroom issues; at larger
+  // n switch the two product terms to DECIMAL.
+  // Broadcast-join beats a window over event_type: a 5-partition
+  // window would put a fifth of 100 TB in one task.
+  // -------------------------------------------------------------------
+  private def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value")).cast("long").as("u"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("s"),
+        sum(col("u") * col("u")).as("ss"))
+    val dev = col("u") * col("n") - col("s")
+    ev.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), col("u").as("units"))
+      .orderBy("event_id")
+  }
+
+  private val outliersSql =
+    """WITH e AS (SELECT event_id, event_type,
+      |             CAST(round(value) AS BIGINT) AS u FROM events),
+      |st AS (SELECT event_type, COUNT(*) AS n, SUM(u) AS s, SUM(u*u) AS ss
+      |       FROM e GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.u AS units
+      |FROM e JOIN st USING (event_type)
+      |WHERE (e.u*n - s)*(e.u*n - s) > 9*(n*ss - s*s)
+      |ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_profile"  -> (profile _),
+    "ax_outliers" -> (outliers _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ax_profile"  -> profileSql,
+    "ax_outliers" -> outliersSql)
+}

@@ -162,6 +162,33 @@ object EventsOps {
       |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ORC roundtrip — the columnar alternative when a downstream system is
+  // ORC-native (Hive-era warehouses). Same rules as the other sinks:
+  // explicit schema on read, lossless integer money, oracle on the
+  // original parquet so the roundtrip must be invisible.
+  private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val path = s"target/orc_roundtrip/$tag"
+    spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      .write.mode("overwrite").orc(path)
+    spark.read
+      .schema("p_partkey BIGINT, p_brand STRING, price_cents BIGINT")
+      .orc(path)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_price_cents"),
+        min(col("p_partkey")).as("min_part"), max(col("p_partkey")).as("max_part"))
+      .orderBy("p_brand")
+  }
+
+  private val orcRoundtripSql =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_cents,
+      |  MIN(p_partkey) AS min_part, MAX(p_partkey) AS max_part
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------------
   // ax_user_journey: ordered event-sequence aggregation — the feature
   // extractor behind funnel/session-path analysis. `collect_list` has
@@ -194,12 +221,14 @@ object EventsOps {
     "ax_props_json"      -> (propsJson _),
     "ax_interval_errors" -> (intervalErrors _),
     "ax_jsonl_roundtrip" -> (jsonlRoundtrip _),
-    "ax_csv_roundtrip"   -> (csvRoundtrip _))
+    "ax_csv_roundtrip"   -> (csvRoundtrip _),
+    "ax_orc_roundtrip"   -> (orcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
     "ax_user_journey"    -> userJourneySql,
     "ax_props_json"      -> propsJsonSql,
     "ax_interval_errors" -> intervalErrorsSql,
     "ax_jsonl_roundtrip" -> jsonlRoundtripSql,
-    "ax_csv_roundtrip"   -> csvRoundtripSql)
+    "ax_csv_roundtrip"   -> csvRoundtripSql,
+    "ax_orc_roundtrip"   -> orcRoundtripSql)
 }

@@ -14,10 +14,12 @@ object Extensions {
     Analytics.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ Multimodal.queries ++ StreamingGate.queries ++
       AsOf.queries ++ SqlSurface.queries ++ Bucketing.queries ++
-      EventsOps.queries ++ Cohorts.queries
+      EventsOps.queries ++ Cohorts.queries ++ DataQuality.queries ++
+      Reshape.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
       AsOf.oracleSql ++ SqlSurface.oracleSql ++ Bucketing.oracleSql ++
-      EventsOps.oracleSql ++ Cohorts.oracleSql
+      EventsOps.oracleSql ++ Cohorts.oracleSql ++ DataQuality.oracleSql ++
+      Reshape.oracleSql
 }
