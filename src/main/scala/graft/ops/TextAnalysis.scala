@@ -346,7 +346,67 @@ object TextAnalysis {
       |      FROM scored) r
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // tx_bigrams: corpus-wide top-20 word bigrams. Adjacent pairs are
+  // formed INSIDE the array (zip_with of the word list against its
+  // own tail — map-side, no positional self-join, no window) before a
+  // single explode + hash aggregate + TakeOrderedAndProject. The
+  // posexplode-then-self-join formulation shuffles the corpus twice
+  // on (doc, pos); this shape shuffles once on the bigram key.
+  // ---------------------------------------------------------------
+  private def bigrams(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(split(normCol, " ").as("w"))
+      .select(explode(expr(
+        """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
+          |         slice(w, 2, greatest(size(w)-1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
+  private val bigramsSql =
+    s"""WITH ws AS (
+       |  SELECT string_split(norm, ' ') AS w
+       |  FROM (SELECT $normSqlDef AS norm FROM documents) d),
+       |b AS (
+       |  SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+       |           i -> w[i] || ' ' || w[i+1])) AS bigram
+       |  FROM ws)
+       |SELECT bigram, COUNT(*) AS n FROM b
+       |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // tx_sample_stratified: deterministic per-language sampling stats —
+  // the same keyed-hash discipline as tx_split_assign (membership is a
+  // pure function of the stable doc_id; reruns and data growth never
+  // reshuffle who is in the sample), reported per stratum so skewed
+  // language mixes are visible. One scan, one partial-agg groupBy.
+  // ---------------------------------------------------------------
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("samp",
+        pmod(PortableHash.hashCol(concat(lit("samp:"), col("doc_id"))),
+          lit(10)) === 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("samp"), 1L).otherwise(0L)).as("n_sample"),
+        min(when(col("samp"), col("doc_id"))).as("first_sampled"))
+      .orderBy("lang")
+
+  private val sampleStratifiedSql = {
+    val h = PortableHash.hashSql("'samp:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT lang, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+       |  MIN(CASE WHEN samp THEN doc_id END) AS first_sampled
+       |FROM (SELECT lang, doc_id, ($h) % 10 = 0 AS samp FROM documents) s
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bigrams"      -> (bigrams _),
+    "tx_sample_stratified" -> (sampleStratified _),
     "tx_keywords"     -> (keywords _),
     "tx_split_assign" -> (splitAssign _),
     "tx_top_terms"   -> (topTerms _),
@@ -359,6 +419,8 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_bigrams"      -> bigramsSql,
+    "tx_sample_stratified" -> sampleStratifiedSql,
     "tx_keywords"     -> keywordsSql,
     "tx_split_assign" -> splitAssignSql,
     "tx_top_terms"   -> topTermsSql,
