@@ -143,13 +143,44 @@ object Stats {
       |    AND (d.price_cents < t.price_cents OR d.size < t.size))
       |ORDER BY t.p_partkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_copurchase: market-basket pair mining — top part pairs appearing
+  // in the same order. The pair join is a SELF equi-join on the order
+  // key: both sides hash-partition identically (one shuffle, co-located
+  // build/probe) and the quadratic pair blowup is bounded per order by
+  // the basket size (~single digits), so candidate volume is
+  // O(orders × basket²), linear in the fact table. The `a < b`
+  // canonicalization halves the pairs and dedups mirror images;
+  // `distinct()` first collapses repeated (order, part) lines so a part
+  // counted twice in one order can't inflate support.
+  // -------------------------------------------------------------------
+  private def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("pb"))
+    li.join(b, col("l_orderkey") === col("o2") && col("l_partkey") < col("pb"))
+      .groupBy(col("l_partkey").as("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
+  private val copurchaseSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+      |FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 ORDER BY n DESC, pa ASC, pb ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_copurchase"      -> (copurchase _),
     "ax_argmax_customer" -> (argmaxCustomer _),
     "ax_histogram"       -> (histogram _),
     "ax_corr_sums"       -> (corrSums _),
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_copurchase"      -> copurchaseSql,
     "ax_argmax_customer" -> argmaxCustomerSql,
     "ax_histogram"       -> histogramSql,
     "ax_corr_sums"       -> corrSumsSql,

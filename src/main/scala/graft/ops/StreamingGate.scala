@@ -115,6 +115,24 @@ object StreamingGate {
       |FROM tot t LEFT JOIN best b ON t.user_id = b.user_id
       |ORDER BY t.user_id""".stripMargin
 
+  /** 2h-sliding-1h window counts streamed end-to-end; oracle expands
+    * each event into its two covering windows (hour and hour − 1h)
+    * and aggregates — the batch statement of sliding-window semantics.
+    */
+  private def slidingStreamed(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventsStream.slidingByType(eventsStream(spark, dir)),
+      "st_sliding_counts_sink", "complete")(spark)
+      .orderBy("win_start", "event_type")
+
+  private val slidingStreamedSql =
+    """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+      |x AS (SELECT h AS ws, event_type FROM e
+      |      UNION ALL
+      |      SELECT h - INTERVAL 1 HOUR, event_type FROM e)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+      |  COUNT(*) AS cnt
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** stream-stream join end-to-end: two independent readers of the
     * same file source (each its own watermark), joined on user + a
     * 1-hour event-time range, append sink. Oracle = the plain batch
@@ -139,6 +157,7 @@ object StreamingGate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_stream_join"       -> (streamJoinStreamed _),
+    "st_sliding_counts"    -> (slidingStreamed _),
     "st_events_hourly"     -> (hourlyStreamed _),
     "st_dedup_events"      -> (dedupStreamed _),
     "st_purchase_streaks"  -> (streaksStreamed _)
@@ -147,6 +166,7 @@ object StreamingGate {
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
     "st_stream_join"       -> streamJoinStreamedSql,
+    "st_sliding_counts"    -> slidingStreamedSql,
     "st_events_hourly"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_dedup_events"      -> dedupStreamedSql,
     "st_purchase_streaks"  -> streaksStreamedSql

@@ -44,6 +44,20 @@ object EventsStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("cnt"), col("sum_value_cents"))
 
+  /** 2-hour windows sliding every hour — each event contributes to two
+    * overlapping windows (Spark plans this as an Expand of the window
+    * assignments before the stateful aggregate, so state is O(active
+    * windows × types) exactly like the tumbling case, just ×2 windows)
+    */
+  def slidingByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("cnt"))
+
   /** exactly-once per event_id within the watermark horizon */
   def dedupEvents(events: DataFrame): DataFrame =
     events
