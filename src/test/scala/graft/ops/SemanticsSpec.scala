@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-2 operator batch, checked on real
+  * sf0.001 data INDEPENDENTLY of the DuckDB oracle (the oracle proves
+  * cross-engine agreement; these prove the answers mean what the
+  * operator claims).
+  */
+class SemanticsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("funnel stages are monotone non-increasing") {
+    val r = Extensions.queries("ax_funnel_stages")(spark, dir).collect()(0)
+    val (users, view, click, purchase) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= view && view >= click && click >= purchase)
+    assert(view > 0, "fixture should have at least one viewing user")
+  }
+
+  test("retention offset-0 actives equal the cohort's size") {
+    val rows = Extensions.queries("ax_retention_cohorts")(spark, dir).collect()
+    val byCohort = rows.groupBy(_.getString(0))
+    // every user is active on their own first day, and no offset can
+    // have more actives than day 0 of the same cohort
+    byCohort.foreach { case (_, rs) =>
+      val day0 = rs.find(_.getLong(1) == 0L).map(_.getLong(2)).getOrElse(0L)
+      assert(day0 > 0)
+      rs.foreach(r => assert(r.getLong(2) <= day0))
+    }
+  }
+
+  test("gapfill grid is dense and preserves the total event count") {
+    val out = Extensions.queries("ax_hourly_gapfill")(spark, dir)
+    val hours = out.select("hour").distinct().count()
+    val types = out.select("event_type").distinct().count()
+    assert(out.count() == hours * types, "grid must be dense")
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    val raw = graft.Tables.events(spark, dir).count()
+    assert(total == raw, "zero-filling must not change the total")
+  }
+
+  test("every flagged outlier deviates more than 3 sigma (and some row exists)") {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value")).cast("long").as("u"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("u").as("s"),
+        sum(col("u") * col("u")).as("ss"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val flagged = Extensions.queries("ax_outliers")(spark, dir).collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      val (n, s, ss) = stats(r.getString(1))
+      val u = r.getLong(2)
+      assert((u * n - s) * (u * n - s) > 9L * (n * ss - s * s),
+        s"event ${r.getLong(0)} flagged but within 3 sigma")
+    }
+  }
+
+  test("skyline rows are mutually non-dominating and dominate all others") {
+    val rows = Extensions.queries("ax_skyline_parts")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def dominates(a: (Long, String, Long, Long), b: (Long, String, Long, Long)) =
+      a._2 == b._2 && a._3 <= b._3 && a._4 <= b._4 &&
+        (a._3 < b._3 || a._4 < b._4)
+    for (a <- rows; b <- rows)
+      assert(!dominates(a, b), s"skyline row $a dominates skyline row $b")
+    // spot-check completeness: every excluded part is dominated
+    val all = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"),
+        round(col("p_retailprice") * 100).cast("long"), col("p_size").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val skyKeys = rows.map(_._1).toSet
+    all.filterNot(p => skyKeys(p._1)).take(50).foreach { p =>
+      assert(rows.exists(s => dominates(s, p)), s"excluded part $p undominated")
+    }
+  }
+
+  test("argmax matches a brute-force reduction") {
+    val out = Extensions.queries("ax_argmax_customer")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("b"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (seg, rs) =>
+        val best = rs.maxBy(r => (r.getLong(2), r.getLong(1)))
+        seg -> (best.getLong(1), best.getLong(2))
+      }
+    assert(out == brute)
+  }
+
+  test("stratified sample is a subset with the declared hash rule") {
+    val rows = Extensions.queries("tx_sample_stratified")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "sample cannot exceed stratum")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val sampled = rows.map(_.getLong(2)).sum
+    assert(sampled > 0 && sampled < total)
+  }
+
+  test("copurchase pairs are canonical (a < b) with positive support") {
+    Extensions.queries("ax_copurchase")(spark, dir).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("unpivot long form carries exactly the wide cells") {
+    val out = Extensions.queries("ax_unpivot_metrics")(spark, dir)
+    val flags = out.select("l_returnflag").distinct().count()
+    assert(out.count() == flags * 3)
+    assert(out.select("metric").distinct().count() == 3)
+  }
+}
