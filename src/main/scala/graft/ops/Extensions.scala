@@ -15,11 +15,12 @@ object Extensions {
       Similarity.queries ++ Multimodal.queries ++ StreamingGate.queries ++
       AsOf.queries ++ SqlSurface.queries ++ Bucketing.queries ++
       EventsOps.queries ++ Cohorts.queries ++ DataQuality.queries ++
-      Reshape.queries ++ Stats.queries ++ Graph.queries
+      Reshape.queries ++ Stats.queries ++ Graph.queries ++ Chunking.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
       AsOf.oracleSql ++ SqlSurface.oracleSql ++ Bucketing.oracleSql ++
       EventsOps.oracleSql ++ Cohorts.oracleSql ++ DataQuality.oracleSql ++
-      Reshape.oracleSql ++ Stats.oracleSql ++ Graph.oracleSql
+      Reshape.oracleSql ++ Stats.oracleSql ++ Graph.oracleSql ++
+      Chunking.oracleSql
 }
