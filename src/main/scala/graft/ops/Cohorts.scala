@@ -140,12 +140,56 @@ object Cohorts {
       |LEFT JOIN counts c ON g.h = c.h AND g.event_type = c.event_type
       |ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_error_spikes: trailing-window anomaly detection — hours where a
+  // type's event count exceeds 2× its trailing-24h hourly average. The
+  // fact table is FIRST reduced to the tiny (type, hour, n) series
+  // (partial-agg groupBy), and only that series carries the RANGE
+  // window (range, not rows: silent hours must count as zero in the
+  // average, and a range frame over epoch-hours does that without
+  // materializing them). The 2× test is integer cross-multiplication:
+  // n·24 > 2·trailing ⇔ n > 2·(trailing/24).
+  // -------------------------------------------------------------------
+  private def errorSpikes(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("he", expr("unix_timestamp(h) div 3600"))
+    val w = Window.partitionBy("event_type").orderBy("he")
+      .rangeBetween(-24, -1)
+    hourly
+      .withColumn("trailing", sum(col("n")).over(w))
+      .filter(col("trailing").isNotNull &&
+        col("n") * 24 > col("trailing") * 2)
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"), col("trailing"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val errorSpikesSql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |he AS (SELECT *, epoch(h) // 3600 AS he FROM hourly),
+      |t AS (SELECT event_type, h, n,
+      |    SUM(n) OVER (PARTITION BY event_type ORDER BY he
+      |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS "trailing"
+      |  FROM he)
+      |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n,
+      |  CAST("trailing" AS BIGINT) AS "trailing"
+      |FROM t
+      |WHERE "trailing" IS NOT NULL AND n * 24 > "trailing" * 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_error_spikes"      -> (errorSpikes _),
     "ax_funnel_stages"     -> (funnelStages _),
     "ax_retention_cohorts" -> (retentionCohorts _),
     "ax_hourly_gapfill"    -> (hourlyGapfill _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_error_spikes"      -> errorSpikesSql,
     "ax_funnel_stages"     -> funnelStagesSql,
     "ax_retention_cohorts" -> retentionCohortsSql,
     "ax_hourly_gapfill"    -> hourlyGapfillSql)

@@ -343,7 +343,50 @@ object Similarity {
        |  CAST(count(*) * 50 AS BIGINT) AS recall_pm
        |FROM exact20 WHERE vec_id IN (SELECT vec_id FROM ann20)""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sim_pair_hist: distribution of pairwise similarities on a
+  // deterministic keyed-hash sample — the diagnostic run before
+  // choosing a near-dup threshold (where does the corpus's similarity
+  // mass sit?). The hash sample (≈10%) makes the O(s²) pair space
+  // tractable and REPRODUCIBLE (same vectors every run, unlike
+  // `.sample()`); pairs form by broadcasting the sampled side against
+  // itself with the a<b canonicalization, dots are the codegen'd
+  // integer dot product, and bins shift by +2e8 before the integer
+  // divide so negative cosines can't hit trunc-vs-floor division
+  // asymmetry. Bin width 1e7 ≈ 0.1 cosine.
+  // -------------------------------------------------------------------
+  private def pairHist(spark: SparkSession, dir: String): DataFrame = {
+    val s = emb(spark, dir).withColumn("q", expr(quantize))
+      .filter(pmod(PortableHash.hashCol(concat(lit("pairs:"), col("vec_id"))),
+        lit(10)) === 0)
+      .select(col("vec_id"), col("q"))
+    val b = s.select(col("vec_id").as("vb"), col("q").as("qb"))
+    s.join(broadcast(b), col("vec_id") < col("vb"))
+      .select(dotLong(col("q"), col("qb")).as("dot"))
+      .select(expr("(dot + 200000000) div 10000000").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), ((col("bin") - 20) * 10000000L).as("lo_dot"), col("n"))
+      .orderBy("bin")
+  }
+
+  private val pairHistSql = {
+    val h = PortableHash.hashSql("'pairs:' || CAST(vec_id AS VARCHAR)")
+    s"""WITH s AS (
+       |  SELECT vec_id, $quantizeDuck AS q FROM embeddings
+       |  WHERE ($h) % 10 = 0),
+       |p AS (
+       |  SELECT ${PortableHash.dotSqlDuck("a.q", "b.q")} AS dot
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
+       |bins AS (
+       |  SELECT (dot + 200000000) // 10000000 AS bin FROM p)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |  CAST((bin - 20) * 10000000 AS BIGINT) AS lo_dot, COUNT(*) AS n
+       |FROM bins GROUP BY bin ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pair_hist"      -> (pairHist _),
     "sim_kmeans_assign"  -> (kmeansAssign _),
     "sim_ann_recall"     -> (annRecall _),
     "sim_topk_quantized" -> (topkQuantized _),
@@ -354,6 +397,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_pair_hist"      -> pairHistSql,
     "sim_kmeans_assign"  -> kmeansAssignSql,
     "sim_ann_recall"     -> annRecallSql,
     "sim_topk_quantized" -> topkQuantizedSql,

@@ -404,7 +404,54 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // tx_vocab_growth: vocabulary growth curve (Heaps'-law view) over
+  // the BIGRAM vocabulary — how many new bigrams each 25-document
+  // block contributes, plus the running vocabulary size. (Bigrams,
+  // because this corpus's unigram vocabulary saturates in the first
+  // block — the curve is the point.) "First occurrence" is a
+  // min(doc_id) per term — one partial-agg pass over the exploded
+  // per-doc-distinct (term, doc) stream, no ordered scan; the
+  // cumulative sum then runs over the handful of block rows, so the
+  // global window never touches corpus-sized data.
+  // ---------------------------------------------------------------
+  private def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, 0)
+    docs(spark, dir)
+      .select(col("doc_id"), split(normCol, " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
+          |         slice(w, 2, greatest(size(w)-1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin))).as("term"))
+      .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+      .select(expr("first_doc div 25").as("block"))
+      .groupBy("block").agg(count(lit(1)).as("new_terms"))
+      .withColumn("vocab_size", sum(col("new_terms")).over(w))
+      .orderBy("block")
+  }
+
+  private val vocabGrowthSql =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) d),
+       |tok AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(w), 1)),
+       |      i -> w[i] || ' ' || w[i+1])) AS term
+       |  FROM ws),
+       |first AS (
+       |  SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+       |blocks AS (
+       |  SELECT first_doc // 25 AS block, COUNT(*) AS new_terms
+       |  FROM first GROUP BY 1)
+       |SELECT CAST(block AS BIGINT) AS block, new_terms,
+       |  CAST(SUM(new_terms) OVER (ORDER BY block
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+       |FROM blocks ORDER BY block""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_vocab_growth" -> (vocabGrowth _),
     "tx_bigrams"      -> (bigrams _),
     "tx_sample_stratified" -> (sampleStratified _),
     "tx_keywords"     -> (keywords _),
@@ -419,6 +466,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_vocab_growth" -> vocabGrowthSql,
     "tx_bigrams"      -> bigramsSql,
     "tx_sample_stratified" -> sampleStratifiedSql,
     "tx_keywords"     -> keywordsSql,
