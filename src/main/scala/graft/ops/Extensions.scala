@@ -15,12 +15,13 @@ object Extensions {
       Similarity.queries ++ Multimodal.queries ++ StreamingGate.queries ++
       AsOf.queries ++ SqlSurface.queries ++ Bucketing.queries ++
       EventsOps.queries ++ Cohorts.queries ++ DataQuality.queries ++
-      Reshape.queries ++ Stats.queries ++ Graph.queries ++ Chunking.queries
+      Reshape.queries ++ Stats.queries ++ Graph.queries ++
+      Chunking.queries ++ Maintenance.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
       AsOf.oracleSql ++ SqlSurface.oracleSql ++ Bucketing.oracleSql ++
       EventsOps.oracleSql ++ Cohorts.oracleSql ++ DataQuality.oracleSql ++
       Reshape.oracleSql ++ Stats.oracleSql ++ Graph.oracleSql ++
-      Chunking.oracleSql
+      Chunking.oracleSql ++ Maintenance.oracleSql
 }

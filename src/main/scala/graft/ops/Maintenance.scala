@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-maintenance operators: declarative data-quality rule checks
+  * and the keyed upsert (merge) pattern — the two jobs that bracket
+  * every scheduled ingest.
+  */
+object Maintenance {
+
+  // -------------------------------------------------------------------
+  // ax_dq_rules: rule-based validation with per-rule violation counts,
+  // dbt-tests style. Each table is scanned ONCE — all of its rule
+  // counts are conditional sums in a single aggregate — and the
+  // referential-integrity rule is a broadcast LEFT ANTI join (the only
+  // rule that inherently needs a second table). Zero-violation rows
+  // are reported too: "rule ran and found nothing" is the audit
+  // artifact, absence of a row is not.
+  // -------------------------------------------------------------------
+  private def dqRules(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val custKeys = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"))
+    val orderRules = orders.agg(
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("r1"),
+      sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L)).as("r2"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("r3"))
+    val orphans = orders.join(broadcast(custKeys),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("r4"))
+    val docRules = spark.read.parquet(s"$dir/documents.parquet").agg(
+      sum(when(length(col("text")) < 60, 1L).otherwise(0L)).as("r5"),
+      sum(when(col("lang").isNull || col("lang") === "", 1L).otherwise(0L)).as("r6"))
+    orderRules.crossJoin(orphans).crossJoin(docRules)
+      .select(expr(
+        """stack(6,
+          |  'orders.nonpositive_price', r1,
+          |  'orders.price_gt_400k',     r2,
+          |  'orders.null_orderdate',    r3,
+          |  'orders.orphan_custkey',    r4,
+          |  'documents.text_lt_60',     r5,
+          |  'documents.missing_lang',   r6)
+          |AS (rule, n_violations)""".stripMargin))
+      .orderBy("rule")
+  }
+
+  private val dqRulesSql =
+    """WITH o AS (SELECT
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+      |    CAST(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+      |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r3
+      |  FROM orders),
+      |orph AS (SELECT COUNT(*) AS r4 FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+      |d AS (SELECT
+      |    CAST(SUM(CASE WHEN length(text) < 60 THEN 1 ELSE 0 END) AS BIGINT) AS r5,
+      |    CAST(SUM(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS BIGINT) AS r6
+      |  FROM documents)
+      |SELECT 'orders.nonpositive_price' AS rule, r1 AS n_violations FROM o
+      |UNION ALL SELECT 'orders.price_gt_400k', r2 FROM o
+      |UNION ALL SELECT 'orders.null_orderdate', r3 FROM o
+      |UNION ALL SELECT 'orders.orphan_custkey', r4 FROM orph
+      |UNION ALL SELECT 'documents.text_lt_60', r5 FROM d
+      |UNION ALL SELECT 'documents.missing_lang', r6 FROM d
+      |ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_upsert_orders: the keyed merge (SCD-1 upsert) pattern — apply a
+  // change batch (updates + inserts) to a base table with a single
+  // FULL OUTER hash join on the key, change rows winning via coalesce.
+  // The change batch here is derived deterministically from the base
+  // (every 97th key gets +1 cent; shifted keys are the inserts) so the
+  // oracle can replay it. At scale this is the shape that beats
+  // row-at-a-time updates: one co-partitioned join, and with the base
+  // bucketed by key (graft.ops.Bucketing) the join is exchange-free.
+  // The emitted audit row carries the merge accounting + a checksum.
+  // -------------------------------------------------------------------
+  private def upsertOrders(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val updates = base.filter(pmod(col("k"), lit(97)) === 0)
+      .select(col("k").as("ck"), (col("cents") + 1).as("ccents"))
+    val inserts = base.filter(pmod(col("k"), lit(101)) === 0)
+      .select((col("k") + 10000000L).as("ck"), lit(42L).as("ccents"))
+    val changes = updates.unionAll(inserts)
+    val merged = base.join(changes, col("k") === col("ck"), "full_outer")
+      .select(coalesce(col("k"), col("ck")).as("mk"),
+        coalesce(col("ccents"), col("cents")).as("mcents"),
+        col("k").isNull.as("inserted"),
+        (col("k").isNotNull && col("ck").isNotNull).as("updated"))
+    merged.agg(
+      count(lit(1)).as("n_final"),
+      sum(when(col("inserted"), 1L).otherwise(0L)).as("n_inserted"),
+      sum(when(col("updated"), 1L).otherwise(0L)).as("n_updated"),
+      sum(col("mcents")).as("checksum_cents"))
+  }
+
+  private val upsertOrdersSql =
+    """WITH base AS (SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+      |changes AS (
+      |  SELECT k AS ck, cents + 1 AS ccents FROM base WHERE k % 97 = 0
+      |  UNION ALL
+      |  SELECT k + 10000000, CAST(42 AS BIGINT) FROM base WHERE k % 101 = 0),
+      |merged AS (
+      |  SELECT COALESCE(b.k, c.ck) AS mk,
+      |    COALESCE(c.ccents, b.cents) AS mcents,
+      |    (b.k IS NULL) AS inserted,
+      |    (b.k IS NOT NULL AND c.ck IS NOT NULL) AS updated
+      |  FROM base b FULL OUTER JOIN changes c ON b.k = c.ck)
+      |SELECT COUNT(*) AS n_final,
+      |  CAST(SUM(CASE WHEN inserted THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+      |  CAST(SUM(CASE WHEN updated THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      |  CAST(SUM(mcents) AS BIGINT) AS checksum_cents
+      |FROM merged""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_dq_rules"      -> (dqRules _),
+    "ax_upsert_orders" -> (upsertOrders _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ax_dq_rules"      -> dqRulesSql,
+    "ax_upsert_orders" -> upsertOrdersSql)
+}
