@@ -216,7 +216,39 @@ object EventsOps {
       |  array_to_string((list(event_type ORDER BY ts, event_id))[1:8], '>') AS journey8
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_partitioned_write: Hive-style partitioned layout + partition-
+  // pruned read. Events are written `partitionBy(event_type)` (each
+  // type its own directory), then ONE partition is read back with a
+  // filter on the partition column — the scan's PartitionFilters prune
+  // the other directories without opening a file (verify with
+  // `runMain graft.Explain <sf> ax_partitioned_write`). This is the
+  // layout decision that turns "scan 100 TB, filter 20 TB" into "list
+  // one directory"; the oracle filters the original table, so pruning
+  // must be semantically invisible.
+  // -------------------------------------------------------------------
+  private def partitionedWrite(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val path = s"target/events_by_type/$tag"
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("user_id")
+  }
+
+  private val partitionedWriteSql =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_partitioned_write" -> (partitionedWrite _),
     "ax_user_journey"    -> (userJourney _),
     "ax_props_json"      -> (propsJson _),
     "ax_interval_errors" -> (intervalErrors _),
@@ -225,6 +257,7 @@ object EventsOps {
     "ax_orc_roundtrip"   -> (orcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_partitioned_write" -> partitionedWriteSql,
     "ax_user_journey"    -> userJourneySql,
     "ax_props_json"      -> propsJsonSql,
     "ax_interval_errors" -> intervalErrorsSql,
