@@ -35,7 +35,12 @@ object Bench {
 
     var pool = Executors.newSingleThreadExecutor()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=comma,separated,prefixes (driver unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       // job group must be set on the thread that submits the jobs

@@ -42,10 +42,14 @@ object Graph {
 
     var ranks = deg.select(col("src").as("v"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
+      // ranks/deg are per-NODE (tiny next to the edge list): broadcast
+      // their pre-joined contribution table so the 100×-bigger edge
+      // table is never shuffled — each iteration is one map-side join
+      // plus one partial-agg shuffle of the already-reduced per-dst sums
+      val contrib = ranks.join(deg, ranks("v") === deg("src"))
+        .select(col("v"), expr("r div deg").as("c"))
       ranks = edges
-        .join(ranks, edges("src") === ranks("v"))
-        .join(deg, "src")
-        .select(col("dst"), expr("r div deg").as("c"))
+        .join(broadcast(contrib), edges("src") === contrib("v"))
         .groupBy("dst")
         .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("r"))
         .select(col("dst").as("v"), col("r"))
