@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the plans we tuned for (broadcasts,
+  * top-k heaps, partial aggregation, zero UDFs) must stay the plans we
+  * run — a correctness-preserving change that degrades one of these
+  * shapes should fail HERE, not in the next benchmark round.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntryPlans.executedPlan(spark, dir, name)
+
+  test("top-k runs as TakeOrderedAndProject, never a global sort") {
+    assert(plan("ax_top100_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension joins broadcast") {
+    assert(plan("ax_revenue_by_segment").contains("BroadcastHashJoin"))
+    assert(plan("ax_cust_semi_nation").contains("BroadcastHashJoin"))
+  }
+
+  test("outlier stats join broadcasts (no 5-partition window)") {
+    val p = plan("ax_outliers")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window"), "outliers must not use a window")
+  }
+
+  test("skyline anti-join keeps the dominance test as a join residual") {
+    val p = plan("ax_skyline_parts")
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("no interpreted Python/Scala UDF in any cheap query plan") {
+    val names = Seq("ax_pricing_summary", "ax_funnel_stages", "tx_stats",
+      "tx_keywords", "ax_histogram", "sim_topk_quantized", "pf_signum")
+    names.foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$n contains a UDF node")
+    }
+  }
+
+  test("parity query is scan + project + one distinct aggregate") {
+    val p = plan("pf_signum")
+    // one pair of partial/final hash aggregates for the distinct; no joins
+    assert(!p.contains("Join"), "parity plans must be join-free")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("funnel stages stack windows over a single user_id exchange") {
+    val p = plan("ax_funnel_stages")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).size
+    assert(exchanges <= 1,
+      s"funnel should shuffle on user_id at most once, saw $exchanges:\n$p")
+  }
+}
+
+/** Small helper kept outside the spec so other tools can reuse it. */
+object SparkEntryPlans {
+  def executedPlan(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+}
