@@ -133,6 +133,54 @@ object StreamingGate {
       |  COUNT(*) AS cnt
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Durable file sink: windowed counts written APPEND-mode to parquet
+    * with a checkpoint — the production shape (exactly-once via sink
+    * manifest + checkpointed offsets; the memory sink is test-only).
+    * Append mode only emits a window once the watermark passes its
+    * end, so the sink holds exactly the FINALIZED windows: the oracle
+    * applies the same cutoff (window end ≤ max event time − 2h
+    * watermark delay) to the batch aggregate. Spark runs a no-data
+    * batch after the last file so the final watermark advance flushes
+    * every closable window.
+    */
+  private def fileSinkStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val out = s"target/stream_file_sink/$tag"
+    val chk = s"target/stream_file_sink_chk/$tag"
+    // from-scratch determinism: drop any previous sink + checkpoint
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(out, chk).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = EventsStream.hourlyByType(eventsStream(spark, dir))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.read.parquet(out).orderBy("hour", "event_type")
+  }
+
+  private val fileSinkStreamedSql =
+    """WITH mx AS (SELECT MAX(ts) AS mts FROM events)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents
+      |FROM events, mx
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      |      <= mts - INTERVAL 2 HOUR
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** stream-stream join end-to-end: two independent readers of the
     * same file source (each its own watermark), joined on user + a
     * 1-hour event-time range, append sink. Oracle = the plain batch
@@ -157,6 +205,7 @@ object StreamingGate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_stream_join"       -> (streamJoinStreamed _),
+    "st_file_sink"         -> (fileSinkStreamed _),
     "st_sliding_counts"    -> (slidingStreamed _),
     "st_events_hourly"     -> (hourlyStreamed _),
     "st_dedup_events"      -> (dedupStreamed _),
@@ -166,6 +215,7 @@ object StreamingGate {
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
     "st_stream_join"       -> streamJoinStreamedSql,
+    "st_file_sink"         -> fileSinkStreamedSql,
     "st_sliding_counts"    -> slidingStreamedSql,
     "st_events_hourly"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_dedup_events"      -> dedupStreamedSql,
