@@ -450,7 +450,84 @@ object TextAnalysis {
        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
        |FROM blocks ORDER BY block""".stripMargin
 
+  // ---------------------------------------------------------------
+  // tx_repetition: Gopher/FineWeb-style repetition filter signal —
+  // per-mille of word-3-grams that are duplicates within the doc
+  // ((n − distinct)·1000 div n). Everything happens INSIDE the row
+  // (sequence → transform → array_distinct on the token array): no
+  // explode, no shuffle, scan-bounded at any scale. Docs under 3
+  // tokens are guarded to 0 on both engines (Spark's sequence(1,0)
+  // counts DOWN; DuckDB's range(1,1) is empty — never let that
+  // divergence reach data).
+  // ---------------------------------------------------------------
+  private def repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), split(normCol, " ").as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 3, expr(
+          """transform(sequence(1, size(w) - 2),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i+1),
+            |                 element_at(w, i+2)))""".stripMargin))
+          .otherwise(expr("array()")).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        (size(col("g")) - size(array_distinct(col("g")))).cast("long")
+          .as("n_dup"))
+      .select(col("doc_id"), col("n_grams"),
+        when(col("n_grams") > 0, expr("n_dup * 1000 div n_grams"))
+          .otherwise(lit(0L)).as("rep_pm"))
+      .orderBy("doc_id")
+
+  private val repetitionSql =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 3 THEN
+       |      list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END AS g
+       |  FROM (SELECT doc_id, string_split(norm, ' ') AS w
+       |        FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) d) t)
+       |SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+       |  CASE WHEN len(g) > 0 THEN
+       |    CAST((len(g) - len(list_distinct(g))) * 1000 // len(g) AS BIGINT)
+       |  ELSE 0 END AS rep_pm
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // tx_quality_sample: quality-weighted deterministic sampling — keep
+  // probability proportional to document length (capped at 90%),
+  // decided by the keyed hash (hash mod 1000 < weight), so curation
+  // upsamples long documents yet stays a pure function of doc_id:
+  // reruns, engine swaps, and corpus growth never change who is kept.
+  // ---------------------------------------------------------------
+  private def qualitySample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("wgt", least(length(col("text")).cast("long"), lit(900L)))
+      .withColumn("keep",
+        pmod(PortableHash.hashCol(concat(lit("qs:"), col("doc_id"))),
+          lit(1000)) < col("wgt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), length(col("text")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy("lang")
+
+  private val qualitySampleSql = {
+    val h = PortableHash.hashSql("'qs:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT lang, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN keep THEN length(text) ELSE 0 END) AS BIGINT)
+       |    AS kept_chars
+       |FROM (SELECT lang, text,
+       |        ($h) % 1000 < least(length(text), 900) AS keep
+       |      FROM documents) s
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_repetition"   -> (repetition _),
+    "tx_quality_sample" -> (qualitySample _),
     "tx_vocab_growth" -> (vocabGrowth _),
     "tx_bigrams"      -> (bigrams _),
     "tx_sample_stratified" -> (sampleStratified _),
@@ -466,6 +543,8 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_repetition"   -> repetitionSql,
+    "tx_quality_sample" -> qualitySampleSql,
     "tx_vocab_growth" -> vocabGrowthSql,
     "tx_bigrams"      -> bigramsSql,
     "tx_sample_stratified" -> sampleStratifiedSql,
