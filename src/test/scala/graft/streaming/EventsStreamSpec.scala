@@ -94,6 +94,42 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("append-mode windows drop events that arrive behind the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventsStream.hourlyByType(events)
+      .writeStream.format("memory").queryName("late_drop_test")
+      .outputMode("append").start()
+    try {
+      // two on-time events in hour 0
+      mem.addData((ts(5), "click", 1.0), (ts(7), "click", 1.0))
+      q.processAllAvailable()
+      // sentinel far in the future: watermark passes hour 0's end,
+      // finalizing and emitting its window
+      mem.addData((ts(10000), "view", 0.0))
+      q.processAllAvailable()
+      // a LATE click back in hour 0 — behind the watermark, must drop
+      mem.addData((ts(6), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val hour0 = spark.table("late_drop_test")
+      .filter(col("hour") === "1970-01-01 00:00:00" &&
+        col("event_type") === "click")
+      .collect()
+    assert(hour0.length === 1, "finalized window must be emitted exactly once")
+    assert(hour0(0).getLong(2) === 2L,
+      "late event must not be counted into the finalized window")
+  }
+
   test("purchase streaks: multi-trigger streaming state converges to the batch pass") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
