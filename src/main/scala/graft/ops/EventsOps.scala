@@ -247,7 +247,41 @@ object EventsOps {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_sorted_layout: sort-clustered layout — events range-partitioned
+  // and sorted by user_id on write, so a point/range predicate on the
+  // read side skips whole files AND whole row groups via parquet
+  // min/max stats (PushedFilters on the scan; at 100 TB this is the
+  // difference between touching every file and touching ~1). The
+  // complement of ax_partitioned_write: partitioning prunes by
+  // DIRECTORY on low-cardinality keys; sort-clustering prunes by
+  // STATS on high-cardinality keys, without the small-files explosion
+  // a million-value partitionBy would cause.
+  // -------------------------------------------------------------------
+  private def sortedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val path = s"target/events_by_user/$tag"
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("user_id") >= 10 && col("user_id") < 20)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val sortedLayoutSql =
+    """SELECT user_id, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events WHERE user_id >= 10 AND user_id < 20
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_sorted_layout"   -> (sortedLayout _),
     "ax_partitioned_write" -> (partitionedWrite _),
     "ax_user_journey"    -> (userJourney _),
     "ax_props_json"      -> (propsJson _),
@@ -257,6 +291,7 @@ object EventsOps {
     "ax_orc_roundtrip"   -> (orcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_sorted_layout"   -> sortedLayoutSql,
     "ax_partitioned_write" -> partitionedWriteSql,
     "ax_user_journey"    -> userJourneySql,
     "ax_props_json"      -> propsJsonSql,
