@@ -116,6 +116,72 @@ class SemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank ranks are positive and cover the requested top-k") {
+    val rows = Extensions.queries("ax_pagerank_parts")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getLong(1) > 0))
+    // output is rank-descending
+    val prs = rows.map(_.getLong(1)).toSeq
+    assert(prs == prs.sorted.reverse)
+  }
+
+  test("chunking arithmetic matches the closed form") {
+    val rows = Extensions.queries("tx_chunk_stats")(spark, dir).collect()
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS l").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (id, nChunks) = (r.getLong(0), r.getLong(1))
+      val l = lens(id)
+      assert(nChunks == (l - 1) / 160 + 1,
+        s"doc $id: $nChunks chunks for $l chars")
+    }
+  }
+
+  test("pack bins respect the running-budget rule") {
+    // every bin except a language's last must have accumulated >= 512
+    // tokens by its end (otherwise the next doc would have joined it)
+    val rows = Extensions.queries("tx_pack_bins")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_._2)
+      // bins are contiguous from 0
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq)
+      var cum = 0L
+      sorted.dropRight(1).foreach { case (_, bin, _, toks) =>
+        cum += toks
+        assert(cum >= 512 * (bin + 1) - 511 || cum >= 512,
+          s"non-final bin $bin closed with cumulative $cum tokens")
+      }
+    }
+  }
+
+  test("repetition per-mille is in range and zero for tiny docs") {
+    val rows = Extensions.queries("tx_repetition")(spark, dir).collect()
+    rows.foreach { r =>
+      val (n, pm) = (r.getLong(1), r.getLong(2))
+      assert(pm >= 0 && pm < 1000)
+      if (n == 0) assert(pm == 0)
+    }
+  }
+
+  test("error spikes all satisfy the 2x trailing rule") {
+    val rows = Extensions.queries("ax_error_spikes")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) * 24 > r.getLong(3) * 2,
+        s"flagged hour ${r.getString(1)} fails its own rule")
+    }
+  }
+
+  test("upsert accounting is internally consistent") {
+    val r = Extensions.queries("ax_upsert_orders")(spark, dir).collect()(0)
+    val (nFinal, nIns, nUpd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val nBase = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(nFinal == nBase + nIns)
+    assert(nUpd <= nBase)
+    assert(nIns > 0 && nUpd > 0)
+  }
+
   test("unpivot long form carries exactly the wide cells") {
     val out = Extensions.queries("ax_unpivot_metrics")(spark, dir)
     val flags = out.select("l_returnflag").distinct().count()
