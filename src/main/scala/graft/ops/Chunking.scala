@@ -26,6 +26,10 @@ object Chunking {
   // -------------------------------------------------------------------
   private def chunkStats(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+      // empty docs yield no chunks on BOTH engines: DuckDB's
+      // range(1,1) is empty, but Spark's sequence(1,0) THROWS
+      // (illegal boundaries) — filter before generating starts
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")), lit(Stride))).as("s"))
       .select(col("doc_id"),
@@ -42,7 +46,7 @@ object Chunking {
        |  CAST(MIN(length(substring(text, s, $Width))) AS BIGINT) AS tail_len
        |FROM (SELECT doc_id, text,
        |        unnest(range(1, length(text) + 1, $Stride)) AS s
-       |      FROM documents) t
+       |      FROM documents WHERE length(text) > 0) t
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -56,9 +60,9 @@ object Chunking {
   // with tx_stats.
   // -------------------------------------------------------------------
   private def packBins(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val toks = (length(norm) - length(regexp_replace(norm, " ", "")) + 1)
-      .cast("long")
+    // token definition shared with tx_stats — literally the same
+    // Column builders (TextAnalysis.normCol/tokensCol), not a copy
+    val toks = TextAnalysis.tokensCol(TextAnalysis.normCol)
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     spark.read.parquet(s"$dir/documents.parquet")
@@ -71,12 +75,9 @@ object Chunking {
   }
 
   private val packBinsSql =
-    """WITH d AS (
-      |  SELECT lang, doc_id,
-      |    CAST(length(norm) - length(replace(norm, ' ', '')) + 1 AS BIGINT)
-      |      AS toks
-      |  FROM (SELECT lang, doc_id,
-      |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    s"""WITH d AS (
+      |  SELECT lang, doc_id, ${TextAnalysis.tokensSql} AS toks
+      |  FROM (SELECT lang, doc_id, ${TextAnalysis.normSqlDef} AS norm
       |        FROM documents) n),
       |p AS (
       |  SELECT lang, doc_id, toks,

@@ -115,11 +115,17 @@ object Cohorts {
   private def hourlyGapfill(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
       .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    // localCheckpoint materializes the tiny (h, type, cnt) aggregate so
+    // the three consumers below share ONE scan of the fact table (and
+    // no persist entry is left behind for the session to leak)
     val counts = ev.groupBy("h", "event_type").agg(count(lit(1)).as("cnt"))
-    val hours = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .localCheckpoint()
+    // bounds and the type roster come from the already-reduced counts
+    // aggregate (thousands of rows), NOT from the fact table
+    val hours = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(explode(sequence(col("h0"), col("h1"),
         expr("INTERVAL 1 HOUR"))).as("h"))
-    val types = ev.select("event_type").distinct()
+    val types = counts.select("event_type").distinct()
     hours.crossJoin(broadcast(types))
       .join(broadcast(counts), Seq("h", "event_type"), "left")
       .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),

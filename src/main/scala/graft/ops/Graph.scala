@@ -30,12 +30,8 @@ object Graph {
   // the gate plan compact.
   // -------------------------------------------------------------------
   private def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val b = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("pb"))
-    val edges = li.join(b,
-        col("l_orderkey") === col("o2") && col("l_partkey") =!= col("pb"))
-      .select(col("l_partkey").as("src"), col("pb").as("dst"))
+    val edges = Stats.orderPartPairs(spark, dir)(_ =!= _)
+      .select(col("pa").as("src"), col("pb").as("dst"))
       .distinct()
       .persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distribution / order-statistics operators: group-wise argmax, fixed
@@ -65,16 +65,21 @@ object Stats {
   // scaled numerators n·Σxy − ΣxΣy (covariance), n·Σx² − (Σx)²,
   // n·Σy² − (Σy)² (variances). Float corr() drifts in the last ulp
   // across engines; these integers are bit-exact and sufficient to
-  // reconstruct r = cov/√(varx·vary) downstream. x = quantity,
-  // y = whole-dollar price keeps every product < 2^61 at sf0.1; at
-  // larger scale the two big products switch to DECIMAL(38,0) — the
-  // aggregation shape (one partial-agg pass) is unchanged.
+  // reconstruct r = cov/√(varx·vary) downstream (r is invariant to
+  // per-variable scaling, so coarse units lose nothing). x = quantity,
+  // y = price in HUNDRED-dollar units: with y ≤ ~1.1e3 the largest
+  // product n·Σy² stays < 2^56 at sf0.1 and inside int64 through sf1.
+  // (Whole-dollar y overflowed int64 at sf0.1 — Spark wraps silently
+  // while DuckDB widens to HUGEINT, so the engines diverge exactly
+  // when it matters.) Beyond sf1 the two big products switch to
+  // DECIMAL(38,0) — the aggregation shape (one partial-agg pass) is
+  // unchanged.
   // -------------------------------------------------------------------
   private def corrSums(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_returnflag"),
         col("l_quantity").cast("long").as("x"),
-        round(col("l_extendedprice")).cast("long").as("y"))
+        expr("CAST(round(l_extendedprice) AS BIGINT) div 100").as("y"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -90,7 +95,7 @@ object Stats {
   private val corrSumsSql =
     """WITH t AS (SELECT l_returnflag,
       |    CAST(l_quantity AS BIGINT) AS x,
-      |    CAST(round(l_extendedprice) AS BIGINT) AS y
+      |    CAST(round(l_extendedprice) AS BIGINT) // 100 AS y
       |  FROM lineitem),
       |a AS (SELECT l_returnflag, COUNT(*) AS n,
       |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
@@ -154,16 +159,28 @@ object Stats {
   // `distinct()` first collapses repeated (order, part) lines so a part
   // counted twice in one order can't inflate support.
   // -------------------------------------------------------------------
-  private def copurchase(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct (order, part) lines self-joined into same-order part
+    * pairs `(pa, pb)` — the shared substrate of basket mining (pred:
+    * `a < b` canonical pairs) and the co-purchase graph's directed
+    * edge list (pred: `a ≠ b`, see [[Graph]]). One co-partitioned
+    * equi-join on the order key; pair fanout bounded per basket.
+    */
+  private[ops] def orderPartPairs(spark: SparkSession, dir: String)(
+      pred: (Column, Column) => Column): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val b = li.select(col("l_orderkey").as("o2"), col("l_partkey").as("pb"))
-    li.join(b, col("l_orderkey") === col("o2") && col("l_partkey") < col("pb"))
-      .groupBy(col("l_partkey").as("pa"), col("pb"))
+    li.join(b,
+        col("l_orderkey") === col("o2") && pred(col("l_partkey"), col("pb")))
+      .select(col("l_partkey").as("pa"), col("pb"))
+  }
+
+  private def copurchase(spark: SparkSession, dir: String): DataFrame =
+    orderPartPairs(spark, dir)(_ < _)
+      .groupBy("pa", "pb")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pa").asc, col("pb").asc)
       .limit(20)
-  }
 
   private val copurchaseSql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

@@ -31,20 +31,25 @@ object StreamingGate {
         .parquet(dir))
   }
 
-  private def runToTable(df: DataFrame, name: String, mode: String)(
-      spark: SparkSession): DataFrame = {
-    // A stateful streaming op instantiates one state store PER shuffle
-    // partition PER stateful operator (two for a stream-stream join) —
-    // at the gate's data volume, store setup/commit dominates, so pin
-    // streaming shuffles to 8 partitions for this query only. (This is
-    // the real tuning rule at scale too: streaming shuffle partitions
-    // size to state volume, not to batch scan width; they cannot be
-    // changed across restarts of a real query, so they are chosen
-    // deliberately, not inherited.)
+  /** A stateful streaming op instantiates one state store PER shuffle
+    * partition PER stateful operator (two for a stream-stream join) —
+    * at the gate's data volume, store setup/commit dominates, so pin
+    * streaming shuffles to 8 partitions for the duration of `body`.
+    * (This is the real tuning rule at scale too: streaming shuffle
+    * partitions size to state volume, not to batch scan width; they
+    * cannot be changed across restarts of a real query, so they are
+    * chosen deliberately, not inherited.)
+    */
+  private def withGateShuffle[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")
-    try {
+    try body finally spark.conf.set(key, prev)
+  }
+
+  private def runToTable(df: DataFrame, name: String, mode: String)(
+      spark: SparkSession): DataFrame = {
+    withGateShuffle(spark) {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -52,7 +57,7 @@ object StreamingGate {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally spark.conf.set(key, prev)
+    }
     spark.table(name)
   }
 
@@ -153,10 +158,7 @@ object StreamingGate {
     Seq(out, chk).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
 
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try {
+    withGateShuffle(spark) {
       val q = EventsStream.hourlyByType(eventsStream(spark, dir))
         .writeStream
         .format("parquet")
@@ -166,7 +168,7 @@ object StreamingGate {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally spark.conf.set(key, prev)
+    }
     spark.read.parquet(out).orderBy("hour", "event_type")
   }
 

@@ -36,14 +36,14 @@ object TextAnalysis {
   }
 
   // token count = spaces + 1 on the space-normalized text
-  private def tokensCol(norm: Column): Column =
+  private[ops] def tokensCol(norm: Column): Column =
     (length(norm) - length(regexp_replace(norm, " ", "")) + 1).cast("long")
-  private val tokensSql =
+  private[ops] val tokensSql =
     "CAST(length(norm) - length(replace(norm, ' ', '')) + 1 AS BIGINT)"
 
-  private def normCol: Column =
+  private[ops] def normCol: Column =
     trim(regexp_replace(lower(col("text")), "\\s+", " "))
-  private val normSqlDef =
+  private[ops] val normSqlDef =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   // ---------------------------------------------------------------
