@@ -39,9 +39,12 @@ object SqlGen {
       case UnaryOp(op, o) =>
         val os = go(o)
         op match {
-          case USub   => s"(-$os)"
+          // operand always parenthesized: a bare negative literal would
+          // render `--x`, which SQL lexes as a line comment (found by
+          // ProgramFuzzSpec)
+          case USub   => s"(-($os))"
           case Not    => s"(NOT $os)"
-          case Invert => s"(~$os)"
+          case Invert => s"(~($os))"
         }
       case Compare(l, Seq(op), Seq(r)) =>
         val o = op match {
