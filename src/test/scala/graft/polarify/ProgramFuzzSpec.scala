@@ -134,6 +134,54 @@ class ProgramFuzzSpec extends AnyFunSuite {
   private val programGen: Gen[Program] =
     blockGen(Nil, 4, 0).map(Program(_))
 
+  // ---------------- python-source rendering (for the parser path) ----------------
+
+  private def pyExpr(e: Expr): String = e match {
+    case Lit(v: Int)  => v.toString
+    case Lit(v: Long) => v.toString
+    case Ref(n)       => n
+    case BinOp(op, l, r) => s"(${pyExpr(l)} ${op.python} ${pyExpr(r)})"
+    case UnaryOp(op, o)  => s"(${op.python}(${pyExpr(o)}))"
+    case Compare(l, Seq(op), Seq(r)) =>
+      s"(${pyExpr(l)} ${op.python} ${pyExpr(r)})"
+    case IfExp(t, b, o) =>
+      s"(${pyExpr(b)} if ${pyExpr(t)} else ${pyExpr(o)})"
+    case other => sys.error(s"fuzz doesn't generate $other")
+  }
+
+  private def pyStmts(stmts: Seq[Stmt], ind: String): String =
+    stmts.map {
+      case Assign(Seq(NameTarget(n)), v) => s"$ind$n = ${pyExpr(v)}"
+      case Return(Some(v))               => s"${ind}return ${pyExpr(v)}"
+      case If(t, body, Nil) =>
+        s"${ind}if ${pyExpr(t)}:\n${pyStmts(body, ind + "    ")}"
+      case If(t, body, orelse) =>
+        s"${ind}if ${pyExpr(t)}:\n${pyStmts(body, ind + "    ")}\n" +
+          s"${ind}else:\n${pyStmts(orelse, ind + "    ")}"
+      case other => sys.error(s"fuzz doesn't generate $other")
+    }.mkString("\n")
+
+  test("random programs roundtrip through the Python-source front end") {
+    import spark.implicits._
+    val df = xs.toDF("x").cache()
+    var seed = Seed(4242L)
+    (1 to 40).foreach { i =>
+      val p = programGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val src = s"def f(x):\n${pyStmts(p.stmts, "    ")}"
+      val parsed = Program.fromPython(src)
+
+      val expected = xs.map(x => run(p.stmts, Map("x" -> x)).toOption.get)
+      val got = df
+        .select(col("x"), parsed.column(Map("x" -> col("x"))).cast("long").as("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      xs.zip(expected).foreach { case (x, want) =>
+        assert(got(x) == want,
+          s"[program $i] parsed source diverged at x=$x: got ${got(x)}, want $want\n$src")
+      }
+    }
+  }
+
   test("random programs: compiled Column and generated SQL match the interpreter") {
     import spark.implicits._
     val df = xs.toDF("x").cache()
