@@ -64,9 +64,54 @@ class ProgramFuzzSpec extends AnyFunSuite {
         case If(t, body, orelse) =>
           if (evalE(t, e).asInstanceOf[Boolean]) run(body, e) else run(orelse, e)
         case Return(Some(v)) => Right(evalE(v, e).asInstanceOf[Long])
+        case m: Match => runMatch(m, e)
         case other => sys.error(s"fuzz doesn't generate $other")
       }
     }
+
+  /** Interpreter mirror of the reference's match semantics
+    * (Compiler.translateMatch/handleMatch): a named MatchAs binds the
+    * subject into the env UNCONDITIONALLY, in case order, visible to
+    * later cases' guards/bodies and the orelse; each case's test and
+    * body evaluate against the env AS OF that case; a MatchOr guard
+    * attaches to the FIRST alternative only; catch-all (`case _:`, no
+    * guard) becomes the orelse.
+    */
+  private def runMatch(m: Match, env: Map[String, Long]): Either[Map[String, Long], Long] = {
+    val subj = evalE(m.subject, env).asInstanceOf[Long]
+    def isCatchAll(c: MatchCase): Boolean =
+      c.pattern == MatchAs(None) && c.guard.isEmpty
+
+    var e = env
+    // (test result, env snapshot at this case, body)
+    val staged = m.cases.filterNot(isCatchAll).map { c =>
+      val test: Boolean = c.pattern match {
+        case MatchValue(v) =>
+          c.guard.forall(g => evalE(g, e).asInstanceOf[Boolean]) &&
+            subj == evalE(v, e).asInstanceOf[Long]
+        case MatchOr(ps) =>
+          val vals = ps.map { case MatchValue(v) => evalE(v, e).asInstanceOf[Long] }
+          val firstOk =
+            c.guard.forall(g => evalE(g, e).asInstanceOf[Boolean]) && subj == vals.head
+          firstOk || vals.tail.contains(subj)
+        case MatchAs(Some(n)) =>
+          e = e + (n -> subj) // unconditional side effect
+          evalE(c.guard.get, e).asInstanceOf[Boolean]
+        case MatchAs(None) => // guarded wildcard (bare one is catch-all)
+          evalE(c.guard.get, e).asInstanceOf[Boolean]
+        case other => sys.error(s"fuzz doesn't generate $other")
+      }
+      (test, e, c.body)
+    }
+    staged.find(_._1) match {
+      case Some((_, envAt, body)) => run(body, envAt)
+      case None =>
+        m.cases.find(isCatchAll) match {
+          case Some(ca) => run(ca.body, e)
+          case None     => Left(e)
+        }
+    }
+  }
 
   // ---------------- generators ----------------
 
@@ -133,6 +178,73 @@ class ProgramFuzzSpec extends AnyFunSuite {
 
   private val programGen: Gen[Program] =
     blockGen(Nil, 4, 0).map(Program(_))
+
+  /** One non-catch-all match case over scalar subject `x`. */
+  private def caseGen(locals: Seq[String], bind: Option[String]): Gen[MatchCase] = {
+    val mv = for {
+      v     <- Gen.chooseNum(-2, 2)
+      g     <- Gen.option(testGen(locals, 1))
+      body  <- blockGen(locals, 2, 100)
+    } yield MatchCase(MatchValue(Lit(v)), g, body)
+    val mor = for {
+      vs    <- Gen.pick(2, Seq(-2, -1, 0, 1, 2))
+      g     <- Gen.option(testGen(locals, 1))
+      body  <- blockGen(locals, 2, 100)
+    } yield MatchCase(MatchOr(vs.map(v => MatchValue(Lit(v))).toSeq), g, body)
+    val mas = bind match {
+      case Some(n) => for {
+        g    <- testGen(locals :+ n, 1) // guard REQUIRED for named binding
+        body <- blockGen(locals :+ n, 2, 100)
+      } yield MatchCase(MatchAs(Some(n)), Some(g), body)
+      case None => mv
+    }
+    val mwild = for { // guarded wildcard (bare wildcard = catch-all, below)
+      g    <- testGen(locals, 1)
+      body <- blockGen(locals, 2, 100)
+    } yield MatchCase(MatchAs(None), Some(g), body)
+    Gen.frequency(3 -> mv, 2 -> mor, 2 -> mas, 1 -> mwild)
+  }
+
+  private def matchProgramGen: Gen[Program] = for {
+    pre     <- Gen.choose(0, 1).flatMap(k =>
+      Gen.listOfN(k, arithGen(Nil, 2)))           // optional v0 assign
+    locals   = pre.indices.map(i => s"v$i")
+    n       <- Gen.choose(1, 3)
+    cases   <- Gen.sequence[Seq[MatchCase], MatchCase](
+      (0 until n).map(i => caseGen(locals, if (i == 1) Some("y") else None)))
+    withCa  <- Gen.oneOf(true, false)
+    caBody  <- blockGen(locals, 2, 200)
+    rest    <- blockGen(locals, 2, 300)
+  } yield {
+    val allCases = if (withCa) cases :+ MatchCase(MatchAs(None), caBody) else cases
+    val assigns: Seq[Stmt] = pre.zipWithIndex.map { case (v, i) => Assign(s"v$i", v) }
+    Program(assigns ++ Seq(Match(Ref("x"), allCases)) ++ rest)
+  }
+
+  test("random MATCH programs: compiled Column and SQL match the interpreter") {
+    import spark.implicits._
+    val df = xs.toDF("x").cache()
+    var seed = Seed(777L)
+    (1 to 60).foreach { i =>
+      val p = matchProgramGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val expected = xs.map(x => run(p.stmts, Map("x" -> x)).toOption.get)
+
+      val viaColumn = df
+        .select(col("x"), p.column(Map("x" -> col("x"))).cast("long").as("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaSql = df
+        .selectExpr("x", s"CAST((${p.sql(Map("x" -> "x"))}) AS BIGINT) AS r")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      xs.zip(expected).foreach { case (x, want) =>
+        assert(viaColumn(x) == want,
+          s"[match program $i] Column diverged at x=$x: got ${viaColumn(x)}, want $want\n${p.explain}")
+        assert(viaSql(x) == want,
+          s"[match program $i] SQL diverged at x=$x: got ${viaSql(x)}, want $want\n${p.explain}")
+      }
+    }
+  }
 
   // ---------------- python-source rendering (for the parser path) ----------------
 
