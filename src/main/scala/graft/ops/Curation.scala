@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators a training-data pipeline runs before a
+  * model ever sees a token: benchmark decontamination and sensitive-term
+  * redaction. Both are pure Column pipelines over `documents` with
+  * DuckDB oracle twins generated from the same Scala config.
+  *
+  * Scale notes (the 100 TB shapes):
+  *   - decontamination joins the CORPUS (huge) against the BENCHMARK
+  *     n-gram set (tiny — eval suites are KBs, not TBs), so the gram
+  *     table is broadcast and the corpus never shuffles; the whole
+  *     query is scan → explode → broadcast-hash-join → partial agg.
+  *   - redaction is embarrassingly parallel (regexp_replace per row,
+  *     codegen'd, zero shuffles beyond the final tiny ORDER BY).
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // -------------------------------------------------------------------
+  // tx_decontam: n-gram benchmark decontamination (the GPT-3/Gopher
+  // procedure: drop or flag training docs sharing rare n-grams with the
+  // eval set). Benchmark membership is a pure function of the stable
+  // doc_id (doc_id % 50 = 0 — stands in for "the eval suite"); overlap
+  // is counted on word 3-grams of the normalized text. Real pipelines
+  // use 8-13-grams; this corpus's ~30-word synthetic vocabulary needs
+  // n=3 for any collision signal, and n is a single constant below.
+  // Output: every contaminated corpus doc with how many distinct grams
+  // hit and how many distinct benchmark docs it collides with.
+  // -------------------------------------------------------------------
+  private val BenchMod = 50
+
+  /** word 3-grams of the split array `w`, [] when the doc is shorter
+    * than 3 tokens (Spark's `sequence(1, 0)` throws where DuckDB's
+    * `range` is empty — never let that divergence reach data)
+    */
+  private val gramsExpr =
+    """CASE WHEN size(w) >= 3 THEN
+      |  transform(sequence(1, size(w) - 2),
+      |    i -> concat_ws(' ', element_at(w, i), element_at(w, i+1),
+      |                   element_at(w, i+2)))
+      |ELSE array() END""".stripMargin
+
+  private val gramsSqlDuck =
+    """CASE WHEN len(w) >= 3 THEN
+      |  list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |ELSE [] END""".stripMargin
+
+  private def decontam(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), split(TextAnalysis.normCol, " ").as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(gramsExpr))).as("gram"))
+    val bench = grams.filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+      .select(col("doc_id").as("bench_doc"), col("gram"))
+    val corpus = grams.filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
+    corpus
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("gram")).as("n_hit_grams"),
+        countDistinct(col("bench_doc")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  private val decontamSql =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) d),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct($gramsSqlDuck)) AS gram
+       |  FROM ws),
+       |b AS (SELECT doc_id AS bench_doc, gram FROM g WHERE doc_id % $BenchMod = 0),
+       |c AS (SELECT doc_id, gram FROM g WHERE doc_id % $BenchMod <> 0)
+       |SELECT c.doc_id,
+       |  CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_hit_grams,
+       |  CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+       |FROM c JOIN b ON c.gram = b.gram
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // tx_redact: denylist whole-word redaction — the PII-masking pipeline
+  // shape (emails/SSNs/phone numbers in production; this synthetic
+  // corpus has none, so the denylist targets terms that exist — the
+  // MACHINERY is what's under test). Every term is masked to '#' via a
+  // word-boundary regex (`\b` is ASCII-identical in Java regex and
+  // DuckDB's RE2); per-doc counts come from regexp_extract_all before
+  // replacement, and the md5 of the redacted text is the auditable
+  // proof both engines produced byte-identical scrubbed output.
+  // Denylist and SQL are generated from ONE Scala list — no drift.
+  // -------------------------------------------------------------------
+  private val denylist = Seq("customer", "key", "value")
+
+  private def redact(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = denylist.foldLeft(TextAnalysis.normCol) {
+      (c, t) => regexp_replace(c, s"\\b$t\\b", "#")
+    }
+    val counts = denylist.map(t =>
+      size(regexp_extract_all(col("norm"), lit(s"\\b$t\\b"), lit(0))).cast("long"))
+    docs(spark, dir)
+      .withColumn("norm", TextAnalysis.normCol)
+      .withColumn("redacted", redacted)
+      .select(
+        col("doc_id"),
+        counts.reduce(_ + _).as("n_redacted"),
+        length(col("redacted")).cast("long").as("chars_after"),
+        md5(col("redacted")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val redactSql = {
+    // DuckDB regexp_replace needs the 'g' flag; literals are escape-free
+    val redacted = denylist.foldLeft("norm") {
+      (s, t) => s"regexp_replace($s, '\\b$t\\b', '#', 'g')"
+    }
+    val counts = denylist
+      .map(t => s"CAST(len(regexp_extract_all(norm, '\\b$t\\b')) AS BIGINT)")
+      .mkString("(", " + ", ")")
+    s"""SELECT doc_id,
+       |  $counts AS n_redacted,
+       |  CAST(length($redacted) AS BIGINT) AS chars_after,
+       |  md5($redacted) AS fp
+       |FROM (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_decontam" -> (decontam _),
+    "tx_redact"   -> (redact _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_decontam" -> decontamSql,
+    "tx_redact"   -> redactSql
+  )
+}

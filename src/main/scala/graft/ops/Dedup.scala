@@ -485,18 +485,27 @@ object Dedup {
     labels
   }
 
-  private def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** every doc's duplicate-cluster id (min doc_id in its component;
+    * singletons are their own cluster) — shared by dd_dup_clusters and
+    * dd_cluster_retain
+    */
+  private def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
     val comp = connectedComponents(pairs)
     docs(spark, dir).select(col("doc_id"))
       .join(comp.select(col("u").as("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"))
-      .orderBy("doc_id")
   }
 
-  private val dupClustersSql: String = {
-    // the verified-pairs query (its own WITH block) embeds as a subquery
+  private def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterAssign(spark, dir).orderBy("doc_id")
+
+  /** shared WITH-RECURSIVE prefix ending in a `clusters(doc_id, cluster)`
+    * CTE; the verified-pairs query (its own WITH block) embeds as a
+    * subquery
+    */
+  private val clustersCteSql: String = {
     val pairsSubquery = MinHashLsh.oracleSql(wordShingleTokCte)
     s"""WITH RECURSIVE
        |pairs AS (SELECT doc_a AS a, doc_b AS b FROM ($pairsSubquery) vp),
@@ -504,13 +513,58 @@ object Dedup {
        |reach(src, dst) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-       |SELECT src AS doc_id, MIN(dst) AS cluster
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |clusters AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src)""".stripMargin
   }
+
+  private val dupClustersSql: String =
+    s"$clustersCteSql\nSELECT doc_id, cluster FROM clusters ORDER BY doc_id"
+
+  // -------------------------------------------------------------------
+  // Cluster RETENTION: the policy step after clustering — keep exactly
+  // one representative per duplicate cluster, chosen by quality (here:
+  // longest text, doc_id as the deterministic tiebreak), report what
+  // was kept and how many members the cluster had. Only real clusters
+  // (≥ 2 members) are emitted; singletons pass through dedup untouched.
+  // Plan shape: the cluster assignment (already keyed by doc_id) joins
+  // the doc-length projection on doc_id, then ONE window over the
+  // cluster key picks the representative — no self-joins, no global
+  // sort, bounded by the same keyed shuffles at any scale.
+  // -------------------------------------------------------------------
+  private def clusterRetain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = clusterAssign(spark, dir)
+      .join(docs(spark, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("chars")),
+        "doc_id")
+    val w = Window.partitionBy("cluster")
+    val ord = Window.partitionBy("cluster")
+      .orderBy(col("chars").desc, col("doc_id").asc)
+    sized
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === 1 && col("n_members") >= 2)
+      .select(col("cluster"), col("doc_id").as("kept_doc"),
+        col("chars").as("kept_chars"), col("n_members"))
+      .orderBy("cluster")
+  }
+
+  private val clusterRetainSql: String =
+    s"""$clustersCteSql,
+       |m AS (
+       |  SELECT c.cluster, c.doc_id, length(d.text) AS chars,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |      ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY c.cluster) AS n_members
+       |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+       |SELECT cluster, doc_id AS kept_doc, CAST(chars AS BIGINT) AS kept_chars,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM m WHERE rn = 1 AND n_members >= 2 ORDER BY cluster""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_dup_clusters"   -> (dupClusters _),
+    "dd_cluster_retain" -> (clusterRetain _),
     "dd_exact_keep_min" -> (exactKeepMin _),
     "dd_exact_groups"   -> (exactGroups _),
     "dd_minhash_pairs"  -> (minhashPairs _),
@@ -522,6 +576,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "dd_dup_clusters"   -> dupClustersSql,
+    "dd_cluster_retain" -> clusterRetainSql,
     "dd_exact_keep_min" -> exactKeepMinSql,
     "dd_exact_groups"   -> exactGroupsSql,
     "dd_minhash_pairs"  -> MinHashLsh.oracleSql(wordShingleTokCte),

@@ -16,12 +16,12 @@ object Extensions {
       AsOf.queries ++ SqlSurface.queries ++ Bucketing.queries ++
       EventsOps.queries ++ Cohorts.queries ++ DataQuality.queries ++
       Reshape.queries ++ Stats.queries ++ Graph.queries ++
-      Chunking.queries ++ Maintenance.queries
+      Chunking.queries ++ Maintenance.queries ++ Curation.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
       AsOf.oracleSql ++ SqlSurface.oracleSql ++ Bucketing.oracleSql ++
       EventsOps.oracleSql ++ Cohorts.oracleSql ++ DataQuality.oracleSql ++
       Reshape.oracleSql ++ Stats.oracleSql ++ Graph.oracleSql ++
-      Chunking.oracleSql ++ Maintenance.oracleSql
+      Chunking.oracleSql ++ Maintenance.oracleSql ++ Curation.oracleSql
 }

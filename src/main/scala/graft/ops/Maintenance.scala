@@ -116,11 +116,52 @@ object Maintenance {
       |  CAST(SUM(mcents) AS BIGINT) AS checksum_cents
       |FROM merged""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_incremental_agg: materialized-view maintenance — the incremental
+  // refresh pattern. The historical partitions' aggregate STATE (here:
+  // orders before 1999-01-01, pre-aggregated per priority) is merged
+  // with the fresh delta partition's partial aggregate by a second
+  // groupBy over the union of partials — never by re-scanning history.
+  // This works exactly when the aggregate is a commutative monoid
+  // (count/sum here; min/max/HLL sketches likewise), and that algebra
+  // is what the oracle checks: the merged state must equal the full
+  // recompute over all of orders. At 100 TB the delta is a day and the
+  // state is KBs per group — the refresh touches only the delta scan.
+  // -------------------------------------------------------------------
+  private def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("priority").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("rev_cents"))
+    val state = partial(orders.filter(col("o_orderdate") < lit("1999-01-01")))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit("1999-01-01")))
+    state.unionByName(delta)
+      .groupBy("priority")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("rev_cents")).as("rev_cents"))
+      .orderBy("priority")
+  }
+
+  /** oracle = the full recompute: merged incremental state must be
+    * indistinguishable from aggregating the whole table
+    */
+  private val incrementalAggSql =
+    """SELECT o_orderpriority AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ax_dq_rules"      -> (dqRules _),
-    "ax_upsert_orders" -> (upsertOrders _))
+    "ax_dq_rules"        -> (dqRules _),
+    "ax_upsert_orders"   -> (upsertOrders _),
+    "ax_incremental_agg" -> (incrementalAgg _))
 
   val oracleSql: Map[String, String] = Map(
-    "ax_dq_rules"      -> dqRulesSql,
-    "ax_upsert_orders" -> upsertOrdersSql)
+    "ax_dq_rules"        -> dqRulesSql,
+    "ax_upsert_orders"   -> upsertOrdersSql,
+    "ax_incremental_agg" -> incrementalAggSql)
 }

@@ -385,7 +385,65 @@ object Similarity {
        |FROM bins GROUP BY bin ORDER BY 1""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sim_silhouette: embedding-space cluster diagnostics — for every
+  // vector, squared L2 to its OWN label centroid vs the nearest OTHER
+  // label centroid, reported per label as (count, how many vectors sit
+  // closer to a foreign centroid, total separation margin). This is
+  // the silhouette-style health check run before trusting labels for
+  // IVF cells or stratified sampling. All arithmetic is the exact
+  // integer form (quantized vectors, floor(avg) centroids, three
+  // codegen'd dotLong calls per pair) → bit-exact cross-engine.
+  // Plan shape: centroids are a K×64 table BROADCAST to every task;
+  // per-vector work is map-side; only (vec, label, 2 longs) rows reach
+  // the two hash aggregates. Scan-bounded at any corpus size.
+  // -------------------------------------------------------------------
+  private def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val cent = e.groupBy("label")
+      .agg(array((0 until 64).map(d =>
+        floor(avg(col("q").getItem(d))).cast("long")): _*).as("cvec"))
+      .select(col("label").as("c_label"), col("cvec"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist",
+        dotLong(col("q"), col("q")) - lit(2L) * dotLong(col("q"), col("cvec")) +
+          dotLong(col("cvec"), col("cvec")))
+      .groupBy("vec_id", "label")
+      .agg(
+        min(when(col("c_label") === col("label"), col("dist"))).as("d_own"),
+        min(when(col("c_label") =!= col("label"), col("dist"))).as("d_other"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("d_other") < col("d_own"), 1L).otherwise(0L)).as("n_confused"),
+        sum(col("d_other") - col("d_own")).as("margin_sum"))
+      .orderBy("label")
+  }
+
+  private val silhouetteSql: String = {
+    val centroid = (0 until 64)
+      .map(d => s"CAST(floor(avg(q[${d + 1}])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH qt AS (SELECT vec_id, label, $quantizeDuck AS q FROM embeddings),
+       |cent AS (SELECT label AS c_label, $centroid AS cvec FROM qt GROUP BY label),
+       |p AS (SELECT t.vec_id, t.label, c.c_label,
+       |    ${PortableHash.dotSqlDuck("t.q", "t.q")}
+       |    - 2 * ${PortableHash.dotSqlDuck("t.q", "c.cvec")}
+       |    + ${PortableHash.dotSqlDuck("c.cvec", "c.cvec")} AS dist
+       |  FROM qt t, cent c),
+       |d AS (SELECT vec_id, label,
+       |    MIN(CASE WHEN c_label = label THEN dist END) AS d_own,
+       |    MIN(CASE WHEN c_label <> label THEN dist END) AS d_other
+       |  FROM p GROUP BY 1, 2)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN d_other < d_own THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_confused,
+       |  CAST(SUM(d_other - d_own) AS BIGINT) AS margin_sum
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_silhouette"     -> (silhouette _),
     "sim_pair_hist"      -> (pairHist _),
     "sim_kmeans_assign"  -> (kmeansAssign _),
     "sim_ann_recall"     -> (annRecall _),
@@ -397,6 +455,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_silhouette"     -> silhouetteSql,
     "sim_pair_hist"      -> pairHistSql,
     "sim_kmeans_assign"  -> kmeansAssignSql,
     "sim_ann_recall"     -> annRecallSql,

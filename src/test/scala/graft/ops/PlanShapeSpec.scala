@@ -60,6 +60,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1,
       s"funnel should shuffle on user_id at most once, saw $exchanges:\n$p")
   }
+
+  test("decontam joins the corpus against a broadcast benchmark gram set") {
+    val p = plan("tx_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark gram table must broadcast — the corpus never shuffles")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("silhouette centroids broadcast to the scan; vectors never shuffle") {
+    val p = plan("sim_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"K x 64 centroid table must broadcast:\n$p")
+  }
+
+  test("incremental-agg merge is a join-free union of partial aggregates") {
+    val p = plan("ax_incremental_agg")
+    assert(!p.contains("Join"), "MV refresh must never re-join history")
+    assert(p.contains("Union"))
+  }
 }
 
 /** Small helper kept outside the spec so other tools can reuse it. */

@@ -188,4 +188,88 @@ class SemanticsSpec extends AnyFunSuite {
     assert(out.count() == flags * 3)
     assert(out.select("metric").distinct().count() == 3)
   }
+
+  test("decontam flags only corpus docs, with overlap verified from raw text") {
+    val rows = Extensions.queries("tx_decontam")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture should have some contamination signal")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 0, "benchmark docs must never be flagged")
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+    }
+    // recompute the first flagged doc's gram overlap straight from text
+    def grams(s: String): Set[String] = {
+      val w = s.toLowerCase.trim.split("\\s+").toSeq
+      if (w.size < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchGrams = texts.filter(_._1 % 50 == 0).values.flatMap(grams).toSet
+    val first = rows.head
+    assert((grams(texts(first.getLong(0))) intersect benchGrams).size ==
+      first.getLong(1))
+  }
+
+  test("redaction agrees with an independent java.util.regex recompute") {
+    val deny = Seq("customer", "key", "value")
+    val out = Extensions.queries("tx_redact")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect().take(50).foreach { r =>
+        val norm = r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ")
+        val n = deny.map(t => ("\\b" + t + "\\b").r.findAllIn(norm).size.toLong).sum
+        val redacted = deny.foldLeft(norm)((s, t) =>
+          s.replaceAll("\\b" + t + "\\b", "#"))
+        val (cnt, chars, fp) = out(r.getLong(0))
+        assert(cnt == n, s"doc ${r.getLong(0)} count")
+        assert(chars == redacted.length.toLong)
+        assert(fp == md5hex(redacted))
+      }
+  }
+
+  test("cluster retention keeps the longest member of every real cluster") {
+    val byCluster = Extensions.queries("dd_dup_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).filter(_._2.length >= 2)
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length.toLong).toMap
+    val kept = Extensions.queries("dd_cluster_retain")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.map(_._1).toSet == byCluster.keySet,
+      "retention must emit exactly the multi-member clusters")
+    kept.foreach { case (cl, keptDoc, keptChars, n) =>
+      val members = byCluster(cl).map(_._1)
+      assert(n == members.length)
+      assert(members.contains(keptDoc))
+      assert((keptChars, -keptDoc) == members.map(d => (lens(d), -d)).max,
+        s"cluster $cl kept a non-best member")
+    }
+  }
+
+  test("incremental aggregate merge equals the full recompute") {
+    val inc = Extensions.queries("ax_incremental_agg")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val full = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(inc == full, "merged partial state must be indistinguishable " +
+      "from aggregating the whole table")
+  }
+
+  test("silhouette partitions every vector and bounds confusion") {
+    val rows = Extensions.queries("sim_silhouette")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "every vector belongs to exactly one label row")
+    rows.foreach(r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length)
+  }
 }
