@@ -410,7 +410,53 @@ object Analytics {
        |  COUNT(*) AS n
        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_ship_priority: the classic "shipping priority" 3-way star join
+  // (TPC-H Q3 shape, adapted to this schema): customers of one segment,
+  // their orders placed before a cutoff, revenue from line items
+  // shipped after it — top 10 orders by revenue. The scale plan:
+  // customer(filtered) broadcasts into orders, the filtered orders side
+  // (selective: one segment × date cut) broadcasts into the LINEITEM
+  // scan, so the fact table never shuffles, and the top-k is a
+  // TakeOrderedAndProject. At a scale where orders outgrow the
+  // broadcast threshold, AQE falls back to a shuffled hash join on
+  // o_orderkey — still one keyed exchange of the fact side.
+  // -------------------------------------------------------------------
+  private def shipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") < lit("1999-07-01"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") > lit("1999-07-01"))
+    li.join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  private val shipPrioritySql =
+    """SELECT l.l_orderkey AS o_orderkey,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(SUM(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100) AS BIGINT))
+      |    AS BIGINT) AS revenue_cents
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1999-07-01'
+      |  AND l.l_shipdate > TIMESTAMP '1999-07-01'
+      |GROUP BY 1, 2
+      |ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_ship_priority"     -> (shipPriority _),
     "ax_window_suite"      -> (windowSuite _),
     "ax_fuzzy_name"        -> (fuzzyName _),
     "ax_percentiles"       -> (percentiles _),
@@ -431,6 +477,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_ship_priority"     -> shipPrioritySql,
     "ax_window_suite"      -> windowSuiteSql,
     "ax_fuzzy_name"        -> fuzzyNameSql,
     "ax_percentiles"       -> percentilesSql,

@@ -183,6 +183,41 @@ object StreamingGate {
       |      <= mts - INTERVAL 2 HOUR
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** session_window sessionization streamed end-to-end (append mode →
+    * the sink holds exactly the sessions FINALIZED by the watermark:
+    * session end ≤ max event time − 2h delay; Spark's post-input
+    * no-data batch flushes every closable session). The oracle is the
+    * batch gaps-and-islands rewrite with the same cutoff applied —
+    * the same replay-convergence statement st_file_sink makes for
+    * tumbling windows, here for MERGING session state.
+    */
+  private def sessionsStreamed(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventsStream.sessionsByUser(eventsStream(spark, dir)),
+      "st_sessionize_sink", "append")(spark)
+      .orderBy("user_id", "session_start")
+
+  private val sessionsStreamedSql =
+    """WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+      |ordered AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM ordered)
+      |SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM islands, mx GROUP BY user_id, sid, mts
+      |HAVING MAX(ts) + INTERVAL 30 MINUTE <= mts - INTERVAL 2 HOUR
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** stream-stream join end-to-end: two independent readers of the
     * same file source (each its own watermark), joined on user + a
     * 1-hour event-time range, append sink. Oracle = the plain batch
@@ -206,6 +241,7 @@ object StreamingGate {
       |ORDER BY purchase_id, view_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_sessionize"        -> (sessionsStreamed _),
     "st_stream_join"       -> (streamJoinStreamed _),
     "st_file_sink"         -> (fileSinkStreamed _),
     "st_sliding_counts"    -> (slidingStreamed _),
@@ -216,6 +252,7 @@ object StreamingGate {
 
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
+    "st_sessionize"        -> sessionsStreamedSql,
     "st_stream_join"       -> streamJoinStreamedSql,
     "st_file_sink"         -> fileSinkStreamedSql,
     "st_sliding_counts"    -> slidingStreamedSql,

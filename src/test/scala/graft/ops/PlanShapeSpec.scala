@@ -74,6 +74,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"K x 64 centroid table must broadcast:\n$p")
   }
 
+  test("ship-priority star join never shuffles the fact table") {
+    val p = plan("ax_ship_priority")
+    assert(p.contains("BroadcastHashJoin"), "both dim sides must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must be a heap, not a sort")
+  }
+
   test("incremental-agg merge is a join-free union of partial aggregates") {
     val p = plan("ax_incremental_agg")
     assert(!p.contains("Join"), "MV refresh must never re-join history")

@@ -263,6 +263,22 @@ class SemanticsSpec extends AnyFunSuite {
       "from aggregating the whole table")
   }
 
+  test("ship-priority rows are ordered and the top revenue re-derives") {
+    val rows = Extensions.queries("ax_ship_priority")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getLong(2))
+    assert(revs.sameElements(revs.sortBy(-_)), "must be revenue-descending")
+    // re-derive the winner's revenue from raw tables by a different path
+    val top = rows.head
+    val expected = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") === top.getLong(0) &&
+        col("l_shipdate") > lit("1999-07-01"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")))
+      .collect()(0).getLong(0)
+    assert(top.getLong(2) == expected)
+  }
+
   test("silhouette partitions every vector and bounds confusion") {
     val rows = Extensions.queries("sim_silhouette")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
