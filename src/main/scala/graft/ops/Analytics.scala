@@ -455,7 +455,44 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_trailing_revenue: event-time RANGE-frame window — for every
+  // order, the customer's revenue over the trailing 90 DAYS (not 90
+  // rows): `rangeBetween(-90, 0)` over the epoch-day order key. Range
+  // frames are the piece of window breadth ax_window_suite doesn't
+  // cover, and the portable formulation matters: both engines define
+  // the frame by VALUE distance, so same-day peer rows are all
+  // included regardless of tie order — the result is deterministic
+  // without a unique sort key. One exchange on the customer key.
+  // -------------------------------------------------------------------
+  private def trailingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("epoch_day"))
+      .rangeBetween(-90, 0)
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("epoch_day"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("trailing90_cents", sum(col("price_cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+        col("trailing90_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val trailingRevenueSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+      |    AS epoch_day,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+      |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS trailing90_cents
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_trailing_revenue"  -> (trailingRevenue _),
     "ax_ship_priority"     -> (shipPriority _),
     "ax_window_suite"      -> (windowSuite _),
     "ax_fuzzy_name"        -> (fuzzyName _),
@@ -477,6 +514,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_trailing_revenue"  -> trailingRevenueSql,
     "ax_ship_priority"     -> shipPrioritySql,
     "ax_window_suite"      -> windowSuiteSql,
     "ax_fuzzy_name"        -> fuzzyNameSql,

@@ -155,12 +155,77 @@ object Maintenance {
       |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_scd2_customer: build a Type-2 slowly-changing dimension from an
+  // observation log — each order is a sighting of its customer's
+  // priority tier; CONSECUTIVE equal sightings collapse into one
+  // validity interval [valid_from, valid_to), the current interval
+  // closing at the sentinel 9999-12-31. The standard islands build:
+  // a lag-inequality change marker, a running-sum version number, one
+  // group-by, and a lead() to close each interval — every window runs
+  // over ONE exchange on the customer key, so the history build is a
+  // single keyed shuffle at any scale. Ordering inside a customer is
+  // (o_orderdate, o_orderkey): total, hence deterministic.
+  // -------------------------------------------------------------------
+  private def scd2Customer(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byVer = Window.partitionBy("o_custkey").orderBy(col("ver"))
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("priority"), col("o_orderdate"))
+      .withColumn("chg",
+        when(lag(col("priority"), 1).over(obs).isNull ||
+          lag(col("priority"), 1).over(obs) =!= col("priority"), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(
+        obs.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("o_custkey"), col("ver"), col("priority"))
+      .agg(min(col("o_orderdate")).as("from_ts"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("valid_from", date_format(col("from_ts"), "yyyy-MM-dd"))
+      .withColumn("valid_to",
+        coalesce(date_format(lead(col("from_ts"), 1).over(byVer), "yyyy-MM-dd"),
+          lit("9999-12-31")))
+      .select(col("o_custkey"), col("ver"), col("priority"),
+        col("valid_from"), col("valid_to"), col("n_obs"))
+      .orderBy(col("o_custkey"), col("ver"))
+  }
+
+  private val scd2CustomerSql =
+    """WITH obs AS (
+      |  SELECT o_custkey, o_orderkey, o_orderpriority AS priority, o_orderdate,
+      |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |ver AS (
+      |  SELECT o_custkey, priority, o_orderdate,
+      |    SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS UNBOUNDED PRECEDING) AS ver
+      |  FROM obs),
+      |iv AS (
+      |  SELECT o_custkey, ver, priority, MIN(o_orderdate) AS from_ts,
+      |    COUNT(*) AS n_obs
+      |  FROM ver GROUP BY 1, 2, 3)
+      |SELECT o_custkey, CAST(ver AS BIGINT) AS ver, priority,
+      |  strftime(from_ts, '%Y-%m-%d') AS valid_from,
+      |  COALESCE(strftime(lead(from_ts) OVER
+      |      (PARTITION BY o_custkey ORDER BY ver), '%Y-%m-%d'),
+      |    '9999-12-31') AS valid_to,
+      |  n_obs
+      |FROM iv ORDER BY o_custkey, ver""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_scd2_customer"   -> (scd2Customer _),
     "ax_dq_rules"        -> (dqRules _),
     "ax_upsert_orders"   -> (upsertOrders _),
     "ax_incremental_agg" -> (incrementalAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_scd2_customer"   -> scd2CustomerSql,
     "ax_dq_rules"        -> dqRulesSql,
     "ax_upsert_orders"   -> upsertOrdersSql,
     "ax_incremental_agg" -> incrementalAggSql)

@@ -81,6 +81,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-10 must be a heap, not a sort")
   }
 
+  test("scd2 build stacks all windows over one customer-key exchange") {
+    val p = plan("ax_scd2_customer")
+    val exchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"history build must shuffle on o_custkey at most once, saw $exchanges")
+  }
+
+  test("trailing revenue uses a RANGE frame over one exchange") {
+    val p = plan("ax_trailing_revenue")
+    assert(p.contains("RangeFrame"), "frame must be value-based, not row-based")
+    val exchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(exchanges <= 1)
+  }
+
   test("incremental-agg merge is a join-free union of partial aggregates") {
     val p = plan("ax_incremental_agg")
     assert(!p.contains("Join"), "MV refresh must never re-join history")

@@ -279,6 +279,46 @@ class SemanticsSpec extends AnyFunSuite {
     assert(top.getLong(2) == expected)
   }
 
+  test("scd2 intervals tile each customer's history without gaps or overlap") {
+    val rows = Extensions.queries("ax_scd2_customer")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    val orderCounts = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (cust, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      assert(sorted.head._2 == 1L, "versions start at 1")
+      sorted.sliding(2).foreach {
+        case Array((_, v1, p1, _, to1, _), (_, v2, p2, from2, _, _)) =>
+          assert(v2 == v1 + 1, "versions are consecutive")
+          assert(to1 == from2, s"customer $cust: interval gap $to1 vs $from2")
+          assert(p1 != p2, "consecutive intervals must differ in value")
+        case _ => ()
+      }
+      assert(sorted.last._5 == "9999-12-31", "open current interval")
+      assert(sorted.map(_._6).sum == orderCounts(cust),
+        "every observation lands in exactly one interval")
+    }
+  }
+
+  test("trailing-revenue frames match a brute-force 90-day recompute") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCust = orders.groupBy(_._1)
+    Extensions.queries("ax_trailing_revenue")(spark, dir).collect()
+      .take(200).foreach { r =>
+        val (cust, day, got) = (r.getLong(0), r.getLong(2), r.getLong(3))
+        val want = byCust(cust)
+          .filter(o => o._3 <= day && o._3 >= day - 90).map(_._4).sum
+        assert(got == want, s"order ${r.getLong(1)} trailing sum")
+      }
+  }
+
   test("silhouette partitions every vector and bounds confusion") {
     val rows = Extensions.queries("sim_silhouette")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
