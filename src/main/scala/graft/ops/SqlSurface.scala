@@ -35,9 +35,52 @@ object SqlSurface {
       "FROM lineitem ORDER BY x"
   }
 
+  /** Full multi-table analytics through `spark.sql` TEXT — proof the
+    * SQL front door plans real star-join queries, not just scalar
+    * function calls. The text is the SAME shipping-priority query as
+    * ax_ship_priority (whose DataFrame plan the PlanShapeSpec guards);
+    * Catalyst plans both identically from either surface, which is the
+    * point: surface choice must never cost plan quality.
+    */
+  private def shipPriorityViaSql(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet")
+        .createOrReplaceTempView(s"graft_sql_$t")
+    }
+    spark.sql(
+      """SELECT l.l_orderkey AS o_orderkey,
+        |  date_format(o.o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+        |  SUM(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100) AS BIGINT))
+        |    AS revenue_cents
+        |FROM graft_sql_lineitem l
+        |JOIN graft_sql_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_sql_customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1999-07-01'
+        |  AND l.l_shipdate > TIMESTAMP '1999-07-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin)
+  }
+
+  private val shipPriorityViaSqlOracle =
+    """SELECT l.l_orderkey AS o_orderkey,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(SUM(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100) AS BIGINT))
+      |    AS BIGINT) AS revenue_cents
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1999-07-01'
+      |  AND l.l_shipdate > TIMESTAMP '1999-07-01'
+      |GROUP BY 1, 2
+      |ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sq_signum_sql" -> (signumViaSql _))
+    "sq_signum_sql"        -> (signumViaSql _),
+    "sq_ship_priority_sql" -> (shipPriorityViaSql _))
 
   val oracleSql: Map[String, String] = Map(
-    "sq_signum_sql" -> signumViaSqlOracle)
+    "sq_signum_sql"        -> signumViaSqlOracle,
+    "sq_ship_priority_sql" -> shipPriorityViaSqlOracle)
 }

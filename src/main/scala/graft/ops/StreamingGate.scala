@@ -183,6 +183,30 @@ object StreamingGate {
       |      <= mts - INTERVAL 2 HOUR
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** stream-STATIC join: the enrichment shape — each micro-batch of the
+    * stream hash-joins a broadcast batch dimension (no watermark, no
+    * join state; the dimension is re-resolvable per trigger, which is
+    * how slowly-refreshing dims stay current in production). Aggregated
+    * per segment in complete mode; oracle = the plain batch join.
+    */
+  private def staticJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventsStream(spark, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+    runToTable(joined, "st_static_join_sink", "complete")(spark)
+      .orderBy("c_mktsegment")
+  }
+
+  private val staticJoinStreamedSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** session_window sessionization streamed end-to-end (append mode →
     * the sink holds exactly the sessions FINALIZED by the watermark:
     * session end ≤ max event time − 2h delay; Spark's post-input
@@ -242,6 +266,7 @@ object StreamingGate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_sessionize"        -> (sessionsStreamed _),
+    "st_static_join"       -> (staticJoinStreamed _),
     "st_stream_join"       -> (streamJoinStreamed _),
     "st_file_sink"         -> (fileSinkStreamed _),
     "st_sliding_counts"    -> (slidingStreamed _),
@@ -253,6 +278,7 @@ object StreamingGate {
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
     "st_sessionize"        -> sessionsStreamedSql,
+    "st_static_join"       -> staticJoinStreamedSql,
     "st_stream_join"       -> streamJoinStreamedSql,
     "st_file_sink"         -> fileSinkStreamedSql,
     "st_sliding_counts"    -> slidingStreamedSql,

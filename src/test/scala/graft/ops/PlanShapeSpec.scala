@@ -81,6 +81,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-10 must be a heap, not a sort")
   }
 
+  test("SQL-text ship-priority plans identically to the DataFrame query") {
+    val p = plan("sq_ship_priority_sql")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("scd2 build stacks all windows over one customer-key exchange") {
     val p = plan("ax_scd2_customer")
     val exchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
