@@ -562,7 +562,72 @@ object Dedup {
        |  CAST(n_members AS BIGINT) AS n_members
        |FROM m WHERE rn = 1 AND n_members >= 2 ORDER BY cluster""".stripMargin
 
+  // -------------------------------------------------------------------
+  // CURATION FUNNEL: the whole pre-training pipeline as ONE query —
+  // raw corpus → quality gate (score ≥ 3 of 4, the shared TextAnalysis
+  // rule) → exact dedup (keep-min per md5) → near-dup retention (keep
+  // the smallest surviving doc_id per LSH duplicate cluster; cluster
+  // assignment is the global one, so the stage composes with any
+  // upstream filter). One row per stage with surviving doc/char
+  // counts — the attrition report every curation run ships with.
+  // Every stage is the already-proven operator shape (scan-bounded
+  // scoring, keyed window dedup, LSH clustering), so the funnel adds
+  // orchestration, not new shuffles.
+  // -------------------------------------------------------------------
+  private def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .withColumn("norm", TextAnalysis.normCol)
+      .select(col("doc_id"), length(col("text")).cast("long").as("chars"),
+        TextAnalysis.qualityScoreOnNorm.as("q"), md5(col("text")).as("h"))
+    val s1 = base.filter(col("q") >= 3)
+    val s2 = s1
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn")
+    val s3 = s2.join(clusterAssign(spark, dir), "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    def stat(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("chars")), lit(0L)).as("n_chars"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
+    stat("0_raw", base)
+      .unionByName(stat("1_quality", s1))
+      .unionByName(stat("2_exact_dedup", s2))
+      .unionByName(stat("3_near_dedup", s3))
+      .orderBy("stage")
+  }
+
+  private val curationFunnelSql: String =
+    s"""$clustersCteSql,
+       |base AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, md5(text) AS h,
+       |    ${TextAnalysis.qualityScoreSqlOnNorm} AS q
+       |  FROM (SELECT doc_id, text, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) n),
+       |s1 AS (SELECT * FROM base WHERE q >= 3),
+       |s2 AS (SELECT doc_id, chars FROM (
+       |    SELECT s1.*, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |    FROM s1) t
+       |  WHERE rn = 1),
+       |s3 AS (SELECT doc_id, chars FROM (
+       |    SELECT s2.doc_id, s2.chars,
+       |      row_number() OVER (PARTITION BY c.cluster ORDER BY s2.doc_id) AS rn
+       |    FROM s2 JOIN clusters c USING (doc_id)) t
+       |  WHERE rn = 1)
+       |SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+       |  CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS n_chars FROM base
+       |UNION ALL SELECT '1_quality', COUNT(*),
+       |  CAST(COALESCE(SUM(chars), 0) AS BIGINT) FROM s1
+       |UNION ALL SELECT '2_exact_dedup', COUNT(*),
+       |  CAST(COALESCE(SUM(chars), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT '3_near_dedup', COUNT(*),
+       |  CAST(COALESCE(SUM(chars), 0) AS BIGINT) FROM s3
+       |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_curation_funnel" -> (curationFunnel _),
     "dd_dup_clusters"   -> (dupClusters _),
     "dd_cluster_retain" -> (clusterRetain _),
     "dd_exact_keep_min" -> (exactKeepMin _),
@@ -575,6 +640,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dd_curation_funnel" -> curationFunnelSql,
     "dd_dup_clusters"   -> dupClustersSql,
     "dd_cluster_retain" -> clusterRetainSql,
     "dd_exact_keep_min" -> exactKeepMinSql,

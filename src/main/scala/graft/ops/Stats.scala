@@ -189,7 +189,46 @@ object Stats {
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |GROUP BY 1, 2 ORDER BY n DESC, pa ASC, pb ASC LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_month_end_balance: SEMI-ADDITIVE measure aggregation — the
+  // balance-sheet rule every warehouse needs and plain SUM gets wrong:
+  // within a customer the measure takes the LAST observation of the
+  // period (here: the price of the customer's last order that month,
+  // by date then orderkey), across customers it SUMS. One window over
+  // (custkey, month) picks period-last, one hash aggregate sums per
+  // month — a single keyed exchange, then a months-sized aggregate.
+  // -------------------------------------------------------------------
+  private def monthEndBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey", "month")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_accounts"),
+        sum(col("cents")).as("balance_cents"))
+      .orderBy("month")
+  }
+
+  private val monthEndBalanceSql =
+    """WITH last AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+      |    row_number() OVER (
+      |      PARTITION BY o_custkey, strftime(o_orderdate, '%Y-%m')
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |SELECT month, COUNT(*) AS n_accounts,
+      |  CAST(SUM(cents) AS BIGINT) AS balance_cents
+      |FROM last WHERE rn = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_month_end_balance" -> (monthEndBalance _),
     "ax_copurchase"      -> (copurchase _),
     "ax_argmax_customer" -> (argmaxCustomer _),
     "ax_histogram"       -> (histogram _),
@@ -197,6 +236,7 @@ object Stats {
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_month_end_balance" -> monthEndBalanceSql,
     "ax_copurchase"      -> copurchaseSql,
     "ax_argmax_customer" -> argmaxCustomerSql,
     "ax_histogram"       -> histogramSql,

@@ -139,36 +139,43 @@ object TextAnalysis {
   // length in bounds, token count in bounds, mean word length sane,
   // stopword hit. Oracle-backed.
   // ---------------------------------------------------------------
-  private def quality(spark: SparkSession, dir: String): DataFrame = {
-    val norm = normCol
+  /** 0..4 integer quality score; requires a `norm` column in scope.
+    * Shared with the curation-funnel operator (Dedup) — single source
+    * of truth for the scoring rule on both backends.
+    */
+  private[ops] def qualityScoreOnNorm: Column = {
     val toks = tokensCol(col("norm"))
     val alpha = length(col("norm")) - (toks - 1)
     val stop = langScoreCol(concat(lit(" "), col("norm"), lit(" ")),
       markers.flatMap(_._2))
-    docs(spark, dir)
-      .withColumn("norm", norm)
-      .select(
-        col("doc_id"),
-        ((length(col("norm")) >= 50 && length(col("norm")) <= 10000).cast("long") +
-          (toks >= 10).cast("long") +
-          (alpha >= toks * 2 && alpha <= toks * 12).cast("long") +
-          (stop > 0).cast("long")).as("quality"))
-      .orderBy("doc_id")
+    (length(col("norm")) >= 50 && length(col("norm")) <= 10000).cast("long") +
+      (toks >= 10).cast("long") +
+      (alpha >= toks * 2 && alpha <= toks * 12).cast("long") +
+      (stop > 0).cast("long")
   }
 
-  private val qualitySql: String = {
+  private[ops] val qualityScoreSqlOnNorm: String = {
     val toks = tokensSql
     val alpha = s"(length(norm) - ($toks - 1))"
     val stop = markers.flatMap(_._2).map(w => occSql("(' ' || norm || ' ')", s" $w "))
       .mkString("(", " + ", ")")
-    s"""SELECT doc_id,
-       |  CAST(length(norm) BETWEEN 50 AND 10000 AS BIGINT)
+    s"""CAST(length(norm) BETWEEN 50 AND 10000 AS BIGINT)
        |  + CAST($toks >= 10 AS BIGINT)
        |  + CAST(($alpha >= $toks * 2 AND $alpha <= $toks * 12) AS BIGINT)
-       |  + CAST($stop > 0 AS BIGINT) AS quality
+       |  + CAST($stop > 0 AS BIGINT)""".stripMargin
+  }
+
+  private def quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("norm", normCol)
+      .select(col("doc_id"), qualityScoreOnNorm.as("quality"))
+      .orderBy("doc_id")
+
+  private val qualitySql: String =
+    s"""SELECT doc_id,
+       |  $qualityScoreSqlOnNorm AS quality
        |FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) t
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------
   // tx_fingerprint: md5 of the whitespace-normalized lowercase text —

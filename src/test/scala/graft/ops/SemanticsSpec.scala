@@ -319,6 +319,41 @@ class SemanticsSpec extends AnyFunSuite {
       }
   }
 
+  test("curation funnel attrition is monotone and starts at the raw corpus") {
+    val rows = Extensions.queries("dd_curation_funnel")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("0_raw", "1_quality", "2_exact_dedup", "3_near_dedup"))
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    assert(rows(0)._2 == raw.count())
+    assert(rows(0)._3 ==
+      raw.agg(sum(length(col("text")).cast("long"))).collect()(0).getLong(0))
+    rows.sliding(2).foreach { case Array((_, d1, c1), (_, d2, c2)) =>
+      assert(d2 <= d1 && c2 <= c1, "each stage can only remove documents")
+    case _ => () }
+    assert(rows.last._2 > 0, "the funnel must not empty the corpus")
+  }
+
+  test("month-end balance takes period-last per customer, summed across") {
+    val out = Extensions.queries("ax_month_end_balance")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM"),
+        col("o_orderdate").cast("timestamp").cast("long"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val expected = orders.groupBy(o => (o._3, o._1)).values.toSeq.map { os =>
+      val last = os.maxBy(o => (o._4, o._2))
+      (last._3, last._5)
+    }.groupBy(_._1).map { case (m, vs) =>
+      m -> ((vs.size.toLong, vs.map(_._2).sum))
+    }
+    assert(out == expected)
+  }
+
   test("silhouette partitions every vector and bounds confusion") {
     val rows = Extensions.queries("sim_silhouette")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
