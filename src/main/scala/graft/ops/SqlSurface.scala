@@ -62,25 +62,12 @@ object SqlSurface {
         |ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin)
   }
 
-  private val shipPriorityViaSqlOracle =
-    """SELECT l.l_orderkey AS o_orderkey,
-      |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
-      |  CAST(SUM(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100) AS BIGINT))
-      |    AS BIGINT) AS revenue_cents
-      |FROM lineitem l
-      |JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |JOIN customer c ON o.o_custkey = c.c_custkey
-      |WHERE c.c_mktsegment = 'BUILDING'
-      |  AND o.o_orderdate < TIMESTAMP '1999-07-01'
-      |  AND l.l_shipdate > TIMESTAMP '1999-07-01'
-      |GROUP BY 1, 2
-      |ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sq_signum_sql"        -> (signumViaSql _),
     "sq_ship_priority_sql" -> (shipPriorityViaSql _))
 
   val oracleSql: Map[String, String] = Map(
     "sq_signum_sql"        -> signumViaSqlOracle,
-    "sq_ship_priority_sql" -> shipPriorityViaSqlOracle)
+    // the DataFrame twin's oracle, verbatim — one definition, two surfaces
+    "sq_ship_priority_sql" -> Analytics.oracleSql("ax_ship_priority"))
 }

@@ -82,6 +82,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("SQL-text ship-priority plans identically to the DataFrame query") {
+    // literal plan-identity: the same physical operator tree, node for
+    // node — surface choice must never cost plan quality
+    def nodes(name: String): Seq[String] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.collect { case n => n.nodeName }
+    assert(nodes("sq_ship_priority_sql") == nodes("ax_ship_priority"),
+      "SQL text and DataFrame surfaces must produce the same operator tree")
     val p = plan("sq_ship_priority_sql")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
     assert(p.contains("TakeOrderedAndProject"))

@@ -240,6 +240,8 @@ class SemanticsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1).length.toLong).toMap
     val kept = Extensions.queries("dd_cluster_retain")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(byCluster.nonEmpty,
+      "fixture should have at least one multi-member duplicate cluster")
     assert(kept.map(_._1).toSet == byCluster.keySet,
       "retention must emit exactly the multi-member clusters")
     kept.foreach { case (cl, keptDoc, keptChars, n) =>
