@@ -80,9 +80,78 @@ object Graph {
       |SELECT v AS part, CAST(r AS BIGINT) AS pr FROM r3
       |ORDER BY pr DESC, part ASC LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_triangle_count: exact triangle counting over the co-purchase
+  // graph — the clustering-coefficient primitive. The Spark side runs
+  // the DEGREE-ORIENTED algorithm (orient every undirected edge toward
+  // its (degree, id)-larger endpoint; count wedges u→v, u→w whose
+  // closing edge v→w is also oriented): max out-degree drops to
+  // O(√m), so the wedge self-join — the quadratic step — is bounded
+  // per node regardless of how skewed the raw degree distribution is.
+  // That is THE trick that makes triangle counting survive power-law
+  // graphs at scale; node-id ordering alone leaves hub nodes
+  // quadratic. The oracle counts the identical total with the simple
+  // a<b<c id-ordered 3-way join — any orientation counts each
+  // triangle exactly once, so the two formulations must agree, which
+  // is itself a nontrivial cross-check of the orientation logic.
+  // Output: one row of graph invariants (nodes, edges, triangles).
+  // -------------------------------------------------------------------
+  private def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val und = Stats.orderPartPairs(spark, dir)(_ < _)
+      .select(col("pa").as("a"), col("pb").as("b"))
+      .distinct()
+      .persist()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(broadcast(deg.select(col("v").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("v").as("b"), col("deg").as("db"))), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("src"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("dst"),
+      least(col("da"), col("db")).as("dsrc"),
+      greatest(col("da"), col("db")).as("ddst"))
+      .persist()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
+        (col("e1.ddst") < col("e2.ddst") ||
+          (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges
+      .join(oriented.as("e3"),
+        col("v") === col("e3.src") && col("w") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val edges = und.agg(count(lit(1)).as("n_edges"))
+    val out = nodes.crossJoin(edges).crossJoin(tri).localCheckpoint()
+    und.unpersist(); oriented.unpersist()
+    out
+  }
+
+  private val triangleCountSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |nn AS (SELECT COUNT(DISTINCT v) AS n_nodes FROM
+      |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) u),
+      |ne AS (SELECT COUNT(*) AS n_edges FROM e),
+      |t AS (SELECT COUNT(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_triangle_count" -> (triangleCount _),
     "ax_pagerank_parts" -> (pagerankParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_triangle_count" -> triangleCountSql,
     "ax_pagerank_parts" -> pagerankPartsSql)
 }

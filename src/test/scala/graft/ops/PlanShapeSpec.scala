@@ -94,6 +94,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  // (ax_triangle_count ends in localCheckpoint — its returned plan is a
+  // materialized RDD scan, so its shape is covered by SemanticsSpec's
+  // brute-force recompute rather than a plan-string guard, same as
+  // ax_pagerank_parts.)
+
   test("scd2 build stacks all windows over one customer-key exchange") {
     val p = plan("ax_scd2_customer")
     val exchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size

@@ -356,6 +356,29 @@ class SemanticsSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("triangle count matches a brute-force set recompute") {
+    val r = Extensions.queries("ax_triangle_count")(spark, dir).collect()(0)
+    val (nNodes, nEdges, nTris) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // brute force from raw lineitem, driver-side
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val edges = li.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.size)
+        yield (parts(i), parts(j))
+    }.toSet
+    assert(nEdges == edges.size)
+    assert(nNodes == edges.flatMap(e => Seq(e._1, e._2)).size)
+    val adj = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    val expected = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty).count(c => b < c && edges.contains((b, c)))
+    }.sum
+    assert(nTris == expected.toLong, "degree-oriented count must equal " +
+      "the id-ordered brute force")
+    assert(nTris > 0, "fixture graph should contain triangles")
+  }
+
   test("silhouette partitions every vector and bounds confusion") {
     val rows = Extensions.queries("sim_silhouette")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
