@@ -2,17 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import java.util.concurrent.{Executors, TimeoutException, TimeUnit}
-import scala.concurrent.duration.Duration
-import scala.concurrent.{Await, ExecutionContext, Future}
-
 /** Benchmark main: one JSON line with per-query seconds over
   * `SparkEntry.queries`.
   *
   * Round-1 post-mortem: a single pathological query hung the whole run
   * (rc=124, zero numbers emitted). Hardened per VERDICT.md #3:
-  *   - every query runs under a wall-clock budget; on timeout its Spark
-  *     job group is cancelled (`interruptOnCancel`) and the bench moves
+  *   - every query runs under a wall-clock budget ([[QueryBudget]]);
+  *     on timeout its Spark job group is cancelled and the bench moves
   *     on;
   *   - failures/timeouts are recorded per query in an `"errors"` map
   *     instead of being swallowed;
@@ -33,7 +29,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    var pool = Executors.newSingleThreadExecutor()
+    val budget = new QueryBudget(spark, timeoutSec)
 
     // Dev loop: SPARK_GRAFT_ONLY=comma,separated,prefixes (driver unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -42,38 +38,12 @@ object Bench {
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      // job group must be set on the thread that submits the jobs
-      val fut = Future {
-        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        try fn(spark, sfDir).count()
-        finally spark.sparkContext.clearJobGroup()
-      }
-      val err =
-        try { Await.result(fut, Duration(timeoutSec, TimeUnit.SECONDS)); None }
-        catch {
-          case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(name)
-            // let the worker thread unwind before reusing it; if it is
-            // stuck in non-interruptible code, abandon the poisoned
-            // executor and start a fresh one — otherwise every later
-            // query would queue behind the hang and falsely "timeout"
-            val unwound =
-              try { Await.ready(fut, Duration(30, TimeUnit.SECONDS)); true }
-              catch { case _: Throwable => false }
-            if (!unwound) {
-              pool.shutdownNow()
-              pool = Executors.newSingleThreadExecutor()
-            }
-            Some("timeout")
-          case e: Throwable =>
-            Some(Option(e.getCause).getOrElse(e).getClass.getSimpleName)
-        }
+      val err = budget.run(name) { fn(spark, sfDir).count(); () }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-42s $sec%8.2f s${err.fold("")(" ERR:" + _)}")
       (name, sec, err)
     }
-    pool.shutdownNow()
+    budget.shutdown()
 
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }

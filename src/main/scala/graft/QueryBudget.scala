@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.{ExecutorService, Executors, TimeoutException, TimeUnit}
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Wall-clock budget enforcement for the driver-gate mains.
+  *
+  * Round-1 post-mortem: one pathological query hung the whole benchmark
+  * (rc=124, zero output). The cure — run every query on a worker thread
+  * under a timeout, cancel its Spark job group on expiry, and abandon
+  * the worker if it is stuck in non-interruptible code — is needed by
+  * BOTH gate mains ([[Bench]] and [[Verify]]): a hang in either zeroes
+  * that round's entire signal. Shared here so the two cannot drift.
+  */
+final class QueryBudget(spark: SparkSession, timeoutSec: Long) {
+
+  private var pool: ExecutorService = Executors.newSingleThreadExecutor()
+
+  /** Runs `body` under the budget. Returns None on success, or
+    * Some(errorTag) on failure ("timeout" or the exception class name).
+    * The job group is set on the worker thread — the thread that
+    * actually submits the Spark jobs — so cancellation reaches them.
+    */
+  def run(name: String)(body: => Unit): Option[String] = {
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fut = Future {
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      try body
+      finally spark.sparkContext.clearJobGroup()
+    }
+    try { Await.result(fut, Duration(timeoutSec, TimeUnit.SECONDS)); None }
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(name)
+        // let the worker unwind before reusing it; if it is stuck in
+        // non-interruptible code, abandon the poisoned executor and
+        // start fresh — otherwise every later query queues behind the
+        // hang and falsely "times out"
+        val unwound =
+          try { Await.ready(fut, Duration(30, TimeUnit.SECONDS)); true }
+          catch { case _: Throwable => false }
+        if (!unwound) {
+          pool.shutdownNow()
+          pool = Executors.newSingleThreadExecutor()
+        }
+        Some("timeout")
+      case e: Throwable =>
+        Some(Option(e.getCause).getOrElse(e).getClass.getSimpleName)
+    }
+  }
+
+  def shutdown(): Unit = pool.shutdownNow()
+}

@@ -2,11 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Each dump runs under the same per-query wall-clock budget as Bench
+  * ([[QueryBudget]]) — one hanging query must cost its own CORRECTNESS
+  * entry, never the whole round's gate (the round-1 rc=124 failure
+  * mode, on the correctness side).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     val spark = Sessions.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -15,18 +23,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val budget = new QueryBudget(spark, timeoutSec)
     // Dev loop: SPARK_GRAFT_ONLY=comma,separated,prefixes limits the dump
     // (the driver never sets it, so the gate always runs everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      budget.run(name) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }.foreach { err =>
+        System.err.println(s"[verify] $name failed: $err")
+        // a timed-out/failed write can leave a partial directory the
+        // compare would read as a (wrong) result — remove it so the
+        // query surfaces as MISSING, not as silently corrupt data
+        org.apache.hadoop.fs.FileSystem
+          .get(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(s"$outDir/$name"), true)
       }
     }
+    budget.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
