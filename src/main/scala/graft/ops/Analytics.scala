@@ -491,7 +491,58 @@ object Analytics {
       |    AS trailing90_cents
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_nation_volume: the "local supplier volume" query (TPC-H Q5
+  // shape) — revenue from line items where the ordering CUSTOMER and
+  // the supplying SUPPLIER sit in the same nation, one order-date year,
+  // grouped by nation. Distinctive because the join graph has a CYCLE
+  // (lineitem→orders→customer→nation and lineitem→supplier→nation must
+  // agree on the nation): Catalyst resolves it with all four dimension
+  // tables broadcast and the c_nationkey = s_nationkey equality applied
+  // as a residual on the fact row — the lineitem table still never
+  // shuffles. The date filter is pushed into the orders scan before its
+  // broadcast (explain shows PushedFilters on o_orderdate).
+  // -------------------------------------------------------------------
+  private def nationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name").asc)
+  }
+
+  private val nationVolumeSql =
+    """SELECT n.n_name,
+      |  CAST(SUM(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100) AS BIGINT))
+      |    AS BIGINT) AS revenue_cents
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1
+      |ORDER BY revenue_cents DESC, n_name ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_nation_volume"     -> (nationVolume _),
     "ax_trailing_revenue"  -> (trailingRevenue _),
     "ax_ship_priority"     -> (shipPriority _),
     "ax_window_suite"      -> (windowSuite _),
@@ -514,6 +565,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_nation_volume"     -> nationVolumeSql,
     "ax_trailing_revenue"  -> trailingRevenueSql,
     "ax_ship_priority"     -> shipPrioritySql,
     "ax_window_suite"      -> windowSuiteSql,

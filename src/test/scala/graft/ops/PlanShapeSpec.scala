@@ -99,6 +99,13 @@ class PlanShapeSpec extends AnyFunSuite {
   // brute-force recompute rather than a plan-string guard, same as
   // ax_pagerank_parts.)
 
+  test("nation-volume cyclic join broadcasts all four dims; fact never shuffles") {
+    val p = plan("ax_nation_volume")
+    assert(!p.contains("SortMergeJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"orders, customer, supplier, nation must all broadcast:\n$p")
+  }
+
   test("scd2 build stacks all windows over one customer-key exchange") {
     val p = plan("ax_scd2_customer")
     val exchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
