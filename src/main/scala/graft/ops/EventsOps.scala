@@ -280,7 +280,59 @@ object EventsOps {
       |FROM events WHERE user_id >= 10 AND user_id < 20
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_zorder_layout: multi-dimensional clustering — the Z-ORDER
+  // technique (interleave the bits of two filter columns into one
+  // Morton key, range-partition + sort by it) that lets ONE physical
+  // sort order serve range predicates on BOTH dimensions: rows close
+  // in (partkey, suppkey) space land in the same row groups, so
+  // parquet min/max stats prune for either column. Single-column
+  // sorting (ax_sorted_layout) serves only its own column; this is the
+  // layout a 100 TB table uses when two access paths matter. The
+  // Morton arithmetic (32 shift/mask terms) is generated ONCE for both
+  // engines, and min/max of the key are part of the oracle-checked
+  // output — the interleaving must agree bit-for-bit cross-engine.
+  // -------------------------------------------------------------------
+  private def mortonExpr(sr: (String, Int) => String,
+      sl: (String, Int) => String): String =
+    (0 until 16).flatMap(i => Seq(
+      sl(s"(${sr("l_partkey", i)} & 1)", 2 * i),
+      sl(s"(${sr("l_suppkey", i)} & 1)", 2 * i + 1))).mkString("(", " + ", ")")
+
+  private[ops] val mortonSpark =
+    mortonExpr((c, n) => s"shiftright($c, $n)", (c, n) => s"shiftleft($c, $n)")
+  private val mortonDuck =
+    mortonExpr((c, n) => s"($c >> $n)", (c, n) => s"($c << $n)")
+
+  private def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val path = s"target/lineitem_zorder/$tag"
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("morton", expr(mortonSpark))
+      .repartitionByRange(8, col("morton"))
+      .sortWithinPartitions("morton")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("l_partkey").between(100, 300) &&
+        col("l_suppkey").between(10, 30))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("qty")).as("sum_qty"),
+        min(col("morton")).as("min_morton"),
+        max(col("morton")).as("max_morton"))
+  }
+
+  private val zorderLayoutSql =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  CAST(MIN($mortonDuck) AS BIGINT) AS min_morton,
+       |  CAST(MAX($mortonDuck) AS BIGINT) AS max_morton
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_zorder_layout"   -> (zorderLayout _),
     "ax_sorted_layout"   -> (sortedLayout _),
     "ax_partitioned_write" -> (partitionedWrite _),
     "ax_user_journey"    -> (userJourney _),
@@ -291,6 +343,7 @@ object EventsOps {
     "ax_orc_roundtrip"   -> (orcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_zorder_layout"   -> zorderLayoutSql,
     "ax_sorted_layout"   -> sortedLayoutSql,
     "ax_partitioned_write" -> partitionedWriteSql,
     "ax_user_journey"    -> userJourneySql,

@@ -356,6 +356,21 @@ class SemanticsSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("morton key interleaves bits exactly (vs an independent interleaver)") {
+    def interleave(p: Long, s: Long): Long =
+      (0 until 16).map(i =>
+        (((p >> i) & 1L) << (2 * i)) | (((s >> i) & 1L) << (2 * i + 1))).sum
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr(EventsOps.mortonSpark).as("m"))
+      .limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == interleave(r.getLong(0), r.getLong(1)),
+        s"morton mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("triangle count matches a brute-force set recompute") {
     val r = Extensions.queries("ax_triangle_count")(spark, dir).collect()(0)
     val (nNodes, nEdges, nTris) = (r.getLong(0), r.getLong(1), r.getLong(2))
