@@ -40,8 +40,9 @@ object Bench {
       val t0 = System.nanoTime()
       val err = budget.run(name) { fn(spark, sfDir).count(); () }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-42s $sec%8.2f s${err.fold("")(" ERR:" + _)}")
-      (name, sec, err)
+      System.err.println(f"[bench] $name%-42s $sec%8.2f s" +
+        err.fold("") { case (tag, detail) => s" ERR:$tag ($detail)" })
+      (name, sec, err.map(_._1))
     }
     budget.shutdown()
 

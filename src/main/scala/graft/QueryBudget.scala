@@ -20,11 +20,15 @@ final class QueryBudget(spark: SparkSession, timeoutSec: Long) {
   private var pool: ExecutorService = Executors.newSingleThreadExecutor()
 
   /** Runs `body` under the budget. Returns None on success, or
-    * Some(errorTag) on failure ("timeout" or the exception class name).
-    * The job group is set on the worker thread — the thread that
-    * actually submits the Spark jobs — so cancellation reaches them.
+    * Some((tag, detail)): tag is a short machine token safe for JSON
+    * ("timeout", "timeout_stuck", or the exception class name), detail
+    * a human diagnostic line. The job group is set on the worker
+    * thread — the thread that actually submits the Spark jobs — so
+    * cancellation reaches them. "timeout_stuck" means the worker never
+    * unwound: its write may still be in flight, so callers must treat
+    * any output it produced as suspect.
     */
-  def run(name: String)(body: => Unit): Option[String] = {
+  def run(name: String)(body: => Unit): Option[(String, String)] = {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val fut = Future {
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -45,10 +49,14 @@ final class QueryBudget(spark: SparkSession, timeoutSec: Long) {
         if (!unwound) {
           pool.shutdownNow()
           pool = Executors.newSingleThreadExecutor()
-        }
-        Some("timeout")
+          Some(("timeout_stuck", s"exceeded ${timeoutSec}s and the worker " +
+            "did not unwind within 30s — executor abandoned"))
+        } else Some(("timeout", s"exceeded ${timeoutSec}s budget"))
       case e: Throwable =>
-        Some(Option(e.getCause).getOrElse(e).getClass.getSimpleName)
+        val root = Option(e.getCause).getOrElse(e)
+        Some((root.getClass.getSimpleName,
+          Option(root.getMessage).getOrElse("").linesIterator.take(3)
+            .mkString(" | ")))
     }
   }
 

@@ -33,11 +33,15 @@ object Verify {
       budget.run(name) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-      }.foreach { err =>
-        System.err.println(s"[verify] $name failed: $err")
+      }.foreach { case (tag, detail) =>
+        System.err.println(s"[verify] $name failed: $tag ($detail)")
         // a timed-out/failed write can leave a partial directory the
         // compare would read as a (wrong) result — remove it so the
-        // query surfaces as MISSING, not as silently corrupt data
+        // query surfaces as MISSING, not as silently corrupt data.
+        // Best effort for "timeout_stuck": the abandoned worker may
+        // still be writing and could re-create files after this
+        // delete — that residue hash-mismatches rather than passes,
+        // and the stderr line above records the query as failed.
         org.apache.hadoop.fs.FileSystem
           .get(spark.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(s"$outDir/$name"), true)

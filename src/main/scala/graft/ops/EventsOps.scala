@@ -293,9 +293,17 @@ object EventsOps {
   // engines, and min/max of the key are part of the oracle-checked
   // output — the interleaving must agree bit-for-bit cross-engine.
   // -------------------------------------------------------------------
+  /** bits interleaved per dimension — 21 bits covers keys up to 2M
+    * (2·21 = 42-bit morton, comfortably inside BIGINT on both engines);
+    * keys ABOVE 2^MortonBits alias silently, so widen this with the
+    * key domain (the layout degrades to random placement for aliased
+    * high bits, it never corrupts results — the key is layout-only)
+    */
+  private val MortonBits = 21
+
   private def mortonExpr(sr: (String, Int) => String,
       sl: (String, Int) => String): String =
-    (0 until 16).flatMap(i => Seq(
+    (0 until MortonBits).flatMap(i => Seq(
       sl(s"(${sr("l_partkey", i)} & 1)", 2 * i),
       sl(s"(${sr("l_suppkey", i)} & 1)", 2 * i + 1))).mkString("(", " + ", ")")
 

@@ -104,9 +104,12 @@ object Graph {
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+      .persist()
     val withDeg = und
       .join(broadcast(deg.select(col("v").as("a"), col("deg").as("da"))), "a")
       .join(broadcast(deg.select(col("v").as("b"), col("deg").as("db"))), "b")
+    // orientation is degree-first, so the dst endpoint's degree is
+    // always the larger of the pair
     val oriented = withDeg.select(
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")), col("a"))
@@ -114,7 +117,6 @@ object Graph {
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")), col("b"))
         .otherwise(col("a")).as("dst"),
-      least(col("da"), col("db")).as("dsrc"),
       greatest(col("da"), col("db")).as("ddst"))
       .persist()
     val wedges = oriented.as("e1")
@@ -129,7 +131,7 @@ object Graph {
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
     val edges = und.agg(count(lit(1)).as("n_edges"))
     val out = nodes.crossJoin(edges).crossJoin(tri).localCheckpoint()
-    und.unpersist(); oriented.unpersist()
+    und.unpersist(); deg.unpersist(); oriented.unpersist()
     out
   }
 

@@ -358,7 +358,7 @@ class SemanticsSpec extends AnyFunSuite {
 
   test("morton key interleaves bits exactly (vs an independent interleaver)") {
     def interleave(p: Long, s: Long): Long =
-      (0 until 16).map(i =>
+      (0 until 21).map(i =>
         (((p >> i) & 1L) << (2 * i)) | (((s >> i) & 1L) << (2 * i + 1))).sum
     val rows = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_partkey"), col("l_suppkey"),
