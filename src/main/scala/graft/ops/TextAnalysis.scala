@@ -532,7 +532,62 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // tx_inverted_index: build the retrieval structure itself — term →
+  // sorted posting list of doc_ids, for the mid-frequency band
+  // (df ∈ [3, 60]; higher-df terms are stopwords, df<3 is noise).
+  // Terms are word BIGRAMS (this corpus's unigram vocabulary is ~30
+  // words, all stopword-frequency — bigrams have a real mid band).
+  // The skew-aware TWO-PASS shape that survives any corpus: pass 1 is
+  // a cheap count aggregate for document frequency; only terms
+  // already known to be in the band (a bounded set, broadcast) get
+  // their postings materialized in pass 2 — collect_list never runs
+  // on an unbounded group, so a stopword can never produce a
+  // corpus-sized row. Postings are verified in full via an md5 over
+  // the numerically-sorted comma-joined list (identical cross-engine).
+  // ---------------------------------------------------------------
+  private def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), split(normCol, " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
+          |         slice(w, 2, greatest(size(w)-1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin))).as("term"))
+    val keep = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(3, 60))
+    tok.join(broadcast(keep), "term")
+      .groupBy("term", "df")
+      .agg(expr(
+        """md5(concat_ws(',',
+          |  transform(sort_array(collect_list(doc_id)),
+          |            x -> cast(x AS STRING))))""".stripMargin).as("postings_fp"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .select(col("term"), col("df"), col("first_doc"), col("last_doc"),
+        col("postings_fp"))
+      .orderBy("term")
+  }
+
+  private val invertedIndexSql =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) d),
+       |t AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(w), 1)),
+       |      i -> w[i] || ' ' || w[i+1])) AS term
+       |  FROM ws),
+       |keep AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1
+       |         HAVING COUNT(*) BETWEEN 3 AND 60)
+       |SELECT t.term, k.df,
+       |  MIN(t.doc_id) AS first_doc, MAX(t.doc_id) AS last_doc,
+       |  md5(string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id))
+       |    AS postings_fp
+       |FROM t JOIN keep k ON t.term = k.term
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_inverted_index" -> (invertedIndex _),
     "tx_repetition"   -> (repetition _),
     "tx_quality_sample" -> (qualitySample _),
     "tx_vocab_growth" -> (vocabGrowth _),
@@ -550,6 +605,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_inverted_index" -> invertedIndexSql,
     "tx_repetition"   -> repetitionSql,
     "tx_quality_sample" -> qualitySampleSql,
     "tx_vocab_growth" -> vocabGrowthSql,
