@@ -37,21 +37,45 @@ object Bench {
       only.forall(_.exists(name.startsWith)) }
 
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = budget.run(name) { fn(spark, sfDir).count(); () }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val (sec, err) = budget.run(name) { fn(spark, sfDir).count(); () }
       System.err.println(f"[bench] $name%-42s $sec%8.2f s" +
         err.fold("") { case (tag, detail) => s" ERR:$tag ($detail)" })
       (name, sec, err.map(_._1))
     }
     budget.shutdown()
 
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
-      .mkString("{", ",", "}")
+    // Round-2 post-mortem: the driver parses the bench JSON from only
+    // the LAST ~2000 chars of output. A full 155-query map (~5.5 KB) got
+    // clipped mid-line → "parsed": null despite a perfect run. So the
+    // stdout line is COMPACT (slowest queries only, 2 decimals, capped
+    // error map) and guaranteed to fit the tail window; the complete
+    // per-query map goes to stderr and target/bench_full.json.
+    def jq(k: String, v: Double) = f""""$k":$v%.2f"""
     val total = results.map(_._2).sum
+    val slowest = results.sortBy(-_._2).take(40)
+    val qs = slowest.map { case (k, v, _) => jq(k, v) }.mkString("{", ",", "}")
+    val errAll = results.collect { case (k, _, Some(e)) => (k, e) }
+    val errs = errAll.take(10).map { case (k, e) => s""""$k":"$e"""" }
+      .mkString("{", ",", "}")
+    // ADVICE: if the dev-loop filter is active, say so in the output —
+    // a filtered run must never masquerade as a full one.
+    val onlyField = only.fold("")(o =>
+      s""","only":"${o.mkString(",")}","n_total":${SparkEntry.queries.size}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+      },"errors":${
+        errAll.map { case (k, e) => s""""$k":"$e"""" }.mkString("{", ",", "}")
+      },"sf":"$sfDir"}"""
+    System.err.println(s"[bench-full] $fullJson")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_full.json"), fullJson)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_full.json: $e") }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":${errAll.size}$onlyField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,11 +29,20 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    // ADVICE: a filtered dump must leave a loud trace — stderr plus a
+    // marker file in outDir — so a dev-loop env leak can never make a
+    // partial dump look like the full gate.
+    only.foreach { o =>
+      System.err.println(s"[verify] WARNING: SPARK_GRAFT_ONLY=${o.mkString(",")}"
+        + s" — dumping ${selected.size}/${SparkEntry.queries.size} queries")
+      Files.writeString(Paths.get(s"$outDir/FILTERED_BY_SPARK_GRAFT_ONLY"),
+        s"${o.mkString(",")}: ${selected.size}/${SparkEntry.queries.size}\n")
+    }
     selected.foreach { case (name, fn) =>
       budget.run(name) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-      }.foreach { case (tag, detail) =>
+      }._2.foreach { case (tag, detail) =>
         System.err.println(s"[verify] $name failed: $tag ($detail)")
         // a timed-out/failed write can leave a partial directory the
         // compare would read as a (wrong) result — remove it so the

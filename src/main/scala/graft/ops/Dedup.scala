@@ -435,14 +435,30 @@ object Dedup {
   // -------------------------------------------------------------------
   // Approximate distinct (HLL sketch — TypedImperativeAggregate inside
   // Spark): dedup *counting* without a distinct shuffle of the keys.
-  // Approximate by construction → no DuckDB oracle (the exact twin,
-  // ax_distinct_users, is oracle-backed).
+  // The sketch value itself is engine-specific, so the gate contract
+  // is a TOLERANCE statement instead: the query emits the exact count
+  // (which the DuckDB oracle reproduces) plus `approx_ok` = whether the
+  // HLL estimate landed within 5% of it (rsd is configured at 1%, so
+  // 5% is a >4-sigma guard band); the oracle asserts the literal 1.
+  // This turns "approximate by construction → unchecked" into a real
+  // hash-checked row while still exercising the sketch end-to-end.
+  // The exact twin without the sketch is ax_distinct_users.
   // -------------------------------------------------------------------
   private def approxUsers(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * 0.05).cast("long").as("approx_ok"))
       .orderBy("event_type")
+
+  private val approxUsersSql =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  CAST(1 AS BIGINT) AS approx_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
   // Duplicate CLUSTERS: the step real dedup pipelines run after pair
@@ -648,6 +664,7 @@ object Dedup {
     "dd_minhash_pairs"  -> MinHashLsh.oracleSql(wordShingleTokCte),
     "dd_ngram_jaccard"  -> MinHashLsh.oracleSql(charNgramTokCte),
     "dd_simhash_pairs"  -> simhashPairsSql,
-    "dd_embed_neardup"  -> embedNearDupSql
+    "dd_embed_neardup"  -> embedNearDupSql,
+    "dd_approx_users"   -> approxUsersSql
   )
 }

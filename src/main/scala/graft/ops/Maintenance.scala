@@ -71,19 +71,26 @@ object Maintenance {
   // FULL OUTER hash join on the key, change rows winning via coalesce.
   // The change batch here is derived deterministically from the base
   // (every 97th key gets +1 cent; shifted keys are the inserts) so the
-  // oracle can replay it. At scale this is the shape that beats
-  // row-at-a-time updates: one co-partitioned join, and with the base
-  // bucketed by key (graft.ops.Bucketing) the join is exchange-free.
+  // oracle can replay it. Insert keys are k + max(k) — exact integer
+  // arithmetic, strictly above every base key at ANY scale factor (a
+  // fixed +10M offset would collide with base keys at SF>=2 where
+  // o_orderkey exceeds 10M, silently turning inserts into matches).
+  // At scale this is the shape that beats row-at-a-time updates: one
+  // co-partitioned join, and with the base bucketed by key
+  // (graft.ops.Bucketing) the join is exchange-free; the 1-row max
+  // aggregate broadcasts.
   // The emitted audit row carries the merge accounting + a checksum.
   // -------------------------------------------------------------------
   private def upsertOrders(spark: SparkSession, dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey").as("k"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val maxKey = base.agg(max(col("k")).as("mxk"))
     val updates = base.filter(pmod(col("k"), lit(97)) === 0)
       .select(col("k").as("ck"), (col("cents") + 1).as("ccents"))
     val inserts = base.filter(pmod(col("k"), lit(101)) === 0)
-      .select((col("k") + 10000000L).as("ck"), lit(42L).as("ccents"))
+      .crossJoin(broadcast(maxKey))
+      .select((col("k") + col("mxk")).as("ck"), lit(42L).as("ccents"))
     val changes = updates.unionAll(inserts)
     val merged = base.join(changes, col("k") === col("ck"), "full_outer")
       .select(coalesce(col("k"), col("ck")).as("mk"),
@@ -103,7 +110,8 @@ object Maintenance {
       |changes AS (
       |  SELECT k AS ck, cents + 1 AS ccents FROM base WHERE k % 97 = 0
       |  UNION ALL
-      |  SELECT k + 10000000, CAST(42 AS BIGINT) FROM base WHERE k % 101 = 0),
+      |  SELECT k + (SELECT MAX(k) FROM base), CAST(42 AS BIGINT)
+      |  FROM base WHERE k % 101 = 0),
       |merged AS (
       |  SELECT COALESCE(b.k, c.ck) AS mk,
       |    COALESCE(c.ccents, b.cents) AS mcents,

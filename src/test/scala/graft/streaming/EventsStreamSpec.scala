@@ -222,6 +222,79 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batchRows.toSeq === finalRows.toSeq)
   }
 
+  test("append mode emits a window whose end is EXACTLY at the watermark") {
+    // Pins the boundary the st_file_sink / st_events_hourly oracles
+    // assume: the batch cutoff is `window_end <= max_ts - 2h`, i.e. a
+    // window whose end lands exactly ON the watermark counts as
+    // finalized. If Spark finalized only on watermark STRICTLY past the
+    // end, a fixture whose max event time sits on an hour boundary
+    // would diverge — this test fails loudly instead.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventsStream.hourlyByType(events)
+      .writeStream.format("memory").queryName("boundary_test")
+      .outputMode("append").start()
+    try {
+      // hour-0 window [00:00, 01:00) ...
+      mem.addData((ts(5), "click", 1.0))
+      q.processAllAvailable()
+      // ... then max event time EXACTLY 03:00:00 → watermark = 01:00:00
+      // == hour-0 window end (2h delay)
+      mem.addData((ts(180), "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val hour0 = spark.table("boundary_test")
+      .filter(col("hour") === "1970-01-01 00:00:00")
+      .collect()
+    assert(hour0.length === 1,
+      "a window ending exactly at the watermark must be finalized " +
+        "(the batch oracles' `window_end <= max_ts - delay` cutoff)")
+  }
+
+  test("append mode emits a session whose end is EXACTLY at the watermark") {
+    // Same boundary pin for st_sessionize: session end = last event +
+    // 30min gap; with max ts exactly 2h30m after the last session event
+    // the watermark equals the session end, and the oracle's `<=`
+    // cutoff expects it finalized.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+
+    val q = EventsStream.sessionsByUser(events)
+      .writeStream.format("memory").queryName("session_boundary_test")
+      .outputMode("append").start()
+    try {
+      // user 1 session: [0, 10+30) → end 00:40
+      mem.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0))
+      q.processAllAvailable()
+      // watermark = 160 - 120 = 40 == session end exactly
+      mem.addData((99L, ts(160), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sessions = spark.table("session_boundary_test")
+      .filter(col("user_id") === 1L)
+      .collect()
+    assert(sessions.length === 1,
+      "a session ending exactly at the watermark must be finalized " +
+        "(the st_sessionize oracle's `session_end <= max_ts - delay` cutoff)")
+  }
+
   test("streaming dedup emits each event_id once") {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream
