@@ -320,6 +320,45 @@ object Analytics {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_approx_quantiles: the WIDE-CARDINALITY percentile path the exact
+  // query above points at — `approx_percentile` (KLL-style rank sketch,
+  // a TypedImperativeAggregate with mergeable partials, so it scales to
+  // any column cardinality without the exact operator's per-group value
+  // buffer). The sketch value is engine-specific, so the gate contract
+  // is the dd_approx_users tolerance pattern: emit the EXACT quartiles
+  // (oracle-reproducible) plus `approx_ok` = all three sketch quartiles
+  // within 2% of exact (accuracy 10000 → rank error ≤ n/10000, far
+  // inside 2% of value on this distribution); the oracle asserts the
+  // literal 1.
+  // -------------------------------------------------------------------
+  private def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .withColumn("c", cents(col("l_extendedprice")))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(c, array(0.25D, 0.5D, 0.75D))").as("ex"),
+        expr("approx_percentile(c, array(0.25D, 0.5D, 0.75D), 10000)").as("ap"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        (element_at(col("ex"), 1) * 4).cast("long").as("p25_x4"),
+        (element_at(col("ex"), 2) * 4).cast("long").as("p50_x4"),
+        (element_at(col("ex"), 3) * 4).cast("long").as("p75_x4"),
+        expr("forall(zip_with(ap, ex, (a, b) -> abs(a - b) <= b * 0.02D), x -> x)")
+          .cast("long").as("approx_ok"),
+        col("cnt"))
+      .orderBy("l_returnflag")
+
+  private val approxQuantilesSql =
+    """SELECT l_returnflag,
+      |  CAST(quantile_cont(c, 0.25) * 4 AS BIGINT) AS p25_x4,
+      |  CAST(quantile_cont(c, 0.5)  * 4 AS BIGINT) AS p50_x4,
+      |  CAST(quantile_cont(c, 0.75) * 4 AS BIGINT) AS p75_x4,
+      |  CAST(1 AS BIGINT) AS approx_ok,
+      |  COUNT(*) AS cnt
+      |FROM (SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) AS c
+      |      FROM lineitem)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // Skew-salted fact-fact join: lineitem⋈orders with the orders side
   // replicated across `SaltFactor` salts and lineitem rows scattered by
   // a hash salt, so one hot orderkey spreads over SaltFactor reducers
@@ -548,6 +587,7 @@ object Analytics {
     "ax_window_suite"      -> (windowSuite _),
     "ax_fuzzy_name"        -> (fuzzyName _),
     "ax_percentiles"       -> (percentiles _),
+    "ax_approx_quantiles"  -> (approxQuantiles _),
     "ax_salted_join"       -> (saltedJoin _),
     "ax_pricing_summary"   -> (pricingSummary _),
     "ax_revenue_by_segment" -> (revenueBySegment _),
@@ -571,6 +611,7 @@ object Analytics {
     "ax_window_suite"      -> windowSuiteSql,
     "ax_fuzzy_name"        -> fuzzyNameSql,
     "ax_percentiles"       -> percentilesSql,
+    "ax_approx_quantiles"  -> approxQuantilesSql,
     "ax_salted_join"       -> saltedJoinSql,
     "ax_pricing_summary"   -> pricingSummarySql,
     "ax_revenue_by_segment" -> revenueBySegmentSql,

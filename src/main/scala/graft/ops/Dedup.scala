@@ -501,6 +501,81 @@ object Dedup {
     labels
   }
 
+  // -------------------------------------------------------------------
+  // Connected components, BILLION-NODE tier: the large-star/small-star
+  // algorithm (Kiveris et al., "Connected Components in MapReduce and
+  // Beyond", SoCC'14). Label propagation (above) moves one hop per
+  // round — on a path of length L it needs L rounds; large-star/
+  // small-star contracts greedily toward each component's minimum and
+  // converges in O(log² n) rounds on ANY topology, which is why it is
+  // the standard at web scale. Per round:
+  //   large-star: every node attaches its strictly-LARGER neighbors to
+  //     the minimum of its neighborhood (incl. itself);
+  //   small-star: every node attaches its smaller-or-equal neighbors
+  //     and itself to that minimum.
+  // Both steps are one groupBy(min) + one join keyed on the node — the
+  // same bounded-shuffle discipline as every other operator here — and
+  // the fixpoint is exactly the star graph rooted at each component's
+  // min node. Gate-checked (dd_cc_bigstar) against the SAME recursive-
+  // CTE oracle as label propagation: both formulations must agree on
+  // every cluster id, a real cross-check of both loops.
+  // -------------------------------------------------------------------
+  private[ops] def connectedComponentsBigStar(
+      edges0: DataFrame, maxIter: Int = 30): DataFrame = {
+    // canonical directed form: larger endpoint → smaller endpoint
+    var edges = edges0
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over the undirected neighborhood
+      val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = adj.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m
+        .distinct()
+      // SMALL-STAR over the (now hi→lo) directed edges
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), col("mn").as("m")) // neighbors all < u
+      val joined = large.join(mins2, "u")
+      val next = joined.select(col("v").as("a"), col("m").as("b"))
+        .union(joined.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint() // truncate lineage every round, as in labelProp
+      // fixpoint test: symmetric difference of two DISTINCT edge sets —
+      // rows seen once across the union are in exactly one set
+      converged = next.unionAll(edges)
+        .groupBy("u", "v").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).count() == 0
+      edges = next
+      iter += 1
+    }
+    // fixpoint = star edges (node → its component's min node)
+    edges.select(col("u"), col("v").as("label"))
+  }
+
+  /** dd_cc_bigstar: the cluster assignment computed by the O(log² n)
+    * loop; must match dd_dup_clusters (label propagation) bit-for-bit
+    */
+  private def ccBigStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comp = connectedComponentsBigStar(pairs)
+    docs(spark, dir).select(col("doc_id"))
+      .join(comp.select(col("u").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** every doc's duplicate-cluster id (min doc_id in its component;
     * singletons are their own cluster) — shared by dd_dup_clusters and
     * dd_cluster_retain
@@ -645,6 +720,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_curation_funnel" -> (curationFunnel _),
     "dd_dup_clusters"   -> (dupClusters _),
+    "dd_cc_bigstar"     -> (ccBigStar _),
     "dd_cluster_retain" -> (clusterRetain _),
     "dd_exact_keep_min" -> (exactKeepMin _),
     "dd_exact_groups"   -> (exactGroups _),
@@ -658,6 +734,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "dd_curation_funnel" -> curationFunnelSql,
     "dd_dup_clusters"   -> dupClustersSql,
+    "dd_cc_bigstar"     -> dupClustersSql,
     "dd_cluster_retain" -> clusterRetainSql,
     "dd_exact_keep_min" -> exactKeepMinSql,
     "dd_exact_groups"   -> exactGroupsSql,

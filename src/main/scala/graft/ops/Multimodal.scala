@@ -127,10 +127,43 @@ object Multimodal {
        |  FROM documents)
        |ORDER BY doc_id, fidx""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm_exact_dedup: content-addressed dedup of the BINARY payload — the
+  // first pass every multimodal ingest runs (identical bytes are the
+  // overwhelmingly common duplicate for images/audio: same file
+  // uploaded twice). Digest the bytes (sha2 — computed ONCE per
+  // payload, map-side), shuffle only the 32-byte digest + ids, never
+  // the payloads; one keyed aggregate per digest. Groups with ≥ 2
+  // copies are reported with their representative (min doc_id) and
+  // reclaimable bytes — the dedup audit artifact. Payloads never move:
+  // at 100 TB that is the entire design.
+  // -------------------------------------------------------------------
+  private def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir)
+      .select(col("doc_id"), sha2(col("payload"), 256).as("digest"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keep_doc"),
+        max(col("n_bytes")).as("payload_bytes"))
+      .filter(col("n_copies") >= 2)
+      .select(col("digest"), col("n_copies"), col("keep_doc"),
+        ((col("n_copies") - 1) * col("payload_bytes")).as("reclaimed_bytes"))
+      .orderBy("digest")
+
+  private val exactDedupSql =
+    """SELECT sha256(text) AS digest, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keep_doc,
+      |  CAST((COUNT(*) - 1) * MAX(octet_length(encode(text))) AS BIGINT)
+      |    AS reclaimed_bytes
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata"     -> (metadata _),
     "mm_decode_stats" -> (decodeStats _),
-    "mm_frame_sample" -> (frameSample _)
+    "mm_frame_sample" -> (frameSample _),
+    "mm_exact_dedup"  -> (exactDedup _)
   )
 
   // mm_decode_stats oracle: the stub decoder is deterministic in the
@@ -157,6 +190,7 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "mm_metadata"     -> metadataSql,
     "mm_decode_stats" -> decodeStatsSql,
-    "mm_frame_sample" -> frameSampleSql
+    "mm_frame_sample" -> frameSampleSql,
+    "mm_exact_dedup"  -> exactDedupSql
   )
 }

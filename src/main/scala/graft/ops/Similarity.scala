@@ -109,6 +109,51 @@ object Similarity {
        |ORDER BY cosine_e6 DESC, vec_id ASC LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // sim_range_search: the RANGE twin of top-k — every vector whose
+  // cosine to the query clears a threshold (radius search: "all
+  // near-duplicates of this item", where top-k's fixed k either
+  // truncates or pads). Same single-scan broadcast shape and the same
+  // deterministic integer cosine as sim_topk_cosine; the predicate is
+  // evaluated map-side, so the only data that moves is the matching
+  // set — which is the right contract at 100 TB: output ∝ matches,
+  // not corpus. Oracle-backed.
+  // -------------------------------------------------------------------
+  private val RangeThresholdE6 = 200000L // cosine ≥ 0.20
+
+  private def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val query = e.filter(col("vec_id") === 0).select(col("q").as("query_q"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .withColumn("dot", dotLong(col("q"), col("query_q")))
+      .withColumn("na", dotLong(col("q"), col("q")))
+      .withColumn("nb", dotLong(col("query_q"), col("query_q")))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("cosine_e6",
+        floor(lit(1000000.0) * col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
+      .filter(col("cosine_e6") >= RangeThresholdE6)
+      .select(col("vec_id"), col("cosine_e6"))
+      .orderBy(col("cosine_e6").desc, col("vec_id").asc)
+  }
+
+  private val rangeSearchSql =
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |qq AS (SELECT q FROM qt WHERE vec_id = 0),
+       |scored AS (SELECT t.vec_id,
+       |    ${PortableHash.dotSqlDuck("t.q", "qq.q")} AS dot,
+       |    ${PortableHash.dotSqlDuck("t.q", "t.q")} AS na,
+       |    ${PortableHash.dotSqlDuck("qq.q", "qq.q")} AS nb
+       |  FROM qt t, qq WHERE t.vec_id <> 0)
+       |SELECT vec_id,
+       |  CAST(floor(1000000.0 * CAST(dot AS DOUBLE) /
+       |    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cosine_e6
+       |FROM scored WHERE na > 0 AND nb > 0
+       |  AND floor(1000000.0 * CAST(dot AS DOUBLE) /
+       |    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) >= $RangeThresholdE6
+       |ORDER BY cosine_e6 DESC, vec_id ASC""".stripMargin
+
+  // -------------------------------------------------------------------
   // sim_ann_lsh: random-hyperplane LSH, 12-bit signatures; candidates =
   // vectors whose signature is within Hamming 1 of the query's (multi-
   // probe), re-ranked by quantized dot. This tier is deliberately a
@@ -449,6 +494,7 @@ object Similarity {
     "sim_ann_recall"     -> (annRecall _),
     "sim_topk_quantized" -> (topkQuantized _),
     "sim_topk_cosine"    -> (topkCosine _),
+    "sim_range_search"   -> (rangeSearch _),
     "sim_ann_lsh"        -> (annLsh _),
     "sim_ann_bucketed"   -> (annBucketed _),
     "sim_ivf_label"      -> (ivfLabel _)
@@ -461,6 +507,7 @@ object Similarity {
     "sim_ann_recall"     -> annRecallSql,
     "sim_topk_quantized" -> topkQuantizedSql,
     "sim_topk_cosine"    -> topkCosineSql,
+    "sim_range_search"   -> rangeSearchSql,
     "sim_ann_lsh"        -> annLshSql,
     "sim_ann_bucketed"   -> annBucketedSql,
     "sim_ivf_label"      -> ivfLabelSql
