@@ -16,12 +16,14 @@ object Extensions {
       AsOf.queries ++ SqlSurface.queries ++ Bucketing.queries ++
       EventsOps.queries ++ Cohorts.queries ++ DataQuality.queries ++
       Reshape.queries ++ Stats.queries ++ Graph.queries ++
-      Chunking.queries ++ Maintenance.queries ++ Curation.queries
+      Chunking.queries ++ Maintenance.queries ++ Curation.queries ++
+      ScanPruning.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
       AsOf.oracleSql ++ SqlSurface.oracleSql ++ Bucketing.oracleSql ++
       EventsOps.oracleSql ++ Cohorts.oracleSql ++ DataQuality.oracleSql ++
       Reshape.oracleSql ++ Stats.oracleSql ++ Graph.oracleSql ++
-      Chunking.oracleSql ++ Maintenance.oracleSql ++ Curation.oracleSql
+      Chunking.oracleSql ++ Maintenance.oracleSql ++ Curation.oracleSql ++
+      ScanPruning.oracleSql
 }

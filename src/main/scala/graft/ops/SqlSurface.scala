@@ -62,12 +62,44 @@ object SqlSurface {
         |ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 10""".stripMargin)
   }
 
+  /** Correlated scalar subquery — "parts that hit their brand's maximum
+    * price". Catalyst DECORRELATES it (RewriteCorrelatedScalarSubquery):
+    * the per-brand MAX becomes one hash aggregate joined back on
+    * p_brand, so the plan is two scans + a broadcast join, NOT a
+    * re-executed subquery per row — the difference between O(n) and
+    * O(n²) at any scale. Prices compared in exact integer cents so the
+    * boundary (= MAX) is engine-portable.
+    */
+  private def brandMaxViaSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/part.parquet")
+      .createOrReplaceTempView("graft_sql_part")
+    spark.sql(
+      """SELECT p.p_brand, p.p_partkey,
+        |  CAST(round(p.p_retailprice*100) AS BIGINT) AS price_cents
+        |FROM graft_sql_part p
+        |WHERE CAST(round(p.p_retailprice*100) AS BIGINT) =
+        |  (SELECT MAX(CAST(round(p2.p_retailprice*100) AS BIGINT))
+        |   FROM graft_sql_part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p.p_brand, p.p_partkey""".stripMargin)
+  }
+
+  private val brandMaxOracle =
+    """SELECT p.p_brand, p.p_partkey,
+      |  CAST(round(p.p_retailprice*100) AS BIGINT) AS price_cents
+      |FROM part p
+      |WHERE CAST(round(p.p_retailprice*100) AS BIGINT) =
+      |  (SELECT MAX(CAST(round(p2.p_retailprice*100) AS BIGINT))
+      |   FROM part p2 WHERE p2.p_brand = p.p_brand)
+      |ORDER BY p.p_brand, p.p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sq_signum_sql"        -> (signumViaSql _),
-    "sq_ship_priority_sql" -> (shipPriorityViaSql _))
+    "sq_ship_priority_sql" -> (shipPriorityViaSql _),
+    "sq_corr_brand_max"    -> (brandMaxViaSql _))
 
   val oracleSql: Map[String, String] = Map(
     "sq_signum_sql"        -> signumViaSqlOracle,
     // the DataFrame twin's oracle, verbatim — one definition, two surfaces
-    "sq_ship_priority_sql" -> Analytics.oracleSql("ax_ship_priority"))
+    "sq_ship_priority_sql" -> Analytics.oracleSql("ax_ship_priority"),
+    "sq_corr_brand_max"    -> brandMaxOracle)
 }

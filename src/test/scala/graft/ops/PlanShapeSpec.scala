@@ -120,6 +120,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1)
   }
 
+  test("dpp layout scan carries a dynamic partition-pruning filter") {
+    val p = ScanPruning.dppJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"customer scan must be pruned by the nation-side filter at runtime:\n$p")
+  }
+
+  test("bloom semi-join reduction filters the fact scan before its exchange") {
+    val p = ScanPruning.bloomReducedJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"lineitem must be pre-filtered by the bloom sketch:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      "the reduction targets the shuffled-join plan (broadcast would moot it)")
+    // the might_contain filter must sit BELOW the join's exchange: the
+    // whole point is fewer shuffled bytes
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx < filterIdx,
+      "bloom filter must be on the scan side (printed below the join node)")
+  }
+
+  test("correlated brand-max subquery decorrelates to one aggregate + join") {
+    val p = plan("sq_corr_brand_max")
+    assert(p.contains("HashAggregate"), "per-brand MAX must be one aggregate")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"),
+      "decorrelation plans agg + join, not a per-row subquery")
+  }
+
   test("incremental-agg merge is a join-free union of partial aggregates") {
     val p = plan("ax_incremental_agg")
     assert(!p.contains("Join"), "MV refresh must never re-join history")
