@@ -130,13 +130,55 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // dd_source_cap: per-domain document caps — the anti-domination rule
+  // every web-scale corpus applies (no single domain/source may
+  // contribute more than N documents; keep the N "best"). Keep rule is
+  // fully deterministic: rank by n_chars DESC, doc_id ASC inside each
+  // source, keep rank ≤ Cap. One keyed exchange on `source` + one
+  // partition-local sort; emitted as the per-source audit (total,
+  // kept, kept bytes, best doc). At 100 TB the heavy-tail mega-domain
+  // makes one reducer hot — pre-trim with a local (source,
+  // scan-partition) rank ≤ Cap first (the two-stage idiom of
+  // sim_knn_batch) so no reducer ever sees more than Cap×partitions
+  // rows per source.
+  // -------------------------------------------------------------------
+  private val SourceCap = 10
+
+  private def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rk") <= SourceCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= SourceCap, col("n_chars"))).as("kept_chars"),
+        min(when(col("rk") === 1, col("doc_id"))).as("best_doc"))
+      .orderBy("source")
+  }
+
+  private val sourceCapSql =
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN rk <= $SourceCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN rk <= $SourceCap THEN n_chars END) AS BIGINT) AS kept_chars,
+       |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS best_doc
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tx_decontam" -> (decontam _),
-    "tx_redact"   -> (redact _)
+    "tx_decontam"   -> (decontam _),
+    "tx_redact"     -> (redact _),
+    "dd_source_cap" -> (sourceCap _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "tx_decontam" -> decontamSql,
-    "tx_redact"   -> redactSql
+    "tx_decontam"   -> decontamSql,
+    "tx_redact"     -> redactSql,
+    "dd_source_cap" -> sourceCapSql
   )
 }

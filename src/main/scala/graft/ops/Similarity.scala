@@ -487,7 +487,56 @@ object Similarity {
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sim_knn_batch: the BATCH-query shape — Q probe vectors broadcast,
+  // ONE corpus scan serves all probes (per-query scans multiply the
+  // dominant cost Q-fold). Per-probe top-k runs through the
+  // [[graft.functions.TopK.TopKByScore]] typed Aggregator: the buffer
+  // is the k-bounded candidate list, so map-side partial aggregation
+  // sends at most k rows per (probe × input partition) into the
+  // shuffle — the window/row_number formulation would shuffle EVERY
+  // scored row to Q reducers (here Q=5: five hot reducers at any
+  // scale). Integer-quantized dot products → oracle-exact; the oracle
+  // is the window formulation in DuckDB, so the two formulations must
+  // agree row-for-row.
+  // -------------------------------------------------------------------
+  private val KnnProbes = 5
+  private val KnnK = 3
+
+  private def knnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK.TopKByScore(KnnK))
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val probes = e.filter(col("vec_id") < KnnProbes)
+      .select(col("vec_id").as("probe_id"), col("q").as("probe_q"))
+    e.filter(col("vec_id") >= KnnProbes)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"),
+        dotLong(col("q"), col("probe_q")).as("dot"), col("vec_id"))
+      .groupBy("probe_id")
+      .agg(topk(col("dot"), col("vec_id")).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("vec_id"), col("col.score").as("dot"))
+      .orderBy("probe_id", "rk")
+  }
+
+  private val knnBatchSql =
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, q AS pq FROM qt
+       |           WHERE vec_id < $KnnProbes),
+       |scored AS (
+       |  SELECT p.probe_id, t.vec_id,
+       |    ${PortableHash.dotSqlDuck("t.q", "p.pq")} AS dot
+       |  FROM qt t, probes p WHERE t.vec_id >= $KnnProbes)
+       |SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, CAST(dot AS BIGINT) AS dot
+       |FROM (SELECT probe_id, vec_id, dot,
+       |        ROW_NUMBER() OVER (PARTITION BY probe_id
+       |          ORDER BY dot DESC, vec_id ASC) AS rk
+       |      FROM scored) r
+       |WHERE rk <= $KnnK ORDER BY probe_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_batch"      -> (knnBatch _),
     "sim_silhouette"     -> (silhouette _),
     "sim_pair_hist"      -> (pairHist _),
     "sim_kmeans_assign"  -> (kmeansAssign _),
@@ -501,6 +550,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_knn_batch"      -> knnBatchSql,
     "sim_silhouette"     -> silhouetteSql,
     "sim_pair_hist"      -> pairHistSql,
     "sim_kmeans_assign"  -> kmeansAssignSql,

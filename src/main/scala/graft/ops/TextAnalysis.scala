@@ -586,7 +586,80 @@ object TextAnalysis {
        |FROM t JOIN keep k ON t.term = k.term
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // tx_bm25: full-text relevance ranking — BM25 scoring of every
+  // document against a fixed query term set, in EXACT INTEGER
+  // arithmetic so it is oracle-checkable (house rule: no ln() in
+  // gate-visible values — its last ulp differs across libm builds,
+  // see tx_keywords).
+  //
+  // With k1 = 1.2 and b = 0.75, multiplying the per-term saturation
+  //     tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  // through by 10·S (S = Σ dl over the corpus, avgdl = S/N) gives the
+  // exact rational
+  //     22·tf·S / (10·tf·S + 3·S + 9·N·dl)
+  // floored at e6 scale; idf uses the log-free rational
+  // (2(N−df)+1)/(2df+1) — the ln ARGUMENT of the classic BM25 idf,
+  // floored at e3 — monotone in the true idf and engine-exact.
+  //
+  // Shapes at 100 TB: one explode of the corpus filtered to the query
+  // terms map-side (rows ∝ query-term hits, not corpus tokens), two
+  // bounded aggregates (per-(doc,term) tf; |terms|-row df), the
+  // 2-scalar stats row and the df table broadcast, top-20 via
+  // TakeOrderedAndProject. Intermediate products stay < 2^46 here;
+  // at petabyte S, rescale S and N by a common divisor first.
+  // ---------------------------------------------------------------
+  private val Bm25Terms = Seq("join", "scan", "filter")
+
+  private def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("norm", normCol)
+      .select(col("doc_id"), split(col("norm"), " ").as("words"),
+        tokensCol(col("norm")).as("dl"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tokens"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("f_e6",
+        expr("(1000000 * 22 * tf * s_tokens) div " +
+          "(10 * tf * s_tokens + 3 * s_tokens + 9 * n_docs * dl)"))
+      .withColumn("idf_e3",
+        expr("(1000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
+      .withColumn("term_score_e6", expr("(f_e6 * idf_e3) div 1000"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score_e6")).as("score_e6"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val bm25Sql = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, norm, $tokensSql AS dl
+       |  FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) t),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS s_tokens FROM d),
+       |tok AS (SELECT doc_id, dl, unnest(string_split(norm, ' ')) AS term FROM d),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+       |       WHERE term IN ($termList) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    (((1000000 * 22 * tf.tf * s.s_tokens) //
+       |      (10 * tf.tf * s.s_tokens + 3 * s.s_tokens + 9 * s.n_docs * tf.dl))
+       |     * ((1000 * (2 * (s.n_docs - dfreq.df) + 1)) // (2 * dfreq.df + 1)))
+       |    // 1000 AS term_score_e6
+       |  FROM tf JOIN dfreq USING (term), stats s)
+       |SELECT doc_id, CAST(SUM(term_score_e6) AS BIGINT) AS score_e6,
+       |  COUNT(*) AS n_terms
+       |FROM scored GROUP BY 1
+       |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bm25"         -> (bm25 _),
     "tx_inverted_index" -> (invertedIndex _),
     "tx_repetition"   -> (repetition _),
     "tx_quality_sample" -> (qualitySample _),
@@ -605,6 +678,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_bm25"         -> bm25Sql,
     "tx_inverted_index" -> invertedIndexSql,
     "tx_repetition"   -> repetitionSql,
     "tx_quality_sample" -> qualitySampleSql,
