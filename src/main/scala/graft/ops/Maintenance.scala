@@ -226,15 +226,78 @@ object Maintenance {
       |  n_obs
       |FROM iv ORDER BY o_custkey, ver""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_snapshot_diff: CDC extraction — the INVERSE of ax_upsert_orders.
+  // Upsert APPLIES a changelog to a snapshot; this RECOVERS the
+  // changelog by diffing two snapshots (the nightly "what changed?"
+  // audit when the upstream system can't emit a change feed). One
+  // FULL OUTER hash join on the key classifies every row as
+  // added / removed / changed / unchanged; the output is the per-class
+  // accounting with the net value delta. Snapshot 2 is derived
+  // deterministically from snapshot 1 (deletes on k%89, +1-cent
+  // updates on k%97, inserts at k+max(k) on k%101 — exact integer
+  // arithmetic at any SF, same discipline as ax_upsert_orders) so the
+  // oracle replays it. At scale: both snapshots bucketed by key ⇒ the
+  // diff join is exchange-free; output ∝ |changes|, not |table|.
+  // -------------------------------------------------------------------
+  private def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val maxKey = base.agg(max(col("k")).as("mxk"))
+    val snap2 = base.filter(pmod(col("k"), lit(89)) =!= 0)
+      .select(col("k"),
+        when(pmod(col("k"), lit(97)) === 0, col("cents") + 1)
+          .otherwise(col("cents")).as("cents"))
+      .unionAll(base.filter(pmod(col("k"), lit(101)) === 0)
+        .crossJoin(broadcast(maxKey))
+        .select((col("k") + col("mxk")).as("k"), lit(42L).as("cents")))
+    val b = base.select(col("k").as("bk"), col("cents").as("bcents"))
+    val n = snap2.select(col("k").as("nk"), col("cents").as("ncents"))
+    b.join(n, col("bk") === col("nk"), "full_outer")
+      .select(
+        when(col("bk").isNull, "added")
+          .when(col("nk").isNull, "removed")
+          .when(col("bcents") =!= col("ncents"), "changed")
+          .otherwise("unchanged").as("class"),
+        (coalesce(col("ncents"), lit(0L)) - coalesce(col("bcents"), lit(0L)))
+          .as("delta"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_rows"), sum(col("delta")).as("delta_cents"))
+      .orderBy("class")
+  }
+
+  private val snapshotDiffSql =
+    """WITH base AS (SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+      |snap2 AS (
+      |  SELECT k, CASE WHEN k % 97 = 0 THEN cents + 1 ELSE cents END AS cents
+      |  FROM base WHERE k % 89 <> 0
+      |  UNION ALL
+      |  SELECT k + (SELECT MAX(k) FROM base), CAST(42 AS BIGINT)
+      |  FROM base WHERE k % 101 = 0),
+      |d AS (
+      |  SELECT CASE WHEN b.k IS NULL THEN 'added'
+      |              WHEN n.k IS NULL THEN 'removed'
+      |              WHEN b.cents <> n.cents THEN 'changed'
+      |              ELSE 'unchanged' END AS class,
+      |    COALESCE(n.cents, 0) - COALESCE(b.cents, 0) AS delta
+      |  FROM base b FULL OUTER JOIN snap2 n ON b.k = n.k)
+      |SELECT class, COUNT(*) AS n_rows,
+      |  CAST(SUM(delta) AS BIGINT) AS delta_cents
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_scd2_customer"   -> (scd2Customer _),
     "ax_dq_rules"        -> (dqRules _),
     "ax_upsert_orders"   -> (upsertOrders _),
+    "ax_snapshot_diff"   -> (snapshotDiff _),
     "ax_incremental_agg" -> (incrementalAgg _))
 
   val oracleSql: Map[String, String] = Map(
     "ax_scd2_customer"   -> scd2CustomerSql,
     "ax_dq_rules"        -> dqRulesSql,
     "ax_upsert_orders"   -> upsertOrdersSql,
+    "ax_snapshot_diff"   -> snapshotDiffSql,
     "ax_incremental_agg" -> incrementalAggSql)
 }

@@ -264,7 +264,118 @@ object StreamingGate {
       | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
       |ORDER BY purchase_id, view_id""".stripMargin
 
+  /** stream-stream LEFT OUTER join: matches emit as they happen; an
+    * unmatched purchase emits its null-padded row only once the
+    * watermark proves no matching view can still arrive — the
+    * state-eviction semantics only streaming needs (batch knows "no
+    * match" immediately). The oracle states exactly that: all matched
+    * pairs, plus null rows for unmatched purchases whose p_ts is
+    * STRICTLY below the global watermark (min of the two sides' max
+    * event time − 2h delay; strictness pinned by
+    * EventsStreamSpec."left-outer null rows respect the watermark
+    * boundary"). Unmatched purchases above the watermark are still in
+    * state when the query stops — correctly absent.
+    */
+  private def outerJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val views = eventsStream(spark, dir).filter(col("event_type") === "view")
+    runToTable(
+      graft.streaming.EventsStream.purchaseViewJoin(purchases, views, "left_outer"),
+      "st_outer_join_sink", "append")(spark)
+      .orderBy("purchase_id", "view_id")
+  }
+
+  private val outerJoinStreamedSql =
+    """WITH p AS (SELECT event_id AS purchase_id, ts AS p_ts, user_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id AS view_id, ts AS v_ts, user_id
+      |      FROM events WHERE event_type = 'view'),
+      |wm AS (SELECT LEAST((SELECT MAX(p_ts) FROM p),
+      |                    (SELECT MAX(v_ts) FROM v)) - INTERVAL 2 HOUR AS w)
+      |SELECT p.purchase_id, v.view_id
+      |FROM p JOIN v ON p.user_id = v.user_id
+      |  AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+      |UNION ALL
+      |SELECT p.purchase_id, CAST(NULL AS BIGINT) AS view_id
+      |FROM p, wm
+      |WHERE p.p_ts < wm.w
+      |  AND NOT EXISTS (SELECT 1 FROM v
+      |    WHERE v.user_id = p.user_id
+      |      AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR)
+      |ORDER BY purchase_id, view_id""".stripMargin
+
+  /** foreachBatch MERGE sink: the production "upsert into a keyed
+    * store" shape. Update-mode aggregation emits only the users whose
+    * totals changed in each trigger; the foreachBatch body full-outer
+    * merges that delta into the previous target version and writes a
+    * NEW versioned directory named by batchId — re-running a batch
+    * overwrites its own version (idempotent), which is how foreachBatch
+    * sinks get exactly-once on top of at-least-once triggers. The gate
+    * reads the final version; oracle = the plain batch aggregate.
+    * Multi-batch merge is exercised by EventsStreamSpec (two files →
+    * two triggers → second version merges the first).
+    */
+  /** the merge runner, parameterized on the input stream so the spec
+    * can drive it with a 2-file source (two triggers → the second
+    * version provably merges the first)
+    */
+  def upsertMergeRun(spark: SparkSession, events: DataFrame,
+      tag: String): DataFrame = {
+    val base = s"target/stream_upsert/$tag"
+    val chk = s"target/stream_upsert_chk/$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(base, chk).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+
+    val agg = events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+
+    var current: Option[String] = None
+    val mergeBatch: (DataFrame, Long) => Unit = { (batch, id) =>
+      val out = s"$base/v$id"
+      val merged = current match {
+        case None => batch
+        case Some(prev) =>
+          val old = spark.read.parquet(prev)
+            .select(col("user_id").as("ou"), col("n_events").as("on"),
+              col("sum_value_cents").as("oc"))
+          batch.join(old, col("user_id") === col("ou"), "full_outer")
+            .select(
+              coalesce(col("user_id"), col("ou")).as("user_id"),
+              coalesce(col("n_events"), col("on")).as("n_events"),
+              coalesce(col("sum_value_cents"), col("oc")).as("sum_value_cents"))
+      }
+      merged.write.mode("overwrite").parquet(out)
+      current = Some(out)
+    }
+    withGateShuffle(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch(mergeBatch)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.parquet(current.get).orderBy("user_id")
+  }
+
+  private def upsertSinkStreamed(spark: SparkSession, dir: String): DataFrame =
+    upsertMergeRun(spark, eventsStream(spark, dir),
+      new java.io.File(dir).getName)
+
+  private val upsertSinkStreamedSql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_outer_join"        -> (outerJoinStreamed _),
+    "st_upsert_sink"       -> (upsertSinkStreamed _),
     "st_sessionize"        -> (sessionsStreamed _),
     "st_static_join"       -> (staticJoinStreamed _),
     "st_stream_join"       -> (streamJoinStreamed _),
@@ -277,6 +388,8 @@ object StreamingGate {
 
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
+    "st_outer_join"        -> outerJoinStreamedSql,
+    "st_upsert_sink"       -> upsertSinkStreamedSql,
     "st_sessionize"        -> sessionsStreamedSql,
     "st_static_join"       -> staticJoinStreamedSql,
     "st_stream_join"       -> streamJoinStreamedSql,

@@ -95,7 +95,16 @@ object EventsStream {
     * definition joins two batch frames (watermarks skipped — they are
     * streaming-only).
     */
-  def purchaseViewJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+  /** Watermarked stream-stream join on user + a 1-hour event-time
+    * range. `joinType` extends it to LEFT OUTER: matches emit as they
+    * happen, and an unmatched purchase emits its null-padded row only
+    * once the watermark proves no matching view can still arrive —
+    * exactly the state-eviction semantics batch outer joins don't need
+    * (in batch, "no match" is knowable immediately). Both watermarks
+    * bound the join state on both sides.
+    */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     def wm(df: DataFrame): DataFrame =
       if (df.isStreaming) df.withWatermark("ts", "2 hours") else df
     val p = wm(purchases).select(
@@ -107,7 +116,8 @@ object EventsStream {
     p.join(v,
       col("p_user") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("purchase_id"), col("view_id"))
   }
 

@@ -295,6 +295,76 @@ class EventsStreamSpec extends AnyFunSuite {
         "(the st_sessionize oracle's `session_end <= max_ts - delay` cutoff)")
   }
 
+  test("left-outer null rows respect the watermark boundary (strict <)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+    val pMem = MemoryStream[(Long, Timestamp, Long)] // user, ts, event_id
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = pMem.toDF().toDF("user_id", "ts", "event_id")
+    val views = vMem.toDF().toDF("user_id", "ts", "event_id")
+
+    val q = EventsStream.purchaseViewJoin(purchases, views, "left_outer")
+      .writeStream.format("memory").queryName("outer_join_test")
+      .outputMode("append").start()
+    try {
+      // user 1: matched pair; users 10/11: unmatched purchases that
+      // straddle the final watermark boundary
+      vMem.addData((1L, ts(50), 500L))
+      pMem.addData((1L, ts(100), 100L))
+      q.processAllAvailable()
+      // sentinels push both sides' max event time to ts(10000); the
+      // global watermark lands at ts(10000) - 2h = ts(9880)
+      pMem.addData((10L, ts(9880), 110L)) // AT the boundary
+      pMem.addData((11L, ts(9879), 111L)) // strictly below it
+      pMem.addData((98L, ts(10000), 198L))
+      vMem.addData((99L, ts(10000), 599L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("outer_join_test")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(rows.contains((100L, Some(500L))), "matched pair must emit")
+    assert(rows.contains((111L, None)),
+      "unmatched purchase strictly below the watermark must emit null-padded")
+    assert(!rows.contains((110L, None)) && !rows.exists(_._1 == 110L),
+      "a purchase AT the watermark is still in state — the st_outer_join " +
+        "oracle's strict `p_ts < wm` cutoff depends on this")
+    assert(!rows.exists(_._1 == 198L), "the sentinel purchase stays in state")
+  }
+
+  test("foreachBatch merge sink accumulates across triggers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    val schema = ev.schema
+    // two files in event-time order → two triggers → the second
+    // version must merge the first (users only in file 1 must survive)
+    val cut = "2024-01-16"
+    ev.filter(col("ts") < cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/f1")
+    ev.filter(col("ts") >= cut).coalesce(1)
+      .write.mode("append").parquet(s"$root/f1")
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/f1")
+    val got = graft.ops.StreamingGate
+      .upsertMergeRun(spark, stream, "spec_multibatch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+
+    val want = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+
+    assert(got.length === want.length)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("streaming dedup emits each event_id once") {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream
