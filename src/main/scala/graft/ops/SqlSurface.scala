@@ -92,14 +92,81 @@ object SqlSurface {
       |   FROM part p2 WHERE p2.p_brand = p.p_brand)
       |ORDER BY p.p_brand, p.p_partkey""".stripMargin
 
+  /** LATERAL correlated table subquery — per-brand top-2 parts by
+    * price. The lateral subquery references the outer row (b.p_brand)
+    * and returns a TABLE per row; Catalyst plans a LateralJoin and
+    * rewrites the inner ORDER BY/LIMIT per key. The per-group-top-k
+    * semantics match the row_number window (ax_topk_per_segment) —
+    * this is the third surface for the same operator after DataFrame
+    * window and TopK aggregator; surfaces must agree, so ties break on
+    * the same (price DESC, key ASC) total order. Identical text runs
+    * in DuckDB.
+    */
+  private def lateralTemplate(part: String): String =
+    s"""SELECT b.p_brand, l.p_partkey, l.price_cents
+       |FROM (SELECT DISTINCT p_brand FROM $part) b,
+       |LATERAL (
+       |  SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+       |  FROM $part p WHERE p.p_brand = b.p_brand
+       |  ORDER BY price_cents DESC, p_partkey ASC LIMIT 2) l
+       |ORDER BY b.p_brand, l.price_cents DESC, l.p_partkey""".stripMargin
+
+  private def lateralTopkViaSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/part.parquet")
+      .createOrReplaceTempView("graft_sql_part")
+    spark.sql(lateralTemplate("graft_sql_part"))
+  }
+
+  /** Recursive CTE — the order-chain walk: successor edges (each
+    * customer's orders linked in date order via `lead()`), walked 4
+    * steps from every customer's FIRST order. Each recursion step is a
+    * distributed join of the previous frontier against the edge table
+    * — the iterative-query loop (transitive closure, BOM explosion,
+    * graph walks) expressed in pure SQL text and planned by Spark 4's
+    * recursion operator instead of a driver-side loop. Every customer
+    * contributes at most one row per depth, so the traversal is
+    * multi-hop yet bounded at ANY scale factor; output is the
+    * per-depth accounting. Identical text runs in DuckDB.
+    */
+  private def recursiveTemplate(orders: String): String =
+    s"""WITH RECURSIVE
+       |succ AS (
+       |  SELECT o_custkey AS c, o_orderkey AS k,
+       |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate, o_orderkey) AS nk,
+       |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate, o_orderkey) AS rn
+       |  FROM $orders),
+       |walk(c, k, nk, cents, depth) AS (
+       |  SELECT c, k, nk, cents, 0 FROM succ WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.c, s.k, s.nk, s.cents, w.depth + 1
+       |  FROM walk w JOIN succ s ON s.c = w.c AND s.k = w.nk
+       |  WHERE w.depth < 4)
+       |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_orders,
+       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def recursiveReachViaSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/orders.parquet")
+      .createOrReplaceTempView("graft_sql_orders")
+    spark.sql(recursiveTemplate("graft_sql_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sq_signum_sql"        -> (signumViaSql _),
     "sq_ship_priority_sql" -> (shipPriorityViaSql _),
-    "sq_corr_brand_max"    -> (brandMaxViaSql _))
+    "sq_corr_brand_max"    -> (brandMaxViaSql _),
+    "sq_lateral_topk"      -> (lateralTopkViaSql _),
+    "sq_recursive_reach"   -> (recursiveReachViaSql _))
 
   val oracleSql: Map[String, String] = Map(
     "sq_signum_sql"        -> signumViaSqlOracle,
     // the DataFrame twin's oracle, verbatim — one definition, two surfaces
     "sq_ship_priority_sql" -> Analytics.oracleSql("ax_ship_priority"),
-    "sq_corr_brand_max"    -> brandMaxOracle)
+    "sq_corr_brand_max"    -> brandMaxOracle,
+    // literally the same text the Spark surface runs, on the raw tables
+    "sq_lateral_topk"      -> lateralTemplate("part"),
+    "sq_recursive_reach"   -> recursiveTemplate("orders"))
 }
