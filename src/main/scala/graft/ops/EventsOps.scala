@@ -189,6 +189,34 @@ object EventsOps {
       |  MIN(p_partkey) AS min_part, MAX(p_partkey) AS max_part
       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // XML roundtrip — Spark 4's native XML datasource (the format legacy
+  // enterprise feeds still speak). Same rules: explicit schema on read
+  // (XML inference is an extra full pass AND type-guesses), lossless
+  // integer money, oracle on the original parquet. rowTag is the one
+  // mandatory knob — each row element is independent, so reads split
+  // and parallelize like any text source.
+  private def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val path = s"target/xml_roundtrip/$tag"
+    spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("rkey"))
+      .write.mode("overwrite").option("rowTag", "nation").format("xml").save(path)
+    spark.read
+      .schema("nkey BIGINT, n_name STRING, rkey BIGINT")
+      .option("rowTag", "nation").format("xml").load(path)
+      .groupBy("rkey")
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+        sum(col("nkey")).as("key_sum"))
+      .orderBy("rkey")
+  }
+
+  private val xmlRoundtripSql =
+    """SELECT CAST(n_regionkey AS BIGINT) AS rkey, COUNT(*) AS n,
+      |  MIN(n_name) AS first_name,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------------
   // ax_user_journey: ordered event-sequence aggregation — the feature
   // extractor behind funnel/session-path analysis. `collect_list` has
@@ -348,7 +376,8 @@ object EventsOps {
     "ax_interval_errors" -> (intervalErrors _),
     "ax_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "ax_csv_roundtrip"   -> (csvRoundtrip _),
-    "ax_orc_roundtrip"   -> (orcRoundtrip _))
+    "ax_orc_roundtrip"   -> (orcRoundtrip _),
+    "ax_xml_roundtrip"   -> (xmlRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
     "ax_zorder_layout"   -> zorderLayoutSql,
@@ -359,5 +388,6 @@ object EventsOps {
     "ax_interval_errors" -> intervalErrorsSql,
     "ax_jsonl_roundtrip" -> jsonlRoundtripSql,
     "ax_csv_roundtrip"   -> csvRoundtripSql,
-    "ax_orc_roundtrip"   -> orcRoundtripSql)
+    "ax_orc_roundtrip"   -> orcRoundtripSql,
+    "ax_xml_roundtrip"   -> xmlRoundtripSql)
 }
