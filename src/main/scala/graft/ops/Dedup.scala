@@ -461,6 +461,37 @@ object Dedup {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // dd_hll_merge: MERGEABLE distinct-count sketches — the pattern that
+  // makes distinct counting cheap at 100 TB: store one serialized HLL
+  // sketch per partition/day in a rollup table (a few KB each), answer
+  // "distinct users over any day range" by UNIONING sketches instead
+  // of rescanning raw events. approx_count_distinct gives a number;
+  // hll_sketch_agg gives a VALUE you can keep, merge, and re-estimate
+  // (Spark's Datasketches HLL). The gate builds per-day sketches,
+  // merges them with hll_union_agg, and checks the merged estimate
+  // against the exact distinct count (2% band, lgk=12 keeps typical
+  // error well under 1%) — the dd_approx_users tolerance pattern.
+  // -------------------------------------------------------------------
+  private def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+    val daily = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.agg(count(lit(1)).as("n_days"),
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = e.agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(exact)
+      .select(col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.02)
+          .cast("long").as("approx_ok"))
+  }
+
+  private val hllMergeSql =
+    """SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  CAST(1 AS BIGINT) AS approx_ok
+      |FROM events""".stripMargin
+
+  // -------------------------------------------------------------------
   // Duplicate CLUSTERS: the step real dedup pipelines run after pair
   // generation — connected components over the verified near-dup pair
   // graph, cluster id = min doc_id in the component, singletons are
@@ -728,7 +759,8 @@ object Dedup {
     "dd_simhash_pairs"  -> (simhashPairs _),
     "dd_ngram_jaccard"  -> (ngramJaccard _),
     "dd_embed_neardup"  -> (embedNearDup _),
-    "dd_approx_users"   -> (approxUsers _)
+    "dd_approx_users"   -> (approxUsers _),
+    "dd_hll_merge"      -> (hllMerge _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -742,6 +774,7 @@ object Dedup {
     "dd_ngram_jaccard"  -> MinHashLsh.oracleSql(charNgramTokCte),
     "dd_simhash_pairs"  -> simhashPairsSql,
     "dd_embed_neardup"  -> embedNearDupSql,
-    "dd_approx_users"   -> approxUsersSql
+    "dd_approx_users"   -> approxUsersSql,
+    "dd_hll_merge"      -> hllMergeSql
   )
 }

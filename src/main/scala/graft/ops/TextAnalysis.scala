@@ -658,7 +658,46 @@ object TextAnalysis {
        |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // tx_approx_topk: streaming-speed heavy hitters — approx_top_k
+  // (Spark 4's sketch aggregate: one pass, mergeable partials, fixed
+  // memory) probed for the SAME fixed query terms as tx_bm25 and
+  // gate-checked with the tolerance pattern: the exact count per term
+  // (oracle-reproducible) plus `approx_ok` = sketch count equals the
+  // exact count. Equality is justified here, not hopeful: this
+  // corpus's ≥3-char vocabulary is exactly 30 terms at every SF, far
+  // inside the sketch's tracked capacity (k=40 requested, 10k default
+  // maxItemsTracked), so the "sketch" degenerates to exact counting —
+  // which is precisely the regime to pin with a gate before trusting
+  // it at scale, where the exact twin (tx_top_terms) stops being
+  // affordable and the error becomes statistical.
+  // ---------------------------------------------------------------
+  private def approxTopk(spark: SparkSession, dir: String): DataFrame = {
+    val terms = docs(spark, dir)
+      .select(explode(split(normCol, " ")).as("term"))
+      .filter(length(col("term")) >= 3)
+    val exact = terms.filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val approx = terms.agg(expr("approx_top_k(term, 40)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("approx_n"))
+    exact.join(approx, Seq("term"), "left")
+      .select(col("term"), col("n"),
+        (col("approx_n") === col("n")).cast("long").as("approx_ok"))
+      .orderBy("term")
+  }
+
+  private val approxTopkSql = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT term, COUNT(*) AS n, CAST(1 AS BIGINT) AS approx_ok
+       |FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+       |      FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) d) t
+       |WHERE length(term) >= 3 AND term IN ($termList)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_approx_topk"  -> (approxTopk _),
     "tx_bm25"         -> (bm25 _),
     "tx_inverted_index" -> (invertedIndex _),
     "tx_repetition"   -> (repetition _),
@@ -678,6 +717,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_approx_topk"  -> approxTopkSql,
     "tx_bm25"         -> bm25Sql,
     "tx_inverted_index" -> invertedIndexSql,
     "tx_repetition"   -> repetitionSql,
