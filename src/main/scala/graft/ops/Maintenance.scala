@@ -287,7 +287,81 @@ object Maintenance {
       |  CAST(SUM(delta) AS BIGINT) AS delta_cents
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_table_checksum: anti-entropy TABLE FINGERPRINTS — the integrity
+  // audit run after replication/migration ("is the copy byte-identical
+  // without comparing bytes?"). Each table reduces to one row: count,
+  // XOR of portable per-row hashes, and a modular hash sum — both
+  // order-insensitive, so layout/partitioning/shuffle order never
+  // matter, only content. One embarrassingly-parallel scan per table,
+  // partial aggregation, a 1-row result: at 100 TB this costs exactly
+  // one pass and ships ~24 bytes per table, which is why it is the
+  // standard cross-replica diff primitive. Two independent combiners
+  // (xor + modular sum) because either alone admits trivial collisions
+  // (xor: duplicate rows cancel; sum: swapped deltas cancel).
+  // Row rendering is canonical integers/strings (cents, formatted
+  // dates) — never raw doubles, whose to-string differs across engines.
+  // -------------------------------------------------------------------
+  private val ChecksumMod = 1000000007L
+
+  private def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    def fp(name: String, canon: org.apache.spark.sql.Column,
+        df: DataFrame): DataFrame =
+      df.select(PortableHash.hashCol(canon).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_fp"),
+          sum(pmod(col("h"), lit(ChecksumMod))).as("sum_fp"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("xor_fp"), col("sum_fp"))
+
+    val orders = fp("orders",
+      concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_orderstatus"),
+        col("o_orderpriority")),
+      spark.read.parquet(s"$dir/orders.parquet"))
+    val customer = fp("customer",
+      concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment")),
+      spark.read.parquet(s"$dir/customer.parquet"))
+    val lineitem = fp("lineitem",
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"), col("l_returnflag")),
+      spark.read.parquet(s"$dir/lineitem.parquet"))
+    orders.unionAll(customer).unionAll(lineitem).orderBy("tbl")
+  }
+
+  private val tableChecksumSql = {
+    def h(canon: String) = PortableHash.hashSql(canon)
+    val o = h("CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+      " || '|' || CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR)" +
+      " || '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderstatus" +
+      " || '|' || o_orderpriority")
+    val c = h("CAST(c_custkey AS VARCHAR) || '|' || c_name" +
+      " || '|' || CAST(c_nationkey AS VARCHAR)" +
+      " || '|' || CAST(CAST(round(c_acctbal*100) AS BIGINT) AS VARCHAR)" +
+      " || '|' || c_mktsegment")
+    val l = h("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)" +
+      " || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)" +
+      " || '|' || CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS VARCHAR)" +
+      " || '|' || l_returnflag")
+    s"""SELECT tbl, n_rows, xor_fp, sum_fp FROM (
+       |  SELECT 'orders' AS tbl, COUNT(*) AS n_rows, bit_xor(hh) AS xor_fp,
+       |    CAST(SUM(hh % $ChecksumMod) AS BIGINT) AS sum_fp
+       |  FROM (SELECT $o AS hh FROM orders) t1
+       |  UNION ALL
+       |  SELECT 'customer', COUNT(*), bit_xor(hh),
+       |    CAST(SUM(hh % $ChecksumMod) AS BIGINT)
+       |  FROM (SELECT $c AS hh FROM customer) t2
+       |  UNION ALL
+       |  SELECT 'lineitem', COUNT(*), bit_xor(hh),
+       |    CAST(SUM(hh % $ChecksumMod) AS BIGINT)
+       |  FROM (SELECT $l AS hh FROM lineitem) t3) u
+       |ORDER BY tbl""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_table_checksum"  -> (tableChecksum _),
     "ax_scd2_customer"   -> (scd2Customer _),
     "ax_dq_rules"        -> (dqRules _),
     "ax_upsert_orders"   -> (upsertOrders _),
@@ -295,6 +369,7 @@ object Maintenance {
     "ax_incremental_agg" -> (incrementalAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_table_checksum"  -> tableChecksumSql,
     "ax_scd2_customer"   -> scd2CustomerSql,
     "ax_dq_rules"        -> dqRulesSql,
     "ax_upsert_orders"   -> upsertOrdersSql,
