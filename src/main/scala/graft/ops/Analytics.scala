@@ -450,6 +450,57 @@ object Analytics {
        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_er_blocked: BLOCKED entity resolution — the fuzzy-match shape
+  // that scales. A naive fuzzy join is n² distance evaluations; the
+  // standard fix is blocking: equi-join on a cheap block key (here the
+  // last 3 name chars, which survive the synthetic typo), THEN verify
+  // candidates with the expensive edit distance. Distance work drops
+  // from |A|·|B| to Σ per-block products, and the equi-join
+  // shuffles/broadcasts like any other join — this is exactly how
+  // LSH near-dup dedup works, with the block key as the "signature".
+  // The dirty side is derived deterministically (every 7th customer's
+  // name loses its 10th character) so DuckDB replays it; the audit row
+  // reports candidate count vs verified matches — the blocking
+  // efficiency a real ER pipeline monitors.
+  // -------------------------------------------------------------------
+  private def erBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val dirty = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select(col("c_custkey").as("src_key"),
+        concat(substring(col("c_name"), 1, 9), expr("substring(c_name, 11)"))
+          .as("dirty_name"))
+    val cand = dirty.join(cust,
+      expr("right(dirty_name, 3)") === expr("right(c_name, 3)"))
+    val verified = cand
+      .withColumn("dist", levenshtein(col("dirty_name"), col("c_name")))
+      .filter(col("dist") <= 2)
+    verified.agg(
+      count(lit(1)).as("n_matches"),
+      countDistinct(col("src_key")).as("n_src_matched"),
+      sum(when(col("src_key") === col("c_custkey"), 1L).otherwise(0L))
+        .as("n_true_matches"),
+      sum(col("dist").cast("long")).as("dist_sum"))
+  }
+
+  private val erBlockedSql =
+    """WITH dirty AS (
+      |  SELECT c_custkey AS src_key,
+      |    substring(c_name, 1, 9) || substring(c_name, 11) AS dirty_name
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |verified AS (
+      |  SELECT d.src_key, c.c_custkey,
+      |    levenshtein(d.dirty_name, c.c_name) AS dist
+      |  FROM dirty d JOIN customer c
+      |    ON right(d.dirty_name, 3) = right(c.c_name, 3)
+      |  WHERE levenshtein(d.dirty_name, c.c_name) <= 2)
+      |SELECT COUNT(*) AS n_matches,
+      |  COUNT(DISTINCT src_key) AS n_src_matched,
+      |  CAST(SUM(CASE WHEN src_key = c_custkey THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_true_matches,
+      |  CAST(SUM(dist) AS BIGINT) AS dist_sum
+      |FROM verified""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_ship_priority: the classic "shipping priority" 3-way star join
   // (TPC-H Q3 shape, adapted to this schema): customers of one segment,
   // their orders placed before a cutoff, revenue from line items
@@ -586,6 +637,7 @@ object Analytics {
     "ax_ship_priority"     -> (shipPriority _),
     "ax_window_suite"      -> (windowSuite _),
     "ax_fuzzy_name"        -> (fuzzyName _),
+    "ax_er_blocked"        -> (erBlocked _),
     "ax_percentiles"       -> (percentiles _),
     "ax_approx_quantiles"  -> (approxQuantiles _),
     "ax_salted_join"       -> (saltedJoin _),
@@ -610,6 +662,7 @@ object Analytics {
     "ax_ship_priority"     -> shipPrioritySql,
     "ax_window_suite"      -> windowSuiteSql,
     "ax_fuzzy_name"        -> fuzzyNameSql,
+    "ax_er_blocked"        -> erBlockedSql,
     "ax_percentiles"       -> percentilesSql,
     "ax_approx_quantiles"  -> approxQuantilesSql,
     "ax_salted_join"       -> saltedJoinSql,
