@@ -696,7 +696,53 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // tx_mixture_sample: DATA-MIX downsampling — hit target per-language
+  // proportions by keeping each stratum at its own rate (the "data
+  // mixture" step of every LLM corpus build: upweight scarce
+  // languages, downsample the dominant one). Same keyed-hash
+  // discipline as tx_split_assign: membership is a pure function of
+  // the stable doc_id — reruns, engine changes, and data growth never
+  // reshuffle who is kept, and there is no RNG/seed bookkeeping.
+  // Per-mille rates live in ONE Scala map that generates both the
+  // Spark CASE and the oracle SQL (no drift). One scan, map-side
+  // filter flag, one partial-agg groupBy.
+  // ---------------------------------------------------------------
+  private val MixPerMille: Seq[(String, Int)] =
+    Seq("en" -> 400, "de" -> 900, "es" -> 900, "fr" -> 900, "zh" -> 700)
+
+  private def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = MixPerMille.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .withColumn("keep",
+        pmod(PortableHash.hashCol(concat(lit("mix:"), col("doc_id"))),
+          lit(1000)) < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), length(col("text")).cast("long")))
+          .as("kept_chars"))
+      .orderBy("lang")
+  }
+
+  private val mixtureSampleSql = {
+    val h = PortableHash.hashSql("'mix:' || CAST(doc_id AS VARCHAR)")
+    val cases = MixPerMille
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString(" ")
+    s"""SELECT lang, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN keep THEN length(text) END) AS BIGINT) AS kept_chars
+       |FROM (SELECT lang, text,
+       |        ($h) % 1000 < (CASE $cases ELSE 0 END) AS keep
+       |      FROM documents) s
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_mixture_sample" -> (mixtureSample _),
     "tx_approx_topk"  -> (approxTopk _),
     "tx_bm25"         -> (bm25 _),
     "tx_inverted_index" -> (invertedIndex _),
@@ -717,6 +763,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_mixture_sample" -> mixtureSampleSql,
     "tx_approx_topk"  -> approxTopkSql,
     "tx_bm25"         -> bm25Sql,
     "tx_inverted_index" -> invertedIndexSql,
