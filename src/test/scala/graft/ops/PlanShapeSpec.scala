@@ -149,6 +149,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "decorrelation plans agg + join, not a per-row subquery")
   }
 
+  test("batch kNN plans partial top-k aggregation before the exchange") {
+    val p = plan("sim_knn_batch")
+    assert(p.contains("partial_topkbyscore"),
+      "map-side partials must cap the shuffle at k rows per group per mapper")
+    assert(p.contains("ObjectHashAggregate"))
+  }
+
+  test("bm25 broadcasts the stats and df tables; the corpus never shuffles wide") {
+    val p = plan("tx_bm25")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"df + stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be a heap")
+  }
+
+  test("table checksum is scan + partial agg per table, no joins or windows") {
+    val p = plan("ax_table_checksum")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("incremental-agg merge is a join-free union of partial aggregates") {
     val p = plan("ax_incremental_agg")
     assert(!p.contains("Join"), "MV refresh must never re-join history")
