@@ -171,6 +171,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("all four join strategies are reachable and hint-controllable") {
+    // the strategy toolkit: broadcast (dims), sort-merge (salted/bucketed
+    // facts), shuffled-hash (build side fits a task but not the driver),
+    // broadcast-nested-loop (non-equi). One definition, four plans.
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"))
+    def planOf(j: org.apache.spark.sql.DataFrame): String =
+      j.queryExecution.executedPlan.toString
+    assert(planOf(li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey")))
+      .contains("BroadcastHashJoin"))
+    assert(planOf(li.join(ord.hint("MERGE"), col("l_orderkey") === col("o_orderkey")))
+      .contains("SortMergeJoin"))
+    assert(planOf(li.join(ord.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey")))
+      .contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH skips both the broadcast collect AND the sort — " +
+        "the right strategy when the build side fits a task but not the driver")
+    assert(planOf(li.join(broadcast(ord), col("l_orderkey") > col("o_orderkey")))
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("incremental-agg merge is a join-free union of partial aggregates") {
     val p = plan("ax_incremental_agg")
     assert(!p.contains("Join"), "MV refresh must never re-join history")
