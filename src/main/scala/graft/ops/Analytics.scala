@@ -631,7 +631,48 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY revenue_cents DESC, n_name ASC""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_revenue_share: ratio-to-report — each segment's share of total
+  // revenue. The textbook formulation is `sum(x) OVER ()`, and at scale
+  // it is a trap: an unpartitioned window moves EVERY row to one
+  // reducer. The scale-right form aggregates per segment (partial aggs,
+  // 5-row result), then crossJoin-broadcasts the 1-row total — no row
+  // ever sees a single-reducer exchange. Share in exact parts-per-
+  // million via integer floor division, staged as
+  // (1000·rev) div (total div 1000) so every intermediate stays under
+  // 2^55 through sf100 (1e6·rev overflows int64 already at sf1, where
+  // Spark wraps silently but DuckDB widens to HUGEINT — the divergence
+  // would land exactly at scale).
+  // -------------------------------------------------------------------
+  private def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val seg = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"))
+    val total = seg.agg(sum(col("revenue_cents")).as("total_cents"))
+    seg.crossJoin(broadcast(total))
+      .select(col("c_mktsegment"), col("revenue_cents"),
+        expr("(1000 * revenue_cents) div (total_cents div 1000)").as("share_ppm"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val revenueShareSql =
+    """WITH seg AS (
+      |  SELECT c_mktsegment,
+      |    CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1)
+      |SELECT c_mktsegment, revenue_cents,
+      |  CAST((1000 * revenue_cents) //
+      |       ((SELECT SUM(revenue_cents) FROM seg) // 1000)
+      |    AS BIGINT) AS share_ppm
+      |FROM seg ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_revenue_share"     -> (revenueShare _),
     "ax_nation_volume"     -> (nationVolume _),
     "ax_trailing_revenue"  -> (trailingRevenue _),
     "ax_ship_priority"     -> (shipPriority _),
@@ -657,6 +698,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_revenue_share"     -> revenueShareSql,
     "ax_nation_volume"     -> nationVolumeSql,
     "ax_trailing_revenue"  -> trailingRevenueSql,
     "ax_ship_priority"     -> shipPrioritySql,
