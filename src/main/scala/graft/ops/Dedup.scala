@@ -277,6 +277,85 @@ object Dedup {
     MinHashLsh.verifiedPairs(charNgramTok(spark, dir))
 
   // -------------------------------------------------------------------
+  // dd_lsh_recall: RECALL AUDIT of the minhash pipeline — the
+  // evaluation tier every approximate dedup needs before anyone trusts
+  // it: on a bounded subset (the deterministic 50% keyed sample
+  // doc_id % 2 = 0), compute the EXACT all-pairs Jaccard ground truth
+  // and measure what fraction the banded-LSH pipeline recovered.
+  // Precision is 1 by construction (the pipeline verifies exact
+  // Jaccard on its candidates); recall < 1 has exactly two causes —
+  // banding misses (a true pair agreeing on no band) and the MaxBucket
+  // skew cap — and this query puts a NUMBER on them. The exact side is
+  // O(Σ df²) in feature document-frequency, which is why it runs on a
+  // subset: that cost is the reason LSH exists. Single audit row:
+  // n_true / n_found / n_missed / recall_pm.
+  // -------------------------------------------------------------------
+  private def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val even = (c: org.apache.spark.sql.Column) => pmod(c, lit(2)) === 0
+    val tokH = wordShingleTok(spark, dir)
+      .filter(even(col("doc_id")))
+      .select(col("doc_id"), PortableHash.hashCol(col("feature")).as("h"))
+      .persist()
+    val sizes = tokH.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tokH.select(col("doc_id").as("a"), col("h"))
+      .join(tokH.select(col("doc_id").as("b"), col("h")), "h")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(floor(col("i") * lit(1000.0) / (col("na") + col("nb") - col("i")))
+        .cast("long") >= MinHashLsh.ThresholdPm)
+      .select("a", "b")
+    val found = minhashPairs(spark, dir)
+      .filter(even(col("doc_a")) && even(col("doc_b")))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .withColumn("hit", lit(1L))
+    val out = truth.join(found, Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        (col("n_true") - col("n_found")).as("n_missed"),
+        when(col("n_true") > 0, expr("(1000 * n_found) div n_true"))
+          .otherwise(lit(1000L)).as("recall_pm"))
+      .localCheckpoint()
+    tokH.unpersist()
+    out
+  }
+
+  private val lshRecallSql = {
+    val h = PortableHash.hashSql("feature")
+    val lsh = MinHashLsh.oracleSql(wordShingleTokCte)
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+       |    ELSE [array_to_string(ws, ' ')] END) AS feature
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM documents WHERE doc_id % 2 = 0) w),
+       |hashed AS (SELECT doc_id, $h AS h FROM tok),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY 1),
+       |inter AS (
+       |  SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS i
+       |  FROM hashed t1 JOIN hashed t2 ON t1.h = t2.h AND t1.doc_id < t2.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sizes sa ON inter.a = sa.doc_id
+       |  JOIN sizes sb ON inter.b = sb.doc_id
+       |  WHERE floor(i * 1000.0 / (sa.n + sb.n - i)) >= ${MinHashLsh.ThresholdPm}),
+       |found AS (
+       |  SELECT doc_a AS a, doc_b AS b, 1 AS hit FROM ($lsh) lsh
+       |  WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_true,
+       |    CAST(SUM(COALESCE(f.hit, 0)) AS BIGINT) AS n_found
+       |  FROM truth t LEFT JOIN found f ON t.a = f.a AND t.b = f.b)
+       |SELECT n_true, n_found, n_true - n_found AS n_missed,
+       |  CASE WHEN n_true > 0 THEN (1000 * n_found) // n_true
+       |       ELSE 1000 END AS recall_pm
+       |FROM agg""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // SimHash: 60-bit signature (DuckDB overflow-checks `1 << 63`, so we
   // stay at 60 bits = 4 clean 15-bit bands); near-dups = Hamming ≤ 3,
   // found via band blocking (a pair within distance 3 agrees on ≥ 1 of
@@ -760,7 +839,8 @@ object Dedup {
     "dd_ngram_jaccard"  -> (ngramJaccard _),
     "dd_embed_neardup"  -> (embedNearDup _),
     "dd_approx_users"   -> (approxUsers _),
-    "dd_hll_merge"      -> (hllMerge _)
+    "dd_hll_merge"      -> (hllMerge _),
+    "dd_lsh_recall"     -> (lshRecall _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -775,6 +855,7 @@ object Dedup {
     "dd_simhash_pairs"  -> simhashPairsSql,
     "dd_embed_neardup"  -> embedNearDupSql,
     "dd_approx_users"   -> approxUsersSql,
-    "dd_hll_merge"      -> hllMergeSql
+    "dd_hll_merge"      -> hllMergeSql,
+    "dd_lsh_recall"     -> lshRecallSql
   )
 }
