@@ -277,6 +277,56 @@ object Dedup {
     MinHashLsh.verifiedPairs(charNgramTok(spark, dir))
 
   // -------------------------------------------------------------------
+  // dd_substring_dup: cross-document REPEATED-SUBSTRING detection — the
+  // signal behind suffix-array dedup (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better"): long verbatim spans
+  // shared across documents (boilerplate, licenses, templates) that
+  // document-level near-dup misses because the containing documents
+  // differ. Approximated with OVERLAPPING 32-char windows at stride 8
+  // (a shared span ≥ 39 chars is guaranteed to produce an aligned
+  // window pair regardless of offset — unlike mm_chunk_dedup's aligned
+  // blocks, which miss shifted repeats). Generator fan-out is bounded
+  // (rows ∝ bytes/stride); only (hash, doc_id) shuffles; output is the
+  // top-50 audit of spans seen in ≥ 2 distinct documents. A true
+  // suffix array finds arbitrary-length repeats; windows trade that
+  // for one scan + one hash aggregate, the right first pass at 100 TB.
+  // -------------------------------------------------------------------
+  private val SubLen = 32
+  private val SubStride = 8
+
+  private def substringDup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normCol.as("norm"))
+      .withColumn("last_w",
+        greatest(lit(0L), expr(s"(length(norm) - $SubLen) div $SubStride")))
+      .withColumn("widx", explode(sequence(lit(0L), col("last_w"))))
+      .select(col("doc_id"),
+        md5(substring(col("norm"), (col("widx") * SubStride + 1).cast("int"),
+          lit(SubLen))).as("span_hash"))
+      .groupBy("span_hash")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_windows").desc, col("span_hash").asc)
+      .limit(50)
+
+  private val substringDupSql =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    md5(substring(norm, CAST(widx * $SubStride + 1 AS INT), $SubLen)) AS span_hash
+       |  FROM (
+       |    SELECT doc_id, norm,
+       |      unnest(range(0, greatest((length(norm) - $SubLen) // $SubStride, 0) + 1))
+       |        AS widx
+       |    FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |          FROM documents) d) x)
+       |SELECT span_hash, COUNT(*) AS n_windows,
+       |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY n_windows DESC, span_hash ASC LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------------
   // dd_lsh_recall: RECALL AUDIT of the minhash pipeline — the
   // evaluation tier every approximate dedup needs before anyone trusts
   // it: on a bounded subset (the deterministic 50% keyed sample
@@ -840,7 +890,8 @@ object Dedup {
     "dd_embed_neardup"  -> (embedNearDup _),
     "dd_approx_users"   -> (approxUsers _),
     "dd_hll_merge"      -> (hllMerge _),
-    "dd_lsh_recall"     -> (lshRecall _)
+    "dd_lsh_recall"     -> (lshRecall _),
+    "dd_substring_dup"  -> (substringDup _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -856,6 +907,7 @@ object Dedup {
     "dd_embed_neardup"  -> embedNearDupSql,
     "dd_approx_users"   -> approxUsersSql,
     "dd_hll_merge"      -> hllMergeSql,
-    "dd_lsh_recall"     -> lshRecallSql
+    "dd_lsh_recall"     -> lshRecallSql,
+    "dd_substring_dup"  -> substringDupSql
   )
 }
