@@ -367,7 +367,44 @@ object EventsOps {
        |FROM lineitem
        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_schema_evolution: the lake's schema-evolution path — a table
+  // whose early files lack a column later files carry. Generation 1
+  // (even event ids) is written WITHOUT event_type; generation 2 (odd
+  // ids) adds it. `mergeSchema` unions the footers at read time and
+  // null-fills the missing column in old files — no rewrite of
+  // petabytes of history to add a column, which is the entire point.
+  // (mergeSchema is opt-in because footer-merging every file costs a
+  // planning pass; production lakes pin the merged schema in a
+  // catalog.) The aggregate groups on the evolved column with old rows
+  // surfacing as 'legacy'; the oracle replays the generation split.
+  // -------------------------------------------------------------------
+  private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val path = s"target/schema_evo/$tag"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_type"))
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .drop("event_type") // generation 1: the column does not exist yet
+      .write.mode("overwrite").parquet(path)
+    ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      .write.mode("append").parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("event_type"), lit("legacy")).as("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT CASE WHEN event_id % 2 = 0 THEN 'legacy' ELSE event_type END
+      |    AS event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_schema_evolution" -> (schemaEvolution _),
     "ax_zorder_layout"   -> (zorderLayout _),
     "ax_sorted_layout"   -> (sortedLayout _),
     "ax_partitioned_write" -> (partitionedWrite _),
@@ -380,6 +417,7 @@ object EventsOps {
     "ax_xml_roundtrip"   -> (xmlRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_schema_evolution" -> schemaEvolutionSql,
     "ax_zorder_layout"   -> zorderLayoutSql,
     "ax_sorted_layout"   -> sortedLayoutSql,
     "ax_partitioned_write" -> partitionedWriteSql,
