@@ -403,7 +403,53 @@ object EventsOps {
       |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_corrupt_ingest: malformed-record QUARANTINE — real feeds carry
+  // broken lines, and at 100 TB the wrong answers are both "crash the
+  // job" (FAILFAST) and "silently drop" (DROPMALFORMED). PERMISSIVE
+  // mode with columnNameOfCorruptRecord keeps every line: parseable
+  // fields populate, broken lines land intact in the corrupt column
+  // for quarantine/replay, and the audit counts both populations in
+  // one pass. The fixture manufactures the corruption deterministically
+  // (odd event ids become truncated JSON) so the oracle replays the
+  // split from the source table.
+  // -------------------------------------------------------------------
+  private def corruptIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val path = s"target/corrupt_json/$tag"
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(
+        when(pmod(col("event_id"), lit(2)) === 0,
+          to_json(struct(col("event_id"), col("user_id"), col("cents"))))
+          .otherwise(concat(lit("{\"event_id\": "), col("event_id"),
+            lit(", BROKEN"))).as("value"))
+      .write.mode("overwrite").text(path)
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, cents BIGINT, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_parsed"),
+        sum(when(col("_corrupt").isNull, col("cents"))).as("parsed_cents_sum"))
+  }
+
+  private val corruptIngestSql =
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quarantined,
+      |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_parsed,
+      |  CAST(SUM(CASE WHEN event_id % 2 = 0
+      |           THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT)
+      |    AS parsed_cents_sum
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_corrupt_ingest"   -> (corruptIngest _),
     "ax_schema_evolution" -> (schemaEvolution _),
     "ax_zorder_layout"   -> (zorderLayout _),
     "ax_sorted_layout"   -> (sortedLayout _),
@@ -417,6 +463,7 @@ object EventsOps {
     "ax_xml_roundtrip"   -> (xmlRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_corrupt_ingest"   -> corruptIngestSql,
     "ax_schema_evolution" -> schemaEvolutionSql,
     "ax_zorder_layout"   -> zorderLayoutSql,
     "ax_sorted_layout"   -> sortedLayoutSql,
