@@ -92,6 +92,37 @@ object Stats {
         (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
       .orderBy("l_returnflag")
 
+  // -------------------------------------------------------------------
+  // ax_decimal_sum: the BEYOND-int64 aggregation path. Integer cents
+  // are exact until the SUM itself outgrows 2^63 — at 100 TB a global
+  // cents total does (Spark wraps silently under ANSI-off, throws under
+  // ANSI-on; DuckDB widens to HUGEINT — three different answers).
+  // DECIMAL(38,0) is the portable fixed-point discipline: exact to
+  // 10^38, mergeable partials, and both engines agree digit-for-digit.
+  // Emitted as a STRING because the gate compares stringified values
+  // and 38-digit decimals exceed every native integer — which is the
+  // point. The micro-cents column (cents × 10^6) manufactures sums
+  // that already overflow int64 at sf0.1, so the query FAILS loudly if
+  // anyone "simplifies" the decimal back to BIGINT.
+  // -------------------------------------------------------------------
+  private def decimalSum(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        (round(col("l_extendedprice") * 100).cast("long") * lit(1000000L))
+          .cast("decimal(38,0)").as("ucents"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("ucents")).as("s"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("s").cast("string").as("sum_ucents"),
+        col("n"))
+      .orderBy("l_returnflag")
+
+  private val decimalSumSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)
+      |           * 1000000) AS VARCHAR) AS sum_ucents,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val corrSumsSql =
     """WITH t AS (SELECT l_returnflag,
       |    CAST(l_quantity AS BIGINT) AS x,
@@ -233,6 +264,7 @@ object Stats {
     "ax_argmax_customer" -> (argmaxCustomer _),
     "ax_histogram"       -> (histogram _),
     "ax_corr_sums"       -> (corrSums _),
+    "ax_decimal_sum"     -> (decimalSum _),
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
@@ -241,5 +273,6 @@ object Stats {
     "ax_argmax_customer" -> argmaxCustomerSql,
     "ax_histogram"       -> histogramSql,
     "ax_corr_sums"       -> corrSumsSql,
+    "ax_decimal_sum"     -> decimalSumSql,
     "ax_skyline_parts"   -> skylinePartsSql)
 }
