@@ -365,6 +365,29 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("Trigger.AvailableNow drains the source and stops on its own") {
+    // the production batch-drain trigger: process everything available
+    // at start, then terminate — no processAllAvailable babysitting, and
+    // unlike Trigger.Once it still honors maxFilesPerTrigger batching
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventsStream.dedupEvents(graft.Tables.normalizeEventsTs(stream))
+      .writeStream.format("memory").queryName("availablenow_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    val n = spark.table("availablenow_test").count()
+    val expected = graft.Tables.events(spark, dir)
+      .select("event_id").distinct().count()
+    assert(n === expected)
+  }
+
   test("streaming dedup emits each event_id once") {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream
