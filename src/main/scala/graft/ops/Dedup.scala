@@ -826,27 +826,42 @@ object Dedup {
   // orchestration, not new shuffles.
   // -------------------------------------------------------------------
   private def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    // One flagged pass instead of four per-stage jobs: each doc carries
+    // its survival flags (st1 quality, st2 exact-dedup winner, st3
+    // cluster representative), then ONE aggregate + stack emits the
+    // 4-stage attrition. The window partition keys include the previous
+    // stage's flag, so losers rank in their own partition and never
+    // displace a survivor — semantics identical to filtering between
+    // stages (the oracle still states it as staged CTEs), but documents
+    // is scanned once, not four times.
     val base = docs(spark, dir)
       .withColumn("norm", TextAnalysis.normCol)
       .select(col("doc_id"), length(col("text")).cast("long").as("chars"),
         TextAnalysis.qualityScoreOnNorm.as("q"), md5(col("text")).as("h"))
-    val s1 = base.filter(col("q") >= 3)
-    val s2 = s1
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("h").orderBy("doc_id")))
-      .filter(col("rn") === 1).drop("rn")
-    val s3 = s2.join(clusterAssign(spark, dir), "doc_id")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("cluster").orderBy("doc_id")))
-      .filter(col("rn") === 1)
-    def stat(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("chars")), lit(0L)).as("n_chars"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
-    stat("0_raw", base)
-      .unionByName(stat("1_quality", s1))
-      .unionByName(stat("2_exact_dedup", s2))
-      .unionByName(stat("3_near_dedup", s3))
+    val flagged = base
+      .withColumn("st1", col("q") >= 3)
+      .withColumn("rn_h", row_number().over(
+        Window.partitionBy(col("h"), col("st1")).orderBy("doc_id")))
+      .withColumn("st2", col("st1") && col("rn_h") === 1)
+      .join(clusterAssign(spark, dir), "doc_id")
+      .withColumn("rn_c", row_number().over(
+        Window.partitionBy(col("cluster"), col("st2")).orderBy("doc_id")))
+      .withColumn("st3", col("st2") && col("rn_c") === 1)
+    flagged.agg(
+        count(lit(1)).as("n0"), coalesce(sum(col("chars")), lit(0L)).as("c0"),
+        sum(when(col("st1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("st1"), col("chars")).otherwise(0L)).as("c1"),
+        sum(when(col("st2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("st2"), col("chars")).otherwise(0L)).as("c2"),
+        sum(when(col("st3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("st3"), col("chars")).otherwise(0L)).as("c3"))
+      .select(expr(
+        """stack(4,
+          |  '0_raw',         n0, c0,
+          |  '1_quality',     n1, c1,
+          |  '2_exact_dedup', n2, c2,
+          |  '3_near_dedup',  n3, c3)
+          |AS (stage, n_docs, n_chars)""".stripMargin))
       .orderBy("stage")
   }
 
