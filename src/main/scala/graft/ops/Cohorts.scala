@@ -147,6 +147,61 @@ object Cohorts {
       |ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_forward_fill: LOCF (last observation carried forward) — the
+  // other half of resampling that zero-fill gap-filling can't express:
+  // state-like series (balances, gauges, last-seen prices) must carry
+  // the LAST OBSERVED value across silent hours, not zero. Dense grid
+  // as in ax_hourly_gapfill (generated from the reduced aggregate, the
+  // fact table is scanned once), then `last(v, ignoreNulls) OVER` a
+  // per-type window — partitioned by the series key, never a global
+  // unpartitioned window (LOCF at scale is per-key state, exactly like
+  // its streaming twin `flatMapGroupsWithState`). Hours before a
+  // type's first observation stay 0 by the COALESCE.
+  // -------------------------------------------------------------------
+  private def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val sums = graft.Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("h", "event_type").agg(sum(col("c")).as("v"))
+      .localCheckpoint()
+    val hours = sums.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = sums.select("event_type").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hours.crossJoin(broadcast(types))
+      .join(broadcast(sums), Seq("h", "event_type"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("v").as("raw_cents"),
+        coalesce(col("filled"), lit(0L)).as("filled_cents"))
+      .orderBy("hour", "event_type")
+  }
+
+  private val forwardFillSql =
+    """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type,
+      |    CAST(round(value*100) AS BIGINT) AS c FROM events),
+      |sums AS (SELECT h, event_type, CAST(SUM(c) AS BIGINT) AS v
+      |         FROM ev GROUP BY 1, 2),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM sums),
+      |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |          FROM b),
+      |types AS (SELECT DISTINCT event_type FROM sums),
+      |grid AS (
+      |  SELECT g.h, g.event_type, s.v
+      |  FROM (SELECT h, event_type FROM hours CROSS JOIN types) g
+      |  LEFT JOIN sums s ON g.h = s.h AND g.event_type = s.event_type)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |  v AS raw_cents,
+      |  COALESCE(last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+      |    AS filled_cents
+      |FROM grid ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_error_spikes: trailing-window anomaly detection — hours where a
   // type's event count exceeds 2× its trailing-24h hourly average. The
   // fact table is FIRST reduced to the tiny (type, hour, n) series
@@ -192,11 +247,13 @@ object Cohorts {
     "ax_error_spikes"      -> (errorSpikes _),
     "ax_funnel_stages"     -> (funnelStages _),
     "ax_retention_cohorts" -> (retentionCohorts _),
-    "ax_hourly_gapfill"    -> (hourlyGapfill _))
+    "ax_hourly_gapfill"    -> (hourlyGapfill _),
+    "ax_forward_fill"      -> (forwardFill _))
 
   val oracleSql: Map[String, String] = Map(
     "ax_error_spikes"      -> errorSpikesSql,
     "ax_funnel_stages"     -> funnelStagesSql,
     "ax_retention_cohorts" -> retentionCohortsSql,
-    "ax_hourly_gapfill"    -> hourlyGapfillSql)
+    "ax_hourly_gapfill"    -> hourlyGapfillSql,
+    "ax_forward_fill"      -> forwardFillSql)
 }
