@@ -535,7 +535,64 @@ object Similarity {
        |      FROM scored) r
        |WHERE rk <= $KnnK ORDER BY probe_id, rk""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sim_quantize_audit: INT8 VECTOR COMPRESSION audit — the 4× memory/
+  // bandwidth step every embedding store takes (float32 → int8) before
+  // serving at scale, plus the question that decides whether it's safe:
+  // how much error does it add? The e4 fixed-point vectors (the
+  // engine's exact representation) are re-quantized to e2 with ±127
+  // clamping (= int8 range); the reconstruction error is then an EXACT
+  // integer per element, aggregated per label: total/max error and the
+  // clamp count (values beyond ±1.27 saturate — the audit's red flag).
+  // One scan, per-row array math, a label-sized aggregate. The same
+  // fixed-scale idiom as the quantized similarity tier, so the audit
+  // numbers speak for those queries' int8 variants directly.
+  // -------------------------------------------------------------------
+  private def quantizeAudit(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .withColumn("q", expr(quantize))
+      .withColumn("q8", expr(
+        """transform(q, x -> greatest(CAST(-127 AS BIGINT),
+          |  least(CAST(127 AS BIGINT), CAST(round(x / 100.0D) AS BIGINT))))"""
+          .stripMargin))
+      .select(col("label").cast("long").as("label"),
+        expr("aggregate(zip_with(q, q8, (a, b) -> abs(a - b * 100)), 0L, (s, v) -> s + v)")
+          .as("vec_err"),
+        expr("array_max(zip_with(q, q8, (a, b) -> abs(a - b * 100)))")
+          .as("vec_max_err"),
+        expr("aggregate(q, 0L, (s, x) -> s + CASE WHEN abs(x) > 12750 THEN 1 ELSE 0 END)")
+          .as("n_clamped"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("vec_err")).as("sum_err_e4"),
+        max(col("vec_max_err")).as("max_err_e4"),
+        sum(col("n_clamped")).as("n_clamped"))
+      .orderBy("label")
+
+  private val quantizeAuditSql =
+    s"""WITH q AS (SELECT label, $quantizeDuck AS q FROM embeddings),
+       |p AS (SELECT label,
+       |    list_transform(q, x -> greatest(CAST(-127 AS BIGINT),
+       |      least(CAST(127 AS BIGINT), CAST(round(x / 100.0) AS BIGINT)))) AS q8,
+       |    q
+       |  FROM q),
+       |e AS (SELECT label,
+       |    CAST(list_sum(list_transform(list_zip(q, q8),
+       |      zz -> abs(zz[1] - zz[2] * 100))) AS BIGINT) AS vec_err,
+       |    CAST(list_max(list_transform(list_zip(q, q8),
+       |      zz -> abs(zz[1] - zz[2] * 100))) AS BIGINT) AS vec_max_err,
+       |    CAST(list_sum(list_transform(q,
+       |      x -> CASE WHEN abs(x) > 12750 THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS n_clamped
+       |  FROM p)
+       |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(vec_err) AS BIGINT) AS sum_err_e4,
+       |  CAST(MAX(vec_max_err) AS BIGINT) AS max_err_e4,
+       |  CAST(SUM(n_clamped) AS BIGINT) AS n_clamped
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantize_audit" -> (quantizeAudit _),
     "sim_knn_batch"      -> (knnBatch _),
     "sim_silhouette"     -> (silhouette _),
     "sim_pair_hist"      -> (pairHist _),
@@ -550,6 +607,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_quantize_audit" -> quantizeAuditSql,
     "sim_knn_batch"      -> knnBatchSql,
     "sim_silhouette"     -> silhouetteSql,
     "sim_pair_hist"      -> pairHistSql,
