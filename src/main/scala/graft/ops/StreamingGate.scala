@@ -305,6 +305,50 @@ object StreamingGate {
       |      AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR)
       |ORDER BY purchase_id, view_id""".stripMargin
 
+  /** stream-stream FULL OUTER join: both sides' unmatched rows emit
+    * null-padded on their own state-eviction schedules — a purchase
+    * once the watermark passes p_ts (no earlier-or-equal view can
+    * arrive), a view once it passes v_ts + 1h (no purchase inside the
+    * view's forward-looking window can arrive). Both boundaries strict,
+    * pinned by EventsStreamSpec."full-outer emits BOTH sides' null
+    * rows on their own eviction schedules".
+    */
+  private def fullOuterJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val views = eventsStream(spark, dir).filter(col("event_type") === "view")
+    runToTable(
+      graft.streaming.EventsStream.purchaseViewJoin(purchases, views, "full_outer"),
+      "st_full_outer_sink", "append")(spark)
+      .orderBy("purchase_id", "view_id")
+  }
+
+  private val fullOuterJoinStreamedSql =
+    """WITH p AS (SELECT event_id AS purchase_id, ts AS p_ts, user_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id AS view_id, ts AS v_ts, user_id
+      |      FROM events WHERE event_type = 'view'),
+      |wm AS (SELECT LEAST((SELECT MAX(p_ts) FROM p),
+      |                    (SELECT MAX(v_ts) FROM v)) - INTERVAL 2 HOUR AS w)
+      |SELECT p.purchase_id, v.view_id
+      |FROM p JOIN v ON p.user_id = v.user_id
+      |  AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+      |UNION ALL
+      |SELECT p.purchase_id, CAST(NULL AS BIGINT)
+      |FROM p, wm
+      |WHERE p.p_ts < wm.w
+      |  AND NOT EXISTS (SELECT 1 FROM v
+      |    WHERE v.user_id = p.user_id
+      |      AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR)
+      |UNION ALL
+      |SELECT CAST(NULL AS BIGINT), v.view_id
+      |FROM v, wm
+      |WHERE v.v_ts + INTERVAL 1 HOUR < wm.w
+      |  AND NOT EXISTS (SELECT 1 FROM p
+      |    WHERE p.user_id = v.user_id
+      |      AND v.v_ts <= p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR)
+      |ORDER BY purchase_id, view_id""".stripMargin
+
   /** foreachBatch MERGE sink: the production "upsert into a keyed
     * store" shape. Update-mode aggregation emits only the users whose
     * totals changed in each trigger; the foreachBatch body full-outer
@@ -374,6 +418,7 @@ object StreamingGate {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_full_outer"        -> (fullOuterJoinStreamed _),
     "st_outer_join"        -> (outerJoinStreamed _),
     "st_upsert_sink"       -> (upsertSinkStreamed _),
     "st_sessionize"        -> (sessionsStreamed _),
@@ -388,6 +433,7 @@ object StreamingGate {
 
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
+    "st_full_outer"        -> fullOuterJoinStreamedSql,
     "st_outer_join"        -> outerJoinStreamedSql,
     "st_upsert_sink"       -> upsertSinkStreamedSql,
     "st_sessionize"        -> sessionsStreamedSql,

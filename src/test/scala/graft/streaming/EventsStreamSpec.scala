@@ -337,6 +337,51 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == 198L), "the sentinel purchase stays in state")
   }
 
+  test("full-outer emits BOTH sides' null rows on their own eviction schedules") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+    val pMem = MemoryStream[(Long, Timestamp, Long)]
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventsStream.purchaseViewJoin(
+        pMem.toDF().toDF("user_id", "ts", "event_id"),
+        vMem.toDF().toDF("user_id", "ts", "event_id"), "full_outer")
+      .writeStream.format("memory").queryName("full_outer_test")
+      .outputMode("append").start()
+    try {
+      // matched pair (user 1); unmatched purchases straddling the
+      // purchase eviction boundary wm (= ts(9880)); unmatched views
+      // straddling the VIEW eviction boundary wm - 1h (= ts(9820))
+      vMem.addData((1L, ts(50), 500L))
+      pMem.addData((1L, ts(100), 100L))
+      q.processAllAvailable()
+      pMem.addData((10L, ts(9880), 110L)) // AT the purchase boundary
+      pMem.addData((11L, ts(9879), 111L)) // below it
+      vMem.addData((20L, ts(9820), 520L)) // AT the view boundary (v_ts+1h = wm)
+      vMem.addData((21L, ts(9819), 521L)) // below it
+      pMem.addData((98L, ts(10000), 198L))
+      vMem.addData((99L, ts(10000), 599L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("full_outer_test")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(rows.contains((Some(100L), Some(500L))), "matched pair must emit")
+    assert(rows.contains((Some(111L), None)),
+      "unmatched purchase strictly below wm emits null-padded")
+    assert(!rows.exists(_._1 == Some(110L)),
+      "a purchase AT wm is still in state")
+    assert(rows.contains((None, Some(521L))),
+      "unmatched view with v_ts + 1h strictly below wm emits null-padded")
+    assert(!rows.exists(_._2 == Some(520L)),
+      "a view whose window ends AT wm is still in state — the " +
+        "st_full_outer oracle's strict `v_ts + 1h < wm` cutoff depends on this")
+  }
+
   test("foreachBatch merge sink accumulates across triggers") {
     val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val ev = graft.Tables.events(spark, dir)
