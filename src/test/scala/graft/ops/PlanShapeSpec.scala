@@ -149,6 +149,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "decorrelation plans agg + join, not a per-row subquery")
   }
 
+  test("recursive CTE plans a UnionLoop operator, not a driver-side loop") {
+    val p = plan("sq_recursive_reach")
+    assert(p.contains("UnionLoop"),
+      s"recursion must execute inside the engine:\n$p")
+  }
+
+  test("lateral top-k is rewritten to a WindowGroupLimit pushdown") {
+    // Catalyst turns the correlated ORDER BY ... LIMIT k into a
+    // per-group limit evaluated below the window sort — each partition
+    // keeps k rows instead of ranking everything
+    val p = plan("sq_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), s"expected group-limit pushdown:\n$p")
+  }
+
   test("batch kNN plans partial top-k aggregation before the exchange") {
     val p = plan("sim_knn_batch")
     assert(p.contains("partial_topkbyscore"),
