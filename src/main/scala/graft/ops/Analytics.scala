@@ -671,7 +671,48 @@ object Analytics {
       |    AS BIGINT) AS share_ppm
       |FROM seg ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_nullsafe_join: NULL-SAFE equality join (`<=>` / IS NOT DISTINCT
+  // FROM). Plain `=` never matches NULL — rows with a missing join key
+  // silently vanish from inner joins, the classic silent-data-loss bug
+  // in pipelines whose keys are genuinely optional. The null-safe
+  // operator treats NULL as a value (NULL <=> NULL is true), so the
+  // missing-key populations join to each other and stay visible. The
+  // fixture derives an optional bucket (keys 0-2 become NULL) from each
+  // half of orders; the audit shows the NULL bucket pairing up like any
+  // other — with plain `=` that row would not exist. Plans as a normal
+  // hash join (null-safe equality is still an equi-key).
+  // -------------------------------------------------------------------
+  private def nullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    def side(parity: Int, n: String) =
+      t(spark, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(2)) === parity)
+        .withColumn("bkt",
+          when(pmod(expr("o_orderkey div 2"), lit(10)) < 3, lit(null))
+            .otherwise(pmod(expr("o_orderkey div 2"), lit(10))))
+        .groupBy("bkt").agg(count(lit(1)).as(n))
+    val e = side(0, "n_even")
+    val o = side(1, "n_odd")
+    e.join(o, e("bkt") <=> o("bkt"))
+      .select(e("bkt"), col("n_even"), col("n_odd"))
+      .orderBy(e("bkt").asc_nulls_first)
+  }
+
+  private val nullsafeJoinSql =
+    """WITH e AS (
+      |  SELECT CASE WHEN (o_orderkey // 2) % 10 < 3 THEN NULL
+      |              ELSE (o_orderkey // 2) % 10 END AS bkt, COUNT(*) AS n_even
+      |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN (o_orderkey // 2) % 10 < 3 THEN NULL
+      |              ELSE (o_orderkey // 2) % 10 END AS bkt, COUNT(*) AS n_odd
+      |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+      |SELECT e.bkt, e.n_even, o.n_odd
+      |FROM e JOIN o ON e.bkt IS NOT DISTINCT FROM o.bkt
+      |ORDER BY e.bkt NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_nullsafe_join"     -> (nullsafeJoin _),
     "ax_revenue_share"     -> (revenueShare _),
     "ax_nation_volume"     -> (nationVolume _),
     "ax_trailing_revenue"  -> (trailingRevenue _),
@@ -698,6 +739,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_nullsafe_join"     -> nullsafeJoinSql,
     "ax_revenue_share"     -> revenueShareSql,
     "ax_nation_volume"     -> nationVolumeSql,
     "ax_trailing_revenue"  -> trailingRevenueSql,
