@@ -116,8 +116,7 @@ object Graph {
         .otherwise(col("b")).as("src"),
       when(col("da") < col("db") ||
         (col("da") === col("db") && col("a") < col("b")), col("b"))
-        .otherwise(col("a")).as("dst"),
-      greatest(col("da"), col("db")).as("ddst"))
+        .otherwise(col("a")).as("dst"))
       .persist()
     // EDGE-ITERATOR step: per-src sorted adjacency arrays, then for
     // every oriented edge (u→v) count |adj(u) ∩ adj(v)| — each common
