@@ -19,37 +19,86 @@ object Graph {
   // division fixed at each step (both engines truncate non-negative
   // division identically).
   //
-  // Scale shape: the edge list and degree table are built once and
-  // PERSISTED (every iteration re-reads them; without the persist each
-  // iteration would re-run the pair self-join), and each iteration is
-  // one join + one partial-agg groupBy on the dst key. The iteration
-  // count is fixed (unrolled into the plan) — at a real 100 TB scale
-  // you'd checkpoint ranks between iterations to truncate lineage and
-  // co-partition edges by src so the per-iteration join never
-  // re-shuffles the edge table; 3 iterations on a bounded graph keeps
-  // the gate plan compact.
+  // Scale shape: the edge list is hash-partitioned ON ITS SRC KEY once
+  // before the loop and PERSISTED (persist preserves the partitioning
+  // through InMemoryTableScan); the degree table derives from it
+  // (groupBy src — exchange-free) and is persisted with the same
+  // partitioning. Every iteration is then two shuffled-hash joins that
+  // leave the edge table in place and ONE shuffle of the already
+  // map-side-reduced per-dst sums; the only other movement is the tiny
+  // per-node rank table re-hashing onto the edge partitioning (its
+  // per-round localCheckpoint truncates lineage to O(1) in the
+  // iteration count but drops partitioning info). The rank table is
+  // NEVER broadcast — it has one row per graph NODE, so at 10⁹ nodes a
+  // per-iteration broadcast is a guaranteed driver/executor OOM;
+  // co-partitioning moves only per-node rows while the 100×-bigger
+  // edge table never leaves its partitions after the initial
+  // placement. Guarded by PlanShapeSpec ("pagerank iteration").
   // -------------------------------------------------------------------
-  private def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
+
+  /** One PageRank iteration: contributions r div deg joined to the
+    * co-partitioned edge list, summed per destination. shuffle_hash
+    * hints pin the co-partitioned joins — a broadcast of either
+    * per-node table is the textbook iterative-graph scale-killer.
+    */
+  private def pagerankIter(edges: DataFrame, deg: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = ranks
+      .join(deg.hint("shuffle_hash"), ranks("v") === deg("src"))
+      .select(col("v"), expr("r div deg").as("c"))
+    edges
+      .join(contrib.hint("shuffle_hash"), edges("src") === contrib("v"))
+      .groupBy("dst")
+      .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("r"))
+      .select(col("dst").as("v"), col("r"))
+  }
+
+  /** Edge list co-partitioned on src (explicit partition count so AQE
+    * coalescing can't desync it from the per-iteration rank shuffles)
+    * and its degree table, both built once per query.
+    */
+  private def pagerankTables(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val n = spark.sessionState.conf.numShufflePartitions
     val edges = Stats.orderPartPairs(spark, dir)(_ =!= _)
       .select(col("pa").as("src"), col("pb").as("dst"))
       .distinct()
-      .persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+      .repartition(n, col("src"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    (edges, deg)
+  }
+
+  /** The steady-state single-iteration plan string, exposed for
+    * PlanShapeSpec: edges/deg persisted and materialized (exactly the
+    * production loop's inputs — persist preserves the src hash
+    * partitioning through InMemoryTableScan), ranks localCheckpoint'ed
+    * (as after any production round; the checkpoint drops partitioning
+    * info, so an iteration re-shuffles the tiny per-node rank table —
+    * never the edges). The guard requires the plan to be broadcast-free
+    * and edge-shuffle-free.
+    */
+  private[graft] def pagerankIterationPlan(spark: SparkSession,
+      dir: String): org.apache.spark.sql.execution.SparkPlan = {
+    val (edgesRaw, degRaw) = pagerankTables(spark, dir)
+    val edges = edgesRaw.persist()
+    val deg = degRaw.persist()
+    edges.count(); deg.count()
+    val r0 = deg.select(col("src").as("v"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    val plan = pagerankIter(edges, deg, r0).queryExecution.executedPlan
+    edges.unpersist()
+    deg.unpersist()
+    plan
+  }
+
+  private def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
+    val (edgesRaw, degRaw) = pagerankTables(spark, dir)
+    val edges = edgesRaw.persist()
+    val deg = degRaw.persist()
 
     var ranks = deg.select(col("src").as("v"), lit(1000000L).as("r"))
-    for (_ <- 1 to 3) {
-      // ranks/deg are per-NODE (tiny next to the edge list): broadcast
-      // their pre-joined contribution table so the 100×-bigger edge
-      // table is never shuffled — each iteration is one map-side join
-      // plus one partial-agg shuffle of the already-reduced per-dst sums
-      val contrib = ranks.join(deg, ranks("v") === deg("src"))
-        .select(col("v"), expr("r div deg").as("c"))
-      ranks = edges
-        .join(broadcast(contrib), edges("src") === contrib("v"))
-        .groupBy("dst")
-        .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("r"))
-        .select(col("dst").as("v"), col("r"))
-    }
+    for (_ <- 1 to 3)
+      ranks = pagerankIter(edges, deg, ranks).localCheckpoint()
     val out = ranks
       .select(col("v").as("part"), col("r").as("pr"))
       .orderBy(col("pr").desc, col("part").asc)

@@ -96,8 +96,43 @@ class PlanShapeSpec extends AnyFunSuite {
 
   // (ax_triangle_count ends in localCheckpoint — its returned plan is a
   // materialized RDD scan, so its shape is covered by SemanticsSpec's
-  // brute-force recompute rather than a plan-string guard, same as
-  // ax_pagerank_parts.)
+  // brute-force recompute rather than a plan-string guard. PageRank's
+  // per-iteration shape is guarded below via the exposed lazy plan.)
+
+  test("pagerank iteration never broadcasts the per-node rank table") {
+    // the rank/contribution tables have one row per graph NODE — at
+    // 10^9 nodes a per-iteration broadcast is a guaranteed OOM. The
+    // iteration must be co-partitioned shuffled-hash joins against the
+    // src-partitioned edge list, with only the per-dst sums shuffling.
+    // tree-based, not string-based: toString would print the cached
+    // edge build (whose one-time self-join may broadcast at tiny SF),
+    // while collect() stops at the InMemoryTableScan leaves — exactly
+    // the per-iteration work
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec}
+    val top = Graph.pagerankIterationPlan(spark, dir)
+    val plan = top match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val names = plan.collect { case n => n.nodeName }
+    assert(!names.exists(_.contains("Broadcast")),
+      s"no per-node table may broadcast inside the loop:\n$plan")
+    assert(names.count(_ == "ShuffledHashJoin") >= 2,
+      s"both iteration joins must be shuffled-hash:\n$plan")
+    // edges were placed on src before the loop (the REPARTITION_BY_NUM
+    // exchange inside the cached build); the steady-state iteration
+    // must never re-exchange them — only the per-node rank table and
+    // the map-side-reduced per-dst sums may shuffle
+    val iterShuffles = plan.collect {
+      case e: ShuffleExchangeExec if e.shuffleOrigin == ENSURE_REQUIREMENTS => e
+    }
+    assert(!iterShuffles.exists(
+        _.outputPartitioning.toString.contains("src#")),
+      s"the edge table must not re-shuffle inside an iteration:\n$plan")
+    assert(iterShuffles.size <= 2,
+      s"an iteration shuffles at most the rank table + the per-dst sums, saw ${iterShuffles.size}:\n$plan")
+  }
 
   test("nation-volume cyclic join broadcasts all four dims; fact never shuffles") {
     val p = plan("ax_nation_volume")
