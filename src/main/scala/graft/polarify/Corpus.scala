@@ -16,8 +16,12 @@ object Corpus {
 
   private val x = "x".ref
 
+  // named exactly as the reference's callee (functions.py:57-58) so the
+  // explain text of this twin and of the parsed verbatim source agree
+  // (ReferenceCorpusSpec)
   private def identityCall(arg: Expr): Expr =
-    CallFn("identity", (cols, _) => cols.head, Seq(arg), Some((args, _) => args.head))
+    CallFn("call_target_identity", (cols, _) => cols.head, Seq(arg),
+      Some((args, _) => args.head))
 
   /** kwarg-taking callee — covers the keyword arm of visit_Call
     * (ref main.py:104-107 inlines `node.keywords` alongside `node.args`;
@@ -321,8 +325,8 @@ object Corpus {
       Program(
         MatchOn(x)(
           CaseOr(Seq(pv(0), pv(1)))(Ret(0)),
-          CaseVal(2)(Ret(x * 2)),
-          CaseVal(3)(Ret(x * 3))),
+          CaseVal(2)(Ret(Lit(2) * x)),
+          CaseVal(3)(Ret(Lit(3) * x))),
         Ret(x)),
       v => if (v == 0 || v == 1) 0 else if (v == 2) v * 2 else if (v == 3) v * 3 else v),
 
@@ -330,8 +334,8 @@ object Corpus {
       Program(
         MatchOn(x)(
           CaseVal(0)(Ret(0)),
-          CaseVal(1)(Ret(x * 2)),
-          CaseVal(2)(Ret(x * 3))),
+          CaseVal(1)(Ret(Lit(2) * x)),
+          CaseVal(2)(Ret(Lit(3) * x))),
         Ret(x)),
       v => if (v == 0) 0 else if (v == 1) v * 2 else if (v == 2) v * 3 else v),
 
@@ -360,9 +364,9 @@ object Corpus {
       Program(
         MatchOn(x)(
           CaseVal(0)(Ret(Lit(-5) - x)),
-          CaseVal(1)(Ret(x * 1)),
+          CaseVal(1)(Ret(Lit(1) * x)),
           CaseVal(2)(Ret(Lit(2) + x))),
-        Ret(x * -1)),
+        Ret(Lit(-1) * x)),
       v => if (v == 0) -5 - v else if (v == 1) v else if (v == 2) 2 + v else -v),
 
     Case("match_signum",

@@ -474,7 +474,21 @@ object PyParser {
         eat("]")
         ListExpr(elems.toSeq)
       case Tok.Op("{") =>
-        err("Unsupported expression type: ast.Dict")
+        // distinguish the two brace literals the way CPython's ast does:
+        // {1: 2} is a Dict, {1, 2} is a Set — both outside the closed
+        // world, but the error must name the right node
+        var depth = 0
+        var isDict = peek == Tok.Op("}") // empty braces are a Dict
+        var scanning = true
+        while (scanning) peek match {
+          case Tok.Op("{") | Tok.Op("(") | Tok.Op("[") => depth += 1; next()
+          case Tok.Op("}") | Tok.Op(")") | Tok.Op("]") =>
+            if (depth == 0) scanning = false else { depth -= 1; next() }
+          case Tok.Op(":") if depth == 0 => isDict = true; scanning = false
+          case Tok.Newline | Tok.Eof => scanning = false
+          case _ => next()
+        }
+        err(s"Unsupported expression type: ast.${if (isDict) "Dict" else "Set"}")
       case other => err(s"unexpected token in expression: $other")
     }
   }
