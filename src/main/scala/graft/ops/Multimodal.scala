@@ -4,15 +4,19 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
-  * metadata, with the decode step stubbed (no image/audio libs in this
-  * container — the STUB below is a clearly-marked deterministic fake)
-  * while the Spark-side machinery — schema, batch iteration, partition
-  * shape, typed Dataset encoders — is real and tested.
+  * metadata, with a REAL pure-JVM decode step ([[ImageHeaders]] parses
+  * PNG IHDR / BMP headers at their fixed offsets — no codec libraries
+  * needed) and the Spark-side machinery — schema, batch iteration,
+  * partition shape, typed Dataset encoders — real and tested.
   *
-  * The testdata has no binary column, so `payload` is manufactured from
-  * `documents.text` (UTF-8 bytes) — at 100 TB this column would be real
-  * image/audio bytes read from parquet, and everything downstream is
-  * unchanged.
+  * The testdata has no binary column, so payloads are manufactured:
+  * mm_metadata/mm_exact_dedup use raw UTF-8 bytes of `documents.text`;
+  * mm_decode_stats wraps those bytes in real PNG/BMP containers whose
+  * header fields derive deterministically from (doc_id, length) so the
+  * DuckDB oracle can replay the generator while Spark replays the
+  * DECODER — a differential test of the encode/decode pair. At 100 TB
+  * the payload column is real image/audio bytes read from parquet and
+  * everything downstream is unchanged.
   *
   * Scale notes: decode runs inside `mapPartitions` (the Scala analogue
   * of `mapInPandas` batch UDFs) — per-partition batching, no
@@ -21,13 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** decoded-asset record produced by the (stubbed) decoder */
+  /** per-asset record produced by the header decoder */
   final case class DecodedAsset(
       doc_id: Long,
+      fmt: String,
       n_bytes: Long,
       width: Long,
       height: Long,
-      mean_byte: Long)
+      bit_depth: Long)
 
   private def withPayload(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -59,35 +64,51 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
-  // mm_decode_stats: the batch-decode path. mapPartitions consumes the
-  // binary payloads partition-at-a-time and emits typed records; the
-  // decode itself is a STUB (deterministic fake standing in for e.g.
-  // JPEG decode + resize + feature extraction). Rows-only check.
+  // mm_decode_stats: the batch-decode path, de-stubbed. The fixture
+  // step wraps each document's bytes in a REAL container — even doc_id
+  // → PNG (sig + IHDR + tEXt(body) + IEND, CRC32-correct), odd → BMP
+  // (file header + BITMAPINFOHEADER + body) — with width/height/depth
+  // derived deterministically from (doc_id, byte length). The decode
+  // step then parses the MAGIC BYTES and HEADER OFFSETS, never the
+  // generator formulas: Spark's side of the gate replays the decoder,
+  // DuckDB's side replays the generator, and the hash check proves the
+  // round trip (including big-endian PNG vs little-endian BMP fields).
+  // Both steps run per-partition inside the mapPartitions seam — the
+  // operator shape of a real ImageIO/ffmpeg pipeline at 100 TB: no
+  // shuffle, no driver involvement, payload bytes never leave the
+  // partition (only the 6-field typed records flow into the aggregate).
   // -------------------------------------------------------------------
   private def decodeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val assets: Dataset[DecodedAsset] = withPayload(spark, dir)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    val assets: Dataset[DecodedAsset] = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
       .mapPartitions { batch =>
-        batch.map { case (id, bytes) =>
-          // ===== STUB DECODER =====================================
-          // Real pipeline: ImageIO/ffmpeg decode → resize → feature
-          // extraction. Not available in this container; this fake is
-          // deterministic in the payload bytes so results are stable.
-          val n = bytes.length.toLong
-          val mean = if (n == 0) 0L else bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff)) / n
-          DecodedAsset(id, n, 64L + n % 960, 64L + (n * 7) % 960, mean)
-          // ========================================================
+        batch.map { case (id, text) =>
+          // fixture synthesis (stands in for reading a real binary
+          // column off parquet; dimensions bounded ≤ 512 so the gate
+          // still exercises >255 values through both endiannesses)
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = (4 + id % 509).toInt
+          val h = 4 + body.length % 509
+          val payload =
+            if (id % 2 == 0) ImageHeaders.png(w, h, 8, body)
+            else ImageHeaders.bmp(w, h, 24, body)
+          // the actual decode: magic bytes + fixed header offsets
+          val (fmt, dw, dh, depth) = ImageHeaders.decodeHeader(payload)
+          DecodedAsset(id, fmt, payload.length.toLong, dw.toLong, dh.toLong,
+            depth.toLong)
         }
       }
     assets.toDF()
-      .groupBy((col("n_bytes") / 100).cast("long").as("size_bucket"))
+      .groupBy(col("fmt"), expr("n_bytes div 256").as("size_bucket"))
       .agg(
         count(lit(1)).as("n_assets"),
         sum(col("width")).as("sum_width"),
-        sum(col("mean_byte")).as("sum_mean_byte"))
-      .orderBy("size_bucket")
+        sum(col("height")).as("sum_height"),
+        max(col("bit_depth")).as("bit_depth"))
+      .orderBy("fmt", "size_bucket")
   }
 
   // -------------------------------------------------------------------
@@ -230,26 +251,27 @@ object Multimodal {
     "mm_chunk_dedup"  -> (chunkDedup _)
   )
 
-  // mm_decode_stats oracle: the stub decoder is deterministic in the
-  // payload bytes, and the driver's documents are pure ASCII (verified:
-  // max codepoint 121 at every SF), so UTF-8 byte values == codepoints
-  // and DuckDB can replay the fake decode with ord(). Integer division
-  // is floored explicitly (Spark Long division truncates, all values
-  // non-negative here).
+  // mm_decode_stats oracle: replays the fixture GENERATOR's formulas
+  // (header overheads from ImageHeaders, width/height from (doc_id,
+  // byte length)) where Spark replays the header DECODER — agreement
+  // proves the container round trip. All values non-negative, so
+  // Spark's truncating div == DuckDB's floor //.
   private val decodeStatsSql =
-    """WITH assets AS (
-      |  SELECT
-      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |    64 + CAST(octet_length(encode(text)) AS BIGINT) % 960 AS width,
-      |    CASE WHEN octet_length(encode(text)) = 0 THEN 0
-      |         ELSE CAST(floor(list_sum(list_transform(split(text, ''), ch -> ord(ch)))
-      |              * 1.0 / octet_length(encode(text))) AS BIGINT) END AS mean_byte
-      |  FROM documents)
-      |SELECT CAST(floor(n_bytes / 100.0) AS BIGINT) AS size_bucket,
-      |  COUNT(*) AS n_assets,
-      |  CAST(SUM(width) AS BIGINT) AS sum_width,
-      |  CAST(SUM(mean_byte) AS BIGINT) AS sum_mean_byte
-      |FROM assets GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""WITH assets AS (
+       |  SELECT
+       |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+       |    CASE WHEN doc_id % 2 = 0 THEN ${ImageHeaders.PngOverhead}
+       |         ELSE ${ImageHeaders.BmpOverhead} END
+       |      + CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    4 + doc_id % 509 AS width,
+       |    4 + CAST(octet_length(encode(text)) AS BIGINT) % 509 AS height,
+       |    CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS bit_depth
+       |  FROM documents)
+       |SELECT fmt, n_bytes // 256 AS size_bucket, COUNT(*) AS n_assets,
+       |  CAST(SUM(width) AS BIGINT) AS sum_width,
+       |  CAST(SUM(height) AS BIGINT) AS sum_height,
+       |  CAST(MAX(bit_depth) AS BIGINT) AS bit_depth
+       |FROM assets GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "mm_metadata"     -> metadataSql,
