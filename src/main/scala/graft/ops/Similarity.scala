@@ -15,10 +15,11 @@ import graft.functions.GraftFunctions.dotLong
   *      TakeOrderedAndProject. O(n·d), no shuffle of vectors.
   *   2. quantized top-k — same plan but integer micro-unit arithmetic →
   *      bit-exact across engines.
-  *   3. LSH multi-probe ANN — random-hyperplane signatures, candidates =
-  *      vectors within Hamming 1 of the query's bucket. Still a full
-  *      scan + cheap filter (honest demo tier).
-  *   4. bucketed ANN — the 100 TB path: the signature becomes a PHYSICAL
+  *   3. LSH multi-probe ANN — random-hyperplane signatures over the
+  *      SAME physical bucket layout as tier 4; candidates = the query's
+  *      partition plus its Hamming-1 neighbor partitions, read via a
+  *      partition-filter IN-list (≤ planes+1 of 2^planes partitions).
+  *   4. bucketed ANN — single-probe: the signature is a PHYSICAL
   *      partition column (`write.partitionBy("bucket")`); a query reads
   *      ONE partition via partition pruning instead of scanning.
   *
@@ -154,24 +155,62 @@ object Similarity {
        |ORDER BY cosine_e6 DESC, vec_id ASC""".stripMargin
 
   // -------------------------------------------------------------------
-  // sim_ann_lsh: random-hyperplane LSH, 12-bit signatures; candidates =
-  // vectors whose signature is within Hamming 1 of the query's (multi-
-  // probe), re-ranked by quantized dot. This tier is deliberately a
-  // scan+filter (cheap bit_count over a 2k-partition scan); the
-  // partition-pruned version is sim_ann_bucketed below. Oracle-backed.
+  // the shared physical ANN layout: the 6-plane LSH signature (64
+  // cells, sized so cells stay non-trivial at test SF; at 10^9 vectors
+  // you'd use 16-20 planes) as a parquet PARTITION column, written once
+  // per SF under target/ behind a _SUCCESS check (ingest cost, paid
+  // once — same convention as [[ScanPruning.partitionedCustomerPath]]).
   // -------------------------------------------------------------------
-  private val LshPlanes = 12
+  private val BucketedPlanes = 6
 
+  private def annLayoutPath(spark: SparkSession, dir: String): String = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val path = new java.io.File(s"target/ann_layout/$tag").getAbsoluteFile
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      emb(spark, dir)
+        .withColumn("q", expr(quantize))
+        .withColumn("bucket", bucketCol(BucketedPlanes))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path.toString)
+    }
+    path.toString
+  }
+
+  /** query vector's (quantized vector, bucket) — a driver-side point
+    * read of ONE partition-pruned row, not a data loop
+    */
+  private def queryPoint(indexed: DataFrame): (Array[Long], Any) = {
+    val row = indexed.filter(col("vec_id") === 0)
+      .select(col("q"), col("bucket")).head()
+    (row.getSeq[Long](0).toArray, row.get(1))
+  }
+
+  // -------------------------------------------------------------------
+  // sim_ann_lsh: MULTI-PROBE ANN over the bucketed layout — the recall
+  // knob of partition-pruned ANN. Candidates live in the query's
+  // partition plus its `planes` Hamming-1 neighbor partitions; the
+  // probe set is a literal partition-filter IN-list, so the scan reads
+  // ≤ planes+1 of 2^planes partitions (7 of 64 here) and the corpus is
+  // never fully scanned — the full-scan bit_count tier this replaces
+  // was the one 100 TB anti-pattern left under the gate. Plan-guarded
+  // (PlanShapeSpec "multi-probe ANN"). Oracle-backed: DuckDB replays
+  // the same Hamming-≤1 candidate rule arithmetically.
+  // -------------------------------------------------------------------
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-      .withColumn("q", expr(quantize))
-      .withColumn("bucket", bucketCol(LshPlanes))
-    val query = e.filter(col("vec_id") === 0)
-      .select(col("q").as("query_q"), col("bucket").as("query_bucket"))
-    e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(query))
-      // multi-probe: same bucket or Hamming-1 neighbor bucket
-      .filter(expr("bit_count(bucket ^ query_bucket) <= 1"))
+    val indexed = spark.read.parquet(annLayoutPath(spark, dir))
+    val (queryQ, queryBucket) = queryPoint(indexed)
+    val qb = queryBucket.toString.toLong
+    val probeLongs = qb +: (0 until BucketedPlanes).map(i => qb ^ (1L << i))
+    // match the inferred partition-column type so the IN-list stays a
+    // partition filter (a cast on the partition attribute defeats
+    // pruning)
+    val probes: Seq[Any] = queryBucket match {
+      case _: java.lang.Integer => probeLongs.map(_.toInt)
+      case _                    => probeLongs
+    }
+    indexed
+      .filter(col("bucket").isin(probes: _*)) // partition-filter IN-list
+      .filter(col("vec_id") =!= 0)
+      .withColumn("query_q", lit(queryQ))
       .withColumn("dot", dotLong(col("q"), col("query_q")))
       .select(col("vec_id"), col("dot"))
       .orderBy(col("dot").desc, col("vec_id").asc)
@@ -180,7 +219,7 @@ object Similarity {
 
   private val annLshSql =
     s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
-       |sig AS (SELECT vec_id, q, ${bucketSqlDuck(LshPlanes)} AS bucket FROM qt),
+       |sig AS (SELECT vec_id, q, ${bucketSqlDuck(BucketedPlanes)} AS bucket FROM qt),
        |qq AS (SELECT q, bucket FROM sig WHERE vec_id = 0)
        |SELECT s.vec_id,
        |  ${PortableHash.dotSqlDuck("s.q", "qq.q")} AS dot
@@ -189,34 +228,18 @@ object Similarity {
        |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
-  // sim_ann_bucketed: the 100 TB ANN layout made physical. The LSH
-  // signature (6 planes → 64 cells, sized so cells stay non-trivial at
-  // test SF; at 10^9 vectors you'd use 16-20 planes) becomes a parquet
-  // PARTITION column; the query computes the probe key from the query
-  // vector and reads exactly one partition — `.explain` shows
-  // PartitionFilters, not a post-scan filter. Oracle-backed.
+  // sim_ann_bucketed: single-probe ANN over the same layout — the
+  // query computes its probe key and reads exactly ONE partition;
+  // `.explain` shows PartitionFilters, not a post-scan filter.
+  // Oracle-backed.
   // -------------------------------------------------------------------
-  private val BucketedPlanes = 6
-
   private def annBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val layout = new java.io.File(
-      s"target/ann_layout/${new java.io.File(dir).getName}").getAbsolutePath
-    emb(spark, dir)
-      .withColumn("q", expr(quantize))
-      .withColumn("bucket", bucketCol(BucketedPlanes))
-      .write.mode("overwrite").partitionBy("bucket").parquet(layout)
-
-    val indexed = spark.read.parquet(layout)
-    // probe-key lookup: one partition-pruned point read for the query
-    // vector's (q, bucket) — a driver-side key fetch, not a data loop
-    val Array(queryQ, queryBucket) = indexed.filter(col("vec_id") === 0)
-      .select(col("q"), col("bucket")).head().toSeq.toArray
+    val indexed = spark.read.parquet(annLayoutPath(spark, dir))
+    val (queryQ, queryBucket) = queryPoint(indexed)
     indexed
       .filter(col("bucket") === queryBucket) // partition pruning
       .filter(col("vec_id") =!= 0)
-      .withColumn("query_q",
-        lit(queryQ.asInstanceOf[scala.collection.Seq[Any]]
-          .map(_.asInstanceOf[Long]).toArray))
+      .withColumn("query_q", lit(queryQ))
       .withColumn("dot", dotLong(col("q"), col("query_q")))
       .select(col("vec_id"), col("dot"))
       .orderBy(col("dot").desc, col("vec_id").asc)

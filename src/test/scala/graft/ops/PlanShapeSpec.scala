@@ -155,6 +155,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1)
   }
 
+  test("multi-probe ANN reads only the probed partitions") {
+    val p = plan("sim_ann_lsh")
+    // the probe set must reach the scan as a partition-filter IN-list —
+    // query bucket + its Hamming-1 neighbors, never a post-scan filter
+    // over the whole corpus
+    val inList = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(p)
+      .getOrElse(fail(s"scan must carry a bucket IN-list partition filter:\n$p"))
+    val nProbes = inList.group(1).split(",").length
+    assert(nProbes <= 13,
+      s"probe set must stay <= planes+1 partitions, saw $nProbes:\n$p")
+    assert(!p.contains("bit_count"),
+      "the full-scan Hamming filter tier is retired — candidates come from pruning")
+  }
+
   test("dpp layout scan carries a dynamic partition-pruning filter") {
     val p = ScanPruning.dppJoin(spark, dir)
       .queryExecution.executedPlan.toString
