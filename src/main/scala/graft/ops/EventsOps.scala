@@ -412,25 +412,30 @@ object EventsOps {
   // for quarantine/replay, and the audit counts both populations in
   // one pass. The fixture manufactures the corruption deterministically
   // (odd event ids become truncated JSON) so the oracle replays the
-  // split from the source table.
+  // split from the source table; it is written once per SF behind a
+  // _SUCCESS check (same convention as the DPP/ANN layouts) — the
+  // query's cost is the PERMISSIVE scan, not fixture write
+  // amplification.
   // -------------------------------------------------------------------
   private def corruptIngest(spark: SparkSession, dir: String): DataFrame = {
-    val tag = new java.io.File(dir).getName
-    val path = s"target/corrupt_json/$tag"
-    graft.Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .select(
-        when(pmod(col("event_id"), lit(2)) === 0,
-          to_json(struct(col("event_id"), col("user_id"), col("cents"))))
-          .otherwise(concat(lit("{\"event_id\": "), col("event_id"),
-            lit(", BROKEN"))).as("value"))
-      .write.mode("overwrite").text(path)
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val path = new java.io.File(s"target/corrupt_json/$tag").getAbsoluteFile
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(
+          when(pmod(col("event_id"), lit(2)) === 0,
+            to_json(struct(col("event_id"), col("user_id"), col("cents"))))
+            .otherwise(concat(lit("{\"event_id\": "), col("event_id"),
+              lit(", BROKEN"))).as("value"))
+        .write.mode("overwrite").text(path.toString)
+    }
     spark.read
       .schema("event_id BIGINT, user_id BIGINT, cents BIGINT, _corrupt STRING")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path)
+      .json(path.toString)
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
         sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_parsed"),

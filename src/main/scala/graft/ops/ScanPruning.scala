@@ -84,11 +84,23 @@ object ScanPruning {
   // ax_bloom_join
   // -------------------------------------------------------------------
 
-  /** ~1% fpp at the bench-scale filtered-orders cardinality; the blob
-    * broadcast to every task is numBits/8 = 128 KB.
+  /** Sketch parameters derived from the MEASURED probe cardinality —
+    * one count(*) over the already-filtered build side (filter-pushed
+    * scan, no shuffle) — instead of a constant that silently saturates
+    * past its design SF (fpp → 1 turns the reduction into a no-op while
+    * results stay correct). numBits for ~1% fpp is n·(-ln 0.01)/ln²2 ≈
+    * 9.6·n, rounded up to a power of two; the floor keeps tiny SFs
+    * sensible and the cap bounds the per-task blob at 16 MB (n ≈ 14M
+    * keys — past that, prefer a pre-aggregated join key list or DPP).
     */
-  private val BloomItems = 100000L
-  private val BloomBits  = 1L << 20
+  private def bloomParams(probe: DataFrame): (Long, Long) = {
+    val n = math.max(probe.count(), 1024L)
+    val idealBits =
+      math.ceil(n * (-math.log(0.01)) / (math.log(2) * math.log(2))).toLong
+    val bits = math.min(1L << 27,
+      java.lang.Long.highestOneBit(math.max(idealBits - 1, 1L)) << 1)
+    (n, bits)
+  }
 
   /** filtered build side — one priority × one order-date year ≈ 3% of
     * orders, the selectivity the reduction exploits.
@@ -105,8 +117,9 @@ object ScanPruning {
     */
   def bloomReducedJoin(spark: SparkSession, dir: String): DataFrame = {
     val probe = bloomProbe(spark, dir)
+    val (items, bits) = bloomParams(probe)
     val bloom = probe
-      .agg(Sketches.bloomFilterAgg(col("o_orderkey"), BloomItems, BloomBits)
+      .agg(Sketches.bloomFilterAgg(col("o_orderkey"), items, bits)
         .as("bf"))
       .scalar() // scalar subquery: the sketch never lands on the driver
     spark.read.parquet(s"$dir/lineitem.parquet")
