@@ -29,14 +29,24 @@ object TopK {
     private def best(xs: Seq[Scored]): Seq[Scored] =
       xs.sortBy(s => (-s.score, s.id)).take(k)
 
+    /** insert into the already-(-score, id)-sorted buffer at its
+      * ordered position — O(k) copy per accepted row instead of the
+      * O(k log k) sort-the-whole-buffer that reduce used to pay
+      */
+    private def insertSorted(xs: Seq[Scored], a: Scored): Seq[Scored] = {
+      val (before, after) = xs.span(s =>
+        s.score > a.score || (s.score == a.score && s.id < a.id))
+      (before :+ a) ++ after
+    }
+
     override def zero: Seq[Scored] = Seq.empty
 
     override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
-      if (b.size < k) best(b :+ a)
+      if (b.size < k) insertSorted(b, a)
       else {
-        val worst = b.last // `best` keeps the buffer sorted
+        val worst = b.last // the buffer is kept sorted
         if (a.score > worst.score || (a.score == worst.score && a.id < worst.id))
-          best(b :+ a)
+          insertSorted(b, a).take(k)
         else b
       }
 

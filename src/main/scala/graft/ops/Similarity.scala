@@ -583,7 +583,9 @@ object Similarity {
           .as("vec_err"),
         expr("array_max(zip_with(q, q8, (a, b) -> abs(a - b * 100)))")
           .as("vec_max_err"),
-        expr("aggregate(q, 0L, (s, x) -> s + CASE WHEN abs(x) > 12750 THEN 1 ELSE 0 END)")
+        // boundary is INCLUSIVE: x = ±12750 rounds to ±128, which IS
+        // saturated to ±127 (its error shows in sum_err_e4)
+        expr("aggregate(q, 0L, (s, x) -> s + CASE WHEN abs(x) >= 12750 THEN 1 ELSE 0 END)")
           .as("n_clamped"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
@@ -605,7 +607,7 @@ object Similarity {
        |    CAST(list_max(list_transform(list_zip(q, q8),
        |      zz -> abs(zz[1] - zz[2] * 100))) AS BIGINT) AS vec_max_err,
        |    CAST(list_sum(list_transform(q,
-       |      x -> CASE WHEN abs(x) > 12750 THEN 1 ELSE 0 END)) AS BIGINT)
+       |      x -> CASE WHEN abs(x) >= 12750 THEN 1 ELSE 0 END)) AS BIGINT)
        |      AS n_clamped
        |  FROM p)
        |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,

@@ -352,36 +352,50 @@ object StreamingGate {
   /** foreachBatch MERGE sink: the production "upsert into a keyed
     * store" shape. Update-mode aggregation emits only the users whose
     * totals changed in each trigger; the foreachBatch body full-outer
-    * merges that delta into the previous target version and writes a
-    * NEW versioned directory named by batchId — re-running a batch
-    * overwrites its own version (idempotent), which is how foreachBatch
-    * sinks get exactly-once on top of at-least-once triggers. The gate
-    * reads the final version; oracle = the plain batch aggregate.
-    * Multi-batch merge is exercised by EventsStreamSpec (two files →
-    * two triggers → second version merges the first).
+    * merges that delta into the PREVIOUS COMMITTED VERSION and writes a
+    * NEW versioned directory named by batchId. The previous version is
+    * derived from the FILESYSTEM (max committed v<id> with id <
+    * batchId), never from driver memory, so exactly-once holds across
+    * restarts too: a replayed batch N overwrites its own v<N> and
+    * re-merges against the same v<N-1> the crashed run used — this is
+    * how foreachBatch sinks get exactly-once on top of at-least-once
+    * triggers, and st_recovery proves it under the gate. The gate reads
+    * the final version; oracle = the plain batch aggregate. Multi-batch
+    * merge is exercised by EventsStreamSpec (two files → two triggers →
+    * second version provably merges the first).
     */
-  /** the merge runner, parameterized on the input stream so the spec
-    * can drive it with a 2-file source (two triggers → the second
-    * version provably merges the first)
+  private def committedVersionBefore(
+      fs: org.apache.hadoop.fs.FileSystem, base: String,
+      batchId: Long): Option[String] = {
+    val dir = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(dir)) None
+    else {
+      val ids = fs.listStatus(dir).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") => n.drop(1) }
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+        .filter(id => id < batchId &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$base/v$id/_SUCCESS")))
+      if (ids.isEmpty) None else Some(s"$base/v${ids.max}")
+    }
+  }
+
+  /** one streaming run of the merge sink against `base`/`chk` — does
+    * NOT reset them, so a caller can stop and resume from the
+    * checkpoint (st_recovery) or run fresh (upsertMergeRun)
     */
-  def upsertMergeRun(spark: SparkSession, events: DataFrame,
-      tag: String): DataFrame = {
-    val base = s"target/stream_upsert/$tag"
-    val chk = s"target/stream_upsert_chk/$tag"
+  private def runMerge(spark: SparkSession, events: DataFrame,
+      base: String, chk: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    Seq(base, chk).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-
     val agg = events
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
-
-    var current: Option[String] = None
     val mergeBatch: (DataFrame, Long) => Unit = { (batch, id) =>
       val out = s"$base/v$id"
-      val merged = current match {
+      val merged = committedVersionBefore(fs, base, id) match {
         case None => batch
         case Some(prev) =>
           val old = spark.read.parquet(prev)
@@ -394,7 +408,6 @@ object StreamingGate {
               coalesce(col("sum_value_cents"), col("oc")).as("sum_value_cents"))
       }
       merged.write.mode("overwrite").parquet(out)
-      current = Some(out)
     }
     withGateShuffle(spark) {
       val q = agg.writeStream
@@ -405,7 +418,88 @@ object StreamingGate {
       try q.processAllAvailable()
       finally q.stop()
     }
-    spark.read.parquet(current.get).orderBy("user_id")
+  }
+
+  /** final committed version under `base` */
+  private def latestVersion(spark: SparkSession, base: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    committedVersionBefore(fs, base, Long.MaxValue)
+      .getOrElse(sys.error(s"no committed version under $base"))
+  }
+
+  /** the merge runner, parameterized on the input stream so the spec
+    * can drive it with a 2-file source (two triggers → the second
+    * version provably merges the first)
+    */
+  def upsertMergeRun(spark: SparkSession, events: DataFrame,
+      tag: String): DataFrame = {
+    val base = s"target/stream_upsert/$tag"
+    val chk = s"target/stream_upsert_chk/$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(base, chk).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    runMerge(spark, events, base, chk)
+    spark.read.parquet(latestVersion(spark, base)).orderBy("user_id")
+  }
+
+  /** st_recovery: CRASH-RECOVERY under the gate. The events table is
+    * split into 4 source files; a first streaming run consumes only 2
+    * of them (maxFilesPerTrigger=1 → two triggers) and is then STOPPED
+    * — offsets and aggregation state live only in the checkpoint. The
+    * remaining files then arrive and a SECOND query — a fresh
+    * StreamingQuery object, same checkpoint — resumes: it must recover
+    * the state store (per-user running totals), continue batch
+    * numbering, and merge against the version the first run committed
+    * (filesystem-derived, see above). The final version must equal the
+    * plain batch aggregate over ALL events — the exactly-once
+    * statement, checked by the DuckDB oracle.
+    */
+  private def recoveryStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val stage = s"target/stream_recovery/stage_$tag"
+    val input = s"target/stream_recovery/input_$tag"
+    val base = s"target/stream_recovery/sink_$tag"
+    val chk = s"target/stream_recovery/chk_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(stage, input, base, chk).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+
+    // 4 deterministic source files (one trigger each)
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(4, col("event_id"))
+      .write.parquet(stage)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(stage)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+    def arrive(p: org.apache.hadoop.fs.Path): Unit =
+      fs.rename(p, new org.apache.hadoop.fs.Path(s"$input/${p.getName}"))
+
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def stream(): DataFrame = graft.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input))
+
+    parts.take(2).foreach(arrive)
+    runMerge(spark, stream(), base, chk) // run 1: consumes 2 files, stops
+    val v0Success = new org.apache.hadoop.fs.Path(s"$base/v0/_SUCCESS")
+    val v0Stamp = fs.getFileStatus(v0Success).getModificationTime
+    parts.drop(2).foreach(arrive)
+    runMerge(spark, stream(), base, chk) // run 2: resumes from checkpoint
+    // recovery PROOF, not just matching totals (a from-scratch re-run
+    // over all 4 files would converge to the same aggregate): had the
+    // second query ignored the checkpoint it would have re-planned
+    // batch 0 over the now-larger input and rewritten v0, and batch
+    // numbering would have restarted instead of continuing past run 1
+    require(fs.getFileStatus(v0Success).getModificationTime == v0Stamp,
+      "restart re-ran batch 0: checkpoint state was not recovered")
+    require(latestVersion(spark, base).split("/v").last.toLong >= 2,
+      "restart did not continue batch numbering from the checkpoint")
+    spark.read.parquet(latestVersion(spark, base)).orderBy("user_id")
   }
 
   private def upsertSinkStreamed(spark: SparkSession, dir: String): DataFrame =
@@ -418,6 +512,7 @@ object StreamingGate {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_recovery"          -> (recoveryStreamed _),
     "st_full_outer"        -> (fullOuterJoinStreamed _),
     "st_outer_join"        -> (outerJoinStreamed _),
     "st_upsert_sink"       -> (upsertSinkStreamed _),
@@ -433,6 +528,7 @@ object StreamingGate {
 
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
+    "st_recovery"          -> upsertSinkStreamedSql,
     "st_full_outer"        -> fullOuterJoinStreamedSql,
     "st_outer_join"        -> outerJoinStreamedSql,
     "st_upsert_sink"       -> upsertSinkStreamedSql,

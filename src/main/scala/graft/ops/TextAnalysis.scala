@@ -683,7 +683,10 @@ object TextAnalysis {
       .select(col("e.item").as("term"), col("e.count").as("approx_n"))
     exact.join(approx, Seq("term"), "left")
       .select(col("term"), col("n"),
-        (col("approx_n") === col("n")).cast("long").as("approx_ok"))
+        // a term missing from the sketch top-40 must read as a clean
+        // approx_ok = 0, not a NULL that muddies the hash mismatch
+        coalesce((col("approx_n") === col("n")).cast("long"), lit(0L))
+          .as("approx_ok"))
       .orderBy("term")
   }
 
