@@ -78,6 +78,19 @@ object Multimodal {
   // shuffle, no driver involvement, payload bytes never leave the
   // partition (only the 6-field typed records flow into the aggregate).
   // -------------------------------------------------------------------
+  /** deterministic container fixture for (doc_id, body): even ids are
+    * PNG (depth 8), odd are BMP (24 bpp); dimensions bounded ≤ 512 so
+    * the gate exercises >255 values through both endiannesses. Shared
+    * by mm_decode_stats (payload column) and mm_binary_source (file
+    * per asset); the DuckDB oracle replays exactly these formulas.
+    */
+  private def assetBytes(id: Long, body: Array[Byte]): Array[Byte] = {
+    val w = (4 + id % 509).toInt
+    val h = 4 + body.length % 509
+    if (id % 2 == 0) ImageHeaders.png(w, h, 8, body)
+    else ImageHeaders.bmp(w, h, 24, body)
+  }
+
   private def decodeStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val assets: Dataset[DecodedAsset] = spark.read
@@ -86,15 +99,8 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
-          // fixture synthesis (stands in for reading a real binary
-          // column off parquet; dimensions bounded ≤ 512 so the gate
-          // still exercises >255 values through both endiannesses)
-          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val w = (4 + id % 509).toInt
-          val h = 4 + body.length % 509
-          val payload =
-            if (id % 2 == 0) ImageHeaders.png(w, h, 8, body)
-            else ImageHeaders.bmp(w, h, 24, body)
+          val payload = assetBytes(id,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           // the actual decode: magic bytes + fixed header offsets
           val (fmt, dw, dh, depth) = ImageHeaders.decodeHeader(payload)
           DecodedAsset(id, fmt, payload.length.toLong, dw.toLong, dh.toLong,
@@ -110,6 +116,95 @@ object Multimodal {
         max(col("bit_depth")).as("bit_depth"))
       .orderBy("fmt", "size_bucket")
   }
+
+  // -------------------------------------------------------------------
+  // mm_binary_source: FILE-PER-ASSET ingest via Spark's binaryFile
+  // source — the shape a real image corpus actually arrives in (a
+  // directory of blobs, not a parquet column). A deterministic ~2%
+  // keyed-hash sample of documents is materialized as real .img files
+  // once per SF (foreachPartition writer, marker-gated; on a cluster
+  // the writer targets shared storage — the code is identical);
+  // `spark.read.format("binaryFile")` lists and reads them in
+  // parallel, doc_id recovers from the file NAME, and the headers
+  // decode through the same fixed-offset codec as mm_decode_stats.
+  // sum_doc_id pins the filename→id recovery; the rest pins the
+  // content round trip. Oracle replays the sample predicate (portable
+  // md5 hash) + generator formulas from the documents table.
+  // -------------------------------------------------------------------
+  private val BinarySampleMod = 50L
+
+  private def binaryAssetDir(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val path = new java.io.File(s"target/mm_assets/$tag").getAbsoluteFile
+    val marker = new java.io.File(path, "_GRAFT_SUCCESS")
+    if (!marker.exists()) {
+      path.mkdirs()
+      val pathStr = path.toString
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(PortableHash.hashCol(concat(lit("mmbin:"), col("doc_id"))),
+          lit(BinarySampleMod)) === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, text) =>
+            val bytes = assetBytes(id,
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$pathStr/$id.img"), bytes)
+          }
+        }
+      marker.createNewFile()
+    }
+    path.toString
+  }
+
+  private def binarySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img")
+      .load(binaryAssetDir(spark, dir))
+      .select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (p, len, bytes) =>
+          val id = p.substring(p.lastIndexOf('/') + 1)
+            .stripSuffix(".img").toLong
+          val (fmt, w, h, depth) = ImageHeaders.decodeHeader(bytes)
+          DecodedAsset(id, fmt, len, w.toLong, h.toLong, depth.toLong)
+        }
+      }
+    assets.toDF()
+      .groupBy("fmt")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy("fmt")
+  }
+
+  private val binarySourceSql =
+    s"""WITH sampled AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE ${PortableHash.hashSql("'mmbin:' || CAST(doc_id AS VARCHAR)")}
+       |        % $BinarySampleMod = 0),
+       |assets AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+       |    CASE WHEN doc_id % 2 = 0 THEN ${ImageHeaders.PngOverhead}
+       |         ELSE ${ImageHeaders.BmpOverhead} END + len AS n_bytes,
+       |    4 + doc_id % 509 AS width,
+       |    4 + len % 509 AS height
+       |  FROM sampled)
+       |SELECT fmt, COUNT(*) AS n_assets,
+       |  CAST(SUM(width) AS BIGINT) AS sum_width,
+       |  CAST(SUM(height) AS BIGINT) AS sum_height,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+       |FROM assets GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
   // mm_frame_sample: frame sampling over an opaque payload — the video
@@ -246,6 +341,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata"     -> (metadata _),
     "mm_decode_stats" -> (decodeStats _),
+    "mm_binary_source" -> (binarySource _),
     "mm_frame_sample" -> (frameSample _),
     "mm_exact_dedup"  -> (exactDedup _),
     "mm_chunk_dedup"  -> (chunkDedup _)
@@ -276,6 +372,7 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "mm_metadata"     -> metadataSql,
     "mm_decode_stats" -> decodeStatsSql,
+    "mm_binary_source" -> binarySourceSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_exact_dedup"  -> exactDedupSql,
     "mm_chunk_dedup"  -> chunkDedupSql
