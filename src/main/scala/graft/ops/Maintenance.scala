@@ -360,7 +360,55 @@ object Maintenance {
        |ORDER BY tbl""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ax_mor_read: MERGE-ON-READ — the other half of the CDC story next
+  // to ax_upsert_orders' copy-on-write merge. Writers never rewrite
+  // base files: a commit is (a) a DELETION VECTOR (keys logically
+  // removed — an update is delete+append) and (b) an APPEND delta.
+  // The reader reconstructs the current table as
+  //   (base ANTI-JOIN deletes) UNION ALL delta
+  // — at 100 TB the delete set is bounded by churn (not table size),
+  // so it broadcasts and the base table is never rewritten OR
+  // shuffled; engines with per-file deletion-vector bitmaps apply the
+  // same contract at scan time, this is its relational statement. The
+  // change sets derive deterministically from the base (k%97 updated
+  // via delete+append, k%89 deleted) so the oracle replays them.
+  // Audit row: surviving rows, dead base rows, appended rows, content
+  // checksum.
+  // -------------------------------------------------------------------
+  private def morRead(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val deletes = base
+      .filter(pmod(col("k"), lit(89)) === 0 || pmod(col("k"), lit(97)) === 0)
+      .select(col("k").as("dk"))
+    val delta = base.filter(pmod(col("k"), lit(97)) === 0)
+      .select(col("k"), (col("cents") + 5).as("cents"))
+    val current = base
+      .join(broadcast(deletes), col("k") === col("dk"), "left_anti")
+      .unionAll(delta)
+    current
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("checksum_cents"))
+      .crossJoin(deletes.agg(count(lit(1)).as("n_dead")))
+      .crossJoin(delta.agg(count(lit(1)).as("n_appended")))
+  }
+
+  private val morReadSql =
+    """WITH base AS (SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+      |cur AS (
+      |  SELECT k, cents FROM base WHERE k % 89 <> 0 AND k % 97 <> 0
+      |  UNION ALL
+      |  SELECT k, cents + 5 FROM base WHERE k % 97 = 0)
+      |SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS checksum_cents,
+      |  (SELECT COUNT(*) FROM base WHERE k % 89 = 0 OR k % 97 = 0) AS n_dead,
+      |  (SELECT COUNT(*) FROM base WHERE k % 97 = 0) AS n_appended
+      |FROM cur""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_mor_read"        -> (morRead _),
     "ax_table_checksum"  -> (tableChecksum _),
     "ax_scd2_customer"   -> (scd2Customer _),
     "ax_dq_rules"        -> (dqRules _),
@@ -369,6 +417,7 @@ object Maintenance {
     "ax_incremental_agg" -> (incrementalAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_mor_read"        -> morReadSql,
     "ax_table_checksum"  -> tableChecksumSql,
     "ax_scd2_customer"   -> scd2CustomerSql,
     "ax_dq_rules"        -> dqRulesSql,

@@ -41,26 +41,24 @@ object Multimodal {
 
   // -------------------------------------------------------------------
   // mm_metadata: typed metadata over the opaque binary column — byte
-  // length, content digest, and (stub) decoded dimensions derived
-  // deterministically from the byte length. Pure Column ops →
-  // oracle-backed in DuckDB over the same manufactured payload.
+  // length + content digest, the two fields every asset catalog needs
+  // before any decode happens (dedup keys, size stats, integrity).
+  // Pure Column ops → oracle-backed in DuckDB over the same
+  // manufactured payload. Decoded dimensions live in mm_decode_stats /
+  // mm_binary_source, which parse real container headers.
   // -------------------------------------------------------------------
   private def metadata(spark: SparkSession, dir: String): DataFrame =
     withPayload(spark, dir)
       .select(
         col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
-        sha2(col("payload"), 256).as("digest"),
-        (lit(64L) + length(col("payload")).cast("long") % 960).as("width"),
-        (lit(64L) + (length(col("payload")).cast("long") * 7) % 960).as("height"))
+        sha2(col("payload"), 256).as("digest"))
       .orderBy("doc_id")
 
   private val metadataSql =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  sha256(text) AS digest,
-      |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 960 AS width,
-      |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 960 AS height
+      |  sha256(text) AS digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
