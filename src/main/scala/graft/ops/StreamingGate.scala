@@ -47,6 +47,22 @@ object StreamingGate {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** transformWithState requires the RocksDB state store; scope the
+    * provider swap to the query run (the provider is captured at query
+    * start, so concurrent defaults elsewhere are unaffected)
+    */
+  private def withRocksDbState[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def runToTable(df: DataFrame, name: String, mode: String)(
       spark: SparkSession): DataFrame = {
     withGateShuffle(spark) {
@@ -506,12 +522,28 @@ object StreamingGate {
     upsertMergeRun(spark, eventsStream(spark, dir),
       new java.io.File(dir).getName)
 
+  /** per-user totals through the arbitrary-state v2 operator
+    * (transformWithState + RocksDB store); totals are monotone, so the
+    * converged per-user row is the max over the update-mode sink.
+    * Oracle = the plain batch aggregate (same as st_upsert_sink).
+    */
+  private def twsTotalsStreamed(spark: SparkSession, dir: String): DataFrame =
+    withRocksDbState(spark) {
+      runToTable(EventsStream.userTotalsTws(eventsStream(spark, dir)),
+        "st_tws_totals_sink", "update")(spark)
+    }
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("sum_value_cents")).as("sum_value_cents"))
+      .orderBy("user_id")
+
   private val upsertSinkStreamedSql =
     """SELECT user_id, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_tws_totals"        -> (twsTotalsStreamed _),
     "st_recovery"          -> (recoveryStreamed _),
     "st_full_outer"        -> (fullOuterJoinStreamed _),
     "st_outer_join"        -> (outerJoinStreamed _),
@@ -528,6 +560,7 @@ object StreamingGate {
 
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
+    "st_tws_totals"        -> upsertSinkStreamedSql,
     "st_recovery"          -> upsertSinkStreamedSql,
     "st_full_outer"        -> fullOuterJoinStreamedSql,
     "st_outer_join"        -> outerJoinStreamedSql,

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TTLConfig, ValueState}
 
 /** typed event projection for the custom-state operator */
 final case class PurchaseEv(
@@ -165,5 +166,54 @@ object EventsStream {
         state.update(s)
         Iterator(UserStreak(user, s.cnt, s.sumCents, s.best))
       }
+  }
+
+  /** per-user running totals carried in a ValueState */
+  final case class Totals(n: Long, cents: Long)
+
+  /** Spark 4's ARBITRARY-STATE API v2 (`transformWithState`): the
+    * successor to flatMapGroupsWithState above — typed state handles
+    * (value/list/map states, timers, TTL) resolved in init() instead
+    * of one opaque state blob, and a RocksDB-backed state store
+    * (required by the operator), which is also the provider that makes
+    * very large keyed state viable at scale (spill-to-disk,
+    * incremental checkpoint uploads). The processor is the minimal
+    * meaningful instance: per-user running totals in a ValueState,
+    * emitted per trigger in Update mode (monotone, so the converged
+    * per-user row is the max — same contract as purchaseStreaks).
+    */
+  final class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var st: ValueState[Totals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Totals]("totals",
+        Encoders.product[Totals], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var n = 0L
+      var cents = 0L
+      rows.foreach { r => n += 1; cents += r._2 }
+      val prev = if (st.exists()) st.get() else Totals(0L, 0L)
+      val tot = Totals(prev.n + n, prev.cents + cents)
+      st.update(tot)
+      Iterator((user, tot.n, tot.cents))
+    }
+  }
+
+  /** per-user lifetime totals via transformWithState (Update mode) */
+  def userTotalsTws(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value_cents")
   }
 }

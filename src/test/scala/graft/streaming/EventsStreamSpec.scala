@@ -455,4 +455,45 @@ class EventsStreamSpec extends AnyFunSuite {
       .select("event_id").distinct().count()
     assert(n === expected)
   }
+
+  test("transformWithState carries ValueState across triggers (RocksDB store)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val events = mem.toDF().toDF("user_id", "value")
+      val q = EventsStream.userTotalsTws(events)
+        .writeStream.format("memory").queryName("tws_test")
+        .outputMode("update").start()
+      try {
+        mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0)) // trigger 1
+        q.processAllAvailable()
+        mem.addData((1L, 3.0))                       // trigger 2
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // trigger 2's row for user 1 must CONTINUE from trigger 1's state
+      val rows = spark.table("tws_test")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("sum_value_cents").as("c"))
+        .orderBy("user_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((1L, 3L, 600L), (2L, 1L, 500L)))
+      // and the sink holds the intermediate emission too (update mode)
+      val user1Emissions = spark.table("tws_test")
+        .filter(col("user_id") === 1L).count()
+      assert(user1Emissions === 2L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
