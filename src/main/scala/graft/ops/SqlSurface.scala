@@ -154,7 +154,66 @@ object SqlSurface {
     spark.sql(recursiveTemplate("graft_sql_orders"))
   }
 
+  /** SQL PIVOT syntax — the reshape operator as TEXT (the DataFrame
+    * twin is ax_pivot_lineitem). Spark parses the PIVOT clause into
+    * the same Aggregate-with-pivot-expressions plan the DataFrame
+    * `.pivot()` builds: one pass, one aggregate, no join — a missing
+    * (flag, status) combination is a NULL cell in both engines. The
+    * oracle states the identical contract as portable conditional
+    * aggregation.
+    */
+  private def pivotViaSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT * FROM (
+        |  SELECT l_returnflag,
+        |    l_linestatus,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+        |  FROM graft_sql_lineitem)
+        |PIVOT (SUM(cents) FOR l_linestatus IN ('F' AS f_cents, 'O' AS o_cents))
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val pivotOracle =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+      |    THEN CAST(round(l_extendedprice*100) AS BIGINT) END) AS BIGINT)
+      |    AS f_cents,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(round(l_extendedprice*100) AS BIGINT) END) AS BIGINT)
+      |    AS o_cents
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** EXISTS / NOT EXISTS correlated PREDICATE subqueries — the other
+    * decorrelation path next to sq_corr_brand_max's scalar subquery:
+    * RewritePredicateSubquery turns them into a LEFT SEMI and a LEFT
+    * ANTI join (plan-guarded), so the orders table is scanned twice
+    * and hash-joined, never probed per customer row. Identical text
+    * runs in DuckDB.
+    */
+  private def existsSemiTemplate(customer: String, orders: String): String =
+    s"""SELECT c.c_custkey, c.c_name
+       |FROM $customer c
+       |WHERE EXISTS (SELECT 1 FROM $orders o
+       |              WHERE o.o_custkey = c.c_custkey
+       |                AND o.o_orderpriority = '1-URGENT')
+       |  AND NOT EXISTS (SELECT 1 FROM $orders o2
+       |                  WHERE o2.o_custkey = c.c_custkey
+       |                    AND o2.o_orderpriority = '5-LOW')
+       |ORDER BY c.c_custkey""".stripMargin
+
+  private def existsSemiViaSql(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet")
+        .createOrReplaceTempView(s"graft_sql_$t")
+    }
+    spark.sql(existsSemiTemplate("graft_sql_customer", "graft_sql_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq_pivot_sql"         -> (pivotViaSql _),
+    "sq_exists_semi"       -> (existsSemiViaSql _),
     "sq_signum_sql"        -> (signumViaSql _),
     "sq_ship_priority_sql" -> (shipPriorityViaSql _),
     "sq_corr_brand_max"    -> (brandMaxViaSql _),
@@ -162,6 +221,8 @@ object SqlSurface {
     "sq_recursive_reach"   -> (recursiveReachViaSql _))
 
   val oracleSql: Map[String, String] = Map(
+    "sq_pivot_sql"         -> pivotOracle,
+    "sq_exists_semi"       -> existsSemiTemplate("customer", "orders"),
     "sq_signum_sql"        -> signumViaSqlOracle,
     // the DataFrame twin's oracle, verbatim — one definition, two surfaces
     "sq_ship_priority_sql" -> Analytics.oracleSql("ax_ship_priority"),

@@ -385,6 +385,65 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------
+  // tx_bigram_surprisal: LANGUAGE-MODEL quality scoring, the integer
+  // formulation — the CCNet/perplexity-filter step of a training-data
+  // pipeline without a float in sight. The corpus's own bigram counts
+  // are the model; a bigram's surprisal is the RANK of its
+  // continuation among all continuations of the same head word
+  // (common → 1, rare → large) — the order statistic of
+  // -log P(w2|w1), exactly engine-portable where the logarithm is
+  // not. A document's score is its mean bigram rank in milli-units;
+  // the output is the 20 most "surprising" documents — the ones a
+  // perplexity filter would cut first. Scale shape: bigrams form
+  // map-side inside the word array (same idiom as tx_bigrams), the
+  // rank model is one groupBy + one bounded window (vocab², pruned in
+  // practice) and BROADCASTS to the per-doc join — the corpus
+  // shuffles once, on doc_id, already reduced to per-doc sums.
+  // ---------------------------------------------------------------
+  private def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = docs(spark, dir)
+      .select(col("doc_id"), split(normCol, " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
+          |         slice(w, 2, greatest(size(w)-1, 0)),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ranks = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("w1").orderBy(col("c").desc, col("w2").asc)))
+      .select(col("w1").as("rw1"), col("w2").as("rw2"), col("rk"))
+    bg.join(broadcast(ranks), col("w1") === col("rw1") && col("w2") === col("rw2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("rk")).as("sum_rank"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_rank"),
+        expr("(sum_rank * 1000) div n_bigrams").as("score_e3"))
+      .orderBy(col("score_e3").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private val bigramSurprisalSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS ws
+       |  FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) d),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(ws), 1)), i -> ws[i])) AS w1,
+       |    unnest(list_transform(range(1, greatest(len(ws), 1)), i -> ws[i+1])) AS w2
+       |  FROM w),
+       |ranks AS (
+       |  SELECT w1, w2,
+       |    row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2 ASC) AS rk
+       |  FROM (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2) m),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(rk) AS BIGINT) AS sum_rank
+       |  FROM bg JOIN ranks USING (w1, w2) GROUP BY 1)
+       |SELECT doc_id, n_bigrams, sum_rank,
+       |  CAST(sum_rank * 1000 // n_bigrams AS BIGINT) AS score_e3
+       |FROM scored
+       |ORDER BY score_e3 DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
   // tx_sample_stratified: deterministic per-language sampling stats —
   // the same keyed-hash discipline as tx_split_assign (membership is a
   // pure function of the stable doc_id; reruns and data growth never
@@ -753,6 +812,7 @@ object TextAnalysis {
     "tx_quality_sample" -> (qualitySample _),
     "tx_vocab_growth" -> (vocabGrowth _),
     "tx_bigrams"      -> (bigrams _),
+    "tx_bigram_surprisal" -> (bigramSurprisal _),
     "tx_sample_stratified" -> (sampleStratified _),
     "tx_keywords"     -> (keywords _),
     "tx_split_assign" -> (splitAssign _),
@@ -774,6 +834,7 @@ object TextAnalysis {
     "tx_quality_sample" -> qualitySampleSql,
     "tx_vocab_growth" -> vocabGrowthSql,
     "tx_bigrams"      -> bigramsSql,
+    "tx_bigram_surprisal" -> bigramSurprisalSql,
     "tx_sample_stratified" -> sampleStratifiedSql,
     "tx_keywords"     -> keywordsSql,
     "tx_split_assign" -> splitAssignSql,

@@ -199,6 +199,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "decorrelation plans agg + join, not a per-row subquery")
   }
 
+  test("EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan("sq_exists_semi")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan an anti join:\n$p")
+  }
+
   test("recursive CTE plans a UnionLoop operator, not a driver-side loop") {
     val p = plan("sq_recursive_reach")
     assert(p.contains("UnionLoop"),
