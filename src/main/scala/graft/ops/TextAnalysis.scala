@@ -385,6 +385,46 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------
+  // tx_feature_hash: the HASHING-TRICK featurizer — map an unbounded
+  // vocabulary into a FIXED feature dimensionality (here 256 buckets)
+  // by hashing tokens, the standard way to featurize text without
+  // materializing (or even knowing) the vocabulary. That boundedness
+  // is the 100 TB property: the feature space never grows with the
+  // corpus, the aggregate is one hash-keyed partial→final pass, and
+  // no vocabulary table is built, broadcast, or joined. The audit
+  // reports the 20 hottest buckets plus each bucket's distinct-token
+  // collision count — the quantity that decides whether 256 dims is
+  // too small. Portable md5 hash → oracle replays exactly.
+  // ---------------------------------------------------------------
+  private val FeatureDims = 256L
+
+  private def featureHash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(normCol, " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .select(col("tok"),
+        pmod(PortableHash.hashCol(concat(lit("fh:"), col("tok"))),
+          lit(FeatureDims)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct_toks"))
+      .orderBy(col("n_tokens").desc, col("bucket").asc)
+      .limit(20)
+
+  private val featureHashSql =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(norm, ' ')) AS tok
+       |  FROM (SELECT $normSqlDef AS norm FROM documents) d),
+       |b AS (
+       |  SELECT tok, ${PortableHash.hashSql("'fh:' || tok")} % $FeatureDims
+       |    AS bucket
+       |  FROM toks WHERE length(tok) >= 1)
+       |SELECT bucket, COUNT(*) AS n_tokens,
+       |  COUNT(DISTINCT tok) AS n_distinct_toks
+       |FROM b GROUP BY 1
+       |ORDER BY n_tokens DESC, bucket ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
   // tx_bigram_surprisal: LANGUAGE-MODEL quality scoring, the integer
   // formulation — the CCNet/perplexity-filter step of a training-data
   // pipeline without a float in sight. The corpus's own bigram counts
@@ -813,6 +853,7 @@ object TextAnalysis {
     "tx_vocab_growth" -> (vocabGrowth _),
     "tx_bigrams"      -> (bigrams _),
     "tx_bigram_surprisal" -> (bigramSurprisal _),
+    "tx_feature_hash" -> (featureHash _),
     "tx_sample_stratified" -> (sampleStratified _),
     "tx_keywords"     -> (keywords _),
     "tx_split_assign" -> (splitAssign _),
@@ -835,6 +876,7 @@ object TextAnalysis {
     "tx_vocab_growth" -> vocabGrowthSql,
     "tx_bigrams"      -> bigramsSql,
     "tx_bigram_surprisal" -> bigramSurprisalSql,
+    "tx_feature_hash" -> featureHashSql,
     "tx_sample_stratified" -> sampleStratifiedSql,
     "tx_keywords"     -> keywordsSql,
     "tx_split_assign" -> splitAssignSql,
