@@ -19,7 +19,15 @@ class ExtensionsSpec extends AnyFunSuite {
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
-      val n = fn(spark, dir).count()
+      val df = fn(spark, dir)
+      // global anti-pattern guard: no interpreted UDF may reach ANY
+      // gate query's plan (checkpointed results plan as RDD scans and
+      // pass trivially; their pre-checkpoint shapes have their own
+      // guards in PlanShapeSpec)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$name plans an interpreted UDF")
+      val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
