@@ -46,6 +46,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("parity scan prunes to exactly the referenced column") {
+    // column pruning must reach the parquet reader: a when-chain over
+    // l_quantity reads ONE column, not sixteen
+    val p = plan("pf_signum")
+    assert(p.contains("ReadSchema: struct<l_quantity:double>"),
+      s"pf_signum must scan only l_quantity:\n$p")
+  }
+
+  test("ship-priority predicates push down to all three scans") {
+    val p = plan("ax_ship_priority")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      "lineitem date filter must reach the parquet scan")
+    assert(p.contains("LessThan(o_orderdate"),
+      "orders date filter must reach the parquet scan")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the parquet scan")
+  }
+
   test("parity query is scan + project + one distinct aggregate") {
     val p = plan("pf_signum")
     // one pair of partial/final hash aggregates for the distinct; no joins
