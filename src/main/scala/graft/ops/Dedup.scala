@@ -689,6 +689,7 @@ object Dedup {
         least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint()
+    var nEdges = edges.count() // cheap: counts the eager checkpoint
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -711,12 +712,20 @@ object Dedup {
           least(col("a"), col("b")).as("v"))
         .distinct()
         .localCheckpoint() // truncate lineage every round, as in labelProp
-      // fixpoint test: symmetric difference of two DISTINCT edge sets —
-      // rows seen once across the union are in exactly one set
-      converged = next.unionAll(edges)
+      // fixpoint test, cheap-first: the symmetric difference of the two
+      // DISTINCT edge sets (rows seen once across the union are in
+      // exactly one set) re-shuffles BOTH full edge sets — a second
+      // whole-graph exchange per round if run unconditionally. Equal
+      // cardinality is a necessary condition that costs one count over
+      // the already-materialized checkpoint, so the expensive diff runs
+      // only on rounds whose counts agree — normally exactly once, at
+      // convergence.
+      val nNext = next.count()
+      converged = nNext == nEdges && next.unionAll(edges)
         .groupBy("u", "v").agg(count(lit(1)).as("c"))
         .filter(col("c") === 1).count() == 0
       edges = next
+      nEdges = nNext
       iter += 1
     }
     // fixpoint = star edges (node → its component's min node)

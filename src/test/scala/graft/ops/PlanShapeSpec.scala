@@ -113,9 +113,25 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   // (ax_triangle_count ends in localCheckpoint — its returned plan is a
-  // materialized RDD scan, so its shape is covered by SemanticsSpec's
-  // brute-force recompute rather than a plan-string guard. PageRank's
-  // per-iteration shape is guarded below via the exposed lazy plan.)
+  // materialized RDD scan, so the orientation step is guarded via an
+  // exposed plan below, mirroring the pagerank-iteration guard.)
+
+  test("triangle orientation never broadcasts the per-node degree table") {
+    // deg has one row per graph NODE — the same cardinality whose
+    // broadcast was eliminated from the pagerank loop; the degree
+    // attach must be co-partitioned shuffled-hash joins
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = Graph.triangleOrientationPlan(spark, dir)
+    val plan = top match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val names = plan.collect { case n => n.nodeName }
+    assert(!names.exists(_.contains("Broadcast")),
+      s"the per-node degree table must never broadcast:\n$plan")
+    assert(names.count(_ == "ShuffledHashJoin") >= 2,
+      s"both degree attaches must be shuffled-hash joins:\n$plan")
+  }
 
   test("pagerank iteration never broadcasts the per-node rank table") {
     // the rank/contribution tables have one row per graph NODE — at
