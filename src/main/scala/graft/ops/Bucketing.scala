@@ -41,8 +41,12 @@ object Bucketing {
     */
   def bucketedTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val tag = new java.io.File(dir).getName.replace('.', '_')
-
-    def ensure(table: String, source: String, key: String): DataFrame = {
+    // table name and path fingerprint the bucket spec: a changed bucket
+    // count or key must re-ingest, never re-register a stale layout
+    // under a mismatched CLUSTERED BY spec
+    def ensure(table0: String, source: String, key: String): DataFrame = {
+      val table =
+        s"${table0}_${FixtureCache.fingerprint("buckets" -> Buckets, "key" -> key)}"
       if (!spark.catalog.tableExists(table)) {
         val path = new java.io.File(s"target/bucketed_tables/$table").getAbsoluteFile
         if (new java.io.File(path, "_SUCCESS").exists()) {

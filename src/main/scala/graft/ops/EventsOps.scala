@@ -418,8 +418,9 @@ object EventsOps {
   // amplification.
   // -------------------------------------------------------------------
   private def corruptIngest(spark: SparkSession, dir: String): DataFrame = {
-    val tag = new java.io.File(dir).getName.replace('.', '_')
-    val path = new java.io.File(s"target/corrupt_json/$tag").getAbsoluteFile
+    // path fingerprints the corruption scheme (stale-fixture guard)
+    val path = FixtureCache.dir("corrupt_json", dir,
+      "scheme" -> "odd-truncated-json;cents")
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       graft.Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"),

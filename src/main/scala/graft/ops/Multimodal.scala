@@ -133,8 +133,10 @@ object Multimodal {
 
   private def binaryAssetDir(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val tag = new java.io.File(dir).getName.replace('.', '_')
-    val path = new java.io.File(s"target/mm_assets/$tag").getAbsoluteFile
+    // path fingerprints the sample modulus and payload codec shape so a
+    // constant change rebuilds the asset dir (stale-fixture guard)
+    val path = FixtureCache.dir("mm_assets", dir,
+      "mod" -> BinarySampleMod, "codec" -> "png8/bmp24;dim509")
     val marker = new java.io.File(path, "_GRAFT_SUCCESS")
     if (!marker.exists()) {
       path.mkdirs()

@@ -40,8 +40,8 @@ object ScanPruning {
     * [[Bucketing]]).
     */
   def partitionedCustomerPath(spark: SparkSession, dir: String): String = {
-    val tag = new java.io.File(dir).getName.replace('.', '_')
-    val path = new java.io.File(s"target/dpp_tables/customer_$tag").getAbsoluteFile
+    // path fingerprints the partition column (stale-fixture guard)
+    val path = FixtureCache.dir("dpp_tables", dir, "pcol" -> "c_nationkey")
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       spark.read.parquet(s"$dir/customer.parquet")
         .write.partitionBy("c_nationkey").mode("overwrite")

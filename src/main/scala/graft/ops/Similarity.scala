@@ -164,8 +164,11 @@ object Similarity {
   private val BucketedPlanes = 6
 
   private def annLayoutPath(spark: SparkSession, dir: String): String = {
-    val tag = new java.io.File(dir).getName.replace('.', '_')
-    val path = new java.io.File(s"target/ann_layout/$tag").getAbsoluteFile
+    // path fingerprints the generator params: changing the plane count
+    // or the quantization rebuilds the layout instead of silently
+    // reusing a stale one
+    val path = FixtureCache.dir("ann_layout", dir,
+      "planes" -> BucketedPlanes, "quantize" -> quantize)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       emb(spark, dir)
         .withColumn("q", expr(quantize))
@@ -391,25 +394,44 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
-  // sim_ann_recall: recall@20 of the LSH ANN tier against the exact
+  // sim_ann_recall: recall@20 of BOTH ANN tiers against the exact
   // brute-force top-20 — the eval loop every production ANN deployment
-  // runs to tune planes/probes. hits = |ANN ∩ exact|; recall_pm =
-  // hits/20 in permille. Oracle recomputes both tiers in DuckDB.
+  // runs to tune planes/probes. One row carries the measured
+  // probe-count/recall trade-off as data: the 7-probe multi-probe tier
+  // (query bucket + Hamming-1 neighbors) and the 1-probe single-bucket
+  // tier, hits = |ANN ∩ exact|, recall_pm = hits/20 in permille.
+  // Multi-probe recall is ≥ single-probe by construction (its
+  // candidate set is a superset). Oracle recomputes all three tiers in
+  // DuckDB.
   // -------------------------------------------------------------------
   private def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = topkQuantized(spark, dir).select(col("vec_id"))
-    val ann = annLsh(spark, dir).select(col("vec_id"))
-    exact.join(ann, Seq("vec_id"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-      .select(col("hits"), (col("hits") * lit(50)).cast("long").as("recall_pm"))
+    val exact = topkQuantized(spark, dir).select(col("vec_id")).persist()
+    def hits(ann: DataFrame) =
+      exact.join(ann.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("h"))
+    val out = hits(annLsh(spark, dir)).select(col("h").as("hits_multi"))
+      .crossJoin(hits(annBucketed(spark, dir)).select(col("h").as("hits_single")))
+      .select(
+        col("hits_multi"),
+        (col("hits_multi") * lit(50)).cast("long").as("recall_multi_pm"),
+        col("hits_single"),
+        (col("hits_single") * lit(50)).cast("long").as("recall_single_pm"))
+      .localCheckpoint()
+    exact.unpersist()
+    out
   }
 
   private val annRecallSql =
     s"""WITH exact20 AS ($topkQuantizedSql),
-       |ann20 AS ($annLshSql)
-       |SELECT CAST(count(*) AS BIGINT) AS hits,
-       |  CAST(count(*) * 50 AS BIGINT) AS recall_pm
-       |FROM exact20 WHERE vec_id IN (SELECT vec_id FROM ann20)""".stripMargin
+       |multi20 AS ($annLshSql),
+       |single20 AS ($annBucketedSql),
+       |hm AS (SELECT CAST(count(*) AS BIGINT) AS hits_multi
+       |  FROM exact20 WHERE vec_id IN (SELECT vec_id FROM multi20)),
+       |hs AS (SELECT CAST(count(*) AS BIGINT) AS hits_single
+       |  FROM exact20 WHERE vec_id IN (SELECT vec_id FROM single20))
+       |SELECT hits_multi, CAST(hits_multi * 50 AS BIGINT) AS recall_multi_pm,
+       |  hits_single, CAST(hits_single * 50 AS BIGINT) AS recall_single_pm
+       |FROM hm, hs""".stripMargin
 
   // -------------------------------------------------------------------
   // sim_pair_hist: distribution of pairwise similarities on a

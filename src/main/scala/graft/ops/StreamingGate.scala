@@ -97,18 +97,23 @@ object StreamingGate {
 
   /** custom-state operator streamed end-to-end (flatMapGroupsWithState,
     * Update mode): the memory sink accumulates one row per (user,
-    * trigger); every metric is monotone, so the converged answer is the
-    * per-user max. Oracle = batch gaps-and-islands SQL.
+    * trigger); the converged answer is the LAST emission per user,
+    * selected by argmax on the strictly-increasing n_events counter —
+    * robust even for metrics that are not monotone in the values
+    * themselves (see twsTotalsStreamed). Oracle = batch
+    * gaps-and-islands SQL.
     */
   private def streaksStreamed(spark: SparkSession, dir: String): DataFrame =
     runToTable(
       graft.streaming.EventsStream.purchaseStreaks(eventsStream(spark, dir)).toDF(),
       "st_purchase_streaks_sink", "update")(spark)
       .groupBy("user_id")
-      .agg(
-        max(col("n_events")).as("n_events"),
-        max(col("sum_value_cents")).as("sum_value_cents"),
-        max(col("best_purchase_streak")).as("best_purchase_streak"))
+      .agg(max(struct(col("n_events"), col("sum_value_cents"),
+        col("best_purchase_streak"))).as("last"))
+      .select(col("user_id"),
+        col("last.n_events").as("n_events"),
+        col("last.sum_value_cents").as("sum_value_cents"),
+        col("last.best_purchase_streak").as("best_purchase_streak"))
       .orderBy("user_id")
 
   private val streaksStreamedSql =
@@ -513,7 +518,10 @@ object StreamingGate {
     // numbering would have restarted instead of continuing past run 1
     require(fs.getFileStatus(v0Success).getModificationTime == v0Stamp,
       "restart re-ran batch 0: checkpoint state was not recovered")
-    require(latestVersion(spark, base).split("/v").last.toLong >= 2,
+    // parse the batch id from the FINAL path segment only — splitting
+    // the whole path on "/v" breaks under any base dir containing "/v"
+    require(new org.apache.hadoop.fs.Path(latestVersion(spark, base))
+        .getName.stripPrefix("v").toLong >= 2,
       "restart did not continue batch numbering from the checkpoint")
     spark.read.parquet(latestVersion(spark, base)).orderBy("user_id")
   }
@@ -523,9 +531,14 @@ object StreamingGate {
       new java.io.File(dir).getName)
 
   /** per-user totals through the arbitrary-state v2 operator
-    * (transformWithState + RocksDB store); totals are monotone, so the
-    * converged per-user row is the max over the update-mode sink.
-    * Oracle = the plain batch aggregate (same as st_upsert_sink).
+    * (transformWithState + RocksDB store). The update-mode sink holds
+    * one row per (user, trigger); the converged answer is the LAST
+    * emission per user, selected by argmax on n_events — the running
+    * event count strictly increases with every batch that touches the
+    * user, so the max-n_events row IS the final row. (A max over the
+    * value column itself would be correct only while values are
+    * non-negative; with refunds the sum is not monotone.) Oracle = the
+    * plain batch aggregate (same as st_upsert_sink).
     */
   private def twsTotalsStreamed(spark: SparkSession, dir: String): DataFrame =
     withRocksDbState(spark) {
@@ -533,8 +546,9 @@ object StreamingGate {
         "st_tws_totals_sink", "update")(spark)
     }
       .groupBy("user_id")
-      .agg(max(col("n_events")).as("n_events"),
-        max(col("sum_value_cents")).as("sum_value_cents"))
+      .agg(max(struct(col("n_events"), col("sum_value_cents"))).as("last"))
+      .select(col("user_id"), col("last.n_events").as("n_events"),
+        col("last.sum_value_cents").as("sum_value_cents"))
       .orderBy("user_id")
 
   private val upsertSinkStreamedSql =

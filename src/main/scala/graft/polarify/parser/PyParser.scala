@@ -476,9 +476,11 @@ object PyParser {
       case Tok.Op("{") =>
         // distinguish the two brace literals the way CPython's ast does:
         // {1: 2} is a Dict, {1, 2} is a Set — both outside the closed
-        // world, but the error must name the right node
+        // world, but the error must name the right node. Empty braces
+        // and a leading dict-unpacking `{**a}` (no top-level colon) are
+        // Dicts in CPython's grammar.
         var depth = 0
-        var isDict = peek == Tok.Op("}") // empty braces are a Dict
+        var isDict = peek == Tok.Op("}") || peek == Tok.Op("**")
         var scanning = true
         while (scanning) peek match {
           case Tok.Op("{") | Tok.Op("(") | Tok.Op("[") => depth += 1; next()

@@ -352,6 +352,10 @@ class PyParserSpec extends AnyFunSuite {
     expectError("def f(x):\n    s = x[0]\n    return s\n", "ast.Subscript")
     expectError("def f(x):\n    s = x.real\n    return s\n", "ast.Attribute")
     expectError("def f(x):\n    s = {}\n    return x\n", "ast.Dict")
+    // dict-unpacking has no top-level colon but is still a Dict in
+    // CPython's grammar; a set literal stays a Set
+    expectError("def f(x):\n    s = {**x}\n    return x\n", "ast.Dict")
+    expectError("def f(x):\n    s = {1, 2}\n    return x\n", "ast.Set")
   }
 
   test("unknown function → helpful resolution error") {
