@@ -71,4 +71,23 @@ object Program {
       source: String,
       functions: Map[String, parser.PyParser.PyFn] = Map.empty): Program =
     parser.PyParser.parse(source, functions).program
+
+  /** The reference's `transform_func_to_new_source` surface
+    * (ref: polarify/__init__.py:17-37): parse a Python function's
+    * source, compile the body, and emit a RUNNABLE renamed function —
+    * `def <name>_polarified(<args>)` whose body is
+    * `import polars as pl; return <pl.when-chain>` — textually the
+    * string CPython's `ast.unparse` produces for the reference's
+    * modified tree (minimal parens, 4-space indent, decorators
+    * cleared). RenderSpec pins the emitted text and its
+    * `ast.unparse`-round-trip stability.
+    */
+  def transformSourceToNewSource(
+      source: String,
+      functions: Map[String, parser.PyParser.PyFn] = Map.empty): String = {
+    val pf = parser.PyParser.parse(source, functions)
+    s"""def ${pf.name}_polarified(${pf.params.mkString(", ")}):
+       |    import polars as pl
+       |    return ${Render.toPythonSource(pf.program.expr)}""".stripMargin
+  }
 }

