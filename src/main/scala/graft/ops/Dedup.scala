@@ -270,8 +270,23 @@ object Dedup {
   // -------------------------------------------------------------------
   // MinHash + LSH near-dup over word shingles / char n-grams.
   // -------------------------------------------------------------------
+  /** Verified near-dup pairs are the shared substrate of the whole
+    * dedup family (dd_minhash_pairs, dd_lsh_recall, dd_dup_clusters,
+    * dd_cc_bigstar, dd_cluster_retain, dd_curation_funnel): tokenize →
+    * signature → banded buckets → exact-Jaccard verification is the
+    * expensive half of each, and it is IDENTICAL across them. Built
+    * once per (application, SF dir) and persisted — the same
+    * session-cache discipline as [[Graph.undirectedEdges]]. The cached
+    * result is the verified pair list (output ∝ true duplicates), not
+    * the signature table, so the memory bound is the small end of the
+    * pipeline.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    MinHashLsh.verifiedPairs(wordShingleTok(spark, dir))
+    pairsCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
+      _ => MinHashLsh.verifiedPairs(wordShingleTok(spark, dir)).persist())
 
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     MinHashLsh.verifiedPairs(charNgramTok(spark, dir))
