@@ -179,8 +179,11 @@ object EventsStream {
     * very large keyed state viable at scale (spill-to-disk,
     * incremental checkpoint uploads). The processor is the minimal
     * meaningful instance: per-user running totals in a ValueState,
-    * emitted per trigger in Update mode (monotone, so the converged
-    * per-user row is the max — same contract as purchaseStreaks).
+    * emitted per trigger in Update mode. The converged per-user row is
+    * the LAST emission — readers select it by argmax on the strictly
+    * increasing n counter, which stays correct when cents go negative
+    * (refunds make the sum non-monotone; see EventsStreamSpec's refund
+    * test).
     */
   final class RunningTotalsProcessor
       extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {

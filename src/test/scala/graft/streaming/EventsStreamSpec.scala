@@ -496,4 +496,54 @@ class EventsStreamSpec extends AnyFunSuite {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("update-mode readout survives refunds: argmax-by-count beats max-by-value") {
+    // the round-4 advisory scenario: with NEGATIVE values (refunds) the
+    // per-user running sum is NOT monotone across emissions, so a
+    // max() readout over the value column silently reports a stale
+    // intermediate sum. The gate readout takes the max-n_events row
+    // (the true last emission — n_events strictly increases with every
+    // batch that touches the user). This test constructs the exact
+    // divergence: the naive readout must be WRONG here, the argmax
+    // readout right.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val events = mem.toDF().toDF("user_id", "value")
+      val q = EventsStream.userTotalsTws(events)
+        .writeStream.format("memory").queryName("tws_refund_test")
+        .outputMode("update").start()
+      try {
+        mem.addData((1L, 5.0))  // trigger 1: emission (n=1, 500)
+        q.processAllAvailable()
+        mem.addData((1L, -3.0)) // trigger 2 refund: emission (n=2, 200)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val sink = spark.table("tws_refund_test").filter(col("user_id") === 1L)
+      // the gate readout: last emission by argmax on n_events
+      val last = sink
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("sum_value_cents"))).as("m"))
+        .select(col("m.n_events"), col("m.sum_value_cents"))
+        .head()
+      assert((last.getLong(0), last.getLong(1)) === ((2L, 200L)),
+        "argmax readout must return the converged (post-refund) total")
+      // the naive readout is provably wrong on this stream
+      val naive = sink.agg(max(col("sum_value_cents"))).head().getLong(0)
+      assert(naive === 500L,
+        "precondition: max-by-value reports the stale pre-refund sum " +
+          "(if this starts failing the scenario no longer exercises the bug)")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
