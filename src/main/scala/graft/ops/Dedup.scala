@@ -284,7 +284,7 @@ object Dedup {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
-  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     pairsCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
       _ => MinHashLsh.verifiedPairs(wordShingleTok(spark, dir)).persist())
 

@@ -303,6 +303,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "MV refresh must never re-join history")
     assert(p.contains("Union"))
   }
+
+  test("shared iterative substrates are session-cached, not rebuilt") {
+    // the round-5 cost structure depends on these being built once per
+    // (application, SF): a second lookup must return the SAME cached
+    // (persisted) DataFrame instance, not re-run the self-join /
+    // minhash pipeline
+    assert(Graph.undirectedEdges(spark, dir) eq Graph.undirectedEdges(spark, dir),
+      "co-purchase edge list must be the session-cached instance")
+    assert(Dedup.minhashPairs(spark, dir) eq Dedup.minhashPairs(spark, dir),
+      "verified near-dup pairs must be the session-cached instance")
+    assert(Graph.undirectedEdges(spark, dir).storageLevel.useMemory ||
+      Graph.undirectedEdges(spark, dir).storageLevel.useDisk,
+      "the shared edge list must be persisted")
+  }
 }
 
 /** Small helper kept outside the spec so other tools can reuse it. */
