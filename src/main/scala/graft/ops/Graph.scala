@@ -223,7 +223,14 @@ object Graph {
   private def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val und = undirectedEdges(spark, dir) // shared, persisted (see above)
     val deg = degrees(und).persist()
-    val oriented = orientedEdges(und, deg).persist()
+    // hash-place the oriented edges on src ONCE (they leave the degree
+    // attach partitioned on b): the adjacency groupBy then aggregates
+    // exchange-free and the src-side adjacency join is co-partitioned —
+    // persist preserves the partitioning, so only the dst-side probe
+    // still shuffles. Same placement discipline as the PageRank loop.
+    val n = spark.sessionState.conf.numShufflePartitions
+    val oriented = orientedEdges(und, deg)
+      .repartition(n, col("src")).persist()
     // EDGE-ITERATOR step: per-src sorted adjacency arrays, then for
     // every oriented edge (u→v) count |adj(u) ∩ adj(v)| — each common
     // out-neighbor closes one triangle, and the DAG orientation makes
