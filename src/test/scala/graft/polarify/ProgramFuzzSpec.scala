@@ -294,6 +294,58 @@ class ProgramFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------- minimal-paren printer round-trip ----------------
+
+  /** Expressions over the FULL closed-world operator set (no IfExp —
+    * the runnable-source surface prints those as pl.when calls, which
+    * the parser rightly can't read back; no BoolOp — compile-rejected).
+    * Literals are non-negative because the parser, like CPython's ast,
+    * produces negatives as USub(Lit).
+    */
+  private def fullExprGen(depth: Int): Gen[Expr] =
+    if (depth <= 0) Gen.oneOf(Gen.chooseNum(0, 3).map(i => Lit(i.toLong)),
+      Gen.const(Ref("x")))
+    else Gen.frequency(
+      2 -> Gen.chooseNum(0, 3).map(i => Lit(i.toLong)),
+      2 -> Gen.const(Ref("x")),
+      4 -> (for {
+        op <- Gen.oneOf(BinOperator.Add, BinOperator.Sub, BinOperator.Mult,
+          BinOperator.Div, BinOperator.Mod, BinOperator.FloorDiv,
+          BinOperator.Pow, BinOperator.BitAnd, BinOperator.BitOr,
+          BinOperator.BitXor)
+        l <- fullExprGen(depth - 1)
+        r <- fullExprGen(depth - 1)
+      } yield BinOp(op, l, r)),
+      2 -> (for {
+        op <- Gen.oneOf(UnaryOperator.USub, UnaryOperator.Invert,
+          UnaryOperator.Not)
+        o <- fullExprGen(depth - 1)
+      } yield UnaryOp(op, o)),
+      1 -> (for {
+        op <- Gen.oneOf(CmpOperator.Eq, CmpOperator.NotEq, CmpOperator.Lt,
+          CmpOperator.LtE, CmpOperator.Gt, CmpOperator.GtE)
+        l  <- fullExprGen(depth - 1)
+        r  <- fullExprGen(depth - 1)
+      } yield Compare(l, Seq(op), Seq(r))))
+
+  test("minimal-paren Python printer round-trips through the parser tree-exact") {
+    // Render.toPythonSource drops every paren CPython's ast.unparse
+    // would drop. Soundness check: re-parsing the minimal-paren text
+    // must rebuild the EXACT tree — one wrongly-dropped paren
+    // re-associates the parse and diverges the (fully-parenthesized)
+    // explain rendering. 200 random trees over the full operator set.
+    var seed = Seed(31337L)
+    (1 to 200).foreach { i =>
+      val e = fullExprGen(5).pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val printed = Render.toPythonSource(e)
+      val src = s"def f(x):\n    return $printed"
+      val parsed = Program.fromPython(src)
+      assert(parsed.explain === Program(Return(e)).explain,
+        s"[expr $i] printer/parser disagree for:\n  $printed")
+    }
+  }
+
   test("random programs: compiled Column and generated SQL match the interpreter") {
     import spark.implicits._
     val df = xs.toDF("x").cache()
