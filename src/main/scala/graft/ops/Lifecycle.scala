@@ -1,0 +1,286 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-lifecycle operators: the jobs that keep a 100 TB lake usable
+  * over time — small-file compaction, versioned (time-travel) reads off
+  * a commit manifest, and the deterministic export paths a training
+  * pipeline needs (hash-sharded dataset export, seeded global shuffle).
+  *
+  * Everything here gates through the same oracle discipline as
+  * [[Maintenance]]: content is fingerprinted with [[PortableHash]]
+  * (order-insensitive XOR + modular-sum combiners) so layout changes
+  * are provably content-preserving, and every derived dataset is
+  * replayed by the DuckDB oracle from the source tables with exact
+  * integer arithmetic.
+  */
+object Lifecycle {
+
+  private def ordersKc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  private val ordersKcSql =
+    "SELECT o_orderkey AS k, CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders"
+
+  private val ChecksumMod = 1000000007L
+
+  /** count the data files of a parquet directory (driver-side metadata
+    * listing — the same information a catalog/manifest serves for free)
+    */
+  private def parquetFileCount(path: java.io.File): Long =
+    Option(path.listFiles())
+      .map(_.count(_.getName.endsWith(".parquet")).toLong).getOrElse(0L)
+
+  // -------------------------------------------------------------------
+  // ax_compact_files: SMALL-FILE COMPACTION — the lake-maintenance job
+  // that undoes ingest fragmentation (streaming sinks and per-executor
+  // writers emit a file per task per trigger; at 100 TB a fragmented
+  // table spends longer on task scheduling + footer reads than on row
+  // decoding). The job is read → repartition(target) → rewrite; the
+  // invariant that makes it safe to run blindly is gated here: the
+  // order-insensitive content fingerprint of the compacted layout must
+  // equal the oracle's fingerprint of the SOURCE rows (content
+  // unchanged), while the file count drops 64 → 4 (both counts are
+  // deterministic: round-robin repartition writes exactly one file per
+  // partition). At scale the rewrite is embarrassingly parallel and
+  // incremental compactors pick only the partitions whose small-file
+  // count crosses a threshold — the fingerprint contract is identical.
+  // -------------------------------------------------------------------
+  private val FragFiles = 64
+  private val CompactTarget = 4
+
+  private def fragmentedPath(spark: SparkSession, dir: String): java.io.File = {
+    val path = FixtureCache.dir("compact_frag", dir, "files" -> FragFiles)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      ordersKc(spark, dir).repartition(FragFiles)
+        .write.mode("overwrite").parquet(path.toString)
+    }
+    path
+  }
+
+  private def compactFiles(spark: SparkSession, dir: String): DataFrame = {
+    val frag = fragmentedPath(spark, dir)
+    val comp = FixtureCache.dir("compact_out", dir,
+      "files" -> FragFiles, "target" -> CompactTarget)
+    if (!new java.io.File(comp, "_SUCCESS").exists()) {
+      spark.read.parquet(frag.toString).repartition(CompactTarget)
+        .write.mode("overwrite").parquet(comp.toString)
+    }
+    val h = PortableHash.hashCol(concat_ws("|", col("k"), col("cents")))
+    spark.read.parquet(comp.toString)
+      .select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_fp"),
+        sum(pmod(col("h"), lit(ChecksumMod))).as("sum_fp"))
+      .select(lit(parquetFileCount(frag)).as("n_files_before"),
+        lit(parquetFileCount(comp)).as("n_files_after"),
+        col("n_rows"), col("xor_fp"), col("sum_fp"))
+  }
+
+  private val compactFilesSql = {
+    val hh = PortableHash.hashSql(
+      "CAST(k AS VARCHAR) || '|' || CAST(cents AS VARCHAR)")
+    s"""WITH base AS ($ordersKcSql)
+       |SELECT CAST($FragFiles AS BIGINT) AS n_files_before,
+       |  CAST($CompactTarget AS BIGINT) AS n_files_after,
+       |  COUNT(*) AS n_rows,
+       |  bit_xor(hh) AS xor_fp,
+       |  CAST(SUM(hh % $ChecksumMod) AS BIGINT) AS sum_fp
+       |FROM (SELECT $hh AS hh FROM base) t""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // ax_time_travel: VERSIONED READS off a commit manifest — the
+  // Delta/Iceberg time-travel contract restated relationally. The
+  // fixture table log holds v1 (a full base snapshot) and commit v2 as
+  // a DELETION LIST plus an APPEND delta (an update is delete+append;
+  // same merge-on-read layout as ax_mor_read), plus a tiny JSON
+  // manifest naming each version's file sets. `asOf(v)` plans the read
+  // for version v: base for v1; (base ANTI JOIN deletes) ∪ delta for
+  // v2. The manifest is KBs at any table size (it lists file sets, not
+  // rows) so reading it driver-side is exactly what every table format
+  // does; the deletion list is bounded by churn, so it broadcasts and
+  // the base files are never rewritten or shuffled. The gate emits the
+  // (row count, content checksum) audit of BOTH versions read from the
+  // same log — the oracle replays each from `orders` with the same
+  // integer change rules (delete k%83, update k%91 at +3 cents, insert
+  // k+max(k) at k%101 — exact at any SF).
+  // -------------------------------------------------------------------
+  private[ops] def tableLogPath(spark: SparkSession, dir: String): java.io.File = {
+    val path = FixtureCache.dir("tlog", dir,
+      "del" -> 83, "upd" -> 91, "ins" -> 101)
+    if (!new java.io.File(path, "_COMMITTED").exists()) {
+      val base = ordersKc(spark, dir)
+      base.write.mode("overwrite").parquet(s"$path/v1_base")
+      base.filter(pmod(col("k"), lit(83)) === 0 || pmod(col("k"), lit(91)) === 0)
+        .select(col("k"))
+        .write.mode("overwrite").parquet(s"$path/v2_del")
+      val maxKey = base.agg(max(col("k")).as("mxk"))
+      base.filter(pmod(col("k"), lit(91)) === 0)
+        .select(col("k"), (col("cents") + 3).as("cents"))
+        .unionAll(base.filter(pmod(col("k"), lit(101)) === 0)
+          .crossJoin(broadcast(maxKey))
+          .select((col("k") + col("mxk")).as("k"), lit(77L).as("cents")))
+        .write.mode("overwrite").parquet(s"$path/v2_delta")
+      val manifest =
+        """{"version": 1, "base": "v1_base", "deletes": null, "delta": null}
+          |{"version": 2, "base": "v1_base", "deletes": "v2_del", "delta": "v2_delta"}
+          |""".stripMargin
+      java.nio.file.Files.write(
+        new java.io.File(path, "manifest.json").toPath,
+        manifest.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        new java.io.File(path, "_COMMITTED").toPath, Array.emptyByteArray)
+    }
+    path
+  }
+
+  /** plan the read of one version from the manifest row */
+  private[ops] def asOf(spark: SparkSession, log: java.io.File,
+      version: Long): DataFrame = {
+    val commits = spark.read.json(s"$log/manifest.json")
+      .filter(col("version") === version)
+      .select("base", "deletes", "delta")
+      .collect() // bounded by version count — manifest rows, never data
+    require(commits.length == 1, s"unknown version $version")
+    val c = commits(0)
+    val base = spark.read.parquet(s"$log/${c.getString(0)}")
+    val afterDeletes =
+      if (c.isNullAt(1)) base
+      else base.join(
+        broadcast(spark.read.parquet(s"$log/${c.getString(1)}")
+          .select(col("k").as("dk"))),
+        col("k") === col("dk"), "left_anti")
+        .select(col("k"), col("cents"))
+    if (c.isNullAt(2)) afterDeletes
+    else afterDeletes.unionAll(spark.read.parquet(s"$log/${c.getString(2)}"))
+  }
+
+  private def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val log = tableLogPath(spark, dir)
+    def audit(v: Long): DataFrame =
+      asOf(spark, log, v).agg(
+        count(lit(1)).as("n_rows"), sum(col("cents")).as("checksum_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("checksum_cents"))
+    audit(1L).unionAll(audit(2L)).orderBy("version")
+  }
+
+  private val timeTravelSql =
+    s"""WITH base AS ($ordersKcSql),
+       |v2 AS (
+       |  SELECT k, cents FROM base WHERE k % 83 <> 0 AND k % 91 <> 0
+       |  UNION ALL
+       |  SELECT k, cents + 3 FROM base WHERE k % 91 = 0
+       |  UNION ALL
+       |  SELECT k + (SELECT MAX(k) FROM base), CAST(77 AS BIGINT)
+       |  FROM base WHERE k % 101 = 0)
+       |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+       |  CAST(SUM(cents) AS BIGINT) AS checksum_cents FROM base
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v2
+       |ORDER BY version""".stripMargin
+
+  // -------------------------------------------------------------------
+  // tx_shard_export: DETERMINISTIC TRAINING-SHARD EXPORT — the last
+  // hop of a curation pipeline: split the corpus into a fixed number
+  // of shards by a salted portable hash of the document id (stable
+  // across runs, engines, and cluster sizes — never round-robin, which
+  // is partitioning-dependent), lay each shard out as its own
+  // directory partition, and audit the export by reading it BACK
+  // (per-shard doc count, char volume, and an order-insensitive
+  // content fingerprint). `repartition(shard)` before the partitioned
+  // write gives exactly one writer per shard → one file per shard
+  // directory. At 100 TB the shard count scales with the training
+  // reader fleet and the same hash assigns any late-arriving document
+  // to the same shard — the export is reproducible byte-for-byte.
+  // -------------------------------------------------------------------
+  private val Shards = 16
+  private val ShardSalt = "shard7|"
+
+  private def shardExportPath(spark: SparkSession, dir: String): java.io.File = {
+    val path = FixtureCache.dir("shard_export", dir,
+      "shards" -> Shards, "salt" -> ShardSalt)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"),
+          pmod(PortableHash.hashCol(concat(lit(ShardSalt), col("doc_id"))),
+            lit(Shards.toLong)).as("shard"))
+        .repartition(Shards, col("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(path.toString)
+    }
+    path
+  }
+
+  private def shardExport(spark: SparkSession, dir: String): DataFrame = {
+    val h = PortableHash.hashCol(concat_ws("|", col("doc_id"), col("n_chars")))
+    spark.read.parquet(shardExportPath(spark, dir).toString)
+      .select(col("shard").cast("long").as("shard"),
+        col("n_chars"), h.as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(h)").as("xor_fp"))
+      .orderBy("shard")
+  }
+
+  private val shardExportSql = {
+    val shard = PortableHash.hashSql(
+      s"'$ShardSalt' || CAST(doc_id AS VARCHAR)") + s" % $Shards"
+    val hh = PortableHash.hashSql(
+      "CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR)")
+    s"""SELECT $shard AS shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  bit_xor($hh) AS xor_fp
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // tx_global_shuffle: SEEDED DETERMINISTIC GLOBAL SHUFFLE — training
+  // ingestion needs the corpus in a random-but-reproducible order
+  // (same seed → same order on any cluster; a different seed → a
+  // fresh permutation). The shuffle key is the salted portable hash of
+  // the document id; the full export is then a range-partitioned sort
+  // by (h, doc_id) — Spark's distributed sort, no driver involvement,
+  // and writers emit shards already in shuffled order. The gate reads
+  // the HEAD of the permutation (top-20 by key), which Spark plans as
+  // TakeOrderedAndProject — per-partition heaps, no global sort ever
+  // materializes for the audit.
+  // -------------------------------------------------------------------
+  private val ShuffleSeed = "seed42|"
+
+  private def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        PortableHash.hashCol(concat(lit(ShuffleSeed), col("doc_id"))).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(20) // TakeOrderedAndProject; rank the 20-row result
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("h"))
+  }
+
+  private val globalShuffleSql = {
+    val hh = PortableHash.hashSql(s"'$ShuffleSeed' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, $hh AS h FROM documents),
+       |r AS (SELECT doc_id, h,
+       |        row_number() OVER (ORDER BY h, doc_id) AS rank FROM d)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, h
+       |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_compact_files"  -> (compactFiles _),
+    "ax_time_travel"    -> (timeTravel _),
+    "tx_shard_export"   -> (shardExport _),
+    "tx_global_shuffle" -> (globalShuffle _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ax_compact_files"  -> compactFilesSql,
+    "ax_time_travel"    -> timeTravelSql,
+    "tx_shard_export"   -> shardExportSql,
+    "tx_global_shuffle" -> globalShuffleSql)
+}

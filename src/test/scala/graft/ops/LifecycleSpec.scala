@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the table-lifecycle family beyond the oracle gate:
+  * layout invariants (file counts, one-file-per-shard), time-travel
+  * equivalences (v2 read == MoR replay), determinism of the seeded
+  * shuffle, and the plan shapes that carry the 100 TB story.
+  */
+class LifecycleSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("ax_compact_files reports the deterministic 64 -> 4 layout change") {
+    val r = run("ax_compact_files").collect()(0)
+    assert(r.getAs[Long]("n_files_before") === 64L)
+    assert(r.getAs[Long]("n_files_after") === 4L)
+    assert(r.getAs[Long]("n_rows") > 0L)
+  }
+
+  test("compaction preserves the content fingerprint bit-for-bit") {
+    val r = run("ax_compact_files").collect()(0)
+    // source-side fingerprint, straight off the orders table
+    val h = PortableHash.hashCol(concat_ws("|",
+      col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long")))
+    val src = spark.read.parquet(s"$dir/orders.parquet")
+      .select(h.as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)"),
+        sum(pmod(col("h"), lit(1000000007L))))
+      .collect()(0)
+    assert(r.getAs[Long]("n_rows") === src.getLong(0))
+    assert(r.getAs[Long]("xor_fp") === src.getLong(1))
+    assert(r.getAs[Long]("sum_fp") === src.getLong(2))
+  }
+
+  test("ax_time_travel: v1 is the base snapshot, v2 equals the MoR replay") {
+    val rows = run("ax_time_travel").collect()
+    assert(rows.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L))
+
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val v1 = base.agg(count(lit(1)), sum("cents")).collect()(0)
+    assert(rows(0).getAs[Long]("n_rows") === v1.getLong(0))
+    assert(rows(0).getAs[Long]("checksum_cents") === v1.getLong(1))
+
+    // replay commit v2 directly from the source table
+    val mx = base.agg(max("k")).collect()(0).getLong(0)
+    val v2 = base
+      .filter(pmod(col("k"), lit(83)) =!= 0 && pmod(col("k"), lit(91)) =!= 0)
+      .unionAll(base.filter(pmod(col("k"), lit(91)) === 0)
+        .select(col("k"), (col("cents") + 3).as("cents")))
+      .unionAll(base.filter(pmod(col("k"), lit(101)) === 0)
+        .select((col("k") + mx).as("k"), lit(77L).as("cents")))
+      .agg(count(lit(1)), sum("cents")).collect()(0)
+    assert(rows(1).getAs[Long]("n_rows") === v2.getLong(0))
+    assert(rows(1).getAs[Long]("checksum_cents") === v2.getLong(1))
+  }
+
+  test("time travel rejects an uncommitted version") {
+    val log = Lifecycle.tableLogPath(spark, dir)
+    // version 3 is not in the manifest; asOf must fail loudly, not
+    // silently serve the latest snapshot
+    intercept[IllegalArgumentException] {
+      Lifecycle.asOf(spark, log, 3L)
+    }
+  }
+
+  test("tx_shard_export writes exactly one file per shard directory") {
+    run("tx_shard_export").collect() // ensure the export exists
+    val root = FixtureCache.dir("shard_export", dir,
+      "shards" -> 16, "salt" -> "shard7|")
+    val shardDirs = Option(root.listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"${d.getName} should hold exactly one file")
+    }
+  }
+
+  test("tx_shard_export covers every document exactly once") {
+    val total = run("tx_shard_export")
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total === docs)
+  }
+
+  test("tx_global_shuffle is deterministic and duplicate-free") {
+    val a = run("tx_global_shuffle").collect()
+    val b = run("tx_global_shuffle").collect()
+    assert(a.toSeq === b.toSeq, "same seed must give the same permutation")
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.length === a.length)
+    assert(a.map(_.getAs[Long]("rank")).toSeq === (1L to a.length).toSeq)
+  }
+
+  test("tx_global_shuffle plans the audit as a top-k, not a global sort") {
+    val plan = run("tx_global_shuffle").queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$s")
+  }
+}
