@@ -31,6 +31,19 @@ object Bench {
 
     val budget = new QueryBudget(spark, timeoutSec)
 
+    // Untimed session warmup. The first timed query otherwise absorbs
+    // the one-time session costs — JIT/codegen compilation, shuffle
+    // service + parquet reader init (~4 s measured; alphabetically that
+    // was ax_approx_quantiles, whose r4/r5 plan audits misread session
+    // warmup as sketch cost). One trivial job through the scan→shuffle→
+    // agg path first makes every timed number measure the QUERY, not
+    // the session bring-up that a long-lived cluster pays once.
+    {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy(pmod(col("n_nationkey"), lit(4))).count().count()
+    }
+
     // Dev loop: SPARK_GRAFT_ONLY=comma,separated,prefixes (driver unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
