@@ -19,21 +19,39 @@ object Graph {
   // of two — and at 100 TB, one instead of two full fact-table
   // shuffles.
   // -------------------------------------------------------------------
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  /** Canonical (a < b) co-purchase pair MULTIPLICITIES — the one
+    * self-join that serves the whole family: `ax_copurchase` reads the
+    * counts directly, the graph queries read the key set as their edge
+    * list. Persisted once per (application, SF dir): cardinality equals
+    * the distinct-pair set (what round 5 cached before), plus one count
+    * column — so sharing the multiplicities costs nothing over sharing
+    * the edges, and retires the third self-join in a Bench run. The
+    * groupBy collapses repeated (order, part) pairs exactly like the
+    * former `distinct()` and keeps the same ReuseExchange seam (one
+    * scan+shuffle of the distinct lineitem projection feeds both join
+    * sides).
+    */
+  private[ops] def pairCounts(spark: SparkSession, dir: String): DataFrame =
+    pairCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
+      _ => Stats.orderPartPairs(spark, dir)(_ < _)
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+        .select(col("pa").as("a"), col("pb").as("b"), col("n"))
+        .persist())
+
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
-  /** Undirected canonical (a < b) co-purchase edge list, persisted and
-    * shared across the graph-family queries of one application. The
-    * `distinct()` is load-bearing twice over: it collapses repeated
-    * (order, part) pairs AND gives the self-join a ReuseExchange seam
-    * (one scan+shuffle feeds both sides).
+  /** Undirected canonical (a < b) co-purchase edge list — the key set
+    * of [[pairCounts]] (distinct by construction), shared across the
+    * graph-family queries of one application. Cached so repeat lookups
+    * return the identical plan over the persisted substrate.
     */
   private[ops] def undirectedEdges(spark: SparkSession, dir: String): DataFrame =
     edgeCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
-      _ => Stats.orderPartPairs(spark, dir)(_ < _)
-        .select(col("pa").as("a"), col("pb").as("b"))
-        .distinct()
-        .persist())
+      _ => pairCounts(spark, dir).select("a", "b"))
 
   // -------------------------------------------------------------------
   // ax_pagerank_parts: PageRank over the co-purchase graph (parts are

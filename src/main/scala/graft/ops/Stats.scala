@@ -207,9 +207,11 @@ object Stats {
   }
 
   private def copurchase(spark: SparkSession, dir: String): DataFrame =
-    orderPartPairs(spark, dir)(_ < _)
-      .groupBy("pa", "pb")
-      .agg(count(lit(1)).as("n"))
+    // reads the session-shared pair-multiplicity substrate (one
+    // self-join per session for basket mining AND the graph family —
+    // see Graph.pairCounts)
+    Graph.pairCounts(spark, dir)
+      .select(col("a").as("pa"), col("b").as("pb"), col("n"))
       .orderBy(col("n").desc, col("pa").asc, col("pb").asc)
       .limit(20)
 

@@ -309,13 +309,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // (application, SF): a second lookup must return the SAME cached
     // (persisted) DataFrame instance, not re-run the self-join /
     // minhash pipeline
+    assert(Graph.pairCounts(spark, dir) eq Graph.pairCounts(spark, dir),
+      "co-purchase pair multiplicities must be the session-cached instance")
     assert(Graph.undirectedEdges(spark, dir) eq Graph.undirectedEdges(spark, dir),
       "co-purchase edge list must be the session-cached instance")
     assert(Dedup.minhashPairs(spark, dir) eq Dedup.minhashPairs(spark, dir),
       "verified near-dup pairs must be the session-cached instance")
-    assert(Graph.undirectedEdges(spark, dir).storageLevel.useMemory ||
-      Graph.undirectedEdges(spark, dir).storageLevel.useDisk,
-      "the shared edge list must be persisted")
+    assert(Graph.pairCounts(spark, dir).storageLevel.useMemory ||
+      Graph.pairCounts(spark, dir).storageLevel.useDisk,
+      "the shared pair substrate must be persisted")
   }
 }
 
