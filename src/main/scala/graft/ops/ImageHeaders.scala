@@ -84,6 +84,46 @@ object ImageHeaders {
   private val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** Encode a renderable 24-bpp grayscale BMP. `pixel(x, y)` is the
+    * 0-255 luminance at TOP-DOWN coordinates; the encoder writes the
+    * on-disk layout any BMP reader expects — rows stored BOTTOM-UP,
+    * each row padded to a 4-byte boundary, each pixel as
+    * (B,G,R) = (v,v,v).
+    */
+  def bmpGray(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = (width * 3 + 3) & ~3
+    val body = new Array[Byte](rowSize * height)
+    var y = 0
+    while (y < height) {
+      val rowOff = (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val v = (pixel(x, y) & 0xff).toByte
+        val o = rowOff + x * 3
+        body(o) = v; body(o + 1) = v; body(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    bmp(width, height, 24, body)
+  }
+
+  /** Decode a 24-bpp BMP into (width, height, pixel accessor at
+    * TOP-DOWN coordinates, blue channel). Reads the pixel-data offset
+    * from the file header — never assumes the encoder's 54 — and
+    * undoes both the bottom-up row order and the 4-byte row padding.
+    */
+  def decodeBmpPixels(b: Array[Byte]): (Int, Int, (Int, Int) => Int) = {
+    require(b.length >= BmpOverhead && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+      "not a BMP stream")
+    require(readLe16(b, 28) == 24, "only 24-bpp BMPs are supported")
+    val dataOff = readLe32(b, 10)
+    val w = readLe32(b, 18)
+    val h = readLe32(b, 22)
+    val rowSize = (w * 3 + 3) & ~3
+    (w, h, (x, y) => b(dataOff + (h - 1 - y) * rowSize + x * 3) & 0xff)
+  }
+
   /** Decode (format, width, height, bitDepth) from the container header
     * at its fixed offsets; ("unknown", -1, -1, -1) when neither magic
     * matches.

@@ -244,6 +244,87 @@ object Multimodal {
        |ORDER BY doc_id, fidx""".stripMargin
 
   // -------------------------------------------------------------------
+  // mm_resize_phash: the RESIZE + feature-extraction step of the image
+  // pipeline, on REAL pixels. The fixture encodes each document as a
+  // renderable 24-bpp grayscale BMP whose dimensions and luminance
+  // derive from closed-form formulas of (doc_id, byte length); the
+  // operator then runs the actual pipeline a thumbnailer runs —
+  // decode the pixel array (bottom-up rows, 4-byte padding, data
+  // offset from the header), nearest-neighbor resize to 8×8, and the
+  // average-hash (aHash): 64 bits, one per thumbnail pixel, set when
+  // the pixel is ≥ the thumbnail mean (in exact integers: 64·v ≥ Σv).
+  // aHash is the standard perceptual near-dup key — images landing in
+  // the same code are visual duplicates, so downstream dedup is the
+  // same groupBy-digest shape as mm_exact_dedup but robust to
+  // re-encoding/rescaling. Spark replays DECODE→RESIZE→HASH over the
+  // real bytes; the DuckDB oracle replays the GENERATOR formulas
+  // sampled at the same grid — agreement proves the pixel round trip
+  // (row order, padding, offsets) AND the resize arithmetic. Scale
+  // shape: one mapPartitions pass, pixels never shuffle, output is
+  // one 72-byte row per image.
+  // -------------------------------------------------------------------
+  /** thumbnail edge and fixture-dimension modulus for mm_resize_phash:
+    * w = 4 + id % 125, h = 4 + len % 125, luminance(x,y) =
+    * (7x + 13y + 31·id) mod 256 — small enough that the per-image
+    * pixel buffer stays ≤ ~49 KB, large enough that every thumbnail
+    * samples a genuine sub-grid.
+    */
+  private val ThumbEdge = 8
+  private val DimMod = 125L
+
+  /** per-image output of the resize/perceptual-hash pass */
+  final case class PHashRow(
+      doc_id: Long, w: Long, h: Long, px_sum: Long, ahash: String)
+
+  private def resizePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val w = (4 + id % DimMod).toInt
+          val h = (4 + len % DimMod).toInt
+          val img = ImageHeaders.bmpGray(w, h,
+            (x, y) => ((7L * x + 13L * y + 31L * id) % 256L).toInt)
+          // the actual decode: header offsets, bottom-up rows, padding
+          val (dw, dh, px) = ImageHeaders.decodeBmpPixels(img)
+          // nearest-neighbor resize to ThumbEdge × ThumbEdge
+          val samples = Array.tabulate(ThumbEdge * ThumbEdge) { i =>
+            val gy = i / ThumbEdge; val gx = i % ThumbEdge
+            px(gx * dw / ThumbEdge, gy * dh / ThumbEdge)
+          }
+          val total = samples.foldLeft(0L)(_ + _)
+          val bits = samples.map(v =>
+            if (64L * v >= total) '1' else '0').mkString
+          PHashRow(id, dw.toLong, dh.toLong, total, bits)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val resizePhashSql =
+    s"""WITH dims AS (
+       |  SELECT doc_id, 4 + doc_id % $DimMod AS w,
+       |    4 + CAST(octet_length(encode(text)) AS BIGINT) % $DimMod AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h, gy, gx,
+       |    (7 * ((gx * w) // $ThumbEdge) + 13 * ((gy * h) // $ThumbEdge)
+       |      + 31 * doc_id) % 256 AS v
+       |  FROM dims, range(0, $ThumbEdge) t1(gy), range(0, $ThumbEdge) t2(gx)),
+       |sums AS (SELECT doc_id, SUM(v) AS px_sum FROM px GROUP BY 1)
+       |SELECT p.doc_id, CAST(MIN(p.w) AS BIGINT) AS w,
+       |  CAST(MIN(p.h) AS BIGINT) AS h,
+       |  CAST(MIN(s.px_sum) AS BIGINT) AS px_sum,
+       |  string_agg(CASE WHEN 64 * p.v >= s.px_sum THEN '1' ELSE '0' END, ''
+       |             ORDER BY p.gy, p.gx) AS ahash
+       |FROM px p JOIN sums s USING (doc_id)
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // mm_exact_dedup: content-addressed dedup of the BINARY payload — the
   // first pass every multimodal ingest runs (identical bytes are the
   // overwhelmingly common duplicate for images/audio: same file
@@ -343,6 +424,7 @@ object Multimodal {
     "mm_decode_stats" -> (decodeStats _),
     "mm_binary_source" -> (binarySource _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_resize_phash" -> (resizePhash _),
     "mm_exact_dedup"  -> (exactDedup _),
     "mm_chunk_dedup"  -> (chunkDedup _)
   )
@@ -374,6 +456,7 @@ object Multimodal {
     "mm_decode_stats" -> decodeStatsSql,
     "mm_binary_source" -> binarySourceSql,
     "mm_frame_sample" -> frameSampleSql,
+    "mm_resize_phash" -> resizePhashSql,
     "mm_exact_dedup"  -> exactDedupSql,
     "mm_chunk_dedup"  -> chunkDedupSql
   )

@@ -48,6 +48,44 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(off === bytes.length)
   }
 
+  test("bmpGray writes the real on-disk pixel layout (bottom-up, padded)") {
+    // 2×3 image, luminance = 10*x + y. Row size = 2*3 = 6 bytes,
+    // padded to 8. Pixel data starts at the header's data offset (54).
+    val img = ImageHeaders.bmpGray(2, 3, (x, y) => 10 * x + y)
+    assert(img.length === ImageHeaders.BmpOverhead + 8 * 3)
+    def at(i: Int) = img(ImageHeaders.BmpOverhead + i) & 0xff
+    // FIRST stored row must be the BOTTOM image row (y = 2):
+    // (0,2)=2 then (1,2)=12, each as B,G,R triples, then 2 pad bytes
+    assert((at(0), at(1), at(2)) === ((2, 2, 2)))
+    assert((at(3), at(4), at(5)) === ((12, 12, 12)))
+    // middle row (y = 1) at offset 8, top row (y = 0) at offset 16
+    assert(at(8) === 1 && at(11) === 11)
+    assert(at(16) === 0 && at(19) === 10)
+  }
+
+  test("bmpGray → decodeBmpPixels round-trips every pixel, top-down") {
+    for ((w, h) <- Seq((1, 1), (2, 3), (7, 5), (128, 17))) {
+      def lum(x: Int, y: Int) = (3 * x + 31 * y) % 256
+      val (dw, dh, px) = ImageHeaders.decodeBmpPixels(
+        ImageHeaders.bmpGray(w, h, lum))
+      assert((dw, dh) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(x, y) === lum(x, y), s"pixel ($x,$y) of ${w}x$h")
+    }
+  }
+
+  test("decodeBmpPixels honors a non-standard data offset from the header") {
+    // splice 4 junk bytes between header and pixels, patch dataOffset
+    val img = ImageHeaders.bmpGray(2, 2, (x, y) => 100 + 2 * x + y)
+    val spliced = img.take(ImageHeaders.BmpOverhead) ++
+      Array[Byte](9, 9, 9, 9) ++ img.drop(ImageHeaders.BmpOverhead)
+    val off = ImageHeaders.BmpOverhead + 4
+    spliced(10) = (off & 0xff).toByte
+    val (_, _, px) = ImageHeaders.decodeBmpPixels(spliced)
+    assert(px(0, 0) === 100 && px(1, 0) === 102 &&
+      px(0, 1) === 101 && px(1, 1) === 103)
+  }
+
   test("junk bytes decode as unknown") {
     assert(ImageHeaders.decodeHeader("not an image at all, sorry".getBytes)
       === (("unknown", -1, -1, -1)))
