@@ -325,6 +325,98 @@ object Multimodal {
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // mm_audio_stats: the AUDIO modality, same differential contract as
+  // the image path. The fixture renders each document as a REAL WAV
+  // stream (RIFF + fmt + data chunks, mono signed PCM16) whose sample
+  // values derive from a closed-form formula of (doc_id, sample
+  // index); the operator then runs what an audio featurizer runs —
+  // decode by WALKING the chunk list (an unknown LIST chunk is
+  // spliced in front of fmt for every third asset, so a fixed-offset
+  // "parser" would fail), then compute the standard integer waveform
+  // features: peak |amplitude|, zero-crossing count (the cheap pitch/
+  // noisiness proxy) and total energy Σs². All exact integers — no
+  // floats anywhere — so the oracle can replay the generator formulas
+  // with unnest(range(n)). Scale shape: one mapPartitions pass, PCM
+  // bytes never shuffle, one 48-byte row per asset flows out.
+  // -------------------------------------------------------------------
+  /** fixture formulas for mm_audio_stats: n = 64 + len % 937 samples,
+    * rate = 8000 + (id % 4) · 4000, s(i) = ((17i + 31·id) mod 4001) −
+    * 2000 — bounded ±2000 so Σs² ≤ 4·10⁹ fits comfortably in a long.
+    */
+  private val AudioNMod = 937L
+  private val AudioAmp = 4001L
+
+  /** per-asset output of the audio decode/feature pass */
+  final case class AudioRow(doc_id: Long, sample_rate: Long, n_samples: Long,
+      peak: Long, zero_crossings: Long, energy: Long)
+
+  private def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val n = (64 + len % AudioNMod).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((17L * i + 31L * id) % AudioAmp) - 2000L).toShort)
+          val stream0 = AudioWav.wav(rate, samples)
+          // every 3rd asset gets a junk LIST chunk spliced before fmt —
+          // the decoder must skip it by walking the chunk list
+          val stream = if (id % 3 == 0) {
+            val junk = "LIST".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+              Array[Byte](6, 0, 0, 0) ++ Array[Byte](73, 78, 70, 79, 1, 2)
+            stream0.take(12) ++ junk ++ stream0.drop(12)
+          } else stream0
+          // the actual decode: chunk walk + sign-extended PCM16 reads
+          val pcm = AudioWav.decode(stream)
+          var peak = 0L; var zc = 0L; var energy = 0L
+          var i = 0
+          while (i < pcm.nSamples) {
+            val s = pcm.sample(i).toLong
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && ((pcm.sample(i - 1) < 0) != (s < 0))) zc += 1
+            energy += s * s
+            i += 1
+          }
+          AudioRow(id, pcm.sampleRate.toLong, pcm.nSamples.toLong,
+            peak, zc, energy)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val audioStatsSql =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    64 + CAST(octet_length(encode(text)) AS BIGINT) % $AudioNMod AS n,
+       |    8000 + (doc_id % 4) * 4000 AS sample_rate
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, unnest(range(0, n)) AS i FROM dims),
+       |s AS (
+       |  SELECT doc_id, i,
+       |    ((17 * i + 31 * doc_id) % $AudioAmp) - 2000 AS v
+       |  FROM idx),
+       |feat AS (
+       |  SELECT doc_id, i, v,
+       |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+       |  FROM s)
+       |SELECT f.doc_id,
+       |  CAST(MIN(d.sample_rate) AS BIGINT) AS sample_rate,
+       |  CAST(MIN(d.n) AS BIGINT) AS n_samples,
+       |  CAST(MAX(abs(f.v)) AS BIGINT) AS peak,
+       |  CAST(SUM(CASE WHEN f.pv IS NOT NULL
+       |    AND (f.pv < 0) <> (f.v < 0) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS zero_crossings,
+       |  CAST(SUM(f.v * f.v) AS BIGINT) AS energy
+       |FROM feat f JOIN dims d USING (doc_id)
+       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // mm_exact_dedup: content-addressed dedup of the BINARY payload — the
   // first pass every multimodal ingest runs (identical bytes are the
   // overwhelmingly common duplicate for images/audio: same file
@@ -425,6 +517,7 @@ object Multimodal {
     "mm_binary_source" -> (binarySource _),
     "mm_frame_sample" -> (frameSample _),
     "mm_resize_phash" -> (resizePhash _),
+    "mm_audio_stats"  -> (audioStats _),
     "mm_exact_dedup"  -> (exactDedup _),
     "mm_chunk_dedup"  -> (chunkDedup _)
   )
@@ -457,6 +550,7 @@ object Multimodal {
     "mm_binary_source" -> binarySourceSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize_phash" -> resizePhashSql,
+    "mm_audio_stats"  -> audioStatsSql,
     "mm_exact_dedup"  -> exactDedupSql,
     "mm_chunk_dedup"  -> chunkDedupSql
   )
