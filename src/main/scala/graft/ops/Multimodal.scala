@@ -325,6 +325,129 @@ object Multimodal {
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // mm_phash_dup: perceptual NEAR-DUP detection over the aHash — what
+  // mm_resize_phash's output exists for. The fixture makes visual
+  // near-dups real: docs share a base pattern per GROUP (g = id div 4
+  // keys the luminance formula and width) while height varies per doc
+  // (even ids: group-keyed; odd: length-keyed) — the same image at
+  // different scales, the canonical perceptual-dup scenario. Each
+  // asset still runs the full real pipeline (BMP encode → pixel decode
+  // → 8×8 resize → aHash), emitting the hash as 4 × 16-bit BANDS.
+  // Candidate pairs come from a banded LSH bucket join — pairs agree
+  // on ≥1 band, never an all-pairs join — then the exact Hamming
+  // distance (bit_count of XOR, codegen'd) filters to ≤ 3. With 4
+  // bands and threshold 3 the pigeonhole principle makes the banded
+  // result EXACTLY the all-pairs result (≤3 differing bits can touch
+  // at most 3 of 4 bands), so the DuckDB oracle — which replays the
+  // generator formulas and joins all pairs at gate scale — must agree
+  // row-for-row: the gate proves the LSH recall is 1, not just
+  // plausible. Scale: candidates ∝ bucket collisions (linear for
+  // non-pathological hash distributions), pixels never shuffle, and
+  // the 100 TB plan is the same 4-band shuffle.
+  // -------------------------------------------------------------------
+  private val PHashHamMax = 3L
+
+  /** group-keyed fixture + real pipeline → (doc_id, 4 aHash bands).
+    * Band b holds thumbnail bits 16b..16b+15 (bit i = row-major
+    * (gy,gx) = (i div 8, i mod 8), set when 64·v ≥ Σv).
+    */
+  private def phashBandRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val g = id / 4
+          val w = (4 + g % DimMod).toInt
+          val h = (4 + (if (id % 2 == 0) (g * 7) % DimMod else len % DimMod)).toInt
+          val img = ImageHeaders.bmpGray(w, h,
+            (x, y) => ((7L * x + 13L * y + 31L * g) % 256L).toInt)
+          val (dw, dh, px) = ImageHeaders.decodeBmpPixels(img)
+          val samples = Array.tabulate(ThumbEdge * ThumbEdge) { i =>
+            px((i % ThumbEdge) * dw / ThumbEdge, (i / ThumbEdge) * dh / ThumbEdge)
+          }
+          val total = samples.foldLeft(0L)(_ + _)
+          val bands = new Array[Long](4)
+          var i = 0
+          while (i < samples.length) {
+            if (64L * samples(i) >= total)
+              bands(i / 16) |= 1L << (i % 16)
+            i += 1
+          }
+          (id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  private def phashDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = phashBandRows(spark, dir).persist()
+    // LSH candidate generation: explode to (band_idx, band_val) and
+    // bucket-join — a pair surfaces iff some band matches
+    val banded = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "bv")))
+    val l = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"))
+    val cand = l.join(r, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ha = hashes.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = hashes.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val out = cand.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("hamming",
+        bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3"))))
+      .filter(col("hamming") <= PHashHamMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+      .orderBy("doc_a", "doc_b")
+      .localCheckpoint()
+    hashes.unpersist()
+    out
+  }
+
+  private val phashDupSql =
+    s"""WITH dims AS (
+       |  SELECT doc_id, doc_id // 4 AS g,
+       |    4 + (doc_id // 4) % $DimMod AS w,
+       |    4 + (CASE WHEN doc_id % 2 = 0 THEN (doc_id // 4) * 7
+       |         ELSE CAST(octet_length(encode(text)) AS BIGINT) END) % $DimMod AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, gy, gx,
+       |    (7 * ((gx * w) // $ThumbEdge) + 13 * ((gy * h) // $ThumbEdge)
+       |      + 31 * g) % 256 AS v
+       |  FROM dims, range(0, $ThumbEdge) t1(gy), range(0, $ThumbEdge) t2(gx)),
+       |sums AS (SELECT doc_id, SUM(v) AS px_sum FROM px GROUP BY 1),
+       |bands AS (
+       |  SELECT p.doc_id, (p.gy * 8 + p.gx) // 16 AS band,
+       |    SUM(CASE WHEN 64 * p.v >= s.px_sum
+       |        THEN 1::BIGINT << ((p.gy * 8 + p.gx) % 16) ELSE 0 END) AS bv
+       |  FROM px p JOIN sums s USING (doc_id) GROUP BY 1, 2),
+       |h AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+       |    MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+       |    MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+       |    MAX(CASE WHEN band = 3 THEN bv END) AS b3
+       |  FROM bands GROUP BY 1)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    AS BIGINT) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    <= $PHashHamMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // mm_audio_stats: the AUDIO modality, same differential contract as
   // the image path. The fixture renders each document as a REAL WAV
   // stream (RIFF + fmt + data chunks, mono signed PCM16) whose sample
@@ -518,6 +641,7 @@ object Multimodal {
     "mm_frame_sample" -> (frameSample _),
     "mm_resize_phash" -> (resizePhash _),
     "mm_audio_stats"  -> (audioStats _),
+    "mm_phash_dup"    -> (phashDup _),
     "mm_exact_dedup"  -> (exactDedup _),
     "mm_chunk_dedup"  -> (chunkDedup _)
   )
@@ -551,6 +675,7 @@ object Multimodal {
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize_phash" -> resizePhashSql,
     "mm_audio_stats"  -> audioStatsSql,
+    "mm_phash_dup"    -> phashDupSql,
     "mm_exact_dedup"  -> exactDedupSql,
     "mm_chunk_dedup"  -> chunkDedupSql
   )
