@@ -382,8 +382,10 @@ object Multimodal {
       .toDF("doc_id", "b0", "b1", "b2", "b3")
   }
 
-  private def phashDup(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = phashBandRows(spark, dir).persist()
+  /** banded LSH pairs over a (doc_id, b0..b3) hash table: bucket join
+    * on any matching band, then exact Hamming verification
+    */
+  private def phashPairs(hashes: DataFrame): DataFrame = {
     // LSH candidate generation: explode to (band_idx, band_val) and
     // bucket-join — a pair surfaces iff some band matches
     val banded = hashes.select(col("doc_id"),
@@ -398,7 +400,7 @@ object Multimodal {
       col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val hb = hashes.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
       col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-    val out = cand.join(ha, "doc_a").join(hb, "doc_b")
+    cand.join(ha, "doc_a").join(hb, "doc_b")
       .withColumn("hamming",
         bit_count(col("a0").bitwiseXOR(col("c0"))) +
           bit_count(col("a1").bitwiseXOR(col("c1"))) +
@@ -407,7 +409,19 @@ object Multimodal {
       .filter(col("hamming") <= PHashHamMax)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
       .orderBy("doc_a", "doc_b")
-      .localCheckpoint()
+  }
+
+  /** the pair pipeline's physical plan, exposed for PlanShapeSpec —
+    * every join must be a keyed equi-join (bucket candidates, hash
+    * attach), never a cartesian/BNL all-pairs product
+    */
+  private[graft] def phashDupPlan(spark: SparkSession,
+      dir: String): org.apache.spark.sql.execution.SparkPlan =
+    phashPairs(phashBandRows(spark, dir)).queryExecution.executedPlan
+
+  private def phashDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = phashBandRows(spark, dir).persist()
+    val out = phashPairs(hashes).localCheckpoint()
     hashes.unpersist()
     out
   }

@@ -133,6 +133,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both degree attaches must be shuffled-hash joins:\n$plan")
   }
 
+  test("perceptual near-dup pairs come from keyed joins, never all-pairs") {
+    // the banded-LSH contract: candidates are an equi-join on
+    // (band, value) buckets — a cartesian/BNL product would be the
+    // all-pairs comparison the LSH exists to avoid
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = Multimodal.phashDupPlan(spark, dir)
+    val plan = top match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val names = plan.collect { case n => n.nodeName }
+    assert(!names.exists(n => n.contains("Cartesian") ||
+      n.contains("BroadcastNestedLoop")),
+      s"banded LSH must never degrade to an all-pairs product:\n$plan")
+  }
+
   test("pagerank iteration never broadcasts the per-node rank table") {
     // the rank/contribution tables have one row per graph NODE — at
     // 10^9 nodes a per-iteration broadcast is a guaranteed OOM. The
