@@ -7,7 +7,7 @@ import graft.functions.GraftFunctions.dotLong
 
 /** Similarity search over the embeddings table (`Array[Float]`, dim 64).
   *
-  * Four tiers, in increasing scale-readiness:
+  * Five tiers, in increasing scale-readiness:
   *   1. brute-force top-k — the exactness baseline: one scan, per-row
   *      dot product via the native codegen'd [[graft.functions.GraftFunctions.dotLong]]
   *      expression (round-1 used interpreted `zip_with`/`aggregate` HOFs,
@@ -22,6 +22,11 @@ import graft.functions.GraftFunctions.dotLong
   *   4. bucketed ANN — single-probe: the signature is a PHYSICAL
   *      partition column (`write.partitionBy("bucket")`); a query reads
   *      ONE partition via partition pruning instead of scanning.
+  *   5. product quantization — the memory tier: corpus stored as 8
+  *      four-bit codes per vector (64× compression), queries rank by
+  *      128-entry lookup-table additions (asymmetric distance), exact
+  *      re-rank over the candidate set only. Codebooks are trained
+  *      (sampled init + Lloyd rounds) deterministically in both engines.
   *
   * All hyperplane signs come from [[Hyperplanes]] (fixed-seed ±1 matrix
   * inlined into both engines) and all arithmetic after quantization is
@@ -638,7 +643,255 @@ object Similarity {
        |  CAST(SUM(n_clamped) AS BIGINT) AS n_clamped
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sim_pq_topk / sim_pq_recall: PRODUCT QUANTIZATION — the vector-
+  // compression tier that makes 100 TB-scale ANN fit in memory. The
+  // 64-dim vector splits into M=8 subvectors of 8 dims; each subspace
+  // gets a K=16-entry codebook (deterministically SAMPLED centroids —
+  // subvectors of the vec_ids j·31 mod N — so both engines build the
+  // identical codebook with no iterative training to replay); every
+  // corpus vector is then stored as 8 four-bit codes — 8 bytes instead
+  // of 256, a 32× compression. A query never touches the raw corpus:
+  // it builds a 128-entry lookup table (its own squared L2 to every
+  // centroid, the "asymmetric distance" of Jégou et al.), and each
+  // candidate's approximate distance is 8 LUT additions over its
+  // codes. All arithmetic is exact integer micro-units (squared
+  // distances of quantized vectors — no division, no floats), so the
+  // DuckDB oracle replays codebook, encoding, LUT and ranking
+  // bit-for-bit. Scale shape: the codebook (128 subvectors) and LUT
+  // (128 longs) broadcast; the only per-vector state that moves is the
+  // 8-code row — the raw vectors are read once at index build and
+  // never again.
+  // -------------------------------------------------------------------
+  private val PqM = 8       // subspaces
+  private val PqD = 8       // dims per subspace
+  private val PqK = 16      // centroids per subspace (4-bit codes)
+  private val PqRounds = 2  // Lloyd refinement rounds per subspace
+
+  /** (vec_id, s, xs): quantized subvector s of every corpus vector */
+  private def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), s -> slice(q, s * $PqD + 1, $PqD))"))
+        .as(Seq("s", "xs")))
+
+  /** squared L2 of every (vector subspace, centroid) pair — the shared
+    * scoring kernel for assignment, encoding and the ADC lookup table
+    */
+  private def pqScore(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), "s")
+      .withColumn("d",
+        dotLong(col("xs"), col("xs")) - lit(2) * dotLong(col("xs"), col("c")) +
+          dotLong(col("c"), col("c")))
+
+  /** argmin centroid per (vec_id, s): ties to the smaller code — min
+    * over (d, j) structs is the lexicographic tie-break both engines
+    * share
+    */
+  private def pqAssign(scored: DataFrame): DataFrame =
+    scored.groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("j"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m").getField("j").as("code"))
+
+  /** Trained per-subspace codebook (s, j, c): deterministically SAMPLED
+    * init (subvectors of vec_ids j·31 mod N) plus [[PqRounds]] Lloyd
+    * refinements — assign every subvector to its nearest centroid,
+    * recompute each centroid as the per-dimension floor(avg) of its
+    * members (exact in both engines; empty clusters keep the previous
+    * centroid). No randomness, no driver-side training state: the
+    * oracle replays the identical rounds.
+    */
+  private def pqCodebook(spark: SparkSession, e: DataFrame): DataFrame = {
+    val n = e.count() // one scalar action: the corpus size, for sampling
+    val cbIds = spark.range(PqK)
+      .select(col("id").as("j"), (col("id") * 31 % n).as("vec_id"))
+    val cb0 = e.join(broadcast(cbIds), "vec_id")
+      .select(col("j"),
+        posexplode(expr(
+          s"transform(sequence(0, ${PqM - 1}), s -> slice(q, s * $PqD + 1, $PqD))"))
+          .as(Seq("s", "c")))
+    val sub = pqSub(e)
+    def refine(cb: DataFrame): DataFrame = {
+      val members = pqAssign(pqScore(sub, cb)).join(sub, Seq("vec_id", "s"))
+      val recomputed = members.groupBy(col("s").as("rs"), col("code").as("rj"))
+        .agg(array((0 until PqD).map(d =>
+          floor(avg(element_at(col("xs"), d + 1))).cast("long")): _*).as("c1"))
+      cb.join(broadcast(recomputed),
+          cb("s") === col("rs") && cb("j") === col("rj"), "left")
+        .select(cb("s"), cb("j"), coalesce(col("c1"), cb("c")).as("c"))
+    }
+    (1 to PqRounds).foldLeft(cb0)((cb, _) => refine(cb))
+  }
+
+  /** ADC ranking: encode the corpus, build the query's LUT, rank by
+    * summed lookup distances, keep the top `k`
+    */
+  private def pqAdc(spark: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    val scored = pqScore(pqSub(e), pqCodebook(spark, e)).persist()
+    val codes = pqAssign(scored)
+    // aliased to break the shared lineage with `codes` — both derive
+    // from `scored`, and unaliased column refs would resolve ambiguously
+    val lut = scored.filter(col("vec_id") === 0)
+      .select(col("s").as("ls"), col("j").as("lj"), col("d"))
+    val out = codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(lut),
+        col("s") === col("ls") && col("code") === col("lj"))
+      .groupBy("vec_id")
+      .agg(sum(col("d")).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+      .localCheckpoint()
+    scored.unpersist()
+    out
+  }
+
+  private def pqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+      .select("vec_id", "q").persist()
+    val out = pqAdc(spark, e, 20)
+    e.unpersist()
+    out
+  }
+
+  /** shared oracle CTE prefix: sampled init → [[PqRounds]] Lloyd
+    * rounds → codebook, codes, LUT, ADC ranking
+    */
+  private val pqCtes = {
+    def sq(x: String, c: String) =
+      s"""${PortableHash.dotSqlDuck(x, x)}
+         |    - 2 * ${PortableHash.dotSqlDuck(x, c)}
+         |    + ${PortableHash.dotSqlDuck(c, c)}""".stripMargin
+    val avgList = (1 to PqD)
+      .map(d => s"CAST(floor(avg(sub.xs[$d])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    // one assignment + recompute + coalesce round against cb{i-1}
+    def round(i: Int) =
+      s"""sc${i - 1} AS (SELECT sub.vec_id, sub.s, cb${i - 1}.j,
+         |    ${sq("sub.xs", s"cb${i - 1}.cv")} AS d
+         |  FROM sub JOIN cb${i - 1} ON sub.s = cb${i - 1}.s),
+         |a${i - 1} AS (SELECT vec_id, s, j AS code FROM (
+         |    SELECT vec_id, s, j, ROW_NUMBER() OVER
+         |      (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+         |    FROM sc${i - 1}) r WHERE rn = 1),
+         |avg$i AS (SELECT a${i - 1}.s, a${i - 1}.code AS j, $avgList AS cv
+         |  FROM a${i - 1} JOIN sub USING (vec_id, s) GROUP BY 1, 2),
+         |cb$i AS (SELECT c0.s, c0.j, COALESCE(c1.cv, c0.cv) AS cv
+         |  FROM cb${i - 1} c0 LEFT JOIN avg$i c1
+         |    ON c0.s = c1.s AND c0.j = c1.j)""".stripMargin
+    val rounds = (1 to PqRounds).map(round).mkString(",\n")
+    s"""qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |ids AS (SELECT j, (j * 31) % (SELECT COUNT(*) FROM embeddings) AS cvid
+       |        FROM range(0, $PqK) t(j)),
+       |cb0 AS (SELECT c.j, s,
+       |    list_slice(qt.q, s * $PqD + 1, s * $PqD + $PqD) AS cv
+       |  FROM ids c JOIN qt ON qt.vec_id = c.cvid, range(0, $PqM) t2(s)),
+       |sub AS (SELECT vec_id, s,
+       |    list_slice(q, s * $PqD + 1, s * $PqD + $PqD) AS xs
+       |  FROM qt, range(0, $PqM) t(s)),
+       |$rounds,
+       |cb AS (SELECT s, j, cv FROM cb$PqRounds),
+       |scored AS (SELECT sub.vec_id, sub.s, cb.j,
+       |    ${sq("sub.xs", "cb.cv")} AS d
+       |  FROM sub JOIN cb ON sub.s = cb.s),
+       |codes AS (SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j, ROW_NUMBER() OVER
+       |      (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+       |    FROM scored) r WHERE rn = 1),
+       |lut AS (SELECT s, j, d FROM scored WHERE vec_id = 0),
+       |pq20 AS (
+       |  SELECT c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+       |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.j
+       |  WHERE c.vec_id <> 0 GROUP BY 1
+       |  ORDER BY adc_dist, vec_id LIMIT 20)""".stripMargin
+  }
+
+  private val pqTopkSql =
+    s"""WITH $pqCtes
+       |SELECT vec_id, adc_dist FROM pq20 ORDER BY adc_dist, vec_id""".stripMargin
+
+  /** exact squared-L2 top-20 of vec 0 — the PQ ground truth */
+  private def exactL2Topk(spark: SparkSession, e: DataFrame): DataFrame = {
+    val qq = e.filter(col("vec_id") === 0).select(col("q").as("qq"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qq))
+      .withColumn("d",
+        dotLong(col("q"), col("q")) - lit(2) * dotLong(col("q"), col("qq")) +
+          dotLong(col("qq"), col("qq")))
+      .select(col("vec_id"), col("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  /** candidate-set size for the re-rank tier: ADC retrieves PqCand,
+    * exact distances re-rank them to 20 — the IVFPQ+refine pipeline,
+    * where raw vectors are read for candidates only
+    */
+  private val PqCand = 100
+
+  private def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+      .select("vec_id", "q").persist()
+    val exact = exactL2Topk(spark, e).persist()
+    val cand = pqAdc(spark, e, PqCand).persist()
+    val pq = cand.limit(20).select(col("vec_id"))
+    // true distances: the regret term, and the re-rank scorer — at
+    // scale this probe runs against the PqCand candidates only, not
+    // the corpus (the join below restricts it)
+    val trueD = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(e.filter(col("vec_id") === 0).select(col("q").as("qq"))))
+      .withColumn("td",
+        dotLong(col("q"), col("q")) - lit(2) * dotLong(col("q"), col("qq")) +
+          dotLong(col("qq"), col("qq")))
+      .select(col("vec_id"), col("td"))
+    val rerank = cand.select(col("vec_id")).join(trueD, "vec_id")
+      .orderBy(col("td").asc, col("vec_id").asc).limit(20)
+    val out = exact.join(pq, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits_adc"))
+      .crossJoin(exact.join(rerank.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_rerank")))
+      .crossJoin(exact.agg(sum(col("d")).as("sum_exact_d")))
+      .crossJoin(pq.join(trueD, "vec_id").agg(sum(col("td")).as("sum_adc_d")))
+      .select(col("hits_adc"),
+        (col("hits_adc") * 50).cast("long").as("recall_adc_pm"),
+        col("hits_rerank"),
+        (col("hits_rerank") * 50).cast("long").as("recall_rerank_pm"),
+        col("sum_exact_d"), col("sum_adc_d"))
+      .localCheckpoint()
+    cand.unpersist(); exact.unpersist(); e.unpersist()
+    out
+  }
+
+  private val pqRecallSql =
+    s"""WITH $pqCtes,
+       |cand AS (
+       |  SELECT c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+       |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.j
+       |  WHERE c.vec_id <> 0 GROUP BY 1
+       |  ORDER BY adc_dist, vec_id LIMIT $PqCand),
+       |qq AS (SELECT q FROM qt WHERE vec_id = 0),
+       |truth AS (SELECT t.vec_id,
+       |    ${PortableHash.dotSqlDuck("t.q", "t.q")}
+       |    - 2 * ${PortableHash.dotSqlDuck("t.q", "qq.q")}
+       |    + ${PortableHash.dotSqlDuck("qq.q", "qq.q")} AS d
+       |  FROM qt t, qq WHERE t.vec_id <> 0),
+       |exact20 AS (SELECT vec_id, d FROM truth ORDER BY d, vec_id LIMIT 20),
+       |rerank20 AS (SELECT t.vec_id FROM truth t
+       |  WHERE t.vec_id IN (SELECT vec_id FROM cand)
+       |  ORDER BY t.d, t.vec_id LIMIT 20),
+       |ha AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits_adc FROM exact20
+       |      WHERE vec_id IN (SELECT vec_id FROM pq20)),
+       |hr AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits_rerank FROM exact20
+       |      WHERE vec_id IN (SELECT vec_id FROM rerank20)),
+       |se AS (SELECT CAST(SUM(d) AS BIGINT) AS sum_exact_d FROM exact20),
+       |sp AS (SELECT CAST(SUM(t.d) AS BIGINT) AS sum_adc_d
+       |       FROM truth t WHERE t.vec_id IN (SELECT vec_id FROM pq20))
+       |SELECT hits_adc, CAST(hits_adc * 50 AS BIGINT) AS recall_adc_pm,
+       |  hits_rerank, CAST(hits_rerank * 50 AS BIGINT) AS recall_rerank_pm,
+       |  sum_exact_d, sum_adc_d FROM ha, hr, se, sp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_topk"        -> (pqTopk _),
+    "sim_pq_recall"      -> (pqRecall _),
     "sim_quantize_audit" -> (quantizeAudit _),
     "sim_knn_batch"      -> (knnBatch _),
     "sim_silhouette"     -> (silhouette _),
@@ -654,6 +907,8 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_pq_topk"        -> pqTopkSql,
+    "sim_pq_recall"      -> pqRecallSql,
     "sim_quantize_audit" -> quantizeAuditSql,
     "sim_knn_batch"      -> knnBatchSql,
     "sim_silhouette"     -> silhouetteSql,
