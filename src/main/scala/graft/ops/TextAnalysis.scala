@@ -843,7 +843,121 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // tx_bpe_train: BYTE-PAIR-ENCODING vocabulary TRAINING — the
+  // tokenizer-construction step of an LLM pipeline (tx_token_bpe only
+  // COUNTS tokens; this learns the merges). The classic Sennrich
+  // formulation: train on the DISTINCT-WORD frequency table, not the
+  // corpus — pair statistics are word-frequency-weighted, so the
+  // working set is |vocab| · avg word length rows regardless of corpus
+  // size (real corpora top out ~10⁷ distinct words; the raw text is
+  // read exactly once to build the counts). Each round: (1) count
+  // adjacent symbol pairs weighted by word frequency, (2) pick the
+  // most frequent pair (ties: lexicographic — a 1-row broadcast, the
+  // only "state"), (3) greedily merge it LEFTMOST-FIRST within every
+  // word — overlapping runs like 'aaa' under merge (a,a) must yield
+  // [aa, a], which the gaps-and-islands window trick computes exactly:
+  // a match position is kept iff its offset within its run of
+  // consecutive matches is even. Emits the learned merge table. Every
+  // step is windows + integer counts, so DuckDB replays the full
+  // training loop and the merge table must match string-for-string.
+  // -------------------------------------------------------------------
+  private val BpeRounds = 6
+
+  private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var rows = words
+      .select(col("w"), col("n"),
+        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as(Seq("pos", "sym")))
+      .localCheckpoint()
+    val byPos = Window.partitionBy("w").orderBy("pos")
+    val merges = (1 to BpeRounds).map { round =>
+      val paired = rows.withColumn("nxt", lead(col("sym"), 1).over(byPos))
+      // (2) argmax pair, frequency-weighted; 1-row, lexicographic ties
+      val m = paired.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("n")).as("pair_n"))
+        .orderBy(col("pair_n").desc, col("sym").asc, col("nxt").asc)
+        .limit(1)
+        .select(col("sym").as("ls"), col("nxt").as("rs"), col("pair_n"))
+        .localCheckpoint()
+      // (3) greedy leftmost merge: run-aware keep positions
+      val marked = paired.crossJoin(broadcast(m))
+        .withColumn("mtch", col("sym") === col("ls") && col("nxt") === col("rs"))
+        .withColumn("pm", coalesce(lag(col("mtch"), 1).over(byPos), lit(false)))
+        .withColumn("run_head",
+          max(when(col("mtch") && !col("pm"), col("pos"))).over(
+            byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("keep",
+          col("mtch") && (col("pos") - col("run_head")) % 2 === 0)
+        .withColumn("consumed",
+          coalesce(lag(col("keep"), 1).over(byPos), lit(false)))
+      rows = marked.filter(!col("consumed"))
+        .select(col("w"), col("n"),
+          (row_number().over(byPos) - 1).as("pos"),
+          when(col("keep"), concat(col("ls"), col("rs")))
+            .otherwise(col("sym")).as("sym"))
+        .localCheckpoint()
+      m.select(lit(round.toLong).as("round"),
+        col("ls").as("left_sym"), col("rs").as("right_sym"), col("pair_n"))
+    }
+    merges.reduce(_ unionAll _).orderBy("round")
+  }
+
+  private val bpeTrainSql = {
+    // one training round against rows{i-1}: pair counts → argmax →
+    // run-aware greedy merge → renumbered rows{i}
+    def round(i: Int) =
+      s"""p$i AS (SELECT w, n, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM rows${i - 1}),
+         |m$i AS (SELECT sym AS ls, nxt AS rs, CAST(SUM(n) AS BIGINT) AS pair_n
+         |  FROM p$i WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY pair_n DESC, ls ASC, rs ASC LIMIT 1),
+         |k${i}a AS (SELECT p.*, m.ls, m.rs,
+         |    COALESCE(p.sym = m.ls AND p.nxt = m.rs, FALSE) AS mtch,
+         |    COALESCE(lag(p.sym = m.ls AND p.nxt = m.rs)
+         |      OVER (PARTITION BY p.w ORDER BY p.pos), FALSE) AS pm
+         |  FROM p$i p, m$i m),
+         |k$i AS (SELECT w, n, pos, sym, ls, rs, mtch, run_head,
+         |    mtch AND (pos - run_head) % 2 = 0 AS keep
+         |  FROM (SELECT a.*,
+         |      MAX(CASE WHEN mtch AND NOT pm THEN pos END)
+         |        OVER (PARTITION BY w ORDER BY pos
+         |              ROWS UNBOUNDED PRECEDING) AS run_head
+         |    FROM k${i}a a) t),
+         |rows$i AS (SELECT w, n,
+         |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN keep THEN ls || rs ELSE sym END AS sym
+         |  FROM (SELECT k.*, COALESCE(lag(k.keep)
+         |      OVER (PARTITION BY k.w ORDER BY k.pos), FALSE) AS consumed
+         |    FROM k$i k) c
+         |  WHERE NOT consumed)""".stripMargin
+    val rounds = (1 to BpeRounds).map(round).mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(i => s"SELECT $i AS round, ls AS left_sym, rs AS right_sym, pair_n FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS n FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents) t
+       |  WHERE length(w) >= 1 GROUP BY 1),
+       |rows0a AS (
+       |  SELECT w, n, unnest(range(0, length(w))) AS pos FROM words),
+       |rows0 AS (
+       |  SELECT w, n, pos, substr(w, CAST(pos + 1 AS INT), 1) AS sym
+       |  FROM rows0a),
+       |$rounds
+       |SELECT CAST(round AS BIGINT) AS round, left_sym, right_sym, pair_n
+       |FROM ($out) u ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bpe_train"    -> (bpeTrain _),
     "tx_mixture_sample" -> (mixtureSample _),
     "tx_approx_topk"  -> (approxTopk _),
     "tx_bm25"         -> (bm25 _),
@@ -867,6 +981,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_bpe_train"    -> bpeTrainSql,
     "tx_mixture_sample" -> mixtureSampleSql,
     "tx_approx_topk"  -> approxTopkSql,
     "tx_bm25"         -> bm25Sql,
