@@ -723,26 +723,47 @@ object Similarity {
     (1 to PqRounds).foldLeft(cb0)((cb, _) => refine(cb))
   }
 
-  /** ADC ranking: encode the corpus, build the query's LUT, rank by
-    * summed lookup distances, keep the top `k`
+  /** the ADC ranking pipeline over a scored table: encode, broadcast
+    * the query's 128-entry LUT, rank by summed lookups, top `k`
     */
-  private def pqAdc(spark: SparkSession, e: DataFrame, k: Int): DataFrame = {
-    val scored = pqScore(pqSub(e), pqCodebook(spark, e)).persist()
+  private def pqAdcFrame(scored: DataFrame, k: Int): DataFrame = {
     val codes = pqAssign(scored)
     // aliased to break the shared lineage with `codes` — both derive
     // from `scored`, and unaliased column refs would resolve ambiguously
     val lut = scored.filter(col("vec_id") === 0)
       .select(col("s").as("ls"), col("j").as("lj"), col("d"))
-    val out = codes.filter(col("vec_id") =!= 0)
+    codes.filter(col("vec_id") =!= 0)
       .join(broadcast(lut),
         col("s") === col("ls") && col("code") === col("lj"))
       .groupBy("vec_id")
       .agg(sum(col("d")).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(k)
-      .localCheckpoint()
+  }
+
+  /** ADC ranking: encode the corpus, build the query's LUT, rank by
+    * summed lookup distances, keep the top `k`
+    */
+  private def pqAdc(spark: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    val scored = pqScore(pqSub(e), pqCodebook(spark, e)).persist()
+    val out = pqAdcFrame(scored, k).localCheckpoint()
     scored.unpersist()
     out
+  }
+
+  /** the ADC ranking's physical plan over a materialized scored table,
+    * exposed for PlanShapeSpec: the LUT attach must broadcast (128
+    * rows) and the top-k must be a heap, never a global sort
+    */
+  private[graft] def pqAdcPlan(spark: SparkSession,
+      dir: String): org.apache.spark.sql.execution.SparkPlan = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+      .select("vec_id", "q").persist()
+    val scored = pqScore(pqSub(e), pqCodebook(spark, e)).persist()
+    scored.count()
+    val plan = pqAdcFrame(scored, 20).queryExecution.executedPlan
+    scored.unpersist(); e.unpersist()
+    plan
   }
 
   private def pqTopk(spark: SparkSession, dir: String): DataFrame = {

@@ -149,6 +149,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"banded LSH must never degrade to an all-pairs product:\n$plan")
   }
 
+  test("PQ ADC ranking broadcasts the LUT and heaps the top-k") {
+    // the asymmetric-distance contract: per-vector work is 8 lookup
+    // additions against a 128-row broadcast table — a shuffled join or
+    // a global sort would defeat the compression tier's point
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = Similarity.pqAdcPlan(spark, dir)
+    val plan = top match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val names = plan.collect { case n => n.nodeName }
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"the 128-entry LUT must attach via broadcast:\n$plan")
+    assert(!names.exists(_.contains("SortMergeJoin")),
+      s"no shuffled join may appear in the ADC path:\n$plan")
+    assert(names.exists(_.contains("TakeOrderedAndProject")),
+      s"top-k must be a bounded heap, not a global sort:\n$plan")
+  }
+
   test("pagerank iteration never broadcasts the per-node rank table") {
     // the rank/contribution tables have one row per graph NODE — at
     // 10^9 nodes a per-iteration broadcast is a guaranteed OOM. The
