@@ -751,6 +751,27 @@ object Similarity {
     out
   }
 
+  private val pqCandCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  /** The PqCand-deep ADC ranking as a SESSION substrate: codebook
+    * training + corpus encoding + ranking run once per (application,
+    * SF dir) and both PQ queries read from it — sim_pq_topk is its
+    * 20-row head, sim_pq_recall re-ranks its full depth. The
+    * checkpointed result is 100 ordered rows, so sharing it retires a
+    * whole training/encoding pass per run — the same discipline as
+    * Graph.pairCounts / Dedup.minhashPairs.
+    */
+  private[ops] def pqCandidates(spark: SparkSession, dir: String): DataFrame =
+    pqCandCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
+      _ => {
+        val e = emb(spark, dir).withColumn("q", expr(quantize))
+          .select("vec_id", "q").persist()
+        val out = pqAdc(spark, e, PqCand)
+        e.unpersist()
+        out
+      })
+
   /** the ADC ranking's physical plan over a materialized scored table,
     * exposed for PlanShapeSpec: the LUT attach must broadcast (128
     * rows) and the top-k must be a heap, never a global sort
@@ -766,13 +787,8 @@ object Similarity {
     plan
   }
 
-  private def pqTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("q", expr(quantize))
-      .select("vec_id", "q").persist()
-    val out = pqAdc(spark, e, 20)
-    e.unpersist()
-    out
-  }
+  private def pqTopk(spark: SparkSession, dir: String): DataFrame =
+    pqCandidates(spark, dir).limit(20)
 
   /** shared oracle CTE prefix: sampled init → [[PqRounds]] Lloyd
     * rounds → codebook, codes, LUT, ADC ranking
@@ -853,7 +869,7 @@ object Similarity {
     val e = emb(spark, dir).withColumn("q", expr(quantize))
       .select("vec_id", "q").persist()
     val exact = exactL2Topk(spark, e).persist()
-    val cand = pqAdc(spark, e, PqCand).persist()
+    val cand = pqCandidates(spark, dir) // session substrate, stays cached
     val pq = cand.limit(20).select(col("vec_id"))
     // true distances: the regret term, and the re-rank scorer — at
     // scale this probe runs against the PqCand candidates only, not
@@ -878,7 +894,7 @@ object Similarity {
         (col("hits_rerank") * 50).cast("long").as("recall_rerank_pm"),
         col("sum_exact_d"), col("sum_adc_d"))
       .localCheckpoint()
-    cand.unpersist(); exact.unpersist(); e.unpersist()
+    exact.unpersist(); e.unpersist()
     out
   }
 

@@ -350,6 +350,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "co-purchase edge list must be the session-cached instance")
     assert(Dedup.minhashPairs(spark, dir) eq Dedup.minhashPairs(spark, dir),
       "verified near-dup pairs must be the session-cached instance")
+    assert(Similarity.pqCandidates(spark, dir) eq
+      Similarity.pqCandidates(spark, dir),
+      "the PQ candidate ranking must be the session-cached instance")
     assert(Graph.pairCounts(spark, dir).storageLevel.useMemory ||
       Graph.pairCounts(spark, dir).storageLevel.useDisk,
       "the shared pair substrate must be persisted")
