@@ -397,6 +397,42 @@ object Analytics {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_skew_profile: the measurement pass that DECIDES whether the
+  // salted join above is needed — per-key cardinality distribution of
+  // a join/grouping key, in one partial-agg groupBy + a 1-row global
+  // aggregate + a top-k heap. Emits the 10 heaviest keys with their
+  // permille share of all rows, carrying the global skew ratio
+  // (hottest key vs mean key, ×1e3) on every row. At 100 TB this is
+  // the cheap pre-flight that picks between a plain shuffle, AQE
+  // skew-split, or explicit salting of the flagged keys — and its own
+  // plan must not melt under the very skew it measures: per-key counts
+  // partial-aggregate map-side, so the hot key contributes ONE row per
+  // mapper to the shuffle, not its raw multiplicity.
+  // -------------------------------------------------------------------
+  private def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val g = perKey.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_n"))
+    perKey.orderBy(col("n").desc, col("user_id").asc).limit(10)
+      .crossJoin(broadcast(g))
+      .select(col("user_id"), col("n"),
+        expr("n * 1000 div n_rows").as("share_pm"),
+        col("n_keys"), col("n_rows"),
+        expr("max_n * n_keys * 1000 div n_rows").as("skew_ratio_e3"))
+      .orderBy(col("n").desc, col("user_id").asc)
+  }
+
+  private val skewProfileSql =
+    """WITH pk AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      |g AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |             CAST(MAX(n) AS BIGINT) AS max_n FROM pk)
+      |SELECT user_id, n, n * 1000 // n_rows AS share_pm,
+      |  n_keys, n_rows, max_n * n_keys * 1000 // n_rows AS skew_ratio_e3
+      |FROM (SELECT * FROM pk ORDER BY n DESC, user_id ASC LIMIT 10) t, g
+      |ORDER BY n DESC, user_id ASC""".stripMargin
+
+  // -------------------------------------------------------------------
   // Window-function breadth in one pass: row_number / lag / lead /
   // ntile / cume_dist over the same (partition, order) — ONE shuffle +
   // ONE sort serves all five (they share the window spec; Spark plans a
@@ -723,6 +759,7 @@ object Analytics {
     "ax_percentiles"       -> (percentiles _),
     "ax_approx_quantiles"  -> (approxQuantiles _),
     "ax_salted_join"       -> (saltedJoin _),
+    "ax_skew_profile"      -> (skewProfile _),
     "ax_pricing_summary"   -> (pricingSummary _),
     "ax_revenue_by_segment" -> (revenueBySegment _),
     "ax_cust_no_orders"    -> (custNoOrders _),
@@ -750,6 +787,7 @@ object Analytics {
     "ax_percentiles"       -> percentilesSql,
     "ax_approx_quantiles"  -> approxQuantilesSql,
     "ax_salted_join"       -> saltedJoinSql,
+    "ax_skew_profile"      -> skewProfileSql,
     "ax_pricing_summary"   -> pricingSummarySql,
     "ax_revenue_by_segment" -> revenueBySegmentSql,
     "ax_cust_no_orders"    -> custNoOrdersSql,
