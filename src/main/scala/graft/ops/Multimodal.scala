@@ -554,6 +554,82 @@ object Multimodal {
        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // mm_quarantine: CORRUPT-PAYLOAD quarantine for the decode path —
+  // the ingest property real pipelines live or die by: a malformed
+  // blob must become a categorized quarantine row, never a task
+  // failure. The fixture deterministically damages payloads (every
+  // 7th asset truncated to 9 bytes — too short for any header; every
+  // 11th, not also 7th, gets its magic bytes zeroed — unrecognized
+  // format), the decoder runs the normal header parse, and the result
+  // is an ingest ledger: per-status/reason counts, byte volume, and
+  // the min/max damaged ids pinning WHICH assets were quarantined.
+  // The try/catch-shaped branch lives in the SAME mapPartitions seam
+  // as the decode (`decodeHeader` returns "unknown" rather than
+  // throwing — the structured-error contract); the oracle replays the
+  // damage predicates. ax_corrupt_ingest covers malformed TEXT
+  // records via Spark's PERMISSIVE/quarantine columns; this is the
+  // binary twin where no built-in parser exists.
+  // -------------------------------------------------------------------
+  private def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val intact = assetBytes(id,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val payload =
+            if (id % 7 == 0) intact.take(9)
+            else if (id % 11 == 0) {
+              val b = intact.clone(); b(0) = 0; b(1) = 0; b
+            } else intact
+          val (fmt, w, h, _) = ImageHeaders.decodeHeader(payload)
+          val status =
+            if (fmt != "unknown") "ok"
+            else if (payload.length < 30) "truncated"
+            else "bad_magic"
+          (id, status, fmt, payload.length.toLong, w.toLong.max(0), h.toLong.max(0))
+        }
+      }
+      .toDF("doc_id", "status", "fmt", "n_bytes", "w", "h")
+      .groupBy("status", "fmt")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("w")).as("sum_width"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("status", "fmt")
+  }
+
+  private val quarantineSql =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN ${ImageHeaders.PngOverhead}
+       |         ELSE ${ImageHeaders.BmpOverhead} END
+       |      + CAST(octet_length(encode(text)) AS BIGINT) AS full_bytes,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS good_fmt,
+       |    4 + doc_id % 509 AS width,
+       |    4 + CAST(octet_length(encode(text)) AS BIGINT) % 509 AS height
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN 'truncated'
+       |         WHEN doc_id % 11 = 0 THEN 'bad_magic'
+       |         ELSE 'ok' END AS status,
+       |    CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0 THEN 'unknown'
+       |         ELSE good_fmt END AS fmt,
+       |    CASE WHEN doc_id % 7 = 0 THEN 9 ELSE full_bytes END AS n_bytes,
+       |    CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0 THEN 0
+       |         ELSE width END AS w
+       |  FROM a)
+       |SELECT status, fmt, COUNT(*) AS n_assets,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+       |  CAST(SUM(w) AS BIGINT) AS sum_width,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // mm_exact_dedup: content-addressed dedup of the BINARY payload — the
   // first pass every multimodal ingest runs (identical bytes are the
   // overwhelmingly common duplicate for images/audio: same file
@@ -656,6 +732,7 @@ object Multimodal {
     "mm_resize_phash" -> (resizePhash _),
     "mm_audio_stats"  -> (audioStats _),
     "mm_phash_dup"    -> (phashDup _),
+    "mm_quarantine"   -> (quarantine _),
     "mm_exact_dedup"  -> (exactDedup _),
     "mm_chunk_dedup"  -> (chunkDedup _)
   )
@@ -690,6 +767,7 @@ object Multimodal {
     "mm_resize_phash" -> resizePhashSql,
     "mm_audio_stats"  -> audioStatsSql,
     "mm_phash_dup"    -> phashDupSql,
+    "mm_quarantine"   -> quarantineSql,
     "mm_exact_dedup"  -> exactDedupSql,
     "mm_chunk_dedup"  -> chunkDedupSql
   )

@@ -91,4 +91,22 @@ class ImageHeadersSpec extends AnyFunSuite {
       === (("unknown", -1, -1, -1)))
     assert(ImageHeaders.decodeHeader(Array[Byte]()) === (("unknown", -1, -1, -1)))
   }
+
+  test("damaged containers decode as unknown, never throw") {
+    // the mm_quarantine contract: structured errors, not task failures
+    val png = ImageHeaders.png(40, 30, 8, "payload".getBytes)
+    val bmp = ImageHeaders.bmp(40, 30, 24, "payload".getBytes)
+    for (img <- Seq(png, bmp)) {
+      // truncated below any header size (the fixture's 9-byte damage)
+      assert(ImageHeaders.decodeHeader(img.take(9))
+        === (("unknown", -1, -1, -1)))
+      // magic bytes zeroed but full length intact
+      val zeroed = img.clone(); zeroed(0) = 0; zeroed(1) = 0
+      assert(ImageHeaders.decodeHeader(zeroed) === (("unknown", -1, -1, -1)))
+    }
+    // a truncation that keeps the PNG signature but cuts the IHDR short
+    // must also be unknown (length guard, not just magic match)
+    assert(ImageHeaders.decodeHeader(png.take(20))
+      === (("unknown", -1, -1, -1)))
+  }
 }
