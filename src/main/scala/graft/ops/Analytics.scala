@@ -747,7 +747,76 @@ object Analytics {
       |FROM e JOIN o ON e.bkt IS NOT DISTINCT FROM o.bkt
       |ORDER BY e.bkt NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_late_suppliers: the TPC-H Q21 "suppliers who kept orders
+  // waiting" shape — for finalized orders with MULTIPLE suppliers where
+  // EXACTLY ONE shipped late (>90 days after the order date), blame
+  // that supplier; count blamed orders per supplier of one nation. The
+  // textbook phrasing is a double-correlated EXISTS + NOT EXISTS pair
+  // (two extra passes over the fact). The scale-correct plan used here
+  // DECORRELATES BY AGGREGATION: one orderkey-equi join of lineitem to
+  // the filtered orders, then ONE per-order aggregate computes the
+  // supplier count, the late-supplier count, and the blamed supplier
+  // (max over a one-element set, guarded by n_late = 1) — the join
+  // output is already hash-placed on the order key, so the aggregate
+  // reuses that partitioning and the fact shuffles ONCE total. The
+  // supplier→nation dim side broadcasts. Oracle: the identical
+  // decorrelated aggregation in DuckDB (the EXISTS form is equivalent
+  // by construction: n_supps>1 ⇔ another supplier exists; n_late=1 ⇔
+  // no OTHER supplier was late).
+  // -------------------------------------------------------------------
+  private def lateSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val late = datediff(col("l_shipdate"), col("o_orderdate")) > 90
+    val perOrder = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supps") > 1 && col("n_late") === 1)
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+          .filter(col("n_name") === "NATION_19").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    perOrder.groupBy("late_supp").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supp), col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  private val lateSuppliersSql =
+    """WITH j AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |    CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+      |      + INTERVAL 90 DAY AS late
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'),
+      |per_order AS (
+      |  SELECT l_orderkey,
+      |    COUNT(DISTINCT l_suppkey) AS n_supps,
+      |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+      |    MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+      |  FROM j GROUP BY 1
+      |  HAVING COUNT(DISTINCT l_suppkey) > 1
+      |     AND COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) = 1)
+      |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM per_order p
+      |JOIN supplier s ON p.late_supp = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE n.n_name = 'NATION_19'
+      |GROUP BY 1
+      |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_late_suppliers"    -> (lateSuppliers _),
     "ax_nullsafe_join"     -> (nullsafeJoin _),
     "ax_revenue_share"     -> (revenueShare _),
     "ax_nation_volume"     -> (nationVolume _),
@@ -776,6 +845,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_late_suppliers"    -> lateSuppliersSql,
     "ax_nullsafe_join"     -> nullsafeJoinSql,
     "ax_revenue_share"     -> revenueShareSql,
     "ax_nation_volume"     -> nationVolumeSql,

@@ -89,11 +89,85 @@ object Chunking {
       |  CAST(SUM(toks) AS BIGINT) AS bin_tokens
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** paragraph width in words for tx_para_dedup */
+  private val ParaW = 16
+
+  // -------------------------------------------------------------------
+  // tx_para_dedup: corpus REWRITE by paragraph-level dedup — the
+  // removal step of CCNet-style pipelines (Wenzek et al., CCNet;
+  // Lee et al., "Deduplicating Training Data...") where dd_substring_dup
+  // is only the audit: split each normalized document into word-aligned
+  // 16-word paragraphs, keep ONLY the globally-first occurrence of each
+  // distinct paragraph (first = smallest (doc_id, position)), and
+  // reassemble every document from its surviving paragraphs in order.
+  // The gate row per document carries the before/after paragraph counts
+  // and the md5 of the reassembled text, so the oracle pins the cleaned
+  // corpus byte-for-byte, not just the drop statistics.
+  //
+  // Scale shape: paragraph generation is map-side (explode inside the
+  // row); the global first-occurrence decision is ONE exchange keyed on
+  // the paragraph hash (a row_number window — rank-1 semantics, no
+  // all-pairs, no broadcast: the winner set is as big as the corpus and
+  // must never be collected); reassembly is ONE exchange back on
+  // doc_id. Payload paragraphs cross the wire once per exchange, which
+  // is the floor for a rewrite op. At 100 TB both keys are
+  // high-cardinality and uniform (md5 / doc id) — no skew.
+  // -------------------------------------------------------------------
+  private def paraDedup(spark: SparkSession, dir: String): DataFrame = {
+    val first = Window.partitionBy("h").orderBy("doc_id", "pos")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.normCol.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), split(col("norm"), " ").as("w"))
+      .withColumn("pos",
+        explode(sequence(lit(0L), expr(s"(size(w) - 1) div $ParaW"))))
+      .select(col("doc_id"), col("pos"),
+        expr(s"array_join(slice(w, CAST(pos*$ParaW + 1 AS INT), $ParaW), ' ')")
+          .as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("kept", row_number().over(first) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sort_array(collect_list(struct(col("pos"), col("chunk"), col("kept"))))
+          .as("cs"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        md5(array_join(expr("transform(filter(cs, x -> x.kept), x -> x.chunk)"),
+          " ")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val paraDedupSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) n
+       |  WHERE length(norm) > 0),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(w[CAST(pos*$ParaW + 1 AS BIGINT):
+       |                      CAST(pos*$ParaW + $ParaW AS BIGINT)], ' ') AS chunk
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(0, (len(w) - 1) // $ParaW + 1)) AS pos
+       |        FROM d) x),
+       |flagged AS (
+       |  SELECT doc_id, pos, chunk,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+       |                       ORDER BY doc_id, pos) = 1 AS kept
+       |  FROM occ)
+       |SELECT doc_id, COUNT(*) AS n_paras,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
+       |                          ORDER BY pos), '')) AS clean_hash
+       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_chunk_stats" -> (chunkStats _),
-    "tx_pack_bins"   -> (packBins _))
+    "tx_pack_bins"   -> (packBins _),
+    "tx_para_dedup"  -> (paraDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "tx_chunk_stats" -> chunkStatsSql,
-    "tx_pack_bins"   -> packBinsSql)
+    "tx_pack_bins"   -> packBinsSql,
+    "tx_para_dedup"  -> paraDedupSql)
 }
