@@ -272,15 +272,65 @@ object Lifecycle {
        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // tx_assign_ids: CONTIGUOUS GLOBAL ID ASSIGNMENT by a total order —
+  // every curation pipeline ends by stamping documents with dense ids
+  // (shard-stable sample indices, embedding-matrix row numbers). The
+  // naive `row_number() OVER (ORDER BY ...)` with no partition is a
+  // SINGLE-PARTITION global sort — one task sees the whole corpus, the
+  // canonical 100 TB trap. The scale shape here is the classic
+  // zipWithIndex decomposition, written declaratively:
+  //   (1) range-repartition by the sort key (distributed sample-based
+  //       boundaries, Spark's own Exchange rangepartitioning);
+  //   (2) count rows per range partition — a P-row table;
+  //   (3) prefix-sum those P rows into per-partition offsets (the only
+  //       unpartitioned window in the plan runs over P rows, not data);
+  //   (4) local row_number within each partition + broadcast offset =
+  //       global id. Because range partitions hold disjoint ordered key
+  //       ranges, offset + local rank IS the global rank — no step ever
+  //       holds more than one partition, and the id is independent of
+  //       where the sampled boundaries happened to land.
+  // Oracle: the definitional single-window form DuckDB can afford.
+  // -------------------------------------------------------------------
+  private val IdParts = 8
+
+  private def assignIds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .repartitionByRange(IdParts, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id().cast("long"))
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum(col("n")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val local = Window.partitionBy("pid").orderBy("source", "doc_id")
+    ranged
+      .withColumn("local", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), "pid") // P rows — bounded by design
+      .select(col("doc_id"), col("source"),
+        (col("offset") + col("local") - 1L).as("global_id"))
+      .orderBy("doc_id")
+  }
+
+  private val assignIdsSql =
+    """SELECT doc_id, source,
+      |  CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+      |    AS global_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_compact_files"  -> (compactFiles _),
     "ax_time_travel"    -> (timeTravel _),
     "tx_shard_export"   -> (shardExport _),
-    "tx_global_shuffle" -> (globalShuffle _))
+    "tx_global_shuffle" -> (globalShuffle _),
+    "tx_assign_ids"     -> (assignIds _))
 
   val oracleSql: Map[String, String] = Map(
     "ax_compact_files"  -> compactFilesSql,
     "ax_time_travel"    -> timeTravelSql,
     "tx_shard_export"   -> shardExportSql,
-    "tx_global_shuffle" -> globalShuffleSql)
+    "tx_global_shuffle" -> globalShuffleSql,
+    "tx_assign_ids"     -> assignIdsSql)
 }

@@ -357,6 +357,28 @@ class PlanShapeSpec extends AnyFunSuite {
       Graph.pairCounts(spark, dir).storageLevel.useDisk,
       "the shared pair substrate must be persisted")
   }
+
+  test("late-suppliers blame query stays decorrelated (no semi/anti joins)") {
+    val p = plan("ax_late_suppliers")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      "the EXISTS pair must stay decorrelated into the per-order aggregate")
+    assert(p.contains("BroadcastHashJoin"), "dim sides must broadcast")
+  }
+
+  test("id assignment range-partitions; only the P-row offset table is unpartitioned") {
+    val p = plan("tx_assign_ids")
+    assert(p.contains("rangepartitioning"),
+      "global ids must be assigned over a range exchange, not a global sort")
+    // the offsets join must broadcast P rows, never shuffle the corpus side twice
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("paragraph dedup never broadcasts (winner set is corpus-sized)") {
+    val p = plan("tx_para_dedup")
+    assert(!p.contains("BroadcastExchange"),
+      "first-occurrence retention must stay a keyed window, no broadcast side")
+    assert(p.contains("Window"))
+  }
 }
 
 /** Small helper kept outside the spec so other tools can reuse it. */
