@@ -75,19 +75,39 @@ private[ops] object MinHashLsh {
     val tokH = tok
       .select(col("doc_id"), PortableHash.hashCol(col("feature")).as("h"))
       .persist()
+    val sig = signatures(tokH).persist()
+    val out = verifiedPairsFrom(tokH, sig)
+    tokH.unpersist()
+    sig.unpersist()
+    out
+  }
+
+  /** signature table over a hashed token table: one hash-aggregate,
+    * map-side partial min/count, one shuffle of (doc_id, k longs)
+    */
+  def signatures(tokH: DataFrame): DataFrame = {
     val minAggs = (0 until NumHashes).map(s =>
       min((lit(coefA(s)) * (col("h") % P) + lit(coefB(s))) % P).as(s"m$s"))
     val aggs = minAggs :+ count(lit(1)).as("n")
-    // one shuffle on doc_id; map-side partial min/count
-    val sig = tokH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).persist()
+    tokH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
+  /** band rows (doc_id, band, bh) of a signature table */
+  def bandedOf(sig: DataFrame): DataFrame = {
     // band hash = portable hash of the band's signature slice
     val bandCols = (0 until Bands).map { bi =>
       val slice = (0 until RowsPerBand).map(r => col(s"m${bi * RowsPerBand + r}"))
       PortableHash.hashCol(concat_ws(",", slice: _*))
     }
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+  }
+
+  /** [[verifiedPairs]] over an already-built (and caller-persisted)
+    * hashed-token + signature substrate — the shape session caches use.
+    */
+  def verifiedPairsFrom(tokH: DataFrame, sig: DataFrame): DataFrame = {
+    val banded = bandedOf(sig)
     val capped = banded
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
       .filter(col("bucket_n") <= MaxBucket)
@@ -114,13 +134,114 @@ private[ops] object MinHashLsh {
       .filter(col("jaccard_pm") >= ThresholdPm)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard_pm"))
       .orderBy("doc_a", "doc_b")
-    // materialize the (small) verified pairs so the two pipeline caches
-    // can be released NOW — without this, every caller leaks two
-    // persisted tables for the session lifetime
-    val out = pairs.localCheckpoint()
-    tokH.unpersist()
-    sig.unpersist()
+    // materialize the (small) verified pairs so the pipeline caches can
+    // be released by the caller — output ∝ true duplicates, not corpus
+    pairs.localCheckpoint()
+  }
+
+  /** Steady-state INGESTION dedup: the day's delta probes the existing
+    * corpus index instead of the corpus self-joining. [[verifiedPairs]]
+    * is the BOOTSTRAP shape (every doc against every doc, once);
+    * production pipelines then run THIS shape forever after: signatures
+    * and banded buckets for the index are a persisted, bucket-keyed
+    * structure (at 100 TB: a table partitioned by (band, bh), appended
+    * per ingest), and each new batch joins its own band rows against it
+    * — work ∝ delta size × bucket occupancy, the corpus never
+    * self-joins again. Skew hygiene is identical (degenerate INDEX
+    * buckets capped at [[MaxBucket]]); verification is the same exact
+    * hash-intersection Jaccard, restricted to delta×index candidates.
+    * Emits one row per new document: verified-candidate count, best
+    * match (−1 if none), best Jaccard (permille), and the ≥ threshold
+    * dup flag — the accept/reject decision an ingest gate acts on.
+    */
+  def probedDelta(tokH: DataFrame, sig: DataFrame,
+      isNew: org.apache.spark.sql.Column): DataFrame = {
+    val banded = bandedOf(sig)
+    val idx = banded.filter(!isNew)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= MaxBucket)
+      .select(col("band"), col("bh"), col("doc_id").as("b"))
+    val delta = banded.filter(isNew)
+      .select(col("band"), col("bh"), col("doc_id").as("a"))
+    val cand = delta.join(idx, Seq("band", "bh")).select("a", "b").distinct()
+    val inter = cand
+      .join(tokH.select(col("doc_id").as("a"), col("h")), "a")
+      .join(tokH.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val n = sig.select(col("doc_id"), col("n"))
+    val scored = inter
+      .join(n.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(n.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard_pm",
+        floor(col("inter") * lit(1000.0) / (col("na") + col("nb") - col("inter")))
+          .cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("jaccard_pm").desc, col("b").asc)))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("a")))
+    val best = scored.filter(col("rn") === 1)
+      .select(col("a"), col("n_cand"), col("b").as("best_match"),
+        col("jaccard_pm").as("best_jaccard_pm"))
+    val out = sig.filter(isNew).select(col("doc_id").as("a"))
+      .join(best, Seq("a"), "left")
+      .select(col("a").as("new_doc"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("best_match"), lit(-1L)).as("best_match"),
+        coalesce(col("best_jaccard_pm"), lit(0L)).as("best_jaccard_pm"))
+      .withColumn("is_dup", (col("best_jaccard_pm") >= ThresholdPm).cast("long"))
+      .orderBy("new_doc")
+      .localCheckpoint()
     out
+  }
+
+  /** DuckDB oracle for [[probedDelta]]; `newPred` is the SQL predicate
+    * over `doc_id` that marks the delta (must match the Spark side).
+    */
+  def probeOracleSql(tokCte: String, newPred: String): String = {
+    val minCols = (0 until NumHashes)
+      .map(s => s"min((${coefA(s)} * (h % $P) + ${coefB(s)}) % $P) AS m$s")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { bi =>
+      val slice = (0 until RowsPerBand).map(r => s"m${bi * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $bi AS band, ${PortableHash.hashSql(s"concat_ws(',', $slice)")} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $tokCte,
+       |hashed AS (SELECT doc_id, ${PortableHash.hashSql("feature")} AS h FROM tok),
+       |sig AS (SELECT doc_id,
+       |    $minCols,
+       |    count(*) AS n
+       |  FROM hashed GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |idx AS (SELECT band, bh, doc_id AS b FROM (
+       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bucket_n
+       |    FROM banded WHERE NOT ($newPred)) c
+       |  WHERE bucket_n <= $MaxBucket),
+       |delta AS (SELECT band, bh, doc_id AS a FROM banded WHERE $newPred),
+       |cand AS (SELECT DISTINCT d.a, i.b
+       |  FROM delta d JOIN idx i ON d.band = i.band AND d.bh = i.bh),
+       |inter AS (SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN hashed ta ON ta.doc_id = c.a
+       |  JOIN hashed tb ON tb.doc_id = c.b AND tb.h = ta.h
+       |  GROUP BY c.a, c.b),
+       |scored AS (SELECT i.a, i.b,
+       |    CAST(floor(i.inter * 1000.0 / (sa.n + sb.n - i.inter)) AS BIGINT)
+       |      AS jaccard_pm
+       |  FROM inter i
+       |  JOIN sig sa ON sa.doc_id = i.a
+       |  JOIN sig sb ON sb.doc_id = i.b),
+       |ranked AS (SELECT a, b, jaccard_pm,
+       |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY jaccard_pm DESC, b ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY a) AS n_cand
+       |  FROM scored)
+       |SELECT s.doc_id AS new_doc,
+       |  CAST(COALESCE(r.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(COALESCE(r.b, -1) AS BIGINT) AS best_match,
+       |  CAST(COALESCE(r.jaccard_pm, 0) AS BIGINT) AS best_jaccard_pm,
+       |  CAST(COALESCE(r.jaccard_pm, 0) >= $ThresholdPm AS BIGINT) AS is_dup
+       |FROM (SELECT DISTINCT doc_id FROM sig WHERE $newPred) s
+       |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.a = s.doc_id
+       |ORDER BY new_doc""".stripMargin
   }
 
   /** DuckDB oracle for [[verifiedPairs]]; `tokCte` must define
@@ -284,12 +405,51 @@ object Dedup {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
+  /** Hashed shingle tokens + minhash signatures for the word-shingle
+    * tokenizer, built once per (application, SF dir) and persisted —
+    * the bootstrap pair join AND the incremental ingest probe both
+    * consume this substrate, so the corpus is tokenized and signed
+    * exactly once per session (the signature table is docs × 33 longs;
+    * at 100 TB both live as bucket-partitioned tables on disk).
+    */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+
+  private[ops] def shingleSubstrate(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    shingleCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
+      _ => {
+        val tokH = wordShingleTok(spark, dir)
+          .select(col("doc_id"), PortableHash.hashCol(col("feature")).as("h"))
+          .persist()
+        (tokH, MinHashLsh.signatures(tokH).persist())
+      })
+
   private[ops] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     pairsCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
-      _ => MinHashLsh.verifiedPairs(wordShingleTok(spark, dir)).persist())
+      _ => {
+        val (tokH, sig) = shingleSubstrate(spark, dir)
+        MinHashLsh.verifiedPairsFrom(tokH, sig).persist()
+      })
 
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     MinHashLsh.verifiedPairs(charNgramTok(spark, dir))
+
+  // -------------------------------------------------------------------
+  // dd_incremental_dup: steady-state ingestion dedup — the 10% of the
+  // corpus with doc_id ≡ 9 (mod 10) plays "today's crawl" and probes
+  // the banded index built from the other 90%; see
+  // [[MinHashLsh.probedDelta]] for the scale argument (delta×index,
+  // never corpus×corpus). The mod-10 split is a stand-in for an
+  // ingest-time watermark; the operator itself never looks at the
+  // predicate beyond filtering.
+  // -------------------------------------------------------------------
+  private val NewDocPredSql = "doc_id % 10 = 9"
+
+  private def incrementalDup(spark: SparkSession, dir: String): DataFrame = {
+    val (tokH, sig) = shingleSubstrate(spark, dir)
+    MinHashLsh.probedDelta(tokH, sig, pmod(col("doc_id"), lit(10)) === 9)
+  }
 
   // -------------------------------------------------------------------
   // dd_substring_dup: cross-document REPEATED-SUBSTRING detection — the
@@ -930,7 +1090,8 @@ object Dedup {
     "dd_approx_users"   -> (approxUsers _),
     "dd_hll_merge"      -> (hllMerge _),
     "dd_lsh_recall"     -> (lshRecall _),
-    "dd_substring_dup"  -> (substringDup _)
+    "dd_substring_dup"  -> (substringDup _),
+    "dd_incremental_dup" -> (incrementalDup _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -941,6 +1102,7 @@ object Dedup {
     "dd_exact_keep_min" -> exactKeepMinSql,
     "dd_exact_groups"   -> exactGroupsSql,
     "dd_minhash_pairs"  -> MinHashLsh.oracleSql(wordShingleTokCte),
+    "dd_incremental_dup" -> MinHashLsh.probeOracleSql(wordShingleTokCte, NewDocPredSql),
     "dd_ngram_jaccard"  -> MinHashLsh.oracleSql(charNgramTokCte),
     "dd_simhash_pairs"  -> simhashPairsSql,
     "dd_embed_neardup"  -> embedNearDupSql,

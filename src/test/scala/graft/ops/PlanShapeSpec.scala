@@ -350,6 +350,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "co-purchase edge list must be the session-cached instance")
     assert(Dedup.minhashPairs(spark, dir) eq Dedup.minhashPairs(spark, dir),
       "verified near-dup pairs must be the session-cached instance")
+    assert(Dedup.shingleSubstrate(spark, dir)._1 eq
+      Dedup.shingleSubstrate(spark, dir)._1,
+      "the hashed shingle table must be the session-cached instance")
+    assert(Dedup.shingleSubstrate(spark, dir)._2.storageLevel.useMemory ||
+      Dedup.shingleSubstrate(spark, dir)._2.storageLevel.useDisk,
+      "the shared signature table must be persisted")
     assert(Similarity.pqCandidates(spark, dir) eq
       Similarity.pqCandidates(spark, dir),
       "the PQ candidate ranking must be the session-cached instance")
