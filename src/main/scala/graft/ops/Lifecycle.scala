@@ -294,12 +294,27 @@ object Lifecycle {
   // -------------------------------------------------------------------
   private val IdParts = 8
 
+  /** The range-partitioned, pid-stamped corpus is consumed TWICE per id
+    * assignment (offset branch + data branch); persisting it per
+    * (application, SF dir) means one scan and ONE range exchange feed
+    * both — without this the corpus is scanned and range-shuffled twice
+    * (persist preserves the exchange's partitioning; the session-cache
+    * discipline of [[Dedup.shingleSubstrate]]).
+    */
+  private val rangedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  private def rangedDocs(spark: SparkSession, dir: String): DataFrame =
+    rangedCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
+      _ => spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+        .repartitionByRange(IdParts, col("source"), col("doc_id"))
+        .withColumn("pid", spark_partition_id().cast("long"))
+        .persist())
+
   private def assignIds(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranged = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-      .repartitionByRange(IdParts, col("source"), col("doc_id"))
-      .withColumn("pid", spark_partition_id().cast("long"))
+    val ranged = rangedDocs(spark, dir)
     val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("n"))
       .withColumn("offset", coalesce(
         sum(col("n")).over(Window.orderBy("pid")
