@@ -454,7 +454,46 @@ object EventsOps {
       |    AS parsed_cents_sum
       |FROM events""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_ntile_bins: EQUAL-FREQUENCY DISCRETIZATION — the feature-
+  // engineering step that turns a continuous column into decile labels
+  // (per event type), the input shape for monotone-binned features and
+  // per-bin calibration tables. `ntile(10)` over a TOTAL order (value
+  // cents, event_id tiebreak — determinism requires the unique key, or
+  // same-value rows straddling a boundary bin arbitrarily) costs ONE
+  // exchange keyed on event_type; the emitted audit is the per-bin
+  // count + [min, max] boundary table a serving system would ship. At
+  // 100 TB the per-key window sorts within partitions after one
+  // keyed exchange — no global sort; skewed single-key corpora would
+  // switch to approx-quantile boundaries (ax_approx_quantiles) instead
+  // of exact ntile.
+  // -------------------------------------------------------------------
+  private def ntileBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("u"))
+      .withColumn("bin", ntile(10).over(
+        Window.partitionBy("event_type").orderBy(col("u"), col("event_id")))
+        .cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"), min(col("u")).as("min_v"),
+        max(col("u")).as("max_v"))
+      .orderBy("event_type", "bin")
+  }
+
+  private val ntileBinsSql =
+    """SELECT event_type, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+      |  MIN(u) AS min_v, MAX(u) AS max_v
+      |FROM (SELECT event_type,
+      |        CAST(round(value*100) AS BIGINT) AS u,
+      |        NTILE(10) OVER (PARTITION BY event_type
+      |          ORDER BY CAST(round(value*100) AS BIGINT), event_id) AS bin
+      |      FROM events) t
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_ntile_bins"       -> (ntileBins _),
     "ax_corrupt_ingest"   -> (corruptIngest _),
     "ax_schema_evolution" -> (schemaEvolution _),
     "ax_zorder_layout"   -> (zorderLayout _),
@@ -469,6 +508,7 @@ object EventsOps {
     "ax_xml_roundtrip"   -> (xmlRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_ntile_bins"       -> ntileBinsSql,
     "ax_corrupt_ingest"   -> corruptIngestSql,
     "ax_schema_evolution" -> schemaEvolutionSql,
     "ax_zorder_layout"   -> zorderLayoutSql,

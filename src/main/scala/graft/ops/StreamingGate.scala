@@ -285,6 +285,33 @@ object StreamingGate {
       | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
       |ORDER BY purchase_id, view_id""".stripMargin
 
+  /** stream-stream LEFT SEMI join: "purchases preceded by a view" as a
+    * streaming EXISTS — the left row emits AT MOST ONCE, on its first
+    * match, and unmatched left rows never emit (no watermark-boundary
+    * null rows to reason about, unlike the outer variants). State is
+    * still watermark-bounded on both sides. The oracle is the batch
+    * EXISTS with DISTINCT — dedup of multi-view purchases is the
+    * semi-join semantics itself.
+    */
+  private def semiJoinStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val views = eventsStream(spark, dir).filter(col("event_type") === "view")
+    runToTable(
+      graft.streaming.EventsStream.purchaseViewJoin(purchases, views, "left_semi"),
+      "st_semi_join_sink", "append")(spark)
+      .orderBy("purchase_id")
+  }
+
+  private val semiJoinStreamedSql =
+    """SELECT DISTINCT p.event_id AS purchase_id
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |  AND EXISTS (SELECT 1 FROM events v
+      |    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      |      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR)
+      |ORDER BY purchase_id""".stripMargin
+
   /** stream-stream LEFT OUTER join: matches emit as they happen; an
     * unmatched purchase emits its null-padded row only once the
     * watermark proves no matching view can still arrive — the
@@ -569,6 +596,7 @@ object StreamingGate {
     "st_sliding_counts"    -> (slidingStreamed _),
     "st_events_hourly"     -> (hourlyStreamed _),
     "st_dedup_events"      -> (dedupStreamed _),
+    "st_semi_join"         -> (semiJoinStreamed _),
     "st_purchase_streaks"  -> (streaksStreamed _)
   )
 
@@ -586,6 +614,7 @@ object StreamingGate {
     "st_sliding_counts"    -> slidingStreamedSql,
     "st_events_hourly"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_dedup_events"      -> dedupStreamedSql,
+    "st_semi_join"         -> semiJoinStreamedSql,
     "st_purchase_streaks"  -> streaksStreamedSql
   )
 }

@@ -114,12 +114,15 @@ object EventsStream {
     val v = wm(views).select(
       col("user_id").as("v_user"), col("ts").as("v_ts"),
       col("event_id").as("view_id"))
-    p.join(v,
+    val joined = p.join(v,
       col("p_user") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
       joinType)
-      .select(col("purchase_id"), col("view_id"))
+    // a semi join carries no right-side columns; the left row emits (at
+    // most once) as soon as any match arrives
+    if (joinType == "left_semi") joined.select(col("purchase_id"))
+    else joined.select(col("purchase_id"), col("view_id"))
   }
 
   /** Custom keyed state via `flatMapGroupsWithState`: per-user lifetime
