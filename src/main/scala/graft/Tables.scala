@@ -5,12 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Table access helpers.
   *
-  * The driver's `events` table carries parquet `TIMESTAMP(NANOS)`, which
-  * Spark 4 refuses natively; sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.configure]])
-  * which surfaces `ts` as nanos-since-epoch LongType. [[Tables.events]]
-  * normalizes it back to a proper TimestampType column (microsecond
-  * truncation — the driver data is second-granular).
+  * The driver's `events` table has carried two physical `ts` encodings
+  * across testdata generations: parquet `TIMESTAMP(NANOS)` (rounds 1-4),
+  * which Spark 4 refuses natively and sessions surface as
+  * nanos-since-epoch LongType via `spark.sql.legacy.parquet.nanosAsLong`
+  * (see [[Sessions.configure]]); and naive `TIMESTAMP(MICROS)` without
+  * the UTC flag (round-5 regeneration), which Spark 4 would infer as
+  * TIMESTAMP_NTZ — a type event-time watermarks reject — unless
+  * `spark.sql.parquet.inferTimestampNTZ.enabled=false` maps it to plain
+  * TimestampType (identical wall values under the pinned UTC session
+  * zone, which is also how the DuckDB oracle reads the same file).
+  * [[Tables.events]] normalizes the legacy LongType form back to a
+  * proper TimestampType column.
   */
 object Tables {
 
@@ -33,5 +39,6 @@ object Sessions {
   /** configs every graft session needs (test, Verify, Bench) */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
 }
