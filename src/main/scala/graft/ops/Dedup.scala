@@ -737,6 +737,108 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // dd_semdedup: SemDeDup-style semantic deduplication (Abbas et al.
+  // 2023, arXiv:2303.09540) — the OTHER scalable embedding-dedup shape
+  // next to the banded-LSH pair scan above: (1) k-means the corpus,
+  // (2) score pairs ONLY within a cluster, (3) greedily keep the
+  // lowest-id member of every high-cosine pair. Candidate generation is
+  // cluster-bounded instead of hash-bucket-bounded; at 100 TB the knob
+  // is k ∝ n (the paper runs k≈100k on LAION) so per-cluster pair
+  // counts stay constant while the assignment pass stays a
+  // centroid-broadcast map-side argmin (see sim_kmeans_assign, whose
+  // session-cached assignment this query REUSES — the pipeline
+  // amortization, not a second Lloyd's run).
+  //
+  // Greedy-by-id retention: vector b is pruned iff some SAME-CLUSTER
+  // a < b has cos_pm(a,b) ≥ SemDupPm; its representative is the
+  // smallest such a. Consequence (asserted in SemDedupSpec): the kept
+  // set is an independent set — no qualifying pair survives.
+  //
+  // Threshold note: the paper prunes at cosine ≥ ~0.95 on real data;
+  // the driver's synthetic embeddings are isotropic (max pairwise
+  // cosine ≈ 0.51), so the gate pins the mechanism at the observed
+  // tail (0.350) — 115 qualifying pairs at sf0.01 — rather than
+  // vacuously hashing an empty prune set.
+  //
+  // Scale shape: quantized vectors shuffle ONCE on cluster id; the
+  // within-cluster self-join emits O(Σ c_i²) candidate pairs with
+  // c_i ≈ n/k bounded by the k knob; the prune is one narrow
+  // groupBy(b) min-struct. No all-pairs stage anywhere; the embedding
+  // payload never leaves its cluster partition after placement.
+  // -------------------------------------------------------------------
+  private val SemDupPm = 350L
+
+  /** Clustered, quantized vector table — the one placement shuffle. */
+  private def semDedupVectors(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssigned(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+      .join(Similarity.quantized(spark, dir), "vec_id")
+      .repartition(col("cluster")) // one placement; pairs stay local
+
+  /** Cluster-local pair scoring + greedy-by-id prune over a placed
+    * vector table.
+    */
+  private def semDedupCore(v: DataFrame): DataFrame = {
+    val a = v.select(col("cluster"), col("vec_id").as("a"), col("q").as("qa"))
+    val b = v.select(col("cluster"), col("vec_id").as("b"), col("q").as("qb"))
+    a.join(b, "cluster").filter(col("a") < col("b"))
+      .withColumn("dot", dotLong(col("qa"), col("qb")))
+      .withColumn("na", dotLong(col("qa"), col("qa")))
+      .withColumn("nb", dotLong(col("qb"), col("qb")))
+      .filter(col("na") > 0 && col("nb") > 0)
+      // identical IEEE floored-double cosine as dd_embed_neardup
+      .withColumn("cos_pm",
+        floor(lit(1000.0) * col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
+      .filter(col("cos_pm") >= SemDupPm)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(struct(col("a"), col("cos_pm"))).as("m"),
+        first(col("cluster")).as("cluster"))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("m.a").as("rep_id"), col("m.cos_pm").as("cos_pm"))
+      .orderBy("vec_id")
+  }
+
+  private def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = semDedupVectors(spark, dir).persist()
+    val out = semDedupCore(v).localCheckpoint()
+    v.unpersist()
+    out
+  }
+
+  /** The pair-scoring plan, exposed for PlanShapeSpec: the candidate
+    * stage must stay a keyed equi-join on the cluster id — a
+    * cartesian/BNL product would be exactly the all-pairs comparison
+    * the clustering exists to avoid.
+    */
+  private[graft] def semDedupPlan(spark: SparkSession,
+      dir: String): org.apache.spark.sql.execution.SparkPlan =
+    semDedupCore(semDedupVectors(spark, dir)).queryExecution.executedPlan
+
+  private val semDedupSql: String =
+    s"""WITH asg AS (SELECT vec_id, cluster
+       |    FROM (${Similarity.kmeansAssignOracle}) ka),
+       |qt AS (SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(round(v*10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |v AS (SELECT a.vec_id, a.cluster, q.q
+       |  FROM asg a JOIN qt q USING (vec_id)),
+       |pairs AS (SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
+       |    ${graft.ops.PortableHash.dotSqlDuck("x.q", "y.q")} AS dot,
+       |    ${graft.ops.PortableHash.dotSqlDuck("x.q", "x.q")} AS na,
+       |    ${graft.ops.PortableHash.dotSqlDuck("y.q", "y.q")} AS nb
+       |  FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+       |scored AS (SELECT cluster, a, b,
+       |    CAST(floor(1000.0 * CAST(dot AS DOUBLE) /
+       |      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_pm
+       |  FROM pairs WHERE na > 0 AND nb > 0),
+       |qual AS (SELECT * FROM scored WHERE cos_pm >= $SemDupPm)
+       |SELECT b AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+       |  min(a) AS rep_id,
+       |  min_by(cos_pm, a) AS cos_pm
+       |FROM qual GROUP BY b, cluster ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // Approximate distinct (HLL sketch — TypedImperativeAggregate inside
   // Spark): dedup *counting* without a distinct shuffle of the keys.
   // The sketch value itself is engine-specific, so the gate contract
@@ -1091,7 +1193,8 @@ object Dedup {
     "dd_hll_merge"      -> (hllMerge _),
     "dd_lsh_recall"     -> (lshRecall _),
     "dd_substring_dup"  -> (substringDup _),
-    "dd_incremental_dup" -> (incrementalDup _)
+    "dd_incremental_dup" -> (incrementalDup _),
+    "dd_semdedup"       -> (semDedup _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1109,6 +1212,7 @@ object Dedup {
     "dd_approx_users"   -> approxUsersSql,
     "dd_hll_merge"      -> hllMergeSql,
     "dd_lsh_recall"     -> lshRecallSql,
-    "dd_substring_dup"  -> substringDupSql
+    "dd_substring_dup"  -> substringDupSql,
+    "dd_semdedup"       -> semDedupSql
   )
 }

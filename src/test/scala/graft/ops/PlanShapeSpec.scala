@@ -133,6 +133,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both degree attaches must be shuffled-hash joins:\n$plan")
   }
 
+  test("semdedup candidates come from a cluster-keyed join, never all-pairs") {
+    // the SemDeDup contract: pair scoring is bounded by the k-means
+    // cluster — a cartesian/BNL product is the all-pairs comparison
+    // the clustering exists to avoid
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = Dedup.semDedupPlan(spark, dir)
+    val plan = top match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val names = plan.collect { case n => n.nodeName }
+    assert(!names.exists(n => n.contains("Cartesian") ||
+      n.contains("BroadcastNestedLoop")),
+      s"cluster-bounded pair scan must never degrade to all-pairs:\n$plan")
+  }
+
   test("perceptual near-dup pairs come from keyed joins, never all-pairs") {
     // the banded-LSH contract: candidates are an equi-join on
     // (band, value) buckets — a cartesian/BNL product would be the
