@@ -708,6 +708,63 @@ object Analytics {
       |FROM seg ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_excess_shippers: the TPC-H Q20 SHAPE — "suppliers who dominate
+  // a part": every supplier with some part for which they shipped MORE
+  // THAN HALF that part's total quantity. The naive formulation is a
+  // correlated EXISTS against a per-part scalar subquery — per
+  // candidate row, a re-aggregation of the part's lineitems. The
+  // scale-right decorrelation: ONE composite-key fact shuffle
+  // (groupBy(part, supplier) partial-aggregates map-side), then the
+  // per-part total comes from a window over the 100×-smaller
+  // (part, supplier) AGGREGATE — the fact table never re-shuffles and
+  // no per-part scalar query ever runs. The dominance test
+  // `5·qty_sp > qty_p` (more than a fifth of the part's total — the
+  // threshold is the shape's parameter; TPC-H's own is one half of
+  // availqty) stays in exact integer arithmetic (quantities
+  // are integral doubles; both engines round-then-sum as BIGINT).
+  // Supplier and nation dims broadcast onto the handful of dominant
+  // rows. Output deterministic: unique s_name tiebreak.
+  // -------------------------------------------------------------------
+  private def excessShippers(spark: SparkSession, dir: String): DataFrame = {
+    val sp = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty_sp"))
+    val w = Window.partitionBy("l_partkey")
+    sp.withColumn("qty_p", sum(col("qty_sp")).over(w))
+      .filter(col("qty_sp") * 5 > col("qty_p"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("dominated_parts"),
+        sum(col("qty_sp")).as("dominated_qty"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name").as("nation"),
+        col("dominated_parts"), col("dominated_qty"))
+      .orderBy(col("dominated_parts").desc, col("s_name").asc)
+      .limit(50)
+  }
+
+  private val excessShippersSql =
+    """WITH sp AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sp
+      |  FROM lineitem GROUP BY 1, 2),
+      |d AS (SELECT *, SUM(qty_sp) OVER (PARTITION BY l_partkey) AS qty_p
+      |      FROM sp)
+      |SELECT s_name, n_name AS nation,
+      |  CAST(COUNT(*) AS BIGINT) AS dominated_parts,
+      |  CAST(SUM(qty_sp) AS BIGINT) AS dominated_qty
+      |FROM d
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE 5 * qty_sp > qty_p
+      |GROUP BY s_name, n_name
+      |ORDER BY dominated_parts DESC, s_name ASC LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_nullsafe_join: NULL-SAFE equality join (`<=>` / IS NOT DISTINCT
   // FROM). Plain `=` never matches NULL — rows with a missing join key
   // silently vanish from inner joins, the classic silent-data-loss bug
@@ -819,6 +876,7 @@ object Analytics {
     "ax_late_suppliers"    -> (lateSuppliers _),
     "ax_nullsafe_join"     -> (nullsafeJoin _),
     "ax_revenue_share"     -> (revenueShare _),
+    "ax_excess_shippers"   -> (excessShippers _),
     "ax_nation_volume"     -> (nationVolume _),
     "ax_trailing_revenue"  -> (trailingRevenue _),
     "ax_ship_priority"     -> (shipPriority _),
@@ -848,6 +906,7 @@ object Analytics {
     "ax_late_suppliers"    -> lateSuppliersSql,
     "ax_nullsafe_join"     -> nullsafeJoinSql,
     "ax_revenue_share"     -> revenueShareSql,
+    "ax_excess_shippers"   -> excessShippersSql,
     "ax_nation_volume"     -> nationVolumeSql,
     "ax_trailing_revenue"  -> trailingRevenueSql,
     "ax_ship_priority"     -> shipPrioritySql,

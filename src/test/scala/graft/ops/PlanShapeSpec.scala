@@ -25,6 +25,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("ax_cust_semi_nation").contains("BroadcastHashJoin"))
   }
 
+  test("excess-shippers decorrelates: window over the aggregate, dims broadcast") {
+    // the Q20 shape: per-part totals must come from a window over the
+    // (part, supplier) AGGREGATE — never a correlated per-part re-scan —
+    // and both dims attach via broadcast, so the fact shuffles once
+    val p = plan("ax_excess_shippers")
+    assert(p.contains("Window"), "per-part total must be a window over the aggregate")
+    assert(p.contains("BroadcastHashJoin"), "supplier/nation dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled dim join expected:\n$p")
+  }
+
   test("outlier stats join broadcasts (no 5-partition window)") {
     val p = plan("ax_outliers")
     assert(p.contains("BroadcastHashJoin"))
