@@ -554,6 +554,94 @@ object Multimodal {
        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // mm_silence_spans: VAD-style SEGMENTATION over decoded PCM — the
+  // step after per-asset summary stats: find the maximal near-silent
+  // runs (|s| < 100) and report per asset how many, the longest, and
+  // the total silent tail. Real speech pipelines cut on exactly this
+  // to drop dead air before featurizing. The fixture gates the audio
+  // formula into alternating blocks — every sample whose
+  // ((i div 50) + id) % 3 == 0 block is written as literal PCM zero —
+  // so genuine multi-sample silent stretches exist; the encoder/decoder
+  // chunk-walk contract (junk LIST chunk on every 3rd asset) is
+  // unchanged. Spark segments imperatively IN the same mapPartitions
+  // decode pass (run-length over the sample array — binary decode has
+  // no Catalyst form, and the segmentation rides the pass for free;
+  // PCM bytes never shuffle, one 40-byte row per asset flows out).
+  // The oracle replays the gated generator formula and segments with
+  // the islands-and-gaps idiom (i − row_number over silent rows), so
+  // the two formulations cross-check codec, gate arithmetic, AND the
+  // run-length logic.
+  // -------------------------------------------------------------------
+  private val SilenceBlock = 50L
+  private val SilenceThr = 100L
+
+  /** per-asset output of the silence segmentation pass */
+  final case class SilenceRow(doc_id: Long, n_samples: Long,
+      n_silent_spans: Long, longest_silent_span: Long, silent_samples: Long)
+
+  private def silenceSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val n = (64 + len % AudioNMod).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n) { i =>
+            if (((i / SilenceBlock) + id) % 3 == 0) 0.toShort
+            else (((17L * i + 31L * id) % AudioAmp) - 2000L).toShort
+          }
+          val stream0 = AudioWav.wav(rate, samples)
+          val stream = if (id % 3 == 0) {
+            val junk = "LIST".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+              Array[Byte](6, 0, 0, 0) ++ Array[Byte](73, 78, 70, 79, 1, 2)
+            stream0.take(12) ++ junk ++ stream0.drop(12)
+          } else stream0
+          val pcm = AudioWav.decode(stream)
+          var spans = 0L; var longest = 0L; var silent = 0L; var cur = 0L
+          var i = 0
+          while (i < pcm.nSamples) {
+            if (math.abs(pcm.sample(i).toLong) < SilenceThr) {
+              cur += 1; silent += 1
+              if (cur == 1L) spans += 1
+              if (cur > longest) longest = cur
+            } else cur = 0L
+            i += 1
+          }
+          SilenceRow(id, pcm.nSamples.toLong, spans, longest, silent)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val silenceSpansSql =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    64 + CAST(octet_length(encode(text)) AS BIGINT) % $AudioNMod AS n
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, unnest(range(0, n)) AS i FROM dims),
+       |s AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN ((i // $SilenceBlock) + doc_id) % 3 = 0 THEN 0
+       |         ELSE ((17 * i + 31 * doc_id) % $AudioAmp) - 2000 END AS v
+       |  FROM idx),
+       |sil AS (
+       |  SELECT doc_id, i,
+       |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM s WHERE abs(v) < $SilenceThr),
+       |spans AS (SELECT doc_id, grp, COUNT(*) AS len FROM sil GROUP BY 1, 2)
+       |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples,
+       |  CAST(COALESCE(COUNT(sp.len), 0) AS BIGINT) AS n_silent_spans,
+       |  CAST(COALESCE(MAX(sp.len), 0) AS BIGINT) AS longest_silent_span,
+       |  CAST(COALESCE(SUM(sp.len), 0) AS BIGINT) AS silent_samples
+       |FROM dims d LEFT JOIN spans sp USING (doc_id)
+       |GROUP BY d.doc_id, d.n ORDER BY d.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // mm_quarantine: CORRUPT-PAYLOAD quarantine for the decode path —
   // the ingest property real pipelines live or die by: a malformed
   // blob must become a categorized quarantine row, never a task
@@ -731,6 +819,7 @@ object Multimodal {
     "mm_frame_sample" -> (frameSample _),
     "mm_resize_phash" -> (resizePhash _),
     "mm_audio_stats"  -> (audioStats _),
+    "mm_silence_spans" -> (silenceSpans _),
     "mm_phash_dup"    -> (phashDup _),
     "mm_quarantine"   -> (quarantine _),
     "mm_exact_dedup"  -> (exactDedup _),
@@ -766,6 +855,7 @@ object Multimodal {
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize_phash" -> resizePhashSql,
     "mm_audio_stats"  -> audioStatsSql,
+    "mm_silence_spans" -> silenceSpansSql,
     "mm_phash_dup"    -> phashDupSql,
     "mm_quarantine"   -> quarantineSql,
     "mm_exact_dedup"  -> exactDedupSql,
