@@ -710,7 +710,7 @@ object Analytics {
   // -------------------------------------------------------------------
   // ax_excess_shippers: the TPC-H Q20 SHAPE — "suppliers who dominate
   // a part": every supplier with some part for which they shipped MORE
-  // THAN HALF that part's total quantity. The naive formulation is a
+  // THAN A FIFTH of that part's total quantity. The naive formulation is a
   // correlated EXISTS against a per-part scalar subquery — per
   // candidate row, a re-aggregation of the part's lineitems. The
   // scale-right decorrelation: ONE composite-key fact shuffle

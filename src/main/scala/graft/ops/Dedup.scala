@@ -754,6 +754,17 @@ object Dedup {
   // smallest such a. Consequence (asserted in SemDedupSpec): the kept
   // set is an independent set — no qualifying pair survives.
   //
+  // rep_id semantics (deliberate, differs from the paper's "retained
+  // exemplar"): rep_id is the smallest QUALIFYING neighbor, which may
+  // itself be pruned (chain a<b<c with cos(a,b) and cos(b,c) both over
+  // threshold: c's rep_id is b, and b was pruned via a). To reach the
+  // kept exemplar, chain-resolve rep_id through the pruned set — the
+  // chain is strictly id-decreasing, so it terminates in the kept set;
+  // SemDedupSpec asserts exactly that. Emitting the immediate neighbor
+  // keeps the operator a single groupBy (no iterative resolution join)
+  // and preserves the per-pair cosine evidence, which the transitive
+  // exemplar would lose.
+  //
   // Threshold note: the paper prunes at cosine ≥ ~0.95 on real data;
   // the driver's synthetic embeddings are isotropic (max pairwise
   // cosine ≈ 0.51), so the gate pins the mechanism at the observed
@@ -806,14 +817,15 @@ object Dedup {
     out
   }
 
-  /** The pair-scoring plan, exposed for PlanShapeSpec: the candidate
+  /** The pair-scoring frame, exposed for PlanShapeSpec: the candidate
     * stage must stay a keyed equi-join on the cluster id — a
     * cartesian/BNL product would be exactly the all-pairs comparison
-    * the clustering exists to avoid.
+    * the clustering exists to avoid. Returned as a DataFrame so the
+    * spec can EXECUTE it first and then inspect the final (post-AQE)
+    * plan rather than the initial one.
     */
-  private[graft] def semDedupPlan(spark: SparkSession,
-      dir: String): org.apache.spark.sql.execution.SparkPlan =
-    semDedupCore(semDedupVectors(spark, dir)).queryExecution.executedPlan
+  private[graft] def semDedupFrame(spark: SparkSession, dir: String): DataFrame =
+    semDedupCore(semDedupVectors(spark, dir))
 
   private val semDedupSql: String =
     s"""WITH asg AS (SELECT vec_id, cluster

@@ -331,13 +331,28 @@ object Similarity {
   // both engines identically. Oracle: the same two rounds unrolled as
   // generated SQL.
   // -------------------------------------------------------------------
-  private val KmK = 8
+  /** K scales with the corpus: k = clamp(8, ⌈√n⌉, 4096). SemDeDup's
+    * prune cost is Σ cᵢ² ≈ n²/k, so a FIXED k degenerates toward
+    * all-pairs as n grows; k ≈ √n keeps expected per-cluster pair work
+    * ≈ n (linear) while the centroid table stays broadcast-sized
+    * (cap 4096 × 64 longs = 2 MB — the paper's k≈100k on LAION obeys
+    * the same "k grows with n, centroids stay tiny" shape). Both
+    * engines derive k from the same count with the same IEEE
+    * ceil(sqrt(n)) — sqrt is correctly rounded, so they agree exactly.
+    */
+  private val KmKFloor = 8L
+  private val KmKCap = 4096L
+  private[ops] def kmK(n: Long): Long =
+    math.min(KmKCap, math.max(KmKFloor, math.ceil(math.sqrt(n.toDouble)).toLong))
+  private val kmKSqlDuck =
+    s"(SELECT LEAST($KmKCap, GREATEST($KmKFloor, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
   private val KmRefines = 2
 
   private def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir).withColumn("q", expr(quantize))
       .select(col("vec_id"), col("q")).persist()
+    val k = kmK(e.count())
 
     def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
       val centDf = cents.toDF("cid", "cvec")
@@ -359,7 +374,7 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Long](1)))
         .sortBy(_._1).toSeq
 
-    var cents: Seq[(Long, Seq[Long])] = e.filter(col("vec_id") < KmK)
+    var cents: Seq[(Long, Seq[Long])] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
     (1 to KmRefines).foreach { _ => cents = recompute(assign(cents)) }
@@ -372,16 +387,32 @@ object Similarity {
   private val kmAssignCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
+  /** Fixture fingerprint for the substrate cache key: the source
+    * parquet's mtime. If the fixture directory is regenerated while an
+    * application is running (the round-5 driver did exactly this), the
+    * key changes and the next consumer recomputes instead of silently
+    * serving clusters derived from the replaced data. Entries for dead
+    * generations stay pinned until application exit — acceptable for
+    * bench/gate-length applications (one stale entry ≈ a few MB of
+    * checkpoint blocks); a long-lived service would add eviction.
+    */
+  private def fixtureStamp(dir: String): String =
+    try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "embeddings.parquet")).toMillis.toString
+    catch { case _: Exception => "absent" }
+
   /** The final k-means assignment as a SESSION substrate: Lloyd's runs
-    * once per (application, SF dir) and the localCheckpoint'ed
-    * (vec_id, cluster, dist) table serves both `sim_kmeans_assign` and
-    * the cluster-bounded semantic dedup (`dd_semdedup`) — the SemDeDup
-    * recipe's step 1 is exactly this clustering, so sharing it mirrors
-    * how a production pipeline amortizes the k-means pass across every
-    * downstream cluster-local operator.
+    * once per (application, SF dir, fixture generation) and the
+    * localCheckpoint'ed (vec_id, cluster, dist) table serves both
+    * `sim_kmeans_assign` and the cluster-bounded semantic dedup
+    * (`dd_semdedup`) — the SemDeDup recipe's step 1 is exactly this
+    * clustering, so sharing it mirrors how a production pipeline
+    * amortizes the k-means pass across every downstream cluster-local
+    * operator.
     */
   private[ops] def kmeansAssigned(spark: SparkSession, dir: String): DataFrame =
-    kmAssignCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
+    kmAssignCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir@${fixtureStamp(dir)}",
       _ => kmeansAssign(spark, dir))
 
   /** Quantized embedding table (vec_id, q) — shared with Dedup's
@@ -417,7 +448,7 @@ object Similarity {
       assignCte(s"a$i", if (i == 1) "c0" else s"c${i - 1}") + ",\n" +
         recomputeCte(s"c$i", s"a$i")).mkString(",\n")
     s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, q AS cvec FROM qt WHERE vec_id < $KmK),
+       |c0 AS (SELECT vec_id AS cid, q AS cvec FROM qt WHERE vec_id < $kmKSqlDuck),
        |$rounds,
        |${assignCte("afinal", s"c$KmRefines")}
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist

@@ -146,10 +146,13 @@ class PlanShapeSpec extends AnyFunSuite {
   test("semdedup candidates come from a cluster-keyed join, never all-pairs") {
     // the SemDeDup contract: pair scoring is bounded by the k-means
     // cluster — a cartesian/BNL product is the all-pairs comparison
-    // the clustering exists to avoid
+    // the clustering exists to avoid. The frame is EXECUTED first so
+    // the assertion binds to the final AQE plan, not the initial one.
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val top = Dedup.semDedupPlan(spark, dir)
-    val plan = top match {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = Dedup.semDedupFrame(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
@@ -157,6 +160,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!names.exists(n => n.contains("Cartesian") ||
       n.contains("BroadcastNestedLoop")),
       s"cluster-bounded pair scan must never degrade to all-pairs:\n$plan")
+    // positive shape: some equi-join keyed on the cluster id exists
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.exists(j => j.leftKeys.exists(_.toString.contains("cluster"))),
+      s"pair scan must equi-join on the cluster key:\n$plan")
   }
 
   test("perceptual near-dup pairs come from keyed joins, never all-pairs") {

@@ -27,6 +27,23 @@ class SemDedupSpec extends AnyFunSuite {
       assert(r.getLong(3) >= 350L, s"cos_pm below threshold: ${r.getLong(3)}")
     }
 
+    // rep_id is the smallest QUALIFYING neighbor — possibly itself
+    // pruned. Chain-resolving rep_id must terminate in the kept set
+    // (the chain is strictly id-decreasing), i.e. pruned→kept mapping
+    // is always recoverable even when the immediate rep was pruned.
+    val repOf = pruned.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    pruned.foreach { r =>
+      var cur = r.getLong(2)
+      var hops = 0
+      while (repOf.contains(cur)) {
+        val next = repOf(cur)
+        assert(next < cur, "rep chain must strictly decrease")
+        cur = next; hops += 1
+        assert(hops <= pruned.length, "rep chain failed to terminate")
+      }
+      assert(!repOf.contains(cur), s"chain from ${r.getLong(0)} ended pruned")
+    }
+
     val asg = Extensions.queries("sim_kmeans_assign")(spark, dir)
       .select(col("vec_id"), col("cluster"))
     val byId = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
