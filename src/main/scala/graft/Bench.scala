@@ -49,11 +49,39 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
 
+    // Round-5 post-mortem (VERDICT #1/#6): single-shot timing on a
+    // shared-host VM with documented 3.4× run-to-run swings cannot
+    // adjudicate the 2× guard — one contention window landing mid-run
+    // inflated ax_upsert_orders 8.2× with zero code change. So each
+    // query now runs REPS times (default 3) and reports the MEDIAN:
+    // a contention spike lands in one rep and the median discards it.
+    // The first rep doubles as the warmup the streaming queries need
+    // (state-store setup dominates their cold run, ±45% swings), and
+    // absorbs one-time session-substrate builds — every rep is
+    // recorded in target/bench_full.json, so the cold cost stays
+    // visible, while the headline measures the QUERY, not the noise.
+    // A rep that errors/times out stops further reps for that query.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec, err) = budget.run(name) { fn(spark, sfDir).count(); () }
-      System.err.println(f"[bench] $name%-42s $sec%8.2f s" +
-        err.fold("") { case (tag, detail) => s" ERR:$tag ($detail)" })
-      (name, sec, err.map(_._1))
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var lastSec = 0.0
+      var r = 0
+      while (r < reps && err.isEmpty) {
+        val (sec, e) = budget.run(name) { fn(spark, sfDir).count(); () }
+        lastSec = sec
+        System.err.println(f"[bench] $name%-42s rep${r + 1} $sec%8.2f s" +
+          e.fold("") { case (tag, detail) => s" ERR:$tag ($detail)" })
+        e match {
+          case Some((tag, _)) => err = Some(tag)
+          case None           => times += sec
+        }
+        r += 1
+      }
+      val med =
+        if (times.isEmpty) lastSec
+        else times.sorted.apply((times.size - 1) / 2)
+      (name, med, times.toSeq, err)
     }
     budget.shutdown()
 
@@ -65,9 +93,10 @@ object Bench {
     // per-query map goes to stderr and target/bench_full.json.
     def jq(k: String, v: Double) = f""""$k":$v%.2f"""
     val total = results.map(_._2).sum
+    val firstRepTotal = results.map(r => r._3.headOption.getOrElse(r._2)).sum
     val slowest = results.sortBy(-_._2).take(40)
-    val qs = slowest.map { case (k, v, _) => jq(k, v) }.mkString("{", ",", "}")
-    val errAll = results.collect { case (k, _, Some(e)) => (k, e) }
+    val qs = slowest.map { case (k, v, _, _) => jq(k, v) }.mkString("{", ",", "}")
+    val errAll = results.collect { case (k, _, _, Some(e)) => (k, e) }
     val errs = errAll.take(10).map { case (k, e) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
     // ADVICE: if the dev-loop filter is active, say so in the output —
@@ -75,8 +104,11 @@ object Bench {
     val onlyField = only.fold("")(o =>
       s""","only":"${o.mkString(",")}","n_total":${SparkEntry.queries.size}""")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-        results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"value_rep1":$firstRepTotal,"queries":${
+        results.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+      },"rep_times":${
+        results.map { case (k, _, ts, _) =>
+          s""""$k":${ts.mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
       },"errors":${
         errAll.map { case (k, e) => s""""$k":"$e"""" }.mkString("{", ",", "}")
       },"sf":"$sfDir"}"""
@@ -88,7 +120,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench_full.json: $e") }
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":${errAll.size}$onlyField,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"value_rep1":$firstRepTotal%.2f,"queries":$qs,"errors":$errs,"n_queries":${results.size},"n_errors":${errAll.size}$onlyField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
