@@ -492,8 +492,57 @@ object EventsOps {
       |      FROM events) t
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_ntile_approx: the AT-SCALE twin of ax_ntile_bins. Exact ntile
+  // partitioned by a low-cardinality key sends every key's entire row
+  // set through ONE reducer's sort — a scale-killer when a key holds
+  // 10 TB. This formulation never sorts and never windows: decile cut
+  // points come from a MERGEABLE quantile sketch (approx_percentile —
+  // map-side partials, one tiny row per key), the 9-boundary arrays
+  // broadcast onto the corpus, and bin assignment is a per-row array
+  // rank (# boundaries < u). Cost: one scan + one (key, bin) keyed
+  // exchange of COUNTS. The sketch makes per-bin counts approximate,
+  // so the gate is the dd_approx_users tolerance pattern: emit the
+  // exact oracle-reproducible per-key row count plus approx_ok =
+  // (all 10 bins materialized AND max-min bin spread ≤ 10% of the key's
+  // rows — sketch accuracy 1e-4 keeps the real spread far below that);
+  // the oracle asserts the literal 1.
+  // -------------------------------------------------------------------
+  private def ntileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("u"))
+    val bnds = ev.groupBy("event_type")
+      .agg(expr("approx_percentile(u, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")
+        .as("bnds"))
+    ev.join(broadcast(bnds), "event_type")
+      .withColumn("bin", (size(filter(col("bnds"), b => b < col("u"))) + 1))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_bins"),
+        max(col("n")).as("max_n"), min(col("n")).as("min_n"))
+      .select(col("event_type"), col("n_rows"),
+        (col("n_bins") === 10 &&
+          (col("max_n") - col("min_n")) <= col("n_rows") * 0.1)
+          .cast("long").as("approx_ok"))
+      .orderBy("event_type")
+  }
+
+  private val ntileApproxSql =
+    """SELECT event_type, COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS approx_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The approx-binning frame, exposed for PlanShapeSpec: the plan must
+    * contain NO window operator (the exact twin's per-key ntile sort is
+    * precisely what this path exists to avoid) and the boundary attach
+    * must broadcast.
+    */
+  private[graft] def ntileApproxFrame(spark: SparkSession, dir: String): DataFrame =
+    ntileApprox(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_ntile_bins"       -> (ntileBins _),
+    "ax_ntile_approx"     -> (ntileApprox _),
     "ax_corrupt_ingest"   -> (corruptIngest _),
     "ax_schema_evolution" -> (schemaEvolution _),
     "ax_zorder_layout"   -> (zorderLayout _),
@@ -509,6 +558,7 @@ object EventsOps {
 
   val oracleSql: Map[String, String] = Map(
     "ax_ntile_bins"       -> ntileBinsSql,
+    "ax_ntile_approx"     -> ntileApproxSql,
     "ax_corrupt_ingest"   -> corruptIngestSql,
     "ax_schema_evolution" -> schemaEvolutionSql,
     "ax_zorder_layout"   -> zorderLayoutSql,

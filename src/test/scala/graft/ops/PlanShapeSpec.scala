@@ -166,6 +166,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pair scan must equi-join on the cluster key:\n$plan")
   }
 
+  test("approx binning plans with no window and a broadcast boundary attach") {
+    // the at-scale equal-frequency contract: NO window operator
+    // anywhere (the exact twin's per-key ntile sort is the
+    // scale-killer this path replaces) and the 9-boundary-per-key
+    // table must broadcast onto the corpus scan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = EventsOps.ntileApproxFrame(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val names = plan.collect { case n => n.nodeName }
+    assert(!names.exists(_.contains("Window")),
+      s"approx binning must never window over corpus rows:\n$plan")
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"boundary attach must broadcast:\n$plan")
+  }
+
   test("perceptual near-dup pairs come from keyed joins, never all-pairs") {
     // the banded-LSH contract: candidates are an equi-join on
     // (band, value) buckets — a cartesian/BNL product would be the
