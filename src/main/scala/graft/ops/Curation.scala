@@ -85,6 +85,65 @@ object Curation {
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // tx_decontam_fuzzy: THRESHOLD-overlap decontamination — the form
+  // eval leakage actually takes in practice. Exact membership
+  // (tx_decontam) only catches verbatim n-gram hits; paraphrased or
+  // lightly-edited contamination shares MANY grams with the eval set
+  // without any single doc-level identity. The standard counter
+  // (PaLM/Llama-style) is fractional: flag a training doc when ≥ τ of
+  // its distinct n-grams appear anywhere in the eval gram SET. Still
+  // broadcast-asymmetric — the eval gram set is KBs, the corpus never
+  // shuffles; one scan → explode → broadcast LEFT join → per-doc
+  // partial agg. The overlap fraction is kept in exact per-mille
+  // integer arithmetic (floor(1000·hits/grams)) so the whole row —
+  // fraction and flag — hash-matches the oracle; τ = 500 ‰.
+  // -------------------------------------------------------------------
+  private val FuzzyTauPm = 500L
+
+  private def decontamFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), split(TextAnalysis.normCol, " ").as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(gramsExpr))).as("gram"))
+    val benchSet = grams.filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+      .select("gram").distinct().withColumn("hit", lit(1L))
+    val corpus = grams.filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
+    corpus
+      .join(broadcast(benchSet), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit_grams"))
+      .filter(col("n_hit_grams") > 0)
+      .withColumn("overlap_pm",
+        floor(lit(1000) * col("n_hit_grams") / col("n_grams")).cast("long"))
+      .withColumn("flagged",
+        (col("overlap_pm") >= FuzzyTauPm).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val decontamFuzzySql =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) d),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct($gramsSqlDuck)) AS gram
+       |  FROM ws),
+       |bset AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchMod = 0),
+       |c AS (SELECT doc_id, gram FROM g WHERE doc_id % $BenchMod <> 0),
+       |agg AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_grams,
+       |    SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |  FROM c LEFT JOIN bset b ON c.gram = b.gram
+       |  GROUP BY c.doc_id)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(n_hit AS BIGINT) AS n_hit_grams,
+       |  CAST(floor(1000.0 * n_hit / n_grams) AS BIGINT) AS overlap_pm,
+       |  CAST(CASE WHEN floor(1000.0 * n_hit / n_grams) >= $FuzzyTauPm
+       |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM agg WHERE n_hit > 0 ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // tx_redact: denylist whole-word redaction — the PII-masking pipeline
   // shape (emails/SSNs/phone numbers in production; this synthetic
   // corpus has none, so the denylist targets terms that exist — the
@@ -171,14 +230,16 @@ object Curation {
        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tx_decontam"   -> (decontam _),
-    "tx_redact"     -> (redact _),
-    "dd_source_cap" -> (sourceCap _)
+    "tx_decontam"       -> (decontam _),
+    "tx_decontam_fuzzy" -> (decontamFuzzy _),
+    "tx_redact"         -> (redact _),
+    "dd_source_cap"     -> (sourceCap _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "tx_decontam"   -> decontamSql,
-    "tx_redact"     -> redactSql,
-    "dd_source_cap" -> sourceCapSql
+    "tx_decontam"       -> decontamSql,
+    "tx_decontam_fuzzy" -> decontamFuzzySql,
+    "tx_redact"         -> redactSql,
+    "dd_source_cap"     -> sourceCapSql
   )
 }
