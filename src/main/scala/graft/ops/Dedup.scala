@@ -827,8 +827,12 @@ object Dedup {
   private[graft] def semDedupFrame(spark: SparkSession, dir: String): DataFrame =
     semDedupCore(semDedupVectors(spark, dir))
 
-  private val semDedupSql: String =
-    s"""WITH asg AS (SELECT vec_id, cluster
+  /** The full semdedup derivation as CTE text (through the pruned-set
+    * mapping `sd`), shared by [[semDedupSql]] and the chain-resolving
+    * [[semDedupRepSql]] so the two oracles cannot drift.
+    */
+  private val semDedupCtes: String =
+    s"""asg AS (SELECT vec_id, cluster
        |    FROM (${Similarity.kmeansAssignOracle}) ka),
        |qt AS (SELECT vec_id,
        |    list_transform(embedding, v -> CAST(round(v*10000) AS BIGINT)) AS q
@@ -844,11 +848,76 @@ object Dedup {
        |    CAST(floor(1000.0 * CAST(dot AS DOUBLE) /
        |      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_pm
        |  FROM pairs WHERE na > 0 AND nb > 0),
-       |qual AS (SELECT * FROM scored WHERE cos_pm >= $SemDupPm)
-       |SELECT b AS vec_id, CAST(cluster AS BIGINT) AS cluster,
-       |  min(a) AS rep_id,
-       |  min_by(cos_pm, a) AS cos_pm
-       |FROM qual GROUP BY b, cluster ORDER BY vec_id""".stripMargin
+       |qual AS (SELECT * FROM scored WHERE cos_pm >= $SemDupPm),
+       |sd AS (SELECT b AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+       |    min(a) AS rep_id, min_by(cos_pm, a) AS cos_pm
+       |  FROM qual GROUP BY b, cluster)""".stripMargin
+
+  private val semDedupSql: String =
+    s"""WITH $semDedupCtes
+       |SELECT vec_id, cluster, rep_id, cos_pm FROM sd
+       |ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dd_semdedup_rep: EXEMPLAR RESOLUTION over the semdedup prune map —
+  // closes the documented rep_id gap (rep_id is the smallest
+  // QUALIFYING neighbor, which may itself be pruned; chain a<b<c with
+  // both cosines over threshold leaves c pointing at pruned b). This
+  // query materializes the pruned→KEPT mapping a downstream pipeline
+  // actually consumes: follow rep_id until it leaves the pruned set.
+  //
+  // Scale shape: POINTER DOUBLING, not step-at-a-time walking — each
+  // round composes the reach table with itself (f' = f ∘ f via one
+  // self equi-join), so a chain of length L resolves in ⌈log₂ L⌉
+  // rounds of keyed shuffles, the same O(log) discipline as the
+  // big-star CC loop above. Chains are strictly id-decreasing (proved
+  // by SemDedupSpec), so termination is structural, not hopeful. The
+  // per-round convergence check counts rows that still moved — one
+  // narrow action over ids, no data-proportional collect.
+  //
+  // The oracle is the declarative twin: a recursive CTE that walks the
+  // same map one step per iteration and keeps the terminal row (the
+  // one whose successor is not pruned). depth = hops to the exemplar,
+  // so the two engines also agree on chain LENGTH, not just endpoint.
+  // -------------------------------------------------------------------
+  private def semDedupRep(spark: SparkSession, dir: String): DataFrame = {
+    val sd = semDedup(spark, dir).select(col("vec_id"), col("rep_id"))
+      .localCheckpoint()
+    // reach table: vec_id has reached `cur` after `d` hops along rep_id
+    var f = sd.select(col("vec_id"), col("rep_id").as("cur"), lit(1L).as("d"))
+      .localCheckpoint()
+    var moved = 1L
+    var rounds = 0
+    while (moved > 0 && rounds < 40) {
+      val b = f.select(col("vec_id").as("bv"), col("cur").as("bc"),
+        col("d").as("bd"))
+      val nxt = f.join(b, col("cur") === col("bv"), "left")
+        .select(col("vec_id"),
+          coalesce(col("bc"), col("cur")).as("cur"),
+          (col("d") + coalesce(col("bd"), lit(0L))).as("d"),
+          col("bv").isNotNull.as("moved"))
+        .localCheckpoint()
+      moved = nxt.filter(col("moved")).count()
+      f = nxt.drop("moved")
+      rounds += 1
+    }
+    sd.join(f, "vec_id")
+      .select(col("vec_id"), col("rep_id"), col("cur").as("exemplar_id"),
+        col("d").as("depth"))
+      .orderBy("vec_id")
+  }
+
+  private val semDedupRepSql: String =
+    s"""WITH RECURSIVE $semDedupCtes,
+       |chain(vec_id, cur, d) AS (
+       |  SELECT vec_id, rep_id, CAST(1 AS BIGINT) FROM sd
+       |  UNION ALL
+       |  SELECT c.vec_id, s.rep_id, c.d + 1
+       |  FROM chain c JOIN sd s ON c.cur = s.vec_id)
+       |SELECT c.vec_id, sd.rep_id, c.cur AS exemplar_id, c.d AS depth
+       |FROM chain c JOIN sd ON sd.vec_id = c.vec_id
+       |WHERE NOT EXISTS (SELECT 1 FROM sd t WHERE t.vec_id = c.cur)
+       |ORDER BY c.vec_id""".stripMargin
 
   // -------------------------------------------------------------------
   // Approximate distinct (HLL sketch — TypedImperativeAggregate inside
@@ -1206,7 +1275,8 @@ object Dedup {
     "dd_lsh_recall"     -> (lshRecall _),
     "dd_substring_dup"  -> (substringDup _),
     "dd_incremental_dup" -> (incrementalDup _),
-    "dd_semdedup"       -> (semDedup _)
+    "dd_semdedup"       -> (semDedup _),
+    "dd_semdedup_rep"   -> (semDedupRep _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1225,6 +1295,7 @@ object Dedup {
     "dd_hll_merge"      -> hllMergeSql,
     "dd_lsh_recall"     -> lshRecallSql,
     "dd_substring_dup"  -> substringDupSql,
-    "dd_semdedup"       -> semDedupSql
+    "dd_semdedup"       -> semDedupSql,
+    "dd_semdedup_rep"   -> semDedupRepSql
   )
 }

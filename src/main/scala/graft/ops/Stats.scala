@@ -260,7 +260,89 @@ object Stats {
       |FROM last WHERE rn = 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_cms_freq: COUNT-MIN SKETCH as a relation — point-frequency
+  // estimation over an unbounded key space in fixed memory, the
+  // mergeable-sketch discipline (dd_hll_merge counts distincts; this
+  // counts OCCURRENCES). The sketch is d=4 independent hash rows of
+  // w=64 buckets, built as a plain table: explode each event into its
+  // d (row, bucket) cells, one hash-keyed partial→final aggregate →
+  // a d×w-row relation whose size never grows with the corpus.
+  // est(key) = min over rows of its bucket count — ONE-SIDED error
+  // (never an undercount; collisions only inflate), which the gate
+  // asserts per probe as `one_sided_ok`. Sketches for different
+  // days/shards union by summing cells — the same rollup-table trick
+  // as the HLL family, so "how often did key K appear in any date
+  // range" never rescans raw events.
+  //
+  // Everything is the portable md5 hash, so the oracle replays the
+  // sketch cell-for-cell and the estimates hash-match EXACTLY — no
+  // tolerance row needed. Probes join the 256-row sketch broadcast.
+  // -------------------------------------------------------------------
+  private val CmsDepth = 4
+  private val CmsWidth = 64L
+  private val CmsProbes = 8L
+
+  private def cmsBucket(d: Column, key: Column): Column =
+    pmod(graft.ops.PortableHash.hashCol(
+      concat(d.cast("string"), lit(":"), key.cast("string"))), lit(CmsWidth))
+
+  private def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir).select(col("user_id"))
+    val depths = array((0 until CmsDepth).map(i => lit(i.toLong)): _*)
+    val sketch = ev
+      .select(explode(depths).as("d"), col("user_id"))
+      .select(col("d"), cmsBucket(col("d"), col("user_id")).as("bucket"))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("n"))
+    val probes = spark.range(1, CmsProbes + 1)
+      .select(col("id").as("user_id"), explode(depths).as("d"))
+      .select(col("user_id"), col("d"),
+        cmsBucket(col("d"), col("user_id")).as("bucket"))
+    val est = probes
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy("user_id")
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+    val exact = ev.filter(col("user_id").between(1L, CmsProbes))
+      .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+    est.join(exact, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+        col("cms_est"),
+        (col("cms_est") >= coalesce(col("exact_n"), lit(0L)))
+          .cast("long").as("one_sided_ok"))
+      .orderBy("user_id")
+  }
+
+  private val cmsFreqSql = {
+    val h = graft.ops.PortableHash
+    s"""WITH ds AS (SELECT unnest(range(0, $CmsDepth)) AS d),
+       |sk AS (
+       |  SELECT d,
+       |    ${h.hashSql("CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")}
+       |      % $CmsWidth AS bucket,
+       |    COUNT(*) AS n
+       |  FROM events CROSS JOIN ds GROUP BY 1, 2),
+       |pr AS (SELECT unnest(range(1, ${CmsProbes + 1})) AS user_id),
+       |pb AS (
+       |  SELECT p.user_id, d.d,
+       |    ${h.hashSql("CAST(d.d AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)")}
+       |      % $CmsWidth AS bucket
+       |  FROM pr p CROSS JOIN ds d),
+       |est AS (
+       |  SELECT user_id, MIN(COALESCE(n, 0)) AS cms_est
+       |  FROM pb LEFT JOIN sk USING (d, bucket) GROUP BY 1),
+       |ex AS (SELECT user_id, COUNT(*) AS exact_n FROM events
+       |       WHERE user_id BETWEEN 1 AND $CmsProbes GROUP BY 1)
+       |SELECT e.user_id,
+       |  CAST(COALESCE(x.exact_n, 0) AS BIGINT) AS exact_n,
+       |  CAST(e.cms_est AS BIGINT) AS cms_est,
+       |  CAST(CASE WHEN e.cms_est >= COALESCE(x.exact_n, 0) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS one_sided_ok
+       |FROM est e LEFT JOIN ex x USING (user_id) ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_cms_freq"        -> (cmsFreq _),
     "ax_month_end_balance" -> (monthEndBalance _),
     "ax_copurchase"      -> (copurchase _),
     "ax_argmax_customer" -> (argmaxCustomer _),
@@ -270,6 +352,7 @@ object Stats {
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_cms_freq"        -> cmsFreqSql,
     "ax_month_end_balance" -> monthEndBalanceSql,
     "ax_copurchase"      -> copurchaseSql,
     "ax_argmax_customer" -> argmaxCustomerSql,

@@ -956,7 +956,74 @@ object TextAnalysis {
        |FROM ($out) u ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // tx_quality_logit: LINEAR-MODEL quality scoring over hashed
+  // features — the fastText/DSIR-style classifier shape every
+  // curation pipeline runs after the heuristic filters (tx_quality):
+  // score(doc) = mean over tokens of w[h(token) mod D]. The weight
+  // table here is a deterministic closed form of the bucket id
+  // (w = hash(bucket) mod 1001, per-mille in [0,1000]) so the gate
+  // pins the full plumbing — tokenize → hash to a FIXED feature
+  // space → weight lookup → per-doc reduce → per-source rollup —
+  // with zero training dependency; a trained model swaps in as a
+  // broadcast literal array over the same bucket id.
+  //
+  // 100 TB shape: because the weight is a pure function of the hash,
+  // the "model join" compiles away entirely — the whole score is one
+  // codegen'd projection over the exploded tokens, then two hash
+  // aggregates (doc-level, then source-level, both map-side
+  // combining). No vocabulary table, no weight shuffle, nothing
+  // grows with the corpus. Integer per-mille arithmetic throughout →
+  // the oracle hash-matches exactly.
+  // ---------------------------------------------------------------
+  private val LogitDims = 64L
+
+  private def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(normCol, " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .withColumn("bucket",
+        pmod(PortableHash.hashCol(concat(lit("qf:"), col("tok"))),
+          lit(LogitDims)))
+      .withColumn("w_pm",
+        pmod(PortableHash.hashCol(concat(lit("qw:"),
+          col("bucket").cast("string"))), lit(1001L)))
+    toks.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("w_pm")).as("sw"), count(lit(1)).as("nt"))
+      .withColumn("score_pm", expr("sw div nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("score_pm") >= 500L).cast("long")).as("n_pos"),
+        expr("sum(score_pm) div count(1)").as("avg_score_pm"))
+      .orderBy("source")
+  }
+
+  private val qualityLogitSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(string_split(norm, ' ')) AS tok
+       |  FROM (SELECT doc_id, source, $normSqlDef AS norm FROM documents) d),
+       |b AS (
+       |  SELECT doc_id, source,
+       |    ${PortableHash.hashSql("'qf:' || tok")} % $LogitDims AS bucket
+       |  FROM toks WHERE length(tok) >= 1),
+       |w AS (
+       |  SELECT doc_id, source,
+       |    ${PortableHash.hashSql("'qw:' || CAST(bucket AS VARCHAR)")} % 1001
+       |      AS w_pm
+       |  FROM b),
+       |pd AS (
+       |  SELECT doc_id, source,
+       |    CAST(SUM(w_pm) AS BIGINT) // COUNT(*) AS score_pm
+       |  FROM w GROUP BY 1, 2)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN score_pm >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pos,
+       |  CAST(SUM(score_pm) AS BIGINT) // COUNT(*) AS avg_score_pm
+       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_quality_logit" -> (qualityLogit _),
     "tx_bpe_train"    -> (bpeTrain _),
     "tx_mixture_sample" -> (mixtureSample _),
     "tx_approx_topk"  -> (approxTopk _),
@@ -981,6 +1048,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_quality_logit" -> qualityLogitSql,
     "tx_bpe_train"    -> bpeTrainSql,
     "tx_mixture_sample" -> mixtureSampleSql,
     "tx_approx_topk"  -> approxTopkSql,

@@ -77,4 +77,32 @@ class SemDedupSpec extends AnyFunSuite {
     assert(survivors == 0L,
       s"$survivors qualifying pairs survived the prune — retention rule broken")
   }
+
+  test("semdedup_rep chain-resolves every pruned row to a KEPT exemplar") {
+    val pruned = Extensions.queries("dd_semdedup")(spark, dir).collect()
+    val prunedIds = pruned.map(_.getLong(0)).toSet
+    val repOf = pruned.map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    val res = Extensions.queries("dd_semdedup_rep")(spark, dir).collect()
+    assert(res.length == pruned.length,
+      "resolution must cover exactly the pruned set")
+
+    res.foreach { r =>
+      val (vecId, repId, exemplar, depth) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // the exemplar is genuinely kept, strictly precedes the row, and
+      // agrees with a driver-side walk of the same immediate-rep map
+      assert(!prunedIds.contains(exemplar),
+        s"exemplar $exemplar of $vecId is itself pruned")
+      assert(exemplar <= repId && repId < vecId)
+      assert(depth >= 1L)
+      assert((depth == 1L) == (repId == exemplar),
+        "depth 1 iff the immediate rep was already kept")
+      var cur = repId
+      var hops = 1L
+      while (repOf.contains(cur)) { cur = repOf(cur); hops += 1 }
+      assert(cur == exemplar && hops == depth,
+        s"pointer-doubling disagrees with the walk for $vecId")
+    }
+  }
 }
