@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{DotProductLong, Interop}
+import org.apache.spark.sql.graft.{CosineFloorScaled, DotProductLong, Interop, L2SquaredLong}
 
 import graft.polarify.Program
 
@@ -41,6 +41,16 @@ object GraftFunctions {
   def dotLong(a: Column, b: Column): Column =
     Interop.column(
       DotProductLong(Interop.expression(a), Interop.expression(b)))
+
+  /** fused one-pass `floor(scale·cos(a,b))`; NULL on a zero-norm side */
+  def cosineFloor(a: Column, b: Column, scale: Double): Column =
+    Interop.column(
+      CosineFloorScaled(Interop.expression(a), Interop.expression(b), scale))
+
+  /** fused one-pass squared-L2 distance over two array<bigint> columns */
+  def l2sqLong(a: Column, b: Column): Column =
+    Interop.column(
+      L2SquaredLong(Interop.expression(a), Interop.expression(b)))
 
   /** Register `dot_long` for SQL use in this session. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.dotLong
+import graft.functions.GraftFunctions.{cosineFloor, dotLong}
 
 /** Shared MinHash + LSH machinery for the near-dup operators.
   *
@@ -696,15 +696,13 @@ object Dedup {
     val a = e.select(col("bucket"), col("vec_id").as("a"), col("q").as("qa"))
     val b = e.select(col("bucket"), col("vec_id").as("b"), col("q").as("qb"))
     a.join(b, "bucket").filter(col("a") < col("b"))
-      .withColumn("dot", dotLong(col("qa"), col("qb")))
-      .withColumn("na", dotLong(col("qa"), col("qa")))
-      .withColumn("nb", dotLong(col("qb"), col("qb")))
-      .filter(col("na") > 0 && col("nb") > 0)
-      // cosine in permille, floored: integer inputs → the double
-      // division/sqrt are the identical IEEE ops in both engines.
-      .withColumn("cos_pm",
-        floor(lit(1000.0) * col("dot").cast("double") /
-          sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
+      // cosine in permille, floored — the FUSED one-pass expression:
+      // one traversal per pair instead of three dot_long walks.
+      // FusedArrayMathSpec proves bit-equality with the unfused
+      // formulation the oracle replays; NULL marks a zero-norm side,
+      // dropped exactly where the old na>0 AND nb>0 filter did.
+      .withColumn("cos_pm", cosineFloor(col("qa"), col("qb"), 1000.0))
+      .filter(col("cos_pm").isNotNull)
       .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cos_pm"),
         (col("cos_pm") >= CosineNearDupPm).cast("long").as("is_neardup"))
       .distinct()
@@ -793,14 +791,10 @@ object Dedup {
     val a = v.select(col("cluster"), col("vec_id").as("a"), col("q").as("qa"))
     val b = v.select(col("cluster"), col("vec_id").as("b"), col("q").as("qb"))
     a.join(b, "cluster").filter(col("a") < col("b"))
-      .withColumn("dot", dotLong(col("qa"), col("qb")))
-      .withColumn("na", dotLong(col("qa"), col("qa")))
-      .withColumn("nb", dotLong(col("qb"), col("qb")))
-      .filter(col("na") > 0 && col("nb") > 0)
-      // identical IEEE floored-double cosine as dd_embed_neardup
-      .withColumn("cos_pm",
-        floor(lit(1000.0) * col("dot").cast("double") /
-          sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
+      // identical IEEE floored-double cosine as dd_embed_neardup, via
+      // the fused one-pass expression (zero-norm → NULL → dropped by
+      // the threshold filter, same rows as the old na/nb guard)
+      .withColumn("cos_pm", cosineFloor(col("qa"), col("qb"), 1000.0))
       .filter(col("cos_pm") >= SemDupPm)
       .groupBy(col("b").as("vec_id"))
       .agg(min(struct(col("a"), col("cos_pm"))).as("m"),

@@ -88,13 +88,13 @@ object Similarity {
     val query = e.filter(col("vec_id") === 0).select(col("q").as("query_q"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
-      .withColumn("dot", dotLong(col("q"), col("query_q")))
-      .withColumn("na", dotLong(col("q"), col("q")))
-      .withColumn("nb", dotLong(col("query_q"), col("query_q")))
-      .filter(col("na") > 0 && col("nb") > 0)
+      // fused one-pass scaled cosine (bit-identical to the unfused
+      // three-dot form — FusedArrayMathSpec); NULL = zero-norm side,
+      // filtered exactly where the old na/nb guard cut
       .withColumn("cosine_e6",
-        floor(lit(1000000.0) * col("dot").cast("double") /
-          sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
+        graft.functions.GraftFunctions.cosineFloor(
+          col("q"), col("query_q"), 1000000.0))
+      .filter(col("cosine_e6").isNotNull)
       .select(col("vec_id"), col("cosine_e6"))
       .orderBy(col("cosine_e6").desc, col("vec_id").asc)
       .limit(20)
@@ -131,13 +131,11 @@ object Similarity {
     val query = e.filter(col("vec_id") === 0).select(col("q").as("query_q"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
-      .withColumn("dot", dotLong(col("q"), col("query_q")))
-      .withColumn("na", dotLong(col("q"), col("q")))
-      .withColumn("nb", dotLong(col("query_q"), col("query_q")))
-      .filter(col("na") > 0 && col("nb") > 0)
+      // fused one-pass scaled cosine; NULL (zero-norm) rows drop at
+      // the threshold filter, same rows as the old na/nb guard
       .withColumn("cosine_e6",
-        floor(lit(1000000.0) * col("dot").cast("double") /
-          sqrt(col("na").cast("double") * col("nb").cast("double"))).cast("long"))
+        graft.functions.GraftFunctions.cosineFloor(
+          col("q"), col("query_q"), 1000000.0))
       .filter(col("cosine_e6") >= RangeThresholdE6)
       .select(col("vec_id"), col("cosine_e6"))
       .orderBy(col("cosine_e6").desc, col("vec_id").asc)
@@ -357,9 +355,10 @@ object Similarity {
     def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
       val centDf = cents.toDF("cid", "cvec")
       e.crossJoin(broadcast(centDf))
+        // fused one-pass Σ(q_i−c_i)² — exact long arithmetic, equal to
+        // the q·q − 2·q·c + c·c expansion (FusedArrayMathSpec)
         .withColumn("dist",
-          dotLong(col("q"), col("q")) - lit(2L) * dotLong(col("q"), col("cvec")) +
-            dotLong(col("cvec"), col("cvec")))
+          graft.functions.GraftFunctions.l2sqLong(col("q"), col("cvec")))
         .groupBy("vec_id")
         .agg(min(struct(col("dist"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cluster"), col("m.dist").as("dist"))
@@ -557,9 +556,9 @@ object Similarity {
         floor(avg(col("q").getItem(d))).cast("long")): _*).as("cvec"))
       .select(col("label").as("c_label"), col("cvec"))
     e.crossJoin(broadcast(cent))
+      // fused one-pass squared-L2 (same exact longs as the expansion)
       .withColumn("dist",
-        dotLong(col("q"), col("q")) - lit(2L) * dotLong(col("q"), col("cvec")) +
-          dotLong(col("cvec"), col("cvec")))
+        graft.functions.GraftFunctions.l2sqLong(col("q"), col("cvec")))
       .groupBy("vec_id", "label")
       .agg(
         min(when(col("c_label") === col("label"), col("dist"))).as("d_own"),

@@ -110,3 +110,139 @@ case class DotProductLong(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProductLong =
     copy(left = newLeft, right = newRight)
 }
+
+/** Fused scaled-cosine over two `array<bigint>` columns:
+  * `floor(scale * dot(a,b) / sqrt(dot(a,a) * dot(b,b)))` as a long.
+  *
+  * The unfused pipeline — three [[DotProductLong]] calls + the
+  * floor/sqrt column arithmetic — walks BOTH arrays three times per
+  * candidate pair. On the pair-scan hot paths (banded-LSH and
+  * cluster-bounded near-dup, brute-force similarity) the pair count is
+  * the dominant cost at 100 TB, so this fuses all three accumulations
+  * into ONE traversal per array inside whole-stage codegen.
+  *
+  * IEEE contract (identical to the unfused formulation and to the
+  * DuckDB oracle text): the three accumulators are exact longs; the
+  * only float ops are the same `(scale * (double)dot) / sqrt((double)na
+  * * (double)nb)` → `Math.floor` → long conversion, in the same order.
+  * Zero-norm sides (na == 0 or nb == 0) yield NULL — callers that
+  * previously pre-filtered `na > 0 && nb > 0` get identical surviving
+  * rows from a threshold or `isNotNull` filter. Null array → null;
+  * null element → null (matches [[DotProductLong]]).
+  */
+case class CosineFloorScaled(left: Expression, right: Expression, scale: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_floor"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getLong(i); val y = b.getLong(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) null
+    else java.lang.Math.floor(
+      scale * dot.toDouble / java.lang.Math.sqrt(na.toDouble * nb.toDouble))
+      .toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |if (!${ev.isNull}) {
+         |  if ($na == 0L || $nb == 0L) { ${ev.isNull} = true; }
+         |  else {
+         |    ${ev.value} = (long) java.lang.Math.floor(
+         |      ${scale}D * (double) $dot /
+         |      java.lang.Math.sqrt((double) $na * (double) $nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineFloorScaled =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused squared-L2 distance over two `array<bigint>` columns:
+  * `sum((a_i - b_i)^2)` as a long — one traversal instead of the three
+  * [[DotProductLong]] calls of the `q·q - 2·q·c + c·c` expansion. All
+  * arithmetic is exact long, so the value is IDENTICAL to the expanded
+  * form (same oracle SQL), just one pass. Hot in the k-means assignment
+  * map (rows × centroids evaluations). Null semantics match
+  * [[DotProductLong]]; overflow wraps — callers quantize so
+  * |x| ≤ ~2^20, keeping sums far inside range.
+  */
+case class L2SquaredLong(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2sq_long"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SquaredLong =
+    copy(left = newLeft, right = newRight)
+}
