@@ -583,7 +583,101 @@ object StreamingGate {
       |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** st_late_drop: WATERMARK LATENESS ACCOUNTING — the one streaming
+    * property none of the other st_ queries pins: a late row is DROPPED
+    * iff its window is already closed at the late-event watermark, and
+    * accepted into any still-open window. The gate stages the events
+    * table as THREE source files with controlled modification times so
+    * the file source replays a deterministic arrival order:
+    *   batch 0 = the RECENT tail (ts ≥ max_ts − 3 d) — its max advances
+    *     the watermark to max_ts − 4 d;
+    *   batch 1 = the MIDDLE slice (max_ts − 84 h ≤ ts < max_ts − 3 d) —
+    *     out-of-order but fully accepted, because Spark's late-event
+    *     filter deliberately LAGS state eviction by one batch
+    *     (SPARK-40925 two-watermark design: batch N filters with the
+    *     eviction watermark of batch N−1) and batch 1's filter
+    *     watermark is still the initial 0;
+    *   batch 2 = the OLD head (ts < max_ts − 84 h) — now the filter
+    *     watermark has caught up to max_ts − 4 d, and the head
+    *     straddles it: rows whose hour-window end clears the watermark
+    *     are ACCEPTED late, the rest (≈26 days) are dropped.
+    * The oracle states the surviving set declaratively — hour-window
+    * end > max_ts − 4 d — so the gate hash-checks Spark's actual drop
+    * rule (including the one-batch filter lag), not a tautology.
+    * (Boundary safety: window ends are hour-aligned while the watermark
+    * inherits max_ts's microsecond offset — hundreds of ms from any
+    * hour boundary at every SF — so the ms-floor Spark applies to
+    * event-time stats cannot flip a row.)
+    *
+    * At scale this is the bounded-replay contract of every streaming
+    * pipeline: lateness beyond the watermark is LOST by design, and the
+    * completeness gap must be measurable. Update-mode emissions are
+    * resolved to the final row per window by argmax on the
+    * strictly-increasing count (st_tws_totals pattern).
+    */
+  private def lateDropStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val stage = s"target/stream_late/stage_$tag"
+    val input = s"target/stream_late/input_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(stage, input).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+
+    val ev = graft.Tables.events(spark, dir).select(col("ts"))
+    val mx = ev.agg(max(col("ts")).as("mt")) // 1-row scalar attach
+    val tagged = ev.crossJoin(broadcast(mx))
+      .withColumn("recent", col("ts") >= col("mt") - expr("INTERVAL 3 DAYS"))
+      .withColumn("mid", !col("recent") &&
+        col("ts") >= col("mt") - expr("INTERVAL 84 HOURS"))
+
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName).head
+      val dst = new org.apache.hadoop.fs.Path(s"$input/$name.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, mtime, -1)
+    }
+    // distinct mtimes pin arrival order (file source processes oldest
+    // modification time first): recent tail, then middle, then old head
+    val base = System.currentTimeMillis() - 600000L
+    writeOne(tagged.filter(col("recent")).select(col("ts")), "b0", base)
+    writeOne(tagged.filter(col("mid")).select(col("ts")), "b1",
+      base + 60000L)
+    writeOne(tagged.filter(!col("recent") && !col("mid")).select(col("ts")),
+      "b2", base + 120000L)
+
+    val sch = spark.read.parquet(input).schema
+    val agg = spark.readStream
+      .schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input)
+      .withWatermark("ts", "4 days")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("n_events"))
+    runToTable(agg, s"st_late_drop_sink_$tag", "update")(spark)
+      .groupBy("hour")
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy("hour")
+  }
+
+  private val lateDropStreamedSql =
+    // batches 0/1 (ts ≥ mt − 84 h) satisfy this predicate trivially
+    // (their window ends exceed mt − 84 h + 0 > mt − 4 d), so the one
+    // surviving-set predicate covers all three arrival batches
+    """WITH mx AS (SELECT max(ts) AS mt FROM events)
+      |SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+      |FROM events, mx
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > mt - INTERVAL 4 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_late_drop"         -> (lateDropStreamed _),
     "st_tws_totals"        -> (twsTotalsStreamed _),
     "st_recovery"          -> (recoveryStreamed _),
     "st_full_outer"        -> (fullOuterJoinStreamed _),
@@ -602,6 +696,7 @@ object StreamingGate {
 
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
+    "st_late_drop"         -> lateDropStreamedSql,
     "st_tws_totals"        -> upsertSinkStreamedSql,
     "st_recovery"          -> upsertSinkStreamedSql,
     "st_full_outer"        -> fullOuterJoinStreamedSql,
