@@ -247,7 +247,11 @@ private[ops] object MinHashLsh {
   /** DuckDB oracle for [[verifiedPairs]]; `tokCte` must define
     * `tok(doc_id, feature)` with per-doc-distinct features.
     */
-  def oracleSql(tokCte: String): String = {
+  /** The shared CTE chain (tokenize → hash → signatures → bands →
+    * capped buckets → candidates → intersections), used by
+    * [[oracleSql]] and [[estimateOracleSql]] so they cannot drift.
+    */
+  private def cteChain(tokCte: String): String = {
     val minCols = (0 until NumHashes)
       .map(s => s"min((${coefA(s)} * (h % $P) + ${coefB(s)}) % $P) AS m$s")
       .mkString(",\n    ")
@@ -255,7 +259,7 @@ private[ops] object MinHashLsh {
       val slice = (0 until RowsPerBand).map(r => s"m${bi * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $bi AS band, ${PortableHash.hashSql(s"concat_ws(',', $slice)")} AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $tokCte,
+    s"""$tokCte,
        |hashed AS (SELECT doc_id, ${PortableHash.hashSql("feature")} AS h FROM tok),
        |sig AS (SELECT doc_id,
        |    $minCols,
@@ -273,13 +277,39 @@ private[ops] object MinHashLsh {
        |  FROM cand c
        |  JOIN hashed ta ON ta.doc_id = c.a
        |  JOIN hashed tb ON tb.doc_id = c.b AND tb.h = ta.h
-       |  GROUP BY c.a, c.b)
-       |SELECT i.a AS doc_a, i.b AS doc_b,
+       |  GROUP BY c.a, c.b),
+       |vp AS (SELECT i.a AS doc_a, i.b AS doc_b,
        |  CAST(floor(i.inter * 1000.0 / (sa.n + sb.n - i.inter)) AS BIGINT) AS jaccard_pm
        |FROM inter i
        |JOIN sig sa ON sa.doc_id = i.a
        |JOIN sig sb ON sb.doc_id = i.b
-       |WHERE floor(i.inter * 1000.0 / (sa.n + sb.n - i.inter)) >= $ThresholdPm
+       |WHERE floor(i.inter * 1000.0 / (sa.n + sb.n - i.inter)) >= $ThresholdPm)""".stripMargin
+  }
+
+  def oracleSql(tokCte: String): String =
+    s"""WITH ${cteChain(tokCte)}
+       |SELECT doc_a, doc_b, jaccard_pm FROM vp
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for the signature-agreement Jaccard ESTIMATE over the
+    * verified pairs: est = 1000·(matching signature slots)/k, floored.
+    * Pure integers over the same deterministic signatures both engines
+    * compute, so the estimate hash-matches exactly — the MinHash
+    * estimator property (E[agree/k] = J) gets a measured error column
+    * instead of a tolerance hope.
+    */
+  def estimateOracleSql(tokCte: String): String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${cteChain(tokCte)}
+       |SELECT vp.doc_a, vp.doc_b, vp.jaccard_pm,
+       |  CAST((1000 * ($agree)) // $NumHashes AS BIGINT) AS est_pm,
+       |  CAST(abs((1000 * ($agree)) // $NumHashes - vp.jaccard_pm) AS BIGINT)
+       |    AS err_pm
+       |FROM vp
+       |JOIN sig sa ON sa.doc_id = vp.doc_a
+       |JOIN sig sb ON sb.doc_id = vp.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 }
@@ -434,6 +464,42 @@ object Dedup {
 
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     MinHashLsh.verifiedPairs(charNgramTok(spark, dir))
+
+  // -------------------------------------------------------------------
+  // dd_minhash_est: the MinHash ESTIMATOR measured, not hoped. LSH
+  // banding (above) only uses signatures to find candidates; the
+  // estimator property the whole scheme rests on — E[matching slots/k]
+  // = Jaccard — deserves its own gate row. For every verified near-dup
+  // pair this emits the exact Jaccard next to the signature-agreement
+  // estimate (1000·agree/32, floored) and the absolute error. Both
+  // engines compute the SAME deterministic affine signatures, so the
+  // estimate hash-matches exactly — no tolerance band, the error
+  // column IS the measurement. At 100 TB this is the number that
+  // decides whether k=32 suffices or the index needs k=128: you read
+  // err_pm off the verified sample the pipeline already produced,
+  // paying one broadcast-sized join against the cached signature
+  // substrate (pairs ∝ true duplicates, not corpus).
+  // -------------------------------------------------------------------
+  private def minhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val (_, sig) = shingleSubstrate(spark, dir)
+    val pairs = minhashPairs(spark, dir)
+    def side(tag: String): DataFrame =
+      sig.select(col("doc_id").as(s"doc_$tag") +:
+        (0 until MinHashLsh.NumHashes).map(i =>
+          col(s"m$i").as(s"${tag}_m$i")): _*)
+    val agree = (0 until MinHashLsh.NumHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(side("a"), "doc_a")
+      .join(side("b"), "doc_b")
+      .withColumn("agree", agree)
+      .withColumn("est_pm",
+        expr(s"(1000 * agree) div ${MinHashLsh.NumHashes}"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_pm"), col("est_pm"),
+        abs(col("est_pm") - col("jaccard_pm")).as("err_pm"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   // -------------------------------------------------------------------
   // dd_incremental_dup: steady-state ingestion dedup — the 10% of the
@@ -1270,7 +1336,8 @@ object Dedup {
     "dd_substring_dup"  -> (substringDup _),
     "dd_incremental_dup" -> (incrementalDup _),
     "dd_semdedup"       -> (semDedup _),
-    "dd_semdedup_rep"   -> (semDedupRep _)
+    "dd_semdedup_rep"   -> (semDedupRep _),
+    "dd_minhash_est"    -> (minhashEst _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1290,6 +1357,7 @@ object Dedup {
     "dd_lsh_recall"     -> lshRecallSql,
     "dd_substring_dup"  -> substringDupSql,
     "dd_semdedup"       -> semDedupSql,
-    "dd_semdedup_rep"   -> semDedupRepSql
+    "dd_semdedup_rep"   -> semDedupRepSql,
+    "dd_minhash_est"    -> MinHashLsh.estimateOracleSql(wordShingleTokCte)
   )
 }

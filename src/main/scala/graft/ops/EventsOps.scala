@@ -40,6 +40,42 @@ object EventsOps {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_props_variant: the same extraction through Spark 4's VARIANT
+  // type — `parse_json` once into the binary variant encoding, then
+  // `variant_get` path reads. At 100 TB this is the semi-structured
+  // strategy that beats both schema-on-write structs (no upfront schema
+  // commitment; unknown keys survive) and per-field string re-parsing
+  // (the variant parses ONCE and every path read is a binary descent;
+  // parquet can shred it columnar). The gate also pins the null
+  // contract: a missing path is NULL (counted zero), never an error,
+  // and a present path casts losslessly to BIGINT. Oracle = the same
+  // aggregate over DuckDB's JSON reads — variant is an encoding, not a
+  // semantics change, and the gate proves exactly that.
+  // -------------------------------------------------------------------
+  private def propsVariant(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+      .withColumn("missing", expr("variant_get(v, '$.not_there', 'bigint')"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_with_k"),
+        count(col("missing")).as("n_missing_path"))
+      .orderBy("event_type")
+
+  private val propsVariantSql =
+    """SELECT event_type,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  COUNT(k) AS n_with_k,
+      |  COUNT(m) AS n_missing_path
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |        CAST(json_extract_string(props, '$.not_there') AS BIGINT) AS m
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_interval_errors: range join done the scale-native way. Error
   // events are joined into their user's session interval
   // [start, last+30min) — a point-in-interval predicate. A naive
@@ -550,6 +586,7 @@ object EventsOps {
     "ax_partitioned_write" -> (partitionedWrite _),
     "ax_user_journey"    -> (userJourney _),
     "ax_props_json"      -> (propsJson _),
+    "ax_props_variant"   -> (propsVariant _),
     "ax_interval_errors" -> (intervalErrors _),
     "ax_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "ax_csv_roundtrip"   -> (csvRoundtrip _),
@@ -566,6 +603,7 @@ object EventsOps {
     "ax_partitioned_write" -> partitionedWriteSql,
     "ax_user_journey"    -> userJourneySql,
     "ax_props_json"      -> propsJsonSql,
+    "ax_props_variant"   -> propsVariantSql,
     "ax_interval_errors" -> intervalErrorsSql,
     "ax_jsonl_roundtrip" -> jsonlRoundtripSql,
     "ax_csv_roundtrip"   -> csvRoundtripSql,

@@ -36,6 +36,34 @@ class SketchScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash estimate tracks exact Jaccard on every verified pair") {
+    val rows = Extensions.queries("dd_minhash_est")(spark, dir).collect()
+    assert(rows.nonEmpty, "no verified pairs to measure the estimator on")
+    val pairCount = Extensions.queries("dd_minhash_pairs")(spark, dir).count()
+    assert(rows.length == pairCount,
+      "estimator must cover exactly the verified-pair set")
+    rows.foreach { r =>
+      val (exact, est, err) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(est >= 0L && est <= 1000L, s"estimate out of range: $est")
+      assert(err == math.abs(est - exact), "err_pm must be |est - exact|")
+    }
+    // k=32 on near-dup pairs (J >= 0.3): sd <= ~81 pm, so a mean error
+    // beyond 150 pm would mean the signature pipeline is broken
+    val meanErr = rows.map(_.getLong(4)).sum.toDouble / rows.length
+    assert(meanErr < 150.0, f"estimator mean error $meanErr%.1f pm too high")
+  }
+
+  test("variant path reads agree with the struct-schema JSON reads") {
+    val v = Extensions.queries("ax_props_variant")(spark, dir)
+      .select(col("event_type"), col("sum_k"), col("n_with_k"))
+    val j = Extensions.queries("ax_props_json")(spark, dir)
+      .select(col("event_type"), col("sum_k").as("s2"), col("n_with_k").as("n2"))
+    assert(v.join(j, "event_type")
+      .filter(col("n_with_k") =!= col("n2") || col("sum_k") =!= col("s2"))
+      .count() == 0,
+      "variant and struct-schema extraction disagree")
+  }
+
   test("quality-logit scores are per-mille means and sources partition docs") {
     val res = Extensions.queries("tx_quality_logit")(spark, dir).collect()
     assert(res.nonEmpty)
