@@ -134,6 +134,23 @@ object Analytics {
       |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_topn_rewrite: the SAME per-segment top-3 as ax_topk_per_segment,
+  // answered by the custom whole-operator Catalyst extension
+  // (graft.plans.TopNPerGroup): a Rule[LogicalPlan] rewrites the
+  // row_number ≤ k idiom into a custom logical node, a SparkStrategy
+  // plans it as bounded per-group HEAPS (partial before the exchange,
+  // final after) — no sort of anything larger than k rows anywhere,
+  // where the stock plan local-sorts every partition twice around the
+  // shuffle. The oracle is the ordinary window SQL: the rewrite must be
+  // invisible in the answer and visible only in the plan (both pinned —
+  // hash gate here, executed-plan shape in TopNPerGroupSpec).
+  // -------------------------------------------------------------------
+  private def topnRewrite(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopNPerGroup.ensureInstalled(spark)
+    topkPerSegment(spark, dir)
+  }
+
+  // -------------------------------------------------------------------
   // Global top-k: orderBy+limit → TakeOrderedAndProject (no full sort).
   // -------------------------------------------------------------------
   private def top100Orders(spark: SparkSession, dir: String): DataFrame =
@@ -892,6 +909,7 @@ object Analytics {
     "ax_cust_no_orders"    -> (custNoOrders _),
     "ax_cust_semi_nation"  -> (custSemiNation _),
     "ax_topk_per_segment"  -> (topkPerSegment _),
+    "ax_topn_rewrite"      -> (topnRewrite _),
     "ax_top100_orders"     -> (top100Orders _),
     "ax_rollup_lineitem"   -> (rollupLineitem _),
     "ax_cube_lineitem"     -> (cubeLineitem _),
@@ -922,6 +940,7 @@ object Analytics {
     "ax_cust_no_orders"    -> custNoOrdersSql,
     "ax_cust_semi_nation"  -> custSemiNationSql,
     "ax_topk_per_segment"  -> topkPerSegmentSql,
+    "ax_topn_rewrite"      -> topkPerSegmentSql,
     "ax_top100_orders"     -> top100OrdersSql,
     "ax_rollup_lineitem"   -> rollupLineitemSql,
     "ax_cube_lineitem"     -> cubeLineitemSql,
