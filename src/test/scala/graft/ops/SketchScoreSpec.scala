@@ -64,6 +64,16 @@ class SketchScoreSpec extends AnyFunSuite {
       "variant and struct-schema extraction disagree")
   }
 
+  test("hll intersection is non-degenerate and inclusion-exclusion holds") {
+    val r = Extensions.queries("dd_hll_intersect")(spark, dir).head()
+    val (na, nb, nu, nBoth, ok) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nBoth == na + nb - nu, "inclusion-exclusion identity broken")
+    assert(nBoth > 0 && nBoth < na && nBoth < nb,
+      s"degenerate intersection: a=$na b=$nb both=$nBoth")
+    assert(ok == 1L, "sketch-derived intersection left the 10% band")
+  }
+
   test("quality-logit scores are per-mille means and sources partition docs") {
     val res = Extensions.queries("tx_quality_logit")(spark, dir).collect()
     assert(res.nonEmpty)
