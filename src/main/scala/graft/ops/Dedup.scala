@@ -445,9 +445,22 @@ object Dedup {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
 
+  /** fixture-stamped cache key (documents.parquet mtime) — a mid-
+    * application testdata regeneration changes the key, so consumers
+    * recompute instead of serving substrates from the replaced data
+    * (same convention as Graph.cacheKey / Similarity.fixtureStamp)
+    */
+  private def cacheKey(spark: SparkSession, dir: String): String = {
+    val stamp =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis.toString
+      catch { case _: Exception => "absent" }
+    s"${spark.sparkContext.applicationId}#$dir@$stamp"
+  }
+
   private[ops] def shingleSubstrate(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    shingleCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
+    shingleCache.computeIfAbsent(cacheKey(spark, dir),
       _ => {
         val tokH = wordShingleTok(spark, dir)
           .select(col("doc_id"), PortableHash.hashCol(col("feature")).as("h"))
@@ -456,7 +469,7 @@ object Dedup {
       })
 
   private[ops] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
+    pairsCache.computeIfAbsent(cacheKey(spark, dir),
       _ => {
         val (tokH, sig) = shingleSubstrate(spark, dir)
         MinHashLsh.verifiedPairsFrom(tokH, sig).persist()
@@ -1219,17 +1232,30 @@ object Dedup {
   }
 
   /** every doc's duplicate-cluster id (min doc_id in its component;
-    * singletons are their own cluster) — shared by dd_dup_clusters and
-    * dd_cluster_retain
+    * singletons are their own cluster) — shared by dd_dup_clusters,
+    * dd_cluster_retain, and the curation funnel. SESSION substrate:
+    * the label-propagation fixpoint is iterative (driver-looped
+    * joins), so recomputing it per consumer re-ran the whole loop —
+    * the warm-funnel profile showed exactly that. One persisted
+    * assignment per (application, dir, fixture generation) now serves
+    * all three; dd_cc_bigstar deliberately stays UNCACHED — it is the
+    * independent big-star cross-check of this very result, and seeding
+    * or sharing would make the cross-check circular.
     */
-  private def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val comp = connectedComponents(pairs)
-    docs(spark, dir).select(col("doc_id"))
-      .join(comp.select(col("u").as("doc_id"), col("label")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster"))
-  }
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  private def clusterAssign(spark: SparkSession, dir: String): DataFrame =
+    clusterCache.computeIfAbsent(cacheKey(spark, dir), _ => {
+      val pairs = minhashPairs(spark, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val comp = connectedComponents(pairs)
+      docs(spark, dir).select(col("doc_id"))
+        .join(comp.select(col("u").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+        .persist()
+    })
 
   private def dupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterAssign(spark, dir).orderBy("doc_id")
