@@ -241,6 +241,26 @@ object StreamingGate {
       "st_sessionize_sink", "append")(spark)
       .orderBy("user_id", "session_start")
 
+  /** st_timer_sessions: the SAME sessions rebuilt from raw event-time
+    * TIMERS in the arbitrary-state v2 operator (ListState of open
+    * intervals + one timer per key; see EventsStream.
+    * TimerSessionsProcessor). Each session is emitted exactly once,
+    * when its close time falls behind the watermark — so the update-
+    * mode sink holds the finalized set directly, and the oracle is
+    * SHARED with st_sessionize: the packaged `session_window` operator
+    * and the hand-built timer machine must converge to the identical
+    * gaps-and-islands answer under the identical cutoff. That shared
+    * oracle is the point: it proves the timer primitive (register /
+    * early-fire / re-arm / finalize-on-watermark) against declarative
+    * semantics, which is what makes CUSTOM session rules safe to build
+    * on it at scale.
+    */
+  private def timerSessionsStreamed(spark: SparkSession, dir: String): DataFrame =
+    withRocksDbState(spark) {
+      runToTable(EventsStream.timerSessions(eventsStream(spark, dir)),
+        "st_timer_sessions_sink", "update")(spark)
+    }.orderBy("user_id", "session_start")
+
   private val sessionsStreamedSql =
     """WITH mx AS (SELECT MAX(ts) AS mts FROM events),
       |ordered AS (
@@ -678,6 +698,7 @@ object StreamingGate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_late_drop"         -> (lateDropStreamed _),
+    "st_timer_sessions"    -> (timerSessionsStreamed _),
     "st_tws_totals"        -> (twsTotalsStreamed _),
     "st_recovery"          -> (recoveryStreamed _),
     "st_full_outer"        -> (fullOuterJoinStreamed _),
@@ -697,6 +718,7 @@ object StreamingGate {
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
     "st_late_drop"         -> lateDropStreamedSql,
+    "st_timer_sessions"    -> sessionsStreamedSql,
     "st_tws_totals"        -> upsertSinkStreamedSql,
     "st_recovery"          -> upsertSinkStreamedSql,
     "st_full_outer"        -> fullOuterJoinStreamedSql,

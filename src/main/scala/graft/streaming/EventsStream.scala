@@ -222,4 +222,126 @@ object EventsStream {
         TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "sum_value_cents")
   }
+
+  /** open session interval for the timer-based sessionizer */
+  final case class OpenSess(startMicros: Long, lastMicros: Long, n: Long, cents: Long)
+
+  /** SESSION WINDOWS REBUILT FROM RAW EVENT-TIME TIMERS — the one
+    * arbitrary-state primitive the rest of the streaming surface never
+    * touches. `session_window` (st_sessionize) is the packaged
+    * operator; this processor is what you write when session semantics
+    * are CUSTOM (revenue-weighted gaps, per-key gap lengths, session
+    * caps): a ListState of open intervals, interval-union merging on
+    * every input batch (commutative, so out-of-order arrival inside
+    * the watermark allowance needs no sort barrier), and ONE
+    * registered event-time timer per key at the earliest close time.
+    * When the watermark passes it, handleExpiredTimer finalizes EVERY
+    * closable session (one firing, n closures), re-arms for the
+    * remainder, and emits exactly once per session.
+    *
+    * Timer discipline: expiry is registered 1 ms EARLY
+    * (floor(close/1ms) − 1) and the authoritative closability check —
+    * session end ≤ current watermark — runs inside the handler. That
+    * makes the operator robust to the engine's (< vs ≤) firing
+    * boundary: a too-early firing simply re-arms; a session is only
+    * ever emitted by the check the batch oracle states declaratively.
+    * State per key is O(open sessions), bounded by the watermark
+    * exactly like the packaged operator.
+    */
+  final class TimerSessionsProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long),
+        (String, String, Long, Long, Long)] {
+    private val GapMicros = 30L * 60 * 1000000L
+
+    @transient private var open
+        : org.apache.spark.sql.streaming.ListState[OpenSess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState[OpenSess]("open",
+        Encoders.product[OpenSess], TTLConfig.NONE)
+
+    private def fmt(micros: Long): String =
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(
+          java.lang.Math.floorDiv(micros, 1000000L)))
+
+    /** interval-union merge: sorted by start, s joins its predecessor
+      * iff the gap is strictly under 30 min (an event at exactly
+      * last + 30 min starts a NEW session — the session_window rule)
+      */
+    private def merged(sessions: Seq[OpenSess]): Seq[OpenSess] = {
+      val sorted = sessions.sortBy(s => (s.startMicros, s.lastMicros))
+      val out = scala.collection.mutable.ArrayBuffer.empty[OpenSess]
+      sorted.foreach { s =>
+        out.lastOption match {
+          case Some(p) if s.startMicros < p.lastMicros + GapMicros =>
+            out(out.length - 1) = OpenSess(p.startMicros,
+              math.max(p.lastMicros, s.lastMicros), p.n + s.n,
+              p.cents + s.cents)
+          case _ => out += s
+        }
+      }
+      out.toSeq
+    }
+
+    private def reschedule(sessions: Seq[OpenSess]): Unit = {
+      // materialize before deleting — no mutation under the iterator
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+      if (sessions.nonEmpty) {
+        val next = sessions
+          .map(s => java.lang.Math.floorDiv(s.lastMicros + GapMicros, 1000L) - 1L)
+          .min
+        getHandle.registerTimer(next)
+      }
+    }
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, String, Long, Long, Long)] = {
+      val incoming = rows.map(r => OpenSess(r._2, r._2, 1L, r._3)).toSeq
+      val sessions = merged(open.get().toSeq ++ incoming)
+      open.clear()
+      open.put(sessions.toArray)
+      reschedule(sessions)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(String, String, Long, Long, Long)] = {
+      val wmMicros = timerValues.getCurrentWatermarkInMs() * 1000L
+      val sessions = merged(open.get().toSeq)
+      val (closed, stillOpen) =
+        sessions.partition(s => s.lastMicros + GapMicros <= wmMicros)
+      open.clear()
+      if (stillOpen.nonEmpty) open.put(stillOpen.toArray)
+      reschedule(stillOpen)
+      closed.sortBy(_.startMicros).iterator.map(s =>
+        (fmt(s.startMicros), fmt(s.lastMicros + GapMicros), user, s.n, s.cents))
+    }
+  }
+
+  /** per-user sessions finalized by event-time timers (Update mode);
+    * converges to the same answer as `sessionsByUser` under the same
+    * watermark cutoff — the oracle is shared with st_sessionize
+    */
+  def timerSessions(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_micros"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessionsProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+      .toDF("session_start", "session_end", "user_id", "n_events",
+        "sum_value_cents")
+  }
 }
