@@ -46,6 +46,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"))
   }
 
+  test("quality-logit compiles the model away: no join anywhere in the plan") {
+    // the weight is a closed form of the hash — if a join ever appears,
+    // someone materialized a weight table and broke the 100 TB shape
+    val p = plan("tx_quality_logit")
+    assert(!p.contains("Join"), s"model join appeared:\n$p")
+  }
+
+  test("cms probes attach to the sketch via broadcast, never a shuffle join") {
+    val p = plan("ax_cms_freq")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"sketch join shuffled:\n$p")
+  }
+
+  test("minhash estimator joins signatures without re-tokenizing the corpus") {
+    // pairs and signatures come from the session substrate (InMemory
+    // relations); a fresh FileScan of documents would mean the corpus
+    // was re-read for a pairs-sized join
+    val p = plan("dd_minhash_est")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      s"substrate not reused:\n$p")
+  }
+
   test("no interpreted Python/Scala UDF in any cheap query plan") {
     val names = Seq("ax_pricing_summary", "ax_funnel_stages", "tx_stats",
       "tx_keywords", "ax_histogram", "sim_topk_quantized", "pf_signum")
