@@ -1022,7 +1022,86 @@ object TextAnalysis {
        |  CAST(SUM(score_pm) AS BIGINT) // COUNT(*) AS avg_score_pm
        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // tx_hash_embed: HASHING-TRICK TEXT EMBEDDINGS, end to end in exact
+  // integers — the bridge from the text family to the vector family
+  // without a trained model: each token lands in one of 16 dims by
+  // hash with a ±1 sign from a second hash (the signed feature-hash
+  // construction), a document/group vector is the SUM of its token
+  // signs per dim, and cosine similarity between groups runs through
+  // the same fused `cosine_floor` expression as the embedding family.
+  // Using SUM instead of MEAN is deliberate: cosine is
+  // scale-invariant, so the integer sum IS the centroid for
+  // similarity purposes and nothing ever becomes a float before the
+  // one floored cosine per pair. The gate compares per-LANGUAGE
+  // centroids pairwise (languages differ in token distributions, so
+  // the matrix is non-trivial).
+  //
+  // 100 TB shape: tokenize → hash → (group, dim, ±1) is one codegen'd
+  // projection; the per-group vector is one partial→final aggregate
+  // into 16 conditional sums (no vocabulary, no model, nothing grows
+  // with the corpus); the pair matrix is |groups|² over a
+  // broadcast-sized table. Portable md5 → the oracle replays the
+  // embedding bit-for-bit.
+  // ---------------------------------------------------------------
+  private val HashEmbedDims = 16
+
+  private def hashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("lang"), explode(split(normCol, " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .select(col("lang"),
+        pmod(PortableHash.hashCol(concat(lit("he:"), col("tok"))),
+          lit(HashEmbedDims.toLong)).as("dim"),
+        (lit(1L) - lit(2L) *
+          pmod(PortableHash.hashCol(concat(lit("hs:"), col("tok"))), lit(2L)))
+          .as("s"))
+    val vecs = toks.groupBy("lang")
+      .agg(array((0 until HashEmbedDims).map(d =>
+        coalesce(sum(when(col("dim") === d, col("s"))), lit(0L))): _*).as("v"))
+    val a = vecs.select(col("lang").as("lang_a"), col("v").as("va"))
+    val b = vecs.select(col("lang").as("lang_b"), col("v").as("vb"))
+    a.join(b, col("lang_a") < col("lang_b"))
+      .withColumn("cos_pm",
+        graft.functions.GraftFunctions.cosineFloor(col("va"), col("vb"), 1000.0))
+      .filter(col("cos_pm").isNotNull)
+      .select(col("lang_a"), col("lang_b"), col("cos_pm"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  private val hashEmbedSql = {
+    val h = PortableHash
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(string_split(norm, ' ')) AS tok
+       |  FROM (SELECT lang, $normSqlDef AS norm FROM documents) d),
+       |f AS (
+       |  SELECT lang,
+       |    ${h.hashSql("'he:' || tok")} % $HashEmbedDims AS dim,
+       |    1 - 2 * (${h.hashSql("'hs:' || tok")} % 2) AS s
+       |  FROM toks WHERE length(tok) >= 1),
+       |g AS (SELECT lang, dim, CAST(SUM(s) AS BIGINT) AS v
+       |      FROM f GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT l.lang, d.d AS dim, COALESCE(g.v, 0) AS v
+       |  FROM (SELECT DISTINCT lang FROM g) l
+       |  CROSS JOIN (SELECT unnest(range(0, $HashEmbedDims)) AS d) d
+       |  LEFT JOIN g ON g.lang = l.lang AND g.dim = d.d),
+       |vec AS (SELECT lang, list(v ORDER BY dim) AS v FROM grid GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+       |    ${h.dotSqlDuck("a.v", "b.v")} AS dot,
+       |    ${h.dotSqlDuck("a.v", "a.v")} AS na,
+       |    ${h.dotSqlDuck("b.v", "b.v")} AS nb
+       |  FROM vec a JOIN vec b ON a.lang < b.lang)
+       |SELECT lang_a, lang_b,
+       |  CAST(floor(1000.0 * CAST(dot AS DOUBLE) /
+       |    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_pm
+       |FROM pairs WHERE na > 0 AND nb > 0
+       |ORDER BY lang_a, lang_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_hash_embed"    -> (hashEmbed _),
     "tx_quality_logit" -> (qualityLogit _),
     "tx_bpe_train"    -> (bpeTrain _),
     "tx_mixture_sample" -> (mixtureSample _),
@@ -1048,6 +1127,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_hash_embed"    -> hashEmbedSql,
     "tx_quality_logit" -> qualityLogitSql,
     "tx_bpe_train"    -> bpeTrainSql,
     "tx_mixture_sample" -> mixtureSampleSql,
