@@ -475,8 +475,18 @@ object Dedup {
         MinHashLsh.verifiedPairsFrom(tokH, sig).persist()
       })
 
+  /** char-n-gram verified pairs, cached per (application, dir, fixture
+    * generation) — same amortization as the word-shingle family: the
+    * tokenize → sign → band → verify pipeline is the expensive half,
+    * its output ∝ true duplicates, and it is answer-stable within a
+    * fixture generation
+    */
+  private val ngramPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    MinHashLsh.verifiedPairs(charNgramTok(spark, dir))
+    ngramPairsCache.computeIfAbsent(cacheKey(spark, dir),
+      _ => MinHashLsh.verifiedPairs(charNgramTok(spark, dir)))
 
   // -------------------------------------------------------------------
   // dd_minhash_est: the MinHash ESTIMATOR measured, not hoped. LSH
@@ -709,7 +719,18 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  private def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** simhash verified pairs, session-cached per fixture generation —
+    * the 64-bit signature aggregate over the exploded corpus is the
+    * expensive half; the output is the small near-dup pair list
+    */
+  private val simhashPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsCache.computeIfAbsent(cacheKey(spark, dir),
+      _ => simhashPairsBuild(spark, dir).localCheckpoint())
+
+  private def simhashPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     val s = simhashSig(spark, dir)
     val bandCols = (0 until SimBands).map(b =>
       shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(SimBandMask)))
