@@ -889,7 +889,118 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_small_quantity: the TPC-H Q17 "small-quantity order revenue"
+  // SHAPE — revenue from lineitems whose quantity is below one fifth of
+  // the part's own average quantity, for a dimension-filtered part
+  // subset. The textbook phrasing is a correlated scalar subquery
+  // (`l_quantity < 0.2 * (SELECT avg(l_quantity) WHERE l_partkey = …)`)
+  // — a per-row re-aggregation. The scale-right decorrelation here is
+  // ONE shuffle of the (dimension-pruned) fact on l_partkey and a
+  // window over that same partitioning for the per-part sum/count — no
+  // second join, no scalar subquery, and the window key is the
+  // join key itself (millions of ~7-row partitions — the opposite of
+  // the low-cardinality-window trap). The dimension filter
+  // (p_size <= 5, the Brand#23/MED BOX analogue) broadcasts and prunes
+  // the fact BEFORE the shuffle. The 1/5-of-average test stays in
+  // exact integers: qty < sum/(5·cnt)  ⇔  5·qty·cnt < sum — no
+  // double-precision average ever materializes, so Spark and DuckDB
+  // agree bit-for-bit at any scale.
+  // -------------------------------------------------------------------
+  private def smallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = t(spark, dir, "part")
+      .filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    val f = t(spark, dir, "lineitem")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_brand"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_cents"))
+    val w = Window.partitionBy("l_partkey")
+    f.withColumn("sum_q", sum(col("qty")).over(w))
+      .withColumn("cnt_q", count(lit(1)).over(w))
+      .filter(col("qty") * 5 * col("cnt_q") < col("sum_q"))
+      .groupBy("p_brand")
+      .agg(sum(col("price_cents")).as("small_rev_cents"),
+        count(lit(1)).as("small_lines"))
+      .orderBy("p_brand")
+  }
+
+  private val smallQuantitySql =
+    """WITH f AS (
+      |  SELECT l.l_partkey, p.p_brand,
+      |    CAST(round(l.l_quantity) AS BIGINT) AS qty,
+      |    CAST(round(l.l_extendedprice*100) AS BIGINT) AS price_cents
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_size <= 5),
+      |s AS (
+      |  SELECT *, SUM(qty) OVER (PARTITION BY l_partkey) AS sum_q,
+      |         COUNT(*) OVER (PARTITION BY l_partkey) AS cnt_q
+      |  FROM f)
+      |SELECT p_brand,
+      |  CAST(SUM(price_cents) AS BIGINT) AS small_rev_cents,
+      |  COUNT(*) AS small_lines
+      |FROM s WHERE 5 * qty * cnt_q < sum_q
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_idle_customers: the TPC-H Q22 "global sales opportunity" SHAPE —
+  // customers from a nation subset whose balance exceeds the average
+  // POSITIVE balance of that subset, and who have placed no RECENT
+  // orders (none since 1999 — every synthetic customer has some order,
+  // so the interesting population is the lapsed one, exactly Q22's
+  // spirit). Two classic decorrelations in one query: (1) the
+  // scalar-subquery threshold becomes a 1-row aggregate
+  // crossJoin-broadcast onto the customer scan (no per-row subquery, no
+  // unpartitioned window); the above-average test stays exact-integer —
+  // bal > sum/n ⇔ bal·n > sum; (2) NOT EXISTS(recent orders) becomes a
+  // LEFT ANTI join against the DISTINCT custkey projection of the
+  // date-pruned orders scan — at 100 TB the anti join shuffles only the
+  // narrow key column of each side, with map-side partial distinct
+  // collapsing the ~10-per-customer duplication before the exchange,
+  // and the date filter reaching the parquet scan as a pushed predicate.
+  // Output: per-nation count + total balance of the idle above-average
+  // customers.
+  // -------------------------------------------------------------------
+  private def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val sel = t(spark, dir, "customer")
+      .filter(col("c_nationkey") < 10)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_cents"))
+    val thr = sel.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("thr_sum"), count(lit(1)).as("thr_n"))
+    sel.crossJoin(broadcast(thr))
+      .filter(col("bal_cents") * col("thr_n") > col("thr_sum"))
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal_cents")).as("total_bal_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  private val idleCustomersSql =
+    """WITH sel AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_nationkey < 10),
+      |thr AS (
+      |  SELECT SUM(bal_cents) AS thr_sum, COUNT(*) AS thr_n
+      |  FROM sel WHERE bal_cents > 0)
+      |SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(bal_cents) AS BIGINT) AS total_bal_cents
+      |FROM sel, thr
+      |WHERE bal_cents * thr_n > thr_sum
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = sel.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_small_quantity"    -> (smallQuantity _),
+    "ax_idle_customers"    -> (idleCustomers _),
     "ax_late_suppliers"    -> (lateSuppliers _),
     "ax_nullsafe_join"     -> (nullsafeJoin _),
     "ax_revenue_share"     -> (revenueShare _),
@@ -921,6 +1032,8 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_small_quantity"    -> smallQuantitySql,
+    "ax_idle_customers"    -> idleCustomersSql,
     "ax_late_suppliers"    -> lateSuppliersSql,
     "ax_nullsafe_join"     -> nullsafeJoinSql,
     "ax_revenue_share"     -> revenueShareSql,

@@ -647,7 +647,86 @@ object EventsOps {
   private[graft] def ntileApproxFrame(spark: SparkSession, dir: String): DataFrame =
     ntileApprox(spark, dir)
 
+  // -------------------------------------------------------------------
+  // ax_ewma_smooth: exponentially-weighted moving average over the
+  // daily per-type revenue series — the standard smoothing primitive
+  // for monitoring/forecasting pipelines. Two scale decisions:
+  //
+  //   1. EXACT INTEGERS, not floating point. With α = 1/5 the weight of
+  //      lag j is 4^j/5^(j+1); truncating to a W = 12-day window and
+  //      scaling by 5^12 makes every weight the exact BIGINT
+  //      4^j·5^(11-j), so `ewma_scaled = Σ w_j·x_{d-j}` is
+  //      order-independent and bit-identical across engines (a naive
+  //      double recurrence is neither). True EWMA = ewma_scaled/5^12.
+  //      (The tail beyond 12 lags carries (4/5)^12 ≈ 6.9% of the mass —
+  //      the truncation is the documented semantics, not an error.)
+  //   2. NO per-key ordered window and NO range join on the
+  //      low-cardinality event_type key. The fact table collapses to
+  //      the calendar-bounded daily aggregate first (one shuffle,
+  //      map-side partials); the rolling weighted sum is then an
+  //      EXPLODE-TO-ANCHOR equi-join: each daily row fans out to the 12
+  //      anchor days it contributes to (crossJoin with the broadcast
+  //      12-row weight table — a map-side flatMap), and a hash
+  //      aggregate on (event_type, anchor_day) — a high-cardinality
+  //      key — sums the weighted contributions. The final inner join
+  //      back to `daily` keeps only anchors that are real data days and
+  //      attaches the unsmoothed value. At 100 TB the only
+  //      data-proportional stage is the first aggregate; everything
+  //      after is calendar-sized.
+  // -------------------------------------------------------------------
+  private val EwmaW = 12
+  /** lag-j weight scaled by 5^12: 4^j·5^(11-j), exact in Long. */
+  private val ewmaWeights: Seq[(Int, Long)] =
+    Seq.tabulate(EwmaW) { j =>
+      j -> (math.pow(4, j) * math.pow(5, EwmaW - 1 - j)).toLong
+    }
+
+  private def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x_cents"))
+    val w = broadcast(ewmaWeights.toDF("lag", "w"))
+    val contrib = daily.crossJoin(w)
+      .select(col("event_type"),
+        date_add(col("day"), col("lag")).as("anchor"),
+        (col("x_cents") * col("w")).as("wx"))
+    val g = contrib.groupBy(col("event_type"), col("anchor"))
+      .agg(sum(col("wx")).as("ewma_scaled"),
+        count(lit(1)).as("lags_present"))
+      .withColumnRenamed("event_type", "g_type")
+    g.join(daily,
+        col("g_type") === col("event_type") && col("anchor") === col("day"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x_cents"), col("ewma_scaled"), col("lags_present"))
+      .orderBy("event_type", "day")
+  }
+
+  private val ewmaSmoothSql = {
+    val values = ewmaWeights
+      .map { case (j, w) => s"($j, ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS x_cents
+       |  FROM events GROUP BY 1, 2),
+       |w(lag, w) AS (VALUES $values),
+       |contrib AS (
+       |  SELECT d.event_type, d.day + w.lag AS anchor, d.x_cents * w.w AS wx
+       |  FROM daily d, w),
+       |g AS (
+       |  SELECT event_type, anchor,
+       |    CAST(SUM(wx) AS BIGINT) AS ewma_scaled,
+       |    COUNT(*) AS lags_present
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       |  d.x_cents, g.ewma_scaled, g.lags_present
+       |FROM g JOIN daily d ON g.event_type = d.event_type AND g.anchor = d.day
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_ewma_smooth"      -> (ewmaSmooth _),
     "ax_ntile_bins"       -> (ntileBins _),
     "ax_ntile_approx"     -> (ntileApprox _),
     "ax_corrupt_ingest"   -> (corruptIngest _),
@@ -666,6 +745,7 @@ object EventsOps {
     "ax_xml_roundtrip"   -> (xmlRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_ewma_smooth"      -> ewmaSmoothSql,
     "ax_ntile_bins"       -> ntileBinsSql,
     "ax_ntile_approx"     -> ntileApproxSql,
     "ax_corrupt_ingest"   -> corruptIngestSql,

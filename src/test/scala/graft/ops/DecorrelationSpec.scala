@@ -85,4 +85,96 @@ class DecorrelationSpec extends AnyFunSuite {
       assert(joined.filter(col("clean_hash") =!= col("norm_hash")).count() == 0)
     } finally joined.unpersist()
   }
+
+  test("ax_small_quantity equals the correlated scalar-subquery Q17 form") {
+    Seq("part", "lineitem").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet")
+        .createOrReplaceTempView(s"q17_$t")
+    }
+    // Textbook Q17 phrasing: per-row correlated average. Spark's
+    // optimizer decorrelates it its own way; results must match our
+    // single-shuffle window formulation exactly.
+    val textbook = spark.sql(
+      """SELECT p.p_brand,
+        |  SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS small_rev_cents,
+        |  COUNT(*) AS small_lines
+        |FROM q17_lineitem l JOIN q17_part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 5
+        |  AND l.l_quantity < 0.2 * (SELECT AVG(l2.l_quantity)
+        |                            FROM q17_lineitem l2
+        |                            JOIN q17_part p2 ON l2.l_partkey = p2.p_partkey
+        |                            WHERE p2.p_size <= 5
+        |                              AND l2.l_partkey = l.l_partkey)
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val ours = Extensions.queries("ax_small_quantity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(ours.nonEmpty, "fixture must produce small-quantity revenue")
+    assert(ours.toSeq == textbook.toSeq)
+  }
+
+  test("ax_idle_customers equals the correlated scalar + NOT EXISTS Q22 form") {
+    Seq("customer", "orders").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet")
+        .createOrReplaceTempView(s"q22_$t")
+    }
+    val textbook = spark.sql(
+      """SELECT c.c_nationkey, COUNT(*) AS numcust,
+        |  SUM(CAST(round(c.c_acctbal*100) AS BIGINT)) AS total_bal_cents
+        |FROM q22_customer c
+        |WHERE c.c_nationkey < 10
+        |  AND CAST(round(c.c_acctbal*100) AS BIGINT) >
+        |      (SELECT AVG(CAST(round(c2.c_acctbal*100) AS BIGINT))
+        |       FROM q22_customer c2
+        |       WHERE c2.c_nationkey < 10
+        |         AND c2.c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM q22_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val ours = Extensions.queries("ax_idle_customers")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(ours.nonEmpty, "fixture must contain lapsed above-average customers")
+    // NOTE the textbook AVG is a double and ours is the exact-integer
+    // bal·n > sum test; they agree unless a balance lands exactly on
+    // the average, which round(·*100) cents make measure-zero here.
+    assert(ours.toSeq == textbook.toSeq)
+  }
+
+  test("ax_ewma_smooth matches the driver-side truncated recurrence") {
+    val out = Extensions.queries("ax_ewma_smooth")(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.nonEmpty)
+    // independent recomputation: collect the daily series (calendar-
+    // sized) and apply the scaled truncated-window definition directly
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    byType.foreach { case (et, rows) =>
+      val series = rows.map { case (_, d, x) =>
+        java.time.LocalDate.parse(d, fmt) -> x
+      }.toMap
+      series.keys.foreach { d =>
+        val expected = (0 until 12).flatMap { j =>
+          series.get(d.minusDays(j)).map { x =>
+            (x * (math.pow(4, j) * math.pow(5, 11 - j)).toLong, 1L)
+          }
+        }
+        val (s, n) = expected.foldLeft((0L, 0L)) {
+          case ((a, b), (x, c)) => (a + x, b + c)
+        }
+        val got = out((et, d.format(fmt)))
+        assert(got._2 == s, s"$et $d scaled ewma")
+        assert(got._3 == n, s"$et $d lags present")
+      }
+    }
+  }
 }
