@@ -323,11 +323,231 @@ object Graph {
       |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
       |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, t""".stripMargin
 
+  // -------------------------------------------------------------------
+  // The STRONG co-purchase graph: pairs co-purchased in at least two
+  // distinct orders. A free derivative of the shared pairCounts
+  // substrate (one filter — no new self-join), and the interesting
+  // graph for traversal queries: the n≥1 graph is near-complete at
+  // every SF (min degree 42 at sf0.01 — BFS saturates at hop 1 and
+  // every small core is trivial), while the multiplicity filter keeps
+  // the heavy-tailed structure that traversals are built for.
+  // -------------------------------------------------------------------
+  private def strongEdges(spark: SparkSession, dir: String): DataFrame =
+    pairCounts(spark, dir).filter(col("n") >= 2).select("a", "b")
+
+  /** Shared SQL prefix: the strong edge list, symmetrized, plus its
+    * node set — the oracle-side twin of [[strongEdges]].
+    */
+  private val strongSqlPrefix =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n
+      |      FROM li a JOIN li b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2),
+      |e AS (SELECT a, b FROM p WHERE n >= 2),
+      |es AS (SELECT a AS src, b AS dst FROM e
+      |       UNION ALL SELECT b, a FROM e)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_bfs_hops: multi-source breadth-first search — "how far is every
+  // product from the promoted set?", the reachability primitive under
+  // recommendation blast-radius and feature-propagation queries. Seeds
+  // are the deterministic id-residue set (v ≡ 0 mod 97); depth ≤ 3.
+  //
+  // Scale shape: frontier-synchronous BFS, the only formulation that
+  // works on a distributed engine. The symmetrized strong edge list is
+  // hash-placed on src ONCE and persisted (same placement discipline
+  // as the PageRank loop); each round is one co-partitioned join of
+  // the (small) frontier against the in-place edges, an anti-join
+  // against the visited set to keep the frontier minimal — THE
+  // invariant that bounds total work at O(edges) across all rounds
+  // instead of O(paths), which on a dense graph is the difference
+  // between linear and combinatorial — and a localCheckpoint to keep
+  // lineage O(1) in depth. The visited table has one row per REACHED
+  // node and is never broadcast. Oracle: a recursive CTE whose UNION
+  // (not UNION ALL) recursion dedups (v, hop) states — the same
+  // O(nodes·depth) bound — then MIN(hop) per node.
+  // -------------------------------------------------------------------
+  private def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val und = strongEdges(spark, dir)
+    val edges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .repartition(n, col("src")).persist()
+    val seeds = edges.select(col("src").as("v")).distinct()
+      .filter(pmod(col("v"), lit(97)) === 0)
+    var visited = seeds.withColumn("hop", lit(0L)).localCheckpoint()
+    var frontier = visited.select("v")
+    for (h <- 1 to 3) {
+      val next = edges.join(frontier.hint("shuffle_hash"),
+          edges("src") === frontier("v"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited.select("v").hint("shuffle_hash"), Seq("v"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next.select("v")
+    }
+    val out = visited.groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("hop")
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
+
+  private val bfsHopsSql =
+    s"""$strongSqlPrefix,
+       |seeds AS (SELECT DISTINCT src AS v FROM es WHERE src % 97 = 0),
+       |bfs AS (
+       |  SELECT v, 0 AS hop FROM seeds
+       |  UNION
+       |  SELECT es.dst AS v, b.hop + 1 AS hop
+       |  FROM bfs b JOIN es ON es.src = b.v
+       |  WHERE b.hop < 3),
+       |m AS (SELECT v, MIN(hop) AS hop FROM bfs GROUP BY 1)
+       |SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_nodes
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+      .replace("WITH li AS", "WITH RECURSIVE li AS")
+
+  /** One steady-state BFS round's physical plan, exposed for
+    * PlanShapeSpec: edges persisted on src, frontier/visited
+    * checkpointed, exactly the loop's inputs. The guard requires
+    * broadcast-free joins (the frontier is one row per newly-reached
+    * NODE — on a dense graph that is most of the graph by hop 2).
+    */
+  private[graft] def bfsRoundPlan(spark: SparkSession,
+      dir: String): org.apache.spark.sql.execution.SparkPlan = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val und = strongEdges(spark, dir)
+    val edges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .repartition(n, col("src")).persist()
+    edges.count()
+    val visited = edges.select(col("src").as("v")).distinct()
+      .filter(pmod(col("v"), lit(97)) === 0)
+      .withColumn("hop", lit(0L)).localCheckpoint()
+    val frontier = visited.select("v")
+    val round = edges.join(frontier.hint("shuffle_hash"),
+        edges("src") === frontier("v"))
+      .select(col("dst").as("v")).distinct()
+      .join(visited.select("v").hint("shuffle_hash"), Seq("v"), "left_anti")
+    val plan = round.queryExecution.executedPlan
+    edges.unpersist()
+    plan
+  }
+
+  // -------------------------------------------------------------------
+  // ax_kcore: k-core decomposition by iterative peeling — the standard
+  // "dense substructure" primitive (community cores, spam rings,
+  // robust-seed selection). Repeatedly delete nodes of degree < k
+  // until the remainder is stable; what survives is the maximal
+  // subgraph of minimum degree ≥ k.
+  //
+  // Scale shape: the distributed peel is degree-aggregate + two
+  // SEMI-joins per round (edges ⋉ surviving nodes on each endpoint) —
+  // the edge table never carries payload, the node table is one row
+  // per node and never broadcast... and, critically, the edge set
+  // only SHRINKS, so each round costs at most the previous round's
+  // edges. localCheckpoint per round keeps lineage O(1); the fixpoint
+  // test compares edge counts (the count is needed anyway to
+  // materialize the checkpoint). Rounds are O(peel depth) — 11 at
+  // gate scale. The oracle replays the identical peel as generated
+  // chained CTEs with a 24-round margin; peeling is idempotent after
+  // convergence, so the fixed unroll equals the fixpoint.
+  // -------------------------------------------------------------------
+  private val CoreK = 3
+  private val OracleRounds = 24
+
+  private def kcore(spark: SparkSession, dir: String): DataFrame = {
+    var edges = strongEdges(spark, dir).localCheckpoint()
+    var nEdges = edges.count()
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 64) {
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= CoreK).select("v")
+      val pruned = edges
+        .join(keep.select(col("v").as("a")).hint("shuffle_hash"), Seq("a"),
+          "left_semi")
+        .join(keep.select(col("v").as("b")).hint("shuffle_hash"), Seq("b"),
+          "left_semi")
+        .localCheckpoint()
+      val m = pruned.count()
+      if (m == nEdges) done = true
+      else { edges = pruned; nEdges = m }
+      rounds += 1
+    }
+    val nodes = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    nodes.agg(count(lit(1)).as("core_nodes"), min(col("deg")).as("min_core_deg"))
+      .crossJoin(broadcast(
+        edges.agg(count(lit(1)).as("core_edges"))))
+      .select(lit(CoreK.toLong).as("k"), col("core_nodes"),
+        col("core_edges"), col("min_core_deg"))
+      .localCheckpoint()
+  }
+
+  /** One peel round's physical plan, exposed for PlanShapeSpec: the
+    * surviving-node semi-joins must be shuffled-hash, never broadcast
+    * (`keep` has one row per surviving NODE).
+    */
+  private[graft] def kcorePeelPlan(spark: SparkSession,
+      dir: String): org.apache.spark.sql.execution.SparkPlan = {
+    val edges = strongEdges(spark, dir).localCheckpoint()
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val keep = deg.filter(col("deg") >= CoreK).select("v")
+    edges
+      .join(keep.select(col("v").as("a")).hint("shuffle_hash"), Seq("a"),
+        "left_semi")
+      .join(keep.select(col("v").as("b")).hint("shuffle_hash"), Seq("b"),
+        "left_semi")
+      .queryExecution.executedPlan
+  }
+
+  private val kcoreSql = {
+    // every round MATERIALIZED: DuckDB inlines plain CTEs, and a chain
+    // where each round references its predecessor three times would
+    // otherwise expand ~3^24 scans
+    val rounds = (1 to OracleRounds).map { i =>
+      val prev = if (i == 1) "e" else s"e${i - 1}"
+      s"""k$i AS MATERIALIZED (SELECT v FROM (
+         |  SELECT v, COUNT(*) AS deg FROM
+         |    (SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev) u$i
+         |  GROUP BY 1) d$i WHERE deg >= $CoreK),
+         |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+         |  WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    val last = s"e$OracleRounds"
+    s"""${strongSqlPrefix.replace("e AS (SELECT a, b FROM p",
+          "e AS MATERIALIZED (SELECT a, b FROM p")},
+       |$rounds
+       |SELECT CAST($CoreK AS BIGINT) AS k,
+       |  (SELECT COUNT(DISTINCT v) FROM
+       |    (SELECT a AS v FROM $last UNION ALL SELECT b FROM $last) un)
+       |    AS core_nodes,
+       |  (SELECT COUNT(*) FROM $last) AS core_edges,
+       |  (SELECT MIN(deg) FROM
+       |    (SELECT COUNT(*) AS deg FROM
+       |      (SELECT a AS v FROM $last UNION ALL SELECT b FROM $last) un2
+       |     GROUP BY v) dd) AS min_core_deg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_triangle_count" -> (triangleCount _),
-    "ax_pagerank_parts" -> (pagerankParts _))
+    "ax_pagerank_parts" -> (pagerankParts _),
+    "ax_bfs_hops"       -> (bfsHops _),
+    "ax_kcore"          -> (kcore _))
 
   val oracleSql: Map[String, String] = Map(
     "ax_triangle_count" -> triangleCountSql,
-    "ax_pagerank_parts" -> pagerankPartsSql)
+    "ax_pagerank_parts" -> pagerankPartsSql,
+    "ax_bfs_hops"       -> bfsHopsSql,
+    "ax_kcore"          -> kcoreSql)
 }

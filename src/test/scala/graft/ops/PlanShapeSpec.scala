@@ -165,6 +165,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both degree attaches must be shuffled-hash joins:\n$plan")
   }
 
+  test("bfs round never broadcasts the frontier or visited set") {
+    // both are one-row-per-reached-NODE tables; on a dense graph the
+    // frontier is most of the graph by hop 2 — broadcasting it inside
+    // the loop is the same OOM as broadcasting pagerank's rank table
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = Graph.bfsRoundPlan(spark, dir)
+    val plan = top match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val names = plan.collect { case n => n.nodeName }
+    assert(!names.exists(_.contains("Broadcast")),
+      s"no per-node table may broadcast inside a BFS round:\n$plan")
+    assert(names.count(_.startsWith("ShuffledHashJoin")) >= 1,
+      s"the frontier expansion must be a shuffled-hash join:\n$plan")
+  }
+
+  test("kcore peel round survives on shuffled-hash semi-joins") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val top = Graph.kcorePeelPlan(spark, dir)
+    val plan = top match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val names = plan.collect { case n => n.nodeName }
+    assert(!names.exists(_.contains("Broadcast")),
+      s"the surviving-node table must never broadcast:\n$plan")
+    assert(names.count(_.startsWith("ShuffledHashJoin")) >= 2,
+      s"both endpoint filters must be shuffled-hash semi-joins:\n$plan")
+  }
+
   test("semdedup candidates come from a cluster-keyed join, never all-pairs") {
     // the SemDeDup contract: pair scoring is bounded by the k-means
     // cluster — a cartesian/BNL product is the all-pairs comparison
