@@ -335,7 +335,52 @@ object Lifecycle {
       |    AS global_id
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // tx_weighted_sample: weighted sampling without replacement by
+  // SEQUENTIAL POISSON SAMPLING (Ohlsson '98; order-equivalent to
+  // Duffield–Lund–Thorup priority sampling): every unit gets the
+  // priority ξ_i = u_i / w_i and the sample is the n smallest
+  // priorities — inclusion probability ≈ proportional to weight
+  // (n_chars here: longer documents proportionally likelier, the
+  // standard size-weighted corpus subsample).
+  //
+  // Determinism discipline: u_i is the portable 60-bit hash of the
+  // salted doc id — no RNG state, any engine recomputes the identical
+  // sample — and the priority is the INTEGER quotient h div w rather
+  // than a float u/w, so cross-engine float division can never reorder
+  // near-ties (both engines truncate non-negative integer division
+  // identically; the quotient keeps ~10^14 resolution at w ≈ 10^4).
+  //
+  // Scale shape: one codegen'd projection, then orderBy+limit plans as
+  // TakeOrderedAndProject — per-partition n-element heaps and a single
+  // driver merge of P·n rows. No global sort, no shuffle of the
+  // corpus; the classic distributed-top-n shape, which is exactly why
+  // the priority-order formulation (vs per-unit Poisson trials with a
+  // calibrated threshold) is the one that survives 100 TB.
+  // -------------------------------------------------------------------
+  private val WSampleN = 200
+  private val WSampleSalt = "wsamp1|"
+
+  private def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (PortableHash.hashCol(concat(lit(WSampleSalt), col("doc_id")))
+          .cast("long")).as("h"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("h div greatest(n_chars, 1)").as("pri"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+      .limit(WSampleN)
+
+  private val weightedSampleSql = {
+    val h = PortableHash.hashSql(s"'$WSampleSalt' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, lang, n_chars,
+       |  $h // GREATEST(n_chars, 1) AS pri
+       |FROM documents
+       |ORDER BY pri ASC, doc_id ASC LIMIT $WSampleN""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_weighted_sample" -> (weightedSample _),
     "ax_compact_files"  -> (compactFiles _),
     "ax_time_travel"    -> (timeTravel _),
     "tx_shard_export"   -> (shardExport _),
@@ -343,6 +388,7 @@ object Lifecycle {
     "tx_assign_ids"     -> (assignIds _))
 
   val oracleSql: Map[String, String] = Map(
+    "tx_weighted_sample" -> weightedSampleSql,
     "ax_compact_files"  -> compactFilesSql,
     "ax_time_travel"    -> timeTravelSql,
     "tx_shard_export"   -> shardExportSql,

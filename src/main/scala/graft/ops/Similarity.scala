@@ -982,7 +982,68 @@ object Similarity {
        |  hits_rerank, CAST(hits_rerank * 50 AS BIGINT) AS recall_rerank_pm,
        |  sum_exact_d, sum_adc_d FROM ha, hr, se, sp""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sim_mips_norm: MAX-INNER-PRODUCT search via the norm-augmentation
+  // reduction (Bachrach et al. '14 / Shrivastava-Li asymmetric LSH).
+  // MIPS — "highest raw dot product", the scoring rule when embedding
+  // NORM carries signal (recommender item popularity, learned
+  // importance) — admits no direct cosine/L2 ANN index because inner
+  // product violates the triangle inequality. The classic fix: append
+  // one coordinate √(M²−‖x‖²) to every corpus vector (M = max norm)
+  // and 0 to the query; augmented vectors all have norm M, so
+  //   cos(x̃, q̃) = ⟨x,q⟩ / (M·‖q‖)
+  // — a CONSTANT denominator — and cosine order over the augmented
+  // space IS inner-product order, unlocking every cosine-ANN tier
+  // above (LSH buckets, IVF, PQ) for MIPS workloads.
+  //
+  // The augmented coordinate never needs materializing: the augmented
+  // cosine is computable from the integer dot and the two integer
+  // squared norms alone, so the whole reduction stays in the
+  // deterministic quantized algebra — the query emits BOTH the raw
+  // integer dot (the MIPS answer) and the augmented cosine, and the
+  // orderings provably coincide row for row. Scale shape: M² is a
+  // 1-row partial aggregate; scoring is the same single
+  // broadcast-probe scan as every brute tier; top-k plans as
+  // TakeOrderedAndProject.
+  // -------------------------------------------------------------------
+  private def mipsNorm(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("q").as("query_q"),
+        dotLong(col("q"), col("q")).as("s_qq"))
+    val m2 = e.filter(col("vec_id") =!= 0)
+      .select(max(dotLong(col("q"), col("q"))).as("m2"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .crossJoin(broadcast(m2))
+      .withColumn("dot", dotLong(col("q"), col("query_q")))
+      .withColumn("cos_aug_e6",
+        expr("""CAST(floor((1000000.0 * CAST(dot AS DOUBLE)) /
+                sqrt(CAST(m2 AS DOUBLE) * CAST(s_qq AS DOUBLE))) AS BIGINT)"""))
+      .select(col("vec_id"), col("dot"), col("cos_aug_e6"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  private val mipsNormSql =
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |qq AS (SELECT q, ${PortableHash.dotSqlDuck("q", "q")} AS s_qq
+       |       FROM qt WHERE vec_id = 0),
+       |m AS (SELECT MAX(${PortableHash.dotSqlDuck("q", "q")}) AS m2
+       |      FROM qt WHERE vec_id <> 0),
+       |scored AS (SELECT t.vec_id,
+       |    ${PortableHash.dotSqlDuck("t.q", "qq.q")} AS dot,
+       |    qq.s_qq, m.m2
+       |  FROM qt t, qq, m WHERE t.vec_id <> 0)
+       |SELECT vec_id, dot,
+       |  CAST(floor((1000000.0 * CAST(dot AS DOUBLE)) /
+       |    sqrt(CAST(m2 AS DOUBLE) * CAST(s_qq AS DOUBLE))) AS BIGINT)
+       |    AS cos_aug_e6
+       |FROM scored
+       |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mips_norm"      -> (mipsNorm _),
     "sim_pq_topk"        -> (pqTopk _),
     "sim_pq_recall"      -> (pqRecall _),
     "sim_quantize_audit" -> (quantizeAudit _),
@@ -1000,6 +1061,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_mips_norm"      -> mipsNormSql,
     "sim_pq_topk"        -> pqTopkSql,
     "sim_pq_recall"      -> pqRecallSql,
     "sim_quantize_audit" -> quantizeAuditSql,

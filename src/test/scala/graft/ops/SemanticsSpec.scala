@@ -403,4 +403,29 @@ class SemanticsSpec extends AnyFunSuite {
       assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
     assert(rows.map(_.getInt(0)).distinct.length == rows.length)
   }
+
+  test("mips augmented-cosine order coincides with inner-product order") {
+    // the whole point of the norm-augmentation reduction: cosine over
+    // the augmented space must rank exactly like the raw dot product
+    val rows = Extensions.queries("sim_mips_norm")(spark, dir).collect()
+    assert(rows.length > 1)
+    val dots = rows.map(_.getLong(1))
+    val cos = rows.map(_.getLong(2))
+    assert(dots.zip(dots.tail).forall { case (a, b) => a >= b })
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+      "augmented cosine must be non-increasing wherever dot is")
+    // strict dot gaps may collapse to floor-ties in cosine, but a
+    // cosine INVERSION would break the reduction
+  }
+
+  test("weighted sample prefers heavy documents") {
+    val sample = Extensions.queries("tx_weighted_sample")(spark, dir)
+    val sampleMean = sample.agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val corpusMean = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    // size-weighted inclusion: the sample's mean size must exceed the
+    // corpus mean (deterministic here — the hash fixes the sample)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
 }
