@@ -141,6 +141,28 @@ object StreamingGate {
       |FROM tot t LEFT JOIN best b ON t.user_id = b.user_id
       |ORDER BY t.user_id""".stripMargin
 
+  /** CHAINED stateful aggregation streamed end-to-end (hourly tier →
+    * daily tier in ONE query — see EventsStream.dailyChained). Append
+    * mode: the sink holds exactly the daily windows finalized by the
+    * shared watermark, so the oracle's horizon predicate is
+    * day_end ≤ max(ts) − 2h — one declarative statement of the
+    * two-tier finalization rule.
+    */
+  private def chainedAggStreamed(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventsStream.dailyChained(eventsStream(spark, dir)),
+      "st_chained_agg_sink", "append")(spark)
+      .orderBy("day", "event_type")
+
+  private val chainedAggStreamedSql =
+    """WITH mx AS (SELECT MAX(ts) AS mts FROM events)
+      |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents
+      |FROM events, mx
+      |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= mts - INTERVAL 2 HOUR
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** 2h-sliding-1h window counts streamed end-to-end; oracle expands
     * each event into its two covering windows (hour and hour − 1h)
     * and aggregates — the batch statement of sliding-window semantics.
@@ -708,6 +730,7 @@ object StreamingGate {
     "st_static_join"       -> (staticJoinStreamed _),
     "st_stream_join"       -> (streamJoinStreamed _),
     "st_file_sink"         -> (fileSinkStreamed _),
+    "st_chained_agg"       -> (chainedAggStreamed _),
     "st_sliding_counts"    -> (slidingStreamed _),
     "st_events_hourly"     -> (hourlyStreamed _),
     "st_dedup_events"      -> (dedupStreamed _),
@@ -728,6 +751,7 @@ object StreamingGate {
     "st_static_join"       -> staticJoinStreamedSql,
     "st_stream_join"       -> streamJoinStreamedSql,
     "st_file_sink"         -> fileSinkStreamedSql,
+    "st_chained_agg"       -> chainedAggStreamedSql,
     "st_sliding_counts"    -> slidingStreamedSql,
     "st_events_hourly"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_dedup_events"      -> dedupStreamedSql,

@@ -59,6 +59,31 @@ object EventsStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("cnt"))
 
+  /** CHAINED stateful aggregation (Spark ≥ 3.4 multiple-stateful-
+    * operator support): hourly tumbling counts re-aggregated to daily
+    * totals INSIDE one streaming query, by re-windowing the first
+    * aggregate's `window` struct column. The production shape for
+    * cascading rollups (minute→hour→day dashboards): the second tier's
+    * state holds one row per (day, type) — it aggregates the first
+    * tier's ~24×-smaller output, never raw events — and both tiers
+    * share one watermark, so a day finalizes in the same micro-batch
+    * that finalizes its last hour. The pre-3.4 workaround (two queries
+    * glued by an intermediate sink) pays a full sink/source round-trip
+    * and loses end-to-end exactly-once across the tiers.
+    */
+  def dailyChained(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("cents")).as("sum_value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("cnt"), col("sum_value_cents"))
+
   /** exactly-once per event_id within the watermark horizon */
   def dedupEvents(events: DataFrame): DataFrame =
     events
