@@ -99,11 +99,71 @@ object DataQuality {
       |WHERE (e.u*n - s)*(e.u*n - s) > 9*(n*ss - s*s)
       |ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_benford: first-significant-digit distribution audit (Benford's
+  // law) over order totals — the classic fraud/synthetic-data smell
+  // test: organically-scaled magnitudes put digit d first with
+  // probability log10(1 + 1/d); fabricated or truncated populations
+  // don't. Two determinism choices: the leading digit is extracted
+  // from the DECIMAL STRING of integer cents (substr of a cast — no
+  // float log10 whose rounding could differ per engine at digit
+  // boundaries), and the expected frequencies are PRECOMPUTED integer
+  // ppm literals shared by both engines. Scale shape: one map-side
+  // projection into a 9-bucket hash aggregate (9 rows move per
+  // mapper at any SF), then the expected-table attach is a broadcast
+  // of 9 literal rows. Output: per digit, observed n, observed ppm
+  // (exact integer division), expected ppm, absolute deviation ppm.
+  // -------------------------------------------------------------------
+  private val benfordPpm: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  private def benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exp = broadcast(benfordPpm.toDF("digit", "expected_ppm")
+      .select(col("digit").cast("long").as("digit"), col("expected_ppm")))
+    val obs = spark.read.parquet(s"$dir/orders.parquet")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum(col("n")).as("total"))
+    obs.crossJoin(broadcast(tot))
+      .join(exp, Seq("digit"))
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) div total").as("observed_ppm"),
+        col("expected_ppm"),
+        abs(expr("(1000000 * n) div total") - col("expected_ppm"))
+          .as("abs_dev_ppm"))
+      .orderBy("digit")
+  }
+
+  private val benfordSql = {
+    val values = benfordPpm
+      .map { case (d, p) => s"($d, ${p}::BIGINT)" }.mkString(", ")
+    s"""WITH obs AS (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    COUNT(*) AS n
+       |  FROM (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents
+       |        FROM orders) t
+       |  WHERE cents > 0 GROUP BY 1),
+       |tot AS (SELECT SUM(n) AS total FROM obs),
+       |exp(digit, expected_ppm) AS (VALUES $values)
+       |SELECT o.digit, o.n,
+       |  (1000000 * o.n) // t.total AS observed_ppm,
+       |  e.expected_ppm,
+       |  abs((1000000 * o.n) // t.total - e.expected_ppm) AS abs_dev_ppm
+       |FROM obs o, tot t JOIN exp e ON o.digit = e.digit
+       |ORDER BY o.digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_profile"  -> (profile _),
-    "ax_outliers" -> (outliers _))
+    "ax_outliers" -> (outliers _),
+    "ax_benford"  -> (benford _))
 
   val oracleSql: Map[String, String] = Map(
     "ax_profile"  -> profileSql,
-    "ax_outliers" -> outliersSql)
+    "ax_outliers" -> outliersSql,
+    "ax_benford"  -> benfordSql)
 }

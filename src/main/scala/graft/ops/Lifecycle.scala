@@ -111,7 +111,7 @@ object Lifecycle {
   // -------------------------------------------------------------------
   private[ops] def tableLogPath(spark: SparkSession, dir: String): java.io.File = {
     val path = FixtureCache.dir("tlog", dir,
-      "del" -> 83, "upd" -> 91, "ins" -> 101)
+      "del" -> 83, "upd" -> 91, "ins" -> 101, "cmp" -> 3)
     if (!new java.io.File(path, "_COMMITTED").exists()) {
       val base = ordersKc(spark, dir)
       base.write.mode("overwrite").parquet(s"$path/v1_base")
@@ -125,9 +125,21 @@ object Lifecycle {
           .crossJoin(broadcast(maxKey))
           .select((col("k") + col("mxk")).as("k"), lit(77L).as("cents")))
         .write.mode("overwrite").parquet(s"$path/v2_delta")
+      // v3: a COMPACTION commit — the merge-on-read v2 state rewritten
+      // as one consolidated base, superseding v1_base/v2_del/v2_delta.
+      // Same change rules as the v2 read path; gives the vacuum planner
+      // a real expiration frontier.
+      base.filter(pmod(col("k"), lit(83)) =!= 0 && pmod(col("k"), lit(91)) =!= 0)
+        .unionAll(base.filter(pmod(col("k"), lit(91)) === 0)
+          .select(col("k"), (col("cents") + 3).as("cents")))
+        .unionAll(base.filter(pmod(col("k"), lit(101)) === 0)
+          .crossJoin(broadcast(maxKey))
+          .select((col("k") + col("mxk")).as("k"), lit(77L).as("cents")))
+        .write.mode("overwrite").parquet(s"$path/v3_base")
       val manifest =
         """{"version": 1, "base": "v1_base", "deletes": null, "delta": null}
           |{"version": 2, "base": "v1_base", "deletes": "v2_del", "delta": "v2_delta"}
+          |{"version": 3, "base": "v3_base", "deletes": null, "delta": null}
           |""".stripMargin
       java.nio.file.Files.write(
         new java.io.File(path, "manifest.json").toPath,
@@ -182,6 +194,57 @@ object Lifecycle {
        |UNION ALL
        |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(cents) AS BIGINT) FROM v2
        |ORDER BY version""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_vacuum_plan: SNAPSHOT EXPIRATION planning over the commit
+  // manifest — the other half of the time-travel contract: which data
+  // file sets may be physically deleted once only the latest version
+  // is retained? A file set expires iff NO retained version references
+  // it (v3's compaction superseded v1_base/v2_del/v2_delta here — the
+  // expiration frontier a real vacuum walks). The reference census
+  // runs driver-side over MANIFEST rows (KBs at any table size — the
+  // same listing every table format's vacuum reads); the only
+  // distributed work is the per-file-set row count, a metadata-cheap
+  // parquet count per set. Nothing is deleted — the operator EMITS the
+  // plan (dispositions + reclaimable row volume), which is how a
+  // production vacuum should stage anyway (plan, audit, then execute).
+  // -------------------------------------------------------------------
+  private def vacuumPlan(spark: SparkSession, dir: String): DataFrame = {
+    val log = tableLogPath(spark, dir)
+    val manifest = spark.read.json(s"$log/manifest.json")
+      .select("version", "base", "deletes", "delta")
+      .collect() // bounded by version count — manifest rows, never data
+    val retained = manifest.map(_.getLong(0)).max
+    val refs: Seq[(String, Long)] = manifest.toSeq.flatMap { r =>
+      Seq(1, 2, 3).flatMap(i =>
+        if (r.isNullAt(i)) None else Some(r.getString(i) -> r.getLong(0)))
+    }
+    refs.groupBy(_._1).toSeq.sortBy(_._1).map { case (fs, rs) =>
+      val kept = rs.count(_._2 == retained).toLong
+      spark.read.parquet(s"$log/$fs")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(fs).as("file_set"), col("n_rows"),
+          lit(rs.size.toLong).as("refs_total"),
+          lit(kept).as("refs_retained"),
+          lit(if (kept > 0) "keep" else "expire").as("disposition"))
+    }.reduce(_ unionAll _).orderBy("file_set")
+  }
+
+  private val vacuumPlanSql =
+    s"""WITH base AS ($ordersKcSql),
+       |c AS (SELECT
+       |  (SELECT COUNT(*) FROM base) AS n_base,
+       |  (SELECT COUNT(*) FROM base WHERE k % 83 = 0 OR k % 91 = 0) AS n_del,
+       |  (SELECT COUNT(*) FROM base WHERE k % 91 = 0)
+       |    + (SELECT COUNT(*) FROM base WHERE k % 101 = 0) AS n_delta)
+       |SELECT 'v1_base' AS file_set, n_base AS n_rows,
+       |  2::BIGINT AS refs_total, 0::BIGINT AS refs_retained,
+       |  'expire' AS disposition FROM c
+       |UNION ALL SELECT 'v2_del', n_del, 1, 0, 'expire' FROM c
+       |UNION ALL SELECT 'v2_delta', n_delta, 1, 0, 'expire' FROM c
+       |UNION ALL SELECT 'v3_base', n_base - n_del + n_delta, 1, 1, 'keep'
+       |FROM c
+       |ORDER BY file_set""".stripMargin
 
   // -------------------------------------------------------------------
   // tx_shard_export: DETERMINISTIC TRAINING-SHARD EXPORT — the last
@@ -381,6 +444,7 @@ object Lifecycle {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_weighted_sample" -> (weightedSample _),
+    "ax_vacuum_plan"    -> (vacuumPlan _),
     "ax_compact_files"  -> (compactFiles _),
     "ax_time_travel"    -> (timeTravel _),
     "tx_shard_export"   -> (shardExport _),
@@ -389,6 +453,7 @@ object Lifecycle {
 
   val oracleSql: Map[String, String] = Map(
     "tx_weighted_sample" -> weightedSampleSql,
+    "ax_vacuum_plan"    -> vacuumPlanSql,
     "ax_compact_files"  -> compactFilesSql,
     "ax_time_travel"    -> timeTravelSql,
     "tx_shard_export"   -> shardExportSql,

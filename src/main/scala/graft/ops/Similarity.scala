@@ -1042,7 +1042,55 @@ object Similarity {
        |FROM scored
        |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sim_hard_negatives: HARD-NEGATIVE MINING for contrastive training —
+  // for each anchor vector, the most-similar vector with a DIFFERENT
+  // label (the "hardest" negative: maximum dot among impostors). The
+  // contrastive/metric-learning data loop lives on this operator; easy
+  // random negatives teach nothing at scale.
+  //
+  // Scale shape: the anchor set is the deterministic id-residue sample
+  // (vec_id ≡ 0 mod 50) — a bounded panel that BROADCASTS; the corpus
+  // makes ONE scan, scoring each row against all anchors map-side
+  // (work = corpus × anchors, linear in the corpus for a fixed panel),
+  // and the per-anchor argmax is max(struct(dot, −vec_id)) — a
+  // map-side-combining hash aggregate holding ONE row per anchor per
+  // mapper, never a per-anchor sort. Mining negatives for EVERY corpus
+  // vector instead is the batch-kNN problem — that path is
+  // sim_knn_batch's typed TopK aggregator; this panel shape is the one
+  // you run continuously during training. Deterministic ties: lowest
+  // vec_id wins.
+  // -------------------------------------------------------------------
+  private def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val anchors = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("q").as("a_q"))
+    e.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("a_label"))
+      .withColumn("dot", dotLong(col("q"), col("a_q")))
+      .groupBy("a_id")
+      .agg(max(struct(col("dot"), (-col("vec_id")).as("neg_vid"))).as("m"))
+      .select(col("a_id").as("anchor_id"),
+        (-col("m.neg_vid")).as("neg_id"), col("m.dot").as("dot"))
+      .orderBy("anchor_id")
+  }
+
+  private val hardNegativesSql =
+    s"""WITH qt AS (SELECT vec_id, label, $quantizeDuck AS q FROM embeddings),
+       |anc AS (SELECT vec_id AS a_id, label AS a_label, q AS a_q
+       |        FROM qt WHERE vec_id % 50 = 0),
+       |scored AS (SELECT a.a_id, t.vec_id,
+       |    ${PortableHash.dotSqlDuck("t.q", "a.a_q")} AS dot
+       |  FROM qt t JOIN anc a ON t.label <> a.a_label),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY a_id ORDER BY dot DESC, vec_id ASC) AS rn
+       |      FROM scored)
+       |SELECT a_id AS anchor_id, vec_id AS neg_id, dot
+       |FROM r WHERE rn = 1 ORDER BY anchor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hard_negatives" -> (hardNegatives _),
     "sim_mips_norm"      -> (mipsNorm _),
     "sim_pq_topk"        -> (pqTopk _),
     "sim_pq_recall"      -> (pqRecall _),
@@ -1061,6 +1109,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_hard_negatives" -> hardNegativesSql,
     "sim_mips_norm"      -> mipsNormSql,
     "sim_pq_topk"        -> pqTopkSql,
     "sim_pq_recall"      -> pqRecallSql,
