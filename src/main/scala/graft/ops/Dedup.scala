@@ -1437,7 +1437,95 @@ object Dedup {
        |  CAST(COALESCE(SUM(chars), 0) AS BIGINT) FROM s3
        |ORDER BY stage""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dd_bloom_para: APPROXIMATE-MEMBERSHIP ingest dedup — the
+  // steady-state shape when the historical corpus is too large to keep
+  // an exact key index hot: represent history only by a BLOOM SKETCH
+  // of its paragraph hashes (built once, mergeable across shards, a
+  // few bits per paragraph instead of 16+ bytes per key), and screen
+  // each incoming delta paragraph with might_contain. "Definitely new"
+  // paragraphs (the vast majority of healthy ingest) skip the
+  // expensive path entirely; only "possibly seen" ones go to exact
+  // verification — the same two-tier economics as LSH-then-verify,
+  // with the membership tier costing O(bits), not O(keys).
+  //
+  // The gate pins the two properties that make the screen SAFE:
+  // NO FALSE NEGATIVES (every truly-seen paragraph is flagged — a miss
+  // here silently re-admits a duplicate; guaranteed by construction,
+  // asserted by exact count) and a BOUNDED false-positive rate (sized
+  // ~1% here, gated at ≤5% — FPs only cost redundant verification).
+  // Exact membership truth comes from the full-md5 key join; the bloom
+  // is probed with the 60-bit portable hash of the SAME chunk, so a
+  // member's probe key is always present. Delta/history = the id
+  // residue split (doc_id ≡ 0 mod 10), same convention as
+  // dd_incremental_dup.
+  // -------------------------------------------------------------------
+  private val BloomParaW = 16
+
+  private def bloomPara(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Sketches
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normCol.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), split(col("norm"), " ").as("w"))
+      .withColumn("pos",
+        explode(sequence(lit(0L), expr(s"(size(w) - 1) div $BloomParaW"))))
+      .select(col("doc_id"),
+        expr(s"array_join(slice(w, CAST(pos*$BloomParaW + 1 AS INT), " +
+          s"$BloomParaW), ' ')").as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("hm"),
+        PortableHash.hashCol(col("chunk")).as("hl"))
+    val hist = chunks.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val delta = chunks.filter(pmod(col("doc_id"), lit(10)) === 0)
+    // sketch sized from the measured build cardinality (the
+    // ax_bloom_join discipline): ~9.6 bits/key for 1% fpp
+    val n = math.max(hist.count(), 1024L)
+    val bits = math.ceil(n * 9.6).toLong
+    val bloom = hist.agg(
+      Sketches.bloomFilterAgg(col("hl"), n, bits).as("bf")).scalar()
+    val members = hist.select(col("hm")).distinct()
+      .withColumn("is_member", lit(1L))
+    delta
+      .withColumn("flagged",
+        Sketches.mightContain(bloom, col("hl")).cast("long"))
+      .join(members, Seq("hm"), "left")
+      .agg(count(lit(1)).as("n_delta_chunks"),
+        sum(coalesce(col("is_member"), lit(0L))).as("n_member_chunks"),
+        sum(when(col("is_member").isNotNull && col("flagged") === 0, 1L)
+          .otherwise(0L)).as("fn_chunks"),
+        sum(when(col("is_member").isNull && col("flagged") === 1, 1L)
+          .otherwise(0L)).as("fp_chunks"))
+      .select(col("n_delta_chunks"), col("n_member_chunks"),
+        col("fn_chunks"),
+        (col("fp_chunks") * 100 <=
+          (col("n_delta_chunks") - col("n_member_chunks")) * 5)
+          .cast("long").as("fp_rate_ok"))
+  }
+
+  private val bloomParaSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) n
+       |  WHERE length(norm) > 0),
+       |occ AS (
+       |  SELECT doc_id,
+       |    array_to_string(w[CAST(pos*$BloomParaW + 1 AS BIGINT):
+       |      CAST(pos*$BloomParaW + $BloomParaW AS BIGINT)], ' ') AS chunk
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(0, (len(w) - 1) // $BloomParaW + 1)) AS pos
+       |        FROM d) x),
+       |hist AS (SELECT DISTINCT chunk FROM occ WHERE doc_id % 10 <> 0),
+       |delta AS (SELECT chunk FROM occ WHERE doc_id % 10 = 0)
+       |SELECT COUNT(*) AS n_delta_chunks,
+       |  CAST(COUNT(*) FILTER (WHERE chunk IN (SELECT chunk FROM hist))
+       |    AS BIGINT) AS n_member_chunks,
+       |  CAST(0 AS BIGINT) AS fn_chunks,
+       |  CAST(1 AS BIGINT) AS fp_rate_ok
+       |FROM delta""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_bloom_para"     -> (bloomPara _),
     "dd_curation_funnel" -> (curationFunnel _),
     "dd_dup_clusters"   -> (dupClusters _),
     "dd_cc_bigstar"     -> (ccBigStar _),
@@ -1460,6 +1548,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dd_bloom_para"     -> bloomParaSql,
     "dd_curation_funnel" -> curationFunnelSql,
     "dd_dup_clusters"   -> dupClustersSql,
     "dd_cc_bigstar"     -> dupClustersSql,

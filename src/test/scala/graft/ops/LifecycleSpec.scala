@@ -66,11 +66,21 @@ class LifecycleSpec extends AnyFunSuite {
 
   test("time travel rejects an uncommitted version") {
     val log = Lifecycle.tableLogPath(spark, dir)
-    // version 3 is not in the manifest; asOf must fail loudly, not
+    // version 4 is not in the manifest; asOf must fail loudly, not
     // silently serve the latest snapshot
     intercept[IllegalArgumentException] {
-      Lifecycle.asOf(spark, log, 3L)
+      Lifecycle.asOf(spark, log, 4L)
     }
+  }
+
+  test("the v3 compaction commit reads identically to the v2 MoR state") {
+    val log = Lifecycle.tableLogPath(spark, dir)
+    def audit(v: Long) =
+      Lifecycle.asOf(spark, log, v)
+        .agg(count(lit(1)), sum("cents"), expr("bit_xor(k * 31 + cents)"))
+        .collect()(0)
+    // compaction must be a pure LAYOUT change: same rows, same content
+    assert(audit(2L) === audit(3L))
   }
 
   test("tx_shard_export writes exactly one file per shard directory") {
