@@ -229,7 +229,65 @@ object Curation {
        |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS best_doc
        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // tx_dup_ngram_rate: CORPUS-LEVEL n-gram duplication rate per source —
+  // the diversity number behind "Deduplicating Training Data Makes
+  // Language Models Better" (Lee et al.): what fraction of a source's
+  // gram OCCURRENCES is text that also appears in at least one other
+  // document? Pairwise near-dup (dd_*) finds the offending pairs; this
+  // is the corpus-level health metric you trend per source per
+  // snapshot to decide which source needs the expensive pass at all.
+  //
+  // Scale shape: one tokenize pass; both sides of the final join are
+  // AGGREGATES of the occurrence stream — the document-frequency table
+  // (distinct (gram, doc) → per-gram doc count) and the per-(gram,
+  // source) occurrence counts — so the raw occurrence volume crosses
+  // the wire once into each hash aggregate (map-side combining) and
+  // the join moves only gram-keyed aggregate rows, never re-shuffling
+  // text. Exact integer ppm output.
+  // -------------------------------------------------------------------
+  private def dupNgramRate(spark: SparkSession, dir: String): DataFrame = {
+    val occ = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        split(TextAnalysis.normCol, " ").as("w"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(gramsExpr)).as("gram"))
+    val docf = occ.select(col("gram"), col("doc_id")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+    val oc = occ.groupBy("gram", "source").agg(count(lit(1)).as("n_occ"))
+    oc.join(docf, Seq("gram"))
+      .groupBy("source")
+      .agg(sum(col("n_occ")).as("n_grams"),
+        sum(when(col("n_docs") >= 2, col("n_occ")).otherwise(0L))
+          .as("n_dup_grams"))
+      .select(col("source"), col("n_grams"), col("n_dup_grams"),
+        expr("(1000000 * n_dup_grams) div n_grams").as("dup_ppm"))
+      .orderBy("source")
+  }
+
+  private val dupNgramRateSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, source, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) n),
+       |occ AS (
+       |  SELECT doc_id, source, unnest($gramsSqlDuck) AS gram FROM d),
+       |docf AS (
+       |  SELECT gram, COUNT(*) AS n_docs
+       |  FROM (SELECT DISTINCT gram, doc_id FROM occ) u GROUP BY 1),
+       |oc AS (
+       |  SELECT gram, source, COUNT(*) AS n_occ FROM occ GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(SUM(n_occ) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT)
+       |    AS n_dup_grams,
+       |  (1000000 * SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END))
+       |    // SUM(n_occ) AS dup_ppm
+       |FROM oc JOIN docf USING (gram)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_dup_ngram_rate" -> (dupNgramRate _),
     "tx_decontam"       -> (decontam _),
     "tx_decontam_fuzzy" -> (decontamFuzzy _),
     "tx_redact"         -> (redact _),
@@ -237,6 +295,7 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_dup_ngram_rate" -> dupNgramRateSql,
     "tx_decontam"       -> decontamSql,
     "tx_decontam_fuzzy" -> decontamFuzzySql,
     "tx_redact"         -> redactSql,

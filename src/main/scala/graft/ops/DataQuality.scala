@@ -157,13 +157,68 @@ object DataQuality {
        |ORDER BY o.digit""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ax_disorder_audit: EVENT-TIME DISORDER measurement — the number
+  // that SIZES WATERMARKS. Per user, walk events in arrival order
+  // (event_id) and measure how far each event's timestamp lags the
+  // running maximum seen so far; the per-type rollup (inversion count,
+  // max and total lag) is exactly the evidence a pipeline owner needs
+  // to choose `withWatermark`'s delay: a watermark below max_delay_sec
+  // drops data (see st_late_drop), one far above it holds state for
+  // nothing. Scale shape: the ordered window partitions by USER — a
+  // high-cardinality key, millions of small sorted partitions, the
+  // opposite of the low-cardinality trap — and the per-type rollup is
+  // a map-side-combining hash aggregate of 4 rows per mapper.
+  // first-row NULL handling is pinned explicitly (coalesce to own ts →
+  // delay 0); Spark's greatest() skips NULLs where DuckDB's propagates
+  // them, a cross-engine divergence that must never decide a row.
+  // -------------------------------------------------------------------
+  private def disorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev_max", max(col("sec")).over(w))
+      .withColumn("delay",
+        greatest(lit(0L), coalesce(col("prev_max"), col("sec")) - col("sec")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("delay") > 0).cast("long")).as("n_late"),
+        max(col("delay")).as("max_delay_sec"),
+        sum(col("delay")).as("sum_delay_sec"))
+      .orderBy("event_type")
+  }
+
+  private val disorderAuditSql =
+    """WITH e AS (
+      |  SELECT event_type, user_id, event_id,
+      |    CAST(epoch(ts) AS BIGINT) AS sec
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, sec,
+      |    MAX(sec) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN COALESCE(prev_max, sec) - sec > 0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(MAX(GREATEST(0, COALESCE(prev_max, sec) - sec)) AS BIGINT)
+      |    AS max_delay_sec,
+      |  CAST(SUM(GREATEST(0, COALESCE(prev_max, sec) - sec)) AS BIGINT)
+      |    AS sum_delay_sec
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_profile"  -> (profile _),
     "ax_outliers" -> (outliers _),
-    "ax_benford"  -> (benford _))
+    "ax_benford"  -> (benford _),
+    "ax_disorder_audit" -> (disorderAudit _))
 
   val oracleSql: Map[String, String] = Map(
     "ax_profile"  -> profileSql,
     "ax_outliers" -> outliersSql,
-    "ax_benford"  -> benfordSql)
+    "ax_benford"  -> benfordSql,
+    "ax_disorder_audit" -> disorderAuditSql)
 }
