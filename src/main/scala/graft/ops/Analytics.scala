@@ -998,7 +998,60 @@ object Analytics {
       |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_join_explosion: JOIN-CARDINALITY PRE-ESTIMATION — compute the
+  // exact output size of an equi-join from per-key histograms BEFORE
+  // running it: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k). The guard every
+  // pipeline needs in front of a suspicious join: the profile costs
+  // two narrow key-count aggregates plus a join OF AGGREGATES (rows ∝
+  // distinct keys, not facts) — orders of magnitude cheaper than
+  // discovering the explosion by running it, and the same arithmetic
+  // flags the skew contribution (max single-key product) that decides
+  // salting. The gate then runs the real join and asserts the
+  // prediction EXACTLY — for an equi-join the histogram estimate is
+  // not an estimate, it is an identity, which is precisely why it is
+  // trustworthy enough to gate a 100 TB job on. (The fact-side join
+  // here is lineitem⋈orders per orderkey — predicted, then measured.)
+  // -------------------------------------------------------------------
+  private def joinExplosion(spark: SparkSession, dir: String): DataFrame = {
+    val ca = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("na"))
+    val cb = t(spark, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("nb"))
+    val pred = ca.join(cb, Seq("k"))
+      .agg(sum(col("na") * col("nb")).as("predicted_rows"),
+        max(col("na") * col("nb")).as("max_key_rows"),
+        count(lit(1)).as("n_join_keys"))
+    val actual = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    pred.crossJoin(broadcast(actual))
+      .select(col("predicted_rows"), col("actual_rows"),
+        (col("predicted_rows") === col("actual_rows")).cast("long")
+          .as("prediction_exact"),
+        col("max_key_rows"), col("n_join_keys"))
+  }
+
+  private val joinExplosionSql =
+    """WITH ca AS (SELECT l_orderkey AS k, COUNT(*) AS na
+      |            FROM lineitem GROUP BY 1),
+      |cb AS (SELECT o_orderkey AS k, COUNT(*) AS nb
+      |       FROM orders GROUP BY 1),
+      |p AS (SELECT CAST(SUM(na*nb) AS BIGINT) AS predicted_rows,
+      |        CAST(MAX(na*nb) AS BIGINT) AS max_key_rows,
+      |        COUNT(*) AS n_join_keys
+      |      FROM ca JOIN cb USING (k)),
+      |a AS (SELECT COUNT(*) AS actual_rows
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT predicted_rows, actual_rows,
+      |  CAST(CASE WHEN predicted_rows = actual_rows THEN 1 ELSE 0 END
+      |    AS BIGINT) AS prediction_exact,
+      |  max_key_rows, n_join_keys
+      |FROM p, a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_join_explosion"    -> (joinExplosion _),
     "ax_small_quantity"    -> (smallQuantity _),
     "ax_idle_customers"    -> (idleCustomers _),
     "ax_late_suppliers"    -> (lateSuppliers _),
@@ -1032,6 +1085,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_join_explosion"    -> joinExplosionSql,
     "ax_small_quantity"    -> smallQuantitySql,
     "ax_idle_customers"    -> idleCustomersSql,
     "ax_late_suppliers"    -> lateSuppliersSql,

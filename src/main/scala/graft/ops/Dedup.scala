@@ -1524,7 +1524,60 @@ object Dedup {
        |  CAST(1 AS BIGINT) AS fp_rate_ok
        |FROM delta""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dd_lsh_tuning: the banded-LSH S-CURVE as an operator — for every
+  // verified near-dup pair, the THEORETICAL capture probability
+  // p(s) = 1 − (1 − s^r)^b of the implemented config (b=8, r=4 over 32
+  // hashes) and of the alternative banding of the SAME signatures
+  // (b=16, r=2), evaluated at the pair's exact Jaccard. This is the
+  // tuning table for the only real LSH knob: more bands/shorter rows
+  // shifts the S-curve left (higher recall at low similarity, more
+  // candidate volume); the operator shows, on the corpus's OWN
+  // similarity spectrum, what each config would catch — next to
+  // dd_lsh_recall's empirical recall and dd_minhash_est's estimator
+  // error, completing the measured LSH design loop.
+  //
+  // Determinism: the curve is float math, so both engines evaluate the
+  // IDENTICAL IEEE operation chain — powers are unrolled into repeated
+  // self-multiplication (no libm pow, whose rounding may differ per
+  // engine), then floored to permille. Scale: one projection over the
+  // session-cached verified-pair table; output ∝ pairs.
+  // -------------------------------------------------------------------
+  private def lshTuningChains: (String, String) = {
+    def sq(x: String) = s"($x * $x)"
+    val s = "(CAST(jaccard_pm AS DOUBLE) / 1000.0)"
+    val s4 = sq(sq(s))
+    val s2 = sq(s)
+    val q84 = s"(1.0 - $s4)"  // miss prob per band, r=4
+    val q162 = s"(1.0 - $s2)" // miss prob per band, r=2
+    val cap84 =
+      s"CAST(floor(1000.0 * (1.0 - ${sq(sq(sq(q84)))})) AS BIGINT)"
+    val cap162 =
+      s"CAST(floor(1000.0 * (1.0 - ${sq(sq(sq(sq(q162))))})) AS BIGINT)"
+    (cap84, cap162)
+  }
+
+  private def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val (cap84, cap162) = lshTuningChains
+    minhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_pm"),
+        expr(cap84).as("cap_b8r4_pm"),
+        expr(cap162).as("cap_b16r2_pm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val lshTuningSql = {
+    val (cap84, cap162) = lshTuningChains
+    val pairs = MinHashLsh.oracleSql(wordShingleTokCte)
+    s"""SELECT doc_a, doc_b, jaccard_pm,
+       |  $cap84 AS cap_b8r4_pm,
+       |  $cap162 AS cap_b16r2_pm
+       |FROM ($pairs) vp
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_lsh_tuning"     -> (lshTuning _),
     "dd_bloom_para"     -> (bloomPara _),
     "dd_curation_funnel" -> (curationFunnel _),
     "dd_dup_clusters"   -> (dupClusters _),
@@ -1548,6 +1601,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dd_lsh_tuning"     -> lshTuningSql,
     "dd_bloom_para"     -> bloomParaSql,
     "dd_curation_funnel" -> curationFunnelSql,
     "dd_dup_clusters"   -> dupClustersSql,
