@@ -418,6 +418,35 @@ class SemanticsSpec extends AnyFunSuite {
     // cosine INVERSION would break the reduction
   }
 
+  test("lsh tuning: the finer banding dominates the implemented one") {
+    // 1−(1−s²)¹⁶ ≥ 1−(1−s⁴)⁸ for all s ∈ [0,1] (algebra: reduces to
+    // 2s⁴ ≤ 2s²) — the finer banding buys recall pointwise, paying in
+    // candidate volume. A violation means the unrolled multiply chains
+    // diverged from the curve they claim to compute.
+    val rows = Extensions.queries("dd_lsh_tuning")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(3),
+        s"capture(b16,r2) must dominate capture(b8,r4): $r")
+    }
+  }
+
+  test("benford observed frequencies cover all digits and sum to ~1") {
+    val rows = Extensions.queries("ax_benford")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L),
+      "all nine leading digits must appear")
+    val ppmSum = rows.map(_.getLong(2)).sum
+    // each of 9 floor-divisions can lose <1 ppm
+    assert(ppmSum > 999991 && ppmSum <= 1000000, s"ppm sum $ppmSum")
+  }
+
+  test("join explosion prediction is exact") {
+    val r = Extensions.queries("ax_join_explosion")(spark, dir).collect()(0)
+    assert(r.getLong(2) == 1L, "histogram identity must predict exactly")
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(3) >= 1L && r.getLong(4) >= 1L)
+  }
+
   test("weighted sample prefers heavy documents") {
     val sample = Extensions.queries("tx_weighted_sample")(spark, dir)
     val sampleMean = sample.agg(avg(col("n_chars"))).collect()(0).getDouble(0)
