@@ -281,8 +281,8 @@ object Curation {
        |  CAST(SUM(n_occ) AS BIGINT) AS n_grams,
        |  CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT)
        |    AS n_dup_grams,
-       |  (1000000 * SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END))
-       |    // SUM(n_occ) AS dup_ppm
+       |  CAST((1000000 * SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END))
+       |    // SUM(n_occ) AS BIGINT) AS dup_ppm
        |FROM oc JOIN docf USING (gram)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -150,9 +150,10 @@ object DataQuality {
        |tot AS (SELECT SUM(n) AS total FROM obs),
        |exp(digit, expected_ppm) AS (VALUES $values)
        |SELECT o.digit, o.n,
-       |  (1000000 * o.n) // t.total AS observed_ppm,
+       |  CAST((1000000 * o.n) // t.total AS BIGINT) AS observed_ppm,
        |  e.expected_ppm,
-       |  abs((1000000 * o.n) // t.total - e.expected_ppm) AS abs_dev_ppm
+       |  CAST(abs((1000000 * o.n) // t.total - e.expected_ppm) AS BIGINT)
+       |    AS abs_dev_ppm
        |FROM obs o, tot t JOIN exp e ON o.digit = e.digit
        |ORDER BY o.digit""".stripMargin
   }

@@ -407,7 +407,63 @@ object Maintenance {
       |  (SELECT COUNT(*) FROM base WHERE k % 97 = 0) AS n_appended
       |FROM cur""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_pit_join: POINT-IN-TIME join against the SCD2 dimension — the
+  // query Type-2 history exists FOR: each lineitem shipment priced
+  // against the customer tier VALID AT SHIP DATE (ship dates run up to
+  // ~90 days past the order, so shipments genuinely cross tier-change
+  // boundaries — joining the current tier instead is the classic
+  // silent-leakage bug this operator exists to prevent). Temporal
+  // semantics: [valid_from, valid_to) half-open intervals; ISO date
+  // STRINGS compare lexicographically = chronologically, so the
+  // interval predicate is engine-portable with no timestamp algebra.
+  //
+  // Scale shape: fact→orders is the keyed fact-fact shuffle (orderkey);
+  // the version attach is an equi-join ON THE CUSTOMER KEY followed by
+  // the interval filter — correct and cheap because SCD2 versions per
+  // key are BOUNDED (tier changes, not events), so the pre-filter
+  // fan-out is a small constant; with unbounded intervals per key
+  // you'd switch to the binned range join (ax_interval_errors) or the
+  // as-of union-merge (graft.ops.AsOf). Intervals partition each
+  // customer's timeline from their first sighting on, and every ship
+  // date is ≥ its order's sighting date, so EXACTLY one version
+  // matches per fact row — hence Σ n_lines equals the fact count, an
+  // identity the oracle equality pins.
+  // -------------------------------------------------------------------
+  private def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val facts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+      .join(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val dim = scd2Customer(spark, dir)
+      .select(col("o_custkey").as("d_custkey"), col("priority"),
+        col("valid_from"), col("valid_to"))
+    facts.join(dim, col("o_custkey") === col("d_custkey") &&
+        col("ship") >= col("valid_from") && col("ship") < col("valid_to"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+      .orderBy("priority")
+  }
+
+  private val pitJoinSql =
+    s"""WITH scd AS ($scd2CustomerSql),
+       |f AS (
+       |  SELECT o.o_custkey, strftime(l.l_shipdate, '%Y-%m-%d') AS ship,
+       |    CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100) AS BIGINT)
+       |      AS cents
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       |SELECT s.priority, COUNT(*) AS n_lines,
+       |  CAST(SUM(f.cents) AS BIGINT) AS revenue_cents
+       |FROM f JOIN scd s ON f.o_custkey = s.o_custkey
+       |  AND f.ship >= s.valid_from AND f.ship < s.valid_to
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_pit_join"        -> (pitJoin _),
     "ax_mor_read"        -> (morRead _),
     "ax_table_checksum"  -> (tableChecksum _),
     "ax_scd2_customer"   -> (scd2Customer _),
@@ -417,6 +473,7 @@ object Maintenance {
     "ax_incremental_agg" -> (incrementalAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_pit_join"        -> pitJoinSql,
     "ax_mor_read"        -> morReadSql,
     "ax_table_checksum"  -> tableChecksumSql,
     "ax_scd2_customer"   -> scd2CustomerSql,
