@@ -12,9 +12,15 @@ import pandas as pd
 import hashlib
 
 def canon(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    # STRICT driver-canon replica (tools/check_correctness.py): values
+    # stringified verbatim, so a dtype drift (e.g. DuckDB `//` returning
+    # DOUBLE -> "226333.0" vs BIGINT "226333") FAILS here exactly as it
+    # would at the round gate. No astype coercion anywhere.
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.astype(object).where(pd.notnull(df), None)
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: f"{v}")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def h(df):
     return hashlib.md5(df.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
@@ -41,10 +47,7 @@ def main():
             print(f"{q:28s} ERROR {str(e)[:160]}"); n_fail += 1; continue
         rows = len(sdf) == len(odf)
         schema = list(sdf.columns) == list(odf.columns)
-        try:
-            odf2 = odf.astype(sdf.dtypes.to_dict()) if schema and rows else odf
-        except Exception:
-            odf2 = odf
+        odf2 = odf
         hmatch = rows and schema and h(sdf) == h(odf2)
         ok = rows and schema and hmatch
         n_pass += ok; n_fail += (not ok)
