@@ -1089,7 +1089,93 @@ object Similarity {
        |SELECT a_id AS anchor_id, vec_id AS neg_id, dot
        |FROM r WHERE rn = 1 ORDER BY anchor_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sim_ivf_sweep: the IVF RECALL/COST CURVE measured — for
+  // nprobe ∈ {1, 2, 4}, search only the nprobe query-nearest cells and
+  // report recall@20 against the exact brute-force top-20, plus the
+  // candidate volume scanned. This is the ANN operating-point table:
+  // at 100 TB you pick nprobe from THIS curve (measured on your own
+  // corpus), not from a paper — the same measured-design discipline as
+  // dd_lsh_tuning's S-curve and sim_ann_recall/sim_pq_recall. All
+  // scoring stays in the exact integer dot algebra, so recall is a
+  // deterministic integer in both engines, not a float estimate.
+  // Scale shape per probe: centroid ranking is K rows broadcast; the
+  // cell search scans only the probed partitions' rows; the recall
+  // join intersects two 20-row sets.
+  // -------------------------------------------------------------------
+  private val IvfProbes = Seq(1, 2, 4)
+
+  private def ivfSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val cent = e.groupBy("label")
+      .agg(array((0 until 64).map(d =>
+        floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
+    val query = e.filter(col("vec_id") === 0).select(col("q").as("query_q"))
+    val ranked = cent.crossJoin(broadcast(query))
+      .withColumn("cdot", dotLong(col("centroid"), col("query_q")))
+    val brute = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .withColumn("dot", dotLong(col("q"), col("query_q")))
+      .select(col("vec_id"), col("dot"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id"))
+    IvfProbes.map { np =>
+      val probed = ranked.orderBy(col("cdot").desc, col("label").asc)
+        .limit(np).select(col("label").as("probe_label"), col("query_q"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .join(broadcast(probed), col("label") === col("probe_label"))
+      val scanned = cand.agg(count(lit(1)).as("n_scanned"))
+      val hits = cand
+        .withColumn("dot", dotLong(col("q"), col("query_q")))
+        .select(col("vec_id"), col("dot"))
+        .orderBy(col("dot").desc, col("vec_id").asc)
+        .limit(20)
+        .join(brute, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      scanned.crossJoin(broadcast(hits))
+        .select(lit(np.toLong).as("nprobe"), col("n_scanned"), col("hits"),
+          expr("(1000 * hits) div 20").as("recall_pm"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  private val ivfSweepSql: String = {
+    val centroid = (0 until 64)
+      .map(d => s"CAST(floor(avg(q[${d + 1}])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val blocks = IvfProbes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  (SELECT COUNT(*) FROM qt t
+         |   WHERE t.vec_id <> 0 AND t.label IN
+         |     (SELECT label FROM ranked ORDER BY cdot DESC, label ASC
+         |      LIMIT $np)) AS n_scanned,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT t.vec_id FROM qt t, qq
+         |     WHERE t.vec_id <> 0 AND t.label IN
+         |       (SELECT label FROM ranked ORDER BY cdot DESC, label ASC
+         |        LIMIT $np)
+         |     ORDER BY ${PortableHash.dotSqlDuck("t.q", "qq.q")} DESC,
+         |       t.vec_id ASC LIMIT 20) iv
+         |   WHERE iv.vec_id IN (SELECT vec_id FROM brute)) AS hits""".stripMargin
+    }
+    val union = blocks.mkString("\nUNION ALL\n")
+    s"""WITH qt AS (SELECT vec_id, label, $quantizeDuck AS q FROM embeddings),
+       |cent AS (SELECT label, $centroid AS centroid FROM qt GROUP BY label),
+       |qq AS (SELECT q FROM qt WHERE vec_id = 0),
+       |ranked AS (SELECT c.label,
+       |    ${PortableHash.dotSqlDuck("c.centroid", "qq.q")} AS cdot
+       |  FROM cent c, qq),
+       |brute AS (SELECT t.vec_id FROM qt t, qq WHERE t.vec_id <> 0
+       |  ORDER BY ${PortableHash.dotSqlDuck("t.q", "qq.q")} DESC,
+       |    t.vec_id ASC LIMIT 20)
+       |SELECT nprobe, n_scanned, hits,
+       |  CAST((1000 * hits) // 20 AS BIGINT) AS recall_pm
+       |FROM ($union) s
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_sweep"      -> (ivfSweep _),
     "sim_hard_negatives" -> (hardNegatives _),
     "sim_mips_norm"      -> (mipsNorm _),
     "sim_pq_topk"        -> (pqTopk _),
@@ -1109,6 +1195,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_ivf_sweep"      -> ivfSweepSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_mips_norm"      -> mipsNormSql,
     "sim_pq_topk"        -> pqTopkSql,

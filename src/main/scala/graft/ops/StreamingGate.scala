@@ -141,6 +141,32 @@ object StreamingGate {
       |FROM tot t LEFT JOIN best b ON t.user_id = b.user_id
       |ORDER BY t.user_id""".stripMargin
 
+  /** DEDUP → windowed AGGREGATE chained in one query (see
+    * EventsStream.dedupThenHourly): exactly-once counting over an
+    * at-least-once source. Append mode — the sink holds the hours
+    * finalized by the shared watermark; event_ids are unique in the
+    * fixture, so the batch oracle is the plain hourly rollup under the
+    * same horizon (the dedup tier is exercised, not observable in the
+    * answer — exactly the exactly-once contract).
+    */
+  private def dedupAggStreamed(spark: SparkSession, dir: String): DataFrame =
+    runToTable(EventsStream.dedupThenHourly(eventsStream(spark, dir)),
+      "st_dedup_agg_sink", "append")(spark)
+      .orderBy("hour", "event_type")
+
+  private val dedupAggStreamedSql =
+    """WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+      |u AS (SELECT DISTINCT ON (event_id) event_id, ts, event_type, value
+      |      FROM events ORDER BY event_id, ts)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents
+      |FROM u, mx
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      |      <= mts - INTERVAL 2 HOUR
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** CHAINED stateful aggregation streamed end-to-end (hourly tier →
     * daily tier in ONE query — see EventsStream.dailyChained). Append
     * mode: the sink holds exactly the daily windows finalized by the
@@ -731,6 +757,7 @@ object StreamingGate {
     "st_stream_join"       -> (streamJoinStreamed _),
     "st_file_sink"         -> (fileSinkStreamed _),
     "st_chained_agg"       -> (chainedAggStreamed _),
+    "st_dedup_agg"         -> (dedupAggStreamed _),
     "st_sliding_counts"    -> (slidingStreamed _),
     "st_events_hourly"     -> (hourlyStreamed _),
     "st_dedup_events"      -> (dedupStreamed _),
@@ -752,6 +779,7 @@ object StreamingGate {
     "st_stream_join"       -> streamJoinStreamedSql,
     "st_file_sink"         -> fileSinkStreamedSql,
     "st_chained_agg"       -> chainedAggStreamedSql,
+    "st_dedup_agg"         -> dedupAggStreamedSql,
     "st_sliding_counts"    -> slidingStreamedSql,
     "st_events_hourly"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_dedup_events"      -> dedupStreamedSql,

@@ -90,6 +90,27 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** DEDUP → AGGREGATE chained in one query — the exactly-once counting
+    * shape for at-least-once sources (Kafka replays, retried file
+    * batches): dropDuplicatesWithinWatermark's state screens replays,
+    * the downstream windowed aggregate counts each event exactly once,
+    * and both stateful operators share the watermark so dedup state
+    * evicts on the same horizon that finalizes windows. Without the
+    * chain, replayed events double-count; with a terminal dedup
+    * instead, the aggregate's state would have already absorbed the
+    * duplicate.
+    */
+  def dedupThenHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("cnt"), col("sum_value_cents"))
+
   /** Sessionization: per-user activity sessions closed by a 30-minute
     * inactivity gap (`session_window` — Spark's native session state;
     * merging windows, state dropped once the watermark passes a session's
