@@ -1100,7 +1100,51 @@ object TextAnalysis {
        |ORDER BY lang_a, lang_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // tx_length_buckets: PADDING-EFFICIENCY audit for batched training —
+  // bucket documents by token length into power-of-two context slots
+  // and price each bucket's padding waste exactly. Batching same-slot
+  // documents is the standard fix for the "pad everything to the
+  // global max" waste; this table says, on the corpus's OWN length
+  // distribution, what each slot costs (waste_ppm) and holds
+  // (n_docs, sum_tokens) — the numbers that choose slot boundaries
+  // and flag when sequence-packing (tx_pack_bins) is worth its
+  // shuffle. Buckets are a generated literal CASE ladder shared by
+  // both engines — no float log2 whose ulp could flip an exact-power
+  // boundary. One map-side projection + one ≤8-row hash aggregate.
+  // ---------------------------------------------------------------
+  private val LenBuckets = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  private def bucketCase(tok: String): String =
+    LenBuckets.map(b => s"WHEN $tok <= $b THEN ${b}")
+      .mkString("CASE ", " ", " ELSE 2048 END")
+
+  private def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(tokensCol(normCol).as("tok"))
+      .select(col("tok"), expr(bucketCase("tok")).cast("long").as("slot"))
+      .groupBy("slot")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+      .select(col("slot"), col("n_docs"), col("sum_tokens"),
+        (col("slot") * col("n_docs")).as("padded_tokens"),
+        expr("(1000000 * (slot * n_docs - sum_tokens)) div (slot * n_docs)")
+          .as("waste_ppm"))
+      .orderBy("slot")
+
+  private val lengthBucketsSql =
+    s"""WITH t AS (
+       |  SELECT $tokensSql AS tok
+       |  FROM (SELECT $normSqlDef AS norm FROM documents) n),
+       |b AS (SELECT tok, ${bucketCase("tok")} AS slot FROM t)
+       |SELECT CAST(slot AS BIGINT) AS slot, COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       |  CAST(slot * COUNT(*) AS BIGINT) AS padded_tokens,
+       |  CAST((1000000 * (slot * COUNT(*) - SUM(tok)))
+       |    // (slot * COUNT(*)) AS BIGINT) AS waste_ppm
+       |FROM b GROUP BY slot ORDER BY slot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_length_buckets" -> (lengthBuckets _),
     "tx_hash_embed"    -> (hashEmbed _),
     "tx_quality_logit" -> (qualityLogit _),
     "tx_bpe_train"    -> (bpeTrain _),
@@ -1127,6 +1171,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_length_buckets" -> lengthBucketsSql,
     "tx_hash_embed"    -> hashEmbedSql,
     "tx_quality_logit" -> qualityLogitSql,
     "tx_bpe_train"    -> bpeTrainSql,
