@@ -941,7 +941,10 @@ object Dedup {
     * mapping `sd`), shared by [[semDedupSql]] and the chain-resolving
     * [[semDedupRepSql]] so the two oracles cannot drift.
     */
-  private val semDedupCtes: String =
+  /** The pair-scoring derivation through `scored` (no threshold),
+    * shared with the threshold-sweep oracle.
+    */
+  private val semDedupScoredCtes: String =
     s"""asg AS (SELECT vec_id, cluster
        |    FROM (${Similarity.kmeansAssignOracle}) ka),
        |qt AS (SELECT vec_id,
@@ -957,7 +960,10 @@ object Dedup {
        |scored AS (SELECT cluster, a, b,
        |    CAST(floor(1000.0 * CAST(dot AS DOUBLE) /
        |      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) AS cos_pm
-       |  FROM pairs WHERE na > 0 AND nb > 0),
+       |  FROM pairs WHERE na > 0 AND nb > 0)""".stripMargin
+
+  private val semDedupCtes: String =
+    s"""$semDedupScoredCtes,
        |qual AS (SELECT * FROM scored WHERE cos_pm >= $SemDupPm),
        |sd AS (SELECT b AS vec_id, CAST(cluster AS BIGINT) AS cluster,
        |    min(a) AS rep_id, min_by(cos_pm, a) AS cos_pm
@@ -967,6 +973,65 @@ object Dedup {
     s"""WITH $semDedupCtes
        |SELECT vec_id, cluster, rep_id, cos_pm FROM sd
        |ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dd_semdedup_sweep: the semantic-dedup THRESHOLD CURVE measured —
+  // for τ ∈ {0.25, 0.35, 0.45}: qualifying pair count, pruned count,
+  // kept count, on the corpus's OWN cosine spectrum. SemDeDup's prune
+  // fraction is exquisitely threshold-sensitive (the paper sweeps τ
+  // per corpus); this is the table that choice is made from — the same
+  // measured-design discipline as dd_lsh_tuning (LSH S-curve) and
+  // sim_ivf_sweep (IVF operating points), applied to the semantic
+  // tier. Scale shape: the cluster-bounded pair scan runs ONCE with no
+  // threshold; the whole sweep is conditional aggregates over that one
+  // scan (pairs per τ from the pair stream, pruned per τ from the
+  // per-b MAX-cosine aggregate — b is pruned at τ iff its best
+  // neighbor clears τ). Adding a τ to the sweep costs two columns,
+  // never a second pair scan.
+  // -------------------------------------------------------------------
+  private val SweepPms = Seq(250L, 350L, 450L)
+
+  private def semDedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val v = semDedupVectors(spark, dir).persist()
+    val a = v.select(col("cluster"), col("vec_id").as("a"), col("q").as("qa"))
+    val b = v.select(col("cluster"), col("vec_id").as("b"), col("q").as("qb"))
+    val scored = a.join(b, "cluster").filter(col("a") < col("b"))
+      .withColumn("cos_pm", cosineFloor(col("qa"), col("qb"), 1000.0))
+      .filter(col("cos_pm").isNotNull)
+      .select(col("b"), col("cos_pm"))
+    val pairCols =
+      SweepPms.map(t => sum((col("cos_pm") >= t).cast("long")).as(s"p$t"))
+    val pairAgg = scored.agg(pairCols.head, pairCols.tail: _*)
+    val perB = scored.groupBy("b").agg(max(col("cos_pm")).as("max_cos"))
+    val prunedCols =
+      SweepPms.map(t => sum((col("max_cos") >= t).cast("long")).as(s"d$t"))
+    val prunedAgg = perB.agg(prunedCols.head, prunedCols.tail: _*)
+    val nVec = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(count(lit(1)).as("n_vec"))
+    val base = pairAgg.crossJoin(broadcast(prunedAgg))
+      .crossJoin(broadcast(nVec)).localCheckpoint()
+    v.unpersist()
+    SweepPms.map { t =>
+      base.select(lit(t).as("tau_pm"),
+        coalesce(col(s"p$t"), lit(0L)).as("n_pairs"),
+        coalesce(col(s"d$t"), lit(0L)).as("n_pruned"),
+        (col("n_vec") - coalesce(col(s"d$t"), lit(0L))).as("n_kept"))
+    }.reduce(_ unionAll _).orderBy("tau_pm")
+  }
+
+  private val semDedupSweepSql: String = {
+    val rows = SweepPms.map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS tau_pm,
+         |  (SELECT COUNT(*) FROM scored WHERE cos_pm >= $t) AS n_pairs,
+         |  (SELECT COUNT(*) FROM perb WHERE max_cos >= $t) AS n_pruned,
+         |  (SELECT COUNT(*) FROM embeddings)
+         |    - (SELECT COUNT(*) FROM perb WHERE max_cos >= $t) AS n_kept"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $semDedupScoredCtes,
+       |perb AS (SELECT b, MAX(cos_pm) AS max_cos FROM scored GROUP BY b)
+       |SELECT * FROM ($rows) s ORDER BY tau_pm""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // dd_semdedup_rep: EXEMPLAR RESOLUTION over the semdedup prune map —
@@ -1578,6 +1643,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_lsh_tuning"     -> (lshTuning _),
+    "dd_semdedup_sweep" -> (semDedupSweep _),
     "dd_bloom_para"     -> (bloomPara _),
     "dd_curation_funnel" -> (curationFunnel _),
     "dd_dup_clusters"   -> (dupClusters _),
@@ -1602,6 +1668,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "dd_lsh_tuning"     -> lshTuningSql,
+    "dd_semdedup_sweep" -> semDedupSweepSql,
     "dd_bloom_para"     -> bloomParaSql,
     "dd_curation_funnel" -> curationFunnelSql,
     "dd_dup_clusters"   -> dupClustersSql,

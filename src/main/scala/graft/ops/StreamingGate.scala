@@ -353,6 +353,37 @@ object StreamingGate {
       | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
       |ORDER BY purchase_id, view_id""".stripMargin
 
+  /** stream-stream JOIN → windowed AGGREGATE in one query (see
+    * EventsStream.attributionHourly): per-hour attribution-pair counts.
+    * Append mode — the sink holds the hours the shared watermark
+    * finalized; oracle = the batch join + rollup under the same
+    * horizon.
+    */
+  private def joinAggStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val views = eventsStream(spark, dir).filter(col("event_type") === "view")
+    runToTable(
+      graft.streaming.EventsStream.attributionHourly(purchases, views),
+      "st_join_agg_sink", "append")(spark)
+      .orderBy("hour")
+  }
+
+  private val joinAggStreamedSql =
+    """WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+      |j AS (
+      |  SELECT p.ts AS p_ts
+      |  FROM events p JOIN events v
+      |    ON p.event_type = 'purchase' AND v.event_type = 'view'
+      |   AND p.user_id = v.user_id
+      |   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR)
+      |SELECT strftime(date_trunc('hour', p_ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  COUNT(*) AS n_attrib
+      |FROM j, mx
+      |WHERE date_trunc('hour', p_ts) + INTERVAL 1 HOUR
+      |      <= mts - INTERVAL 2 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** stream-stream LEFT SEMI join: "purchases preceded by a view" as a
     * streaming EXISTS — the left row emits AT MOST ONCE, on its first
     * match, and unmatched left rows never emit (no watermark-boundary
@@ -758,6 +789,7 @@ object StreamingGate {
     "st_file_sink"         -> (fileSinkStreamed _),
     "st_chained_agg"       -> (chainedAggStreamed _),
     "st_dedup_agg"         -> (dedupAggStreamed _),
+    "st_join_agg"          -> (joinAggStreamed _),
     "st_sliding_counts"    -> (slidingStreamed _),
     "st_events_hourly"     -> (hourlyStreamed _),
     "st_dedup_events"      -> (dedupStreamed _),
@@ -780,6 +812,7 @@ object StreamingGate {
     "st_file_sink"         -> fileSinkStreamedSql,
     "st_chained_agg"       -> chainedAggStreamedSql,
     "st_dedup_agg"         -> dedupAggStreamedSql,
+    "st_join_agg"          -> joinAggStreamedSql,
     "st_sliding_counts"    -> slidingStreamedSql,
     "st_events_hourly"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_dedup_events"      -> dedupStreamedSql,

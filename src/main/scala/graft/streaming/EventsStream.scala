@@ -171,6 +171,31 @@ object EventsStream {
     else joined.select(col("purchase_id"), col("view_id"))
   }
 
+  /** STREAM-STREAM JOIN → windowed AGGREGATE chained in one query —
+    * the attribution-rollup shape (conversions joined to their
+    * preceding touches, counted per hour) that pre-3.4 required two
+    * queries around an intermediate sink. Both join sides and the
+    * aggregate share the 2h watermark: join state evicts and windows
+    * finalize on the same horizon, and an inner-join row flows into
+    * the aggregate in the micro-batch it matches.
+    */
+  def attributionHourly(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "2 hours").select(
+      col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"))
+    val v = views.withWatermark("ts", "2 hours").select(
+      col("user_id").as("v_user"), col("ts").as("v_ts"))
+    p.join(v,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(window(col("p_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_attrib"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n_attrib"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: per-user lifetime
     * stats plus the longest streak of consecutive `purchase` events in
     * event order — a state machine windowed aggregation cannot express
