@@ -1050,7 +1050,45 @@ object Analytics {
       |  max_key_rows, n_join_keys
       |FROM p, a""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_order_count_dist: the TPC-H Q13 "customer distribution" SHAPE —
+  // how many customers placed exactly k orders, INCLUDING k = 0. The
+  // zero bucket is the whole point (and the classic bug): an inner
+  // join silently drops order-less customers, so the left outer join
+  // must come first and count o_orderkey (not *) so unmatched rows
+  // count as 0. Double aggregation: per-customer counts (shuffle on
+  // the customer key, map-side partials), then the tiny k-histogram.
+  // At 100 TB the first aggregate is the only data-proportional stage;
+  // the histogram is ≤ max-orders-per-customer rows. Output ordered by
+  // descending customer count then k (Q13's own ordering).
+  // -------------------------------------------------------------------
+  private def orderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "customer")
+      .select(col("c_custkey"))
+      .join(t(spark, dir, "orders")
+          .filter(!col("o_orderpriority").startsWith("1"))
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val orderCountDistSql =
+    """WITH per_cust AS (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      |    AND o.o_orderpriority NOT LIKE '1%'
+      |  GROUP BY 1)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM per_cust GROUP BY 1
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_order_count_dist"  -> (orderCountDist _),
     "ax_join_explosion"    -> (joinExplosion _),
     "ax_small_quantity"    -> (smallQuantity _),
     "ax_idle_customers"    -> (idleCustomers _),
@@ -1085,6 +1123,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_order_count_dist"  -> orderCountDistSql,
     "ax_join_explosion"    -> joinExplosionSql,
     "ax_small_quantity"    -> smallQuantitySql,
     "ax_idle_customers"    -> idleCustomersSql,
