@@ -1641,7 +1641,51 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // dd_cc_incremental: INCREMENTAL connected-components maintenance —
+  // the steady-state answer to "new documents arrived; update the
+  // duplicate clusters" without replaying the historical edge set. The
+  // standard contraction trick: yesterday's labeling IS a compressed
+  // graph (each component contracted to a star u→label), so today's
+  // labels = CC over (star edges ∪ delta edges) — a graph of n nodes +
+  // |delta| edges whose star part has depth 1, converging in 1–2
+  // label-propagation rounds regardless of how deep the original
+  // components were. Work ∝ nodes + delta, never ∝ historical EDGES —
+  // at 100 TB the historical pair set (the expensive LSH output) is
+  // never recomputed or rescanned. Delta/history split is the id
+  // residue convention (doc_id ≡ 0 mod 10) shared with
+  // dd_incremental_dup and dd_bloom_para; a delta-touching pair is any
+  // pair with a delta endpoint.
+  //
+  // Correctness cross-check for free: the result must be IDENTICAL to
+  // the from-scratch labeling over the full pair set — the oracle is
+  // the same recursive-CTE clustering that backs dd_dup_clusters and
+  // dd_cc_bigstar, making this the third independent derivation of
+  // the same answer (label-prop, big-star, incremental contraction).
+  // -------------------------------------------------------------------
+  private def ccIncremental(spark: SparkSession, dir: String): DataFrame = {
+    def isDelta(c: Column): Column = pmod(c, lit(10)) === 0
+    val pairs = minhashPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val histPairs = pairs.filter(!isDelta(col("a")) && !isDelta(col("b")))
+    val deltaPairs = pairs.filter(isDelta(col("a")) || isDelta(col("b")))
+    // "yesterday": the labeling of the historical graph
+    val histLabels = connectedComponents(histPairs)
+    // contraction: each labeled node becomes a star edge to its label
+    val stars = histLabels.select(col("u").as("a"), col("label").as("b"))
+      .filter(col("a") =!= col("b"))
+    // "today": CC over the contracted graph + the delta edges only
+    val merged = connectedComponents(stars.unionAll(deltaPairs))
+    docs(spark, dir).select(col("doc_id"))
+      .join(merged.select(col("u").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cc_incremental" -> (ccIncremental _),
     "dd_lsh_tuning"     -> (lshTuning _),
     "dd_semdedup_sweep" -> (semDedupSweep _),
     "dd_bloom_para"     -> (bloomPara _),
@@ -1667,6 +1711,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dd_cc_incremental" -> dupClustersSql,
     "dd_lsh_tuning"     -> lshTuningSql,
     "dd_semdedup_sweep" -> semDedupSweepSql,
     "dd_bloom_para"     -> bloomParaSql,
