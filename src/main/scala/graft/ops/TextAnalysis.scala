@@ -799,6 +799,47 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  // tx_mixture_temperature: TEMPERATURE-SCALED mixture weights — the
+  // other half of the data-mix problem (tx_mixture_sample applies
+  // given rates; this derives them): sampling weight ∝ n_i^α with
+  // α = 1/2, the standard temperature flattening (GPT-3/PaLM use
+  // α ≈ 0.5–0.7) that upweights scarce sources without letting any
+  // source dominate. Determinism: α = 1/2 makes the power an IEEE
+  // sqrt (correctly rounded, identical in both engines — a libm
+  // pow(x, 0.7) would not be), and each sqrt is QUANTIZED to an
+  // integer before the cross-source sum, so no order-dependent double
+  // accumulation ever happens; weights come out in exact ppm. Scale:
+  // per-source counts are one map-side-combining aggregate; the
+  // normalization is a 20-row cross of aggregates.
+  // ---------------------------------------------------------------
+  private def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_scaled",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val tot = src.agg(sum(col("s_scaled")).as("s_total"),
+      sum(col("n_docs")).as("n_total"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(1000000 * n_docs) div n_total").as("raw_ppm"),
+        expr("(1000000 * s_scaled) div s_total").as("temp_ppm"))
+      .orderBy("source")
+  }
+
+  private val mixtureTemperatureSql =
+    """WITH src AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT)
+      |      AS s_scaled
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(s_scaled) AS s_total, SUM(n_docs) AS n_total
+      |        FROM src)
+      |SELECT source, n_docs,
+      |  CAST((1000000 * n_docs) // n_total AS BIGINT) AS raw_ppm,
+      |  CAST((1000000 * s_scaled) // s_total AS BIGINT) AS temp_ppm
+      |FROM src, tot ORDER BY source""".stripMargin
+
   // tx_mixture_sample: DATA-MIX downsampling — hit target per-language
   // proportions by keeping each stratum at its own rate (the "data
   // mixture" step of every LLM corpus build: upweight scarce
@@ -1149,6 +1190,7 @@ object TextAnalysis {
     "tx_quality_logit" -> (qualityLogit _),
     "tx_bpe_train"    -> (bpeTrain _),
     "tx_mixture_sample" -> (mixtureSample _),
+    "tx_mixture_temperature" -> (mixtureTemperature _),
     "tx_approx_topk"  -> (approxTopk _),
     "tx_bm25"         -> (bm25 _),
     "tx_inverted_index" -> (invertedIndex _),
@@ -1176,6 +1218,7 @@ object TextAnalysis {
     "tx_quality_logit" -> qualityLogitSql,
     "tx_bpe_train"    -> bpeTrainSql,
     "tx_mixture_sample" -> mixtureSampleSql,
+    "tx_mixture_temperature" -> mixtureTemperatureSql,
     "tx_approx_topk"  -> approxTopkSql,
     "tx_bm25"         -> bm25Sql,
     "tx_inverted_index" -> invertedIndexSql,
