@@ -462,7 +462,76 @@ object Maintenance {
        |  AND f.ship >= s.valid_from AND f.ship < s.valid_to
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_late_dim_backfill: the LATE-ARRIVING DIMENSION pattern — facts
+  // land before their dimension row exists (new customer signs up, the
+  // dim sync runs nightly). Day-1 attribution left-joins the partial
+  // dim and books unmatched facts under the explicit UNKNOWN member
+  // (dropping them via an inner join is the classic silent-loss bug —
+  // same family as ax_order_count_dist's zero bucket); day-2 backfill
+  // re-resolves ONLY the UNKNOWN bucket against the completed dim.
+  // The audit emits, per segment: day-1 rows, backfilled rows, final
+  // rows — with the UNKNOWN row draining to zero and every segment
+  // satisfying day1 + backfilled = final (the reconciliation identity
+  // the oracle equality pins).
+  //
+  // Scale shape: both passes are broadcast dim joins (the dim is
+  // dimension-sized by definition); the day-2 job's fact input is the
+  // UNKNOWN bucket ONLY — in production you land day-1 output
+  // partitioned by resolution status, so the backfill scan is ∝ late
+  // rows, not ∝ facts. The late-dim split is deterministic
+  // (c_custkey ≡ 0 mod 7 arrives late).
+  // -------------------------------------------------------------------
+  private def lateDimBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val facts = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dimFull = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dimDay1 = dimFull.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+    val day1 = facts.join(broadcast(dimDay1),
+        col("o_custkey") === col("c_custkey"), "left_outer")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+    val unknown = day1.filter(col("segment") === "UNKNOWN")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val backfilled = unknown.join(broadcast(dimFull),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"))
+    val d1 = day1.groupBy("segment").agg(count(lit(1)).as("n_day1"))
+    val bf = backfilled.groupBy("segment").agg(count(lit(1)).as("n_backfilled"))
+    d1.join(bf, Seq("segment"), "full_outer")
+      .select(col("segment"),
+        coalesce(col("n_day1"), lit(0L)).as("n_day1"),
+        coalesce(col("n_backfilled"), lit(0L)).as("n_backfilled"),
+        (when(col("segment") === "UNKNOWN", lit(0L))
+          .otherwise(coalesce(col("n_day1"), lit(0L)) +
+            coalesce(col("n_backfilled"), lit(0L)))).as("n_final"))
+      .orderBy("segment")
+  }
+
+  private val lateDimBackfillSql =
+    """WITH d1 AS (
+      |  SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+      |    COUNT(*) AS n_day1
+      |  FROM orders o LEFT OUTER JOIN customer c
+      |    ON o.o_custkey = c.c_custkey AND c.c_custkey % 7 <> 0
+      |  GROUP BY 1),
+      |bf AS (
+      |  SELECT c.c_mktsegment AS segment, COUNT(*) AS n_backfilled
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey % 7 = 0
+      |  GROUP BY 1)
+      |SELECT COALESCE(d1.segment, bf.segment) AS segment,
+      |  COALESCE(d1.n_day1, 0) AS n_day1,
+      |  COALESCE(bf.n_backfilled, 0) AS n_backfilled,
+      |  CASE WHEN COALESCE(d1.segment, bf.segment) = 'UNKNOWN' THEN 0
+      |       ELSE COALESCE(d1.n_day1, 0) + COALESCE(bf.n_backfilled, 0)
+      |  END AS n_final
+      |FROM d1 FULL OUTER JOIN bf ON d1.segment = bf.segment
+      |ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_late_dim_backfill" -> (lateDimBackfill _),
     "ax_pit_join"        -> (pitJoin _),
     "ax_mor_read"        -> (morRead _),
     "ax_table_checksum"  -> (tableChecksum _),
@@ -473,6 +542,7 @@ object Maintenance {
     "ax_incremental_agg" -> (incrementalAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_late_dim_backfill" -> lateDimBackfillSql,
     "ax_pit_join"        -> pitJoinSql,
     "ax_mor_read"        -> morReadSql,
     "ax_table_checksum"  -> tableChecksumSql,
