@@ -368,17 +368,17 @@ object Graph {
   // (not UNION ALL) recursion dedups (v, hop) states — the same
   // O(nodes·depth) bound — then MIN(hop) per node.
   // -------------------------------------------------------------------
-  private def bfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val n = spark.sessionState.conf.numShufflePartitions
-    val und = strongEdges(spark, dir)
-    val edges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
-      .select(col("a").as("src"), col("b").as("dst"))
-      .repartition(n, col("src")).persist()
-    val seeds = edges.select(col("src").as("v")).distinct()
-      .filter(pmod(col("v"), lit(97)) === 0)
-    var visited = seeds.withColumn("hop", lit(0L)).localCheckpoint()
+  /** Frontier-synchronous BFS levels over a DIRECTED (src, dst) edge
+    * frame from a (v) seed frame: returns (v, hop) min-hop rows up to
+    * `maxHop`. Exposed for GraphFuzzSpec, which cross-checks the
+    * distributed loop against an in-memory BFS on random graphs.
+    */
+  private[graft] def bfsLevels(edges: DataFrame, seeds: DataFrame,
+      maxHop: Int): DataFrame = {
+    var visited = seeds.select(col("v")).withColumn("hop", lit(0L))
+      .localCheckpoint()
     var frontier = visited.select("v")
-    for (h <- 1 to 3) {
+    for (h <- 1 to maxHop) {
       val next = edges.join(frontier.hint("shuffle_hash"),
           edges("src") === frontier("v"))
         .select(col("dst").as("v")).distinct()
@@ -388,7 +388,19 @@ object Graph {
       visited = visited.unionAll(next).localCheckpoint()
       frontier = next.select("v")
     }
-    val out = visited.groupBy("hop")
+    visited
+  }
+
+  private def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val und = strongEdges(spark, dir)
+    val edges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .repartition(n, col("src")).persist()
+    val seeds = edges.select(col("src").as("v")).distinct()
+      .filter(pmod(col("v"), lit(97)) === 0)
+    val out = bfsLevels(edges, seeds, 3)
+      .groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("hop")
       .localCheckpoint()
@@ -459,8 +471,12 @@ object Graph {
   private val CoreK = 3
   private val OracleRounds = 24
 
-  private def kcore(spark: SparkSession, dir: String): DataFrame = {
-    var edges = strongEdges(spark, dir).localCheckpoint()
+  /** Peel an undirected (a, b) edge frame to its k-core fixpoint —
+    * exposed for GraphFuzzSpec, which cross-checks this loop against an
+    * in-memory peel on scalacheck-generated random graphs.
+    */
+  private[graft] def peelFixpoint(edgesIn: DataFrame, k: Int): DataFrame = {
+    var edges = edgesIn.localCheckpoint()
     var nEdges = edges.count()
     var done = false
     var rounds = 0
@@ -468,7 +484,7 @@ object Graph {
       val deg = edges.select(col("a").as("v"))
         .unionAll(edges.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= CoreK).select("v")
+      val keep = deg.filter(col("deg") >= k).select("v")
       val pruned = edges
         .join(keep.select(col("v").as("a")).hint("shuffle_hash"), Seq("a"),
           "left_semi")
@@ -480,6 +496,11 @@ object Graph {
       else { edges = pruned; nEdges = m }
       rounds += 1
     }
+    edges
+  }
+
+  private def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = peelFixpoint(strongEdges(spark, dir), CoreK)
     val nodes = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+
+/** Generative differential tests of the iterative graph loops: random
+  * undirected graphs (Erdős–Rényi-ish, fixed scalacheck seeds so runs
+  * are reproducible) are processed by the DISTRIBUTED loops
+  * (Graph.peelFixpoint, Graph.bfsLevels) and by independent in-memory
+  * reference implementations defined here. The fixture-backed gate
+  * queries pin one graph each; this explores the space between —
+  * disconnected graphs, isolated edges, graphs whose core is empty,
+  * seed sets inside and outside the surviving core.
+  */
+class GraphFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private case class G(n: Int, edges: Set[(Long, Long)])
+
+  private val genGraph: Gen[G] = for {
+    n <- Gen.choose(6, 28)
+    density <- Gen.choose(1, 4)
+    pairs = for { a <- 0 until n; b <- a + 1 until n } yield (a.toLong, b.toLong)
+    picks <- Gen.sequence[Seq[Boolean], Boolean](
+      pairs.map(_ => Gen.frequency(density -> true, 6 -> false)))
+  } yield G(n, pairs.zip(picks).collect { case (p, true) => p }.toSet)
+
+  private def graphs(count: Int, seed: Long): Seq[G] =
+    (0 until count).flatMap(i =>
+      genGraph.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  // ---------------- independent references ----------------
+
+  private def peelRef(edges: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    var es = edges
+    var changed = true
+    while (changed) {
+      val deg = mutable.Map.empty[Long, Int].withDefaultValue(0)
+      es.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+      val keep = deg.collect { case (v, d) if d >= k => v }.toSet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != es.size
+      es = next
+    }
+    es
+  }
+
+  private def bfsRef(edges: Set[(Long, Long)], seeds: Set[Long],
+      maxHop: Int): Map[Long, Long] = {
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    val hop = mutable.Map.empty[Long, Long]
+    seeds.foreach(s => hop(s) = 0L)
+    var frontier = seeds
+    for (h <- 1 to maxHop) {
+      val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .filterNot(hop.contains)
+      next.foreach(v => hop(v) = h.toLong)
+      frontier = next
+    }
+    hop.toMap
+  }
+
+  // ---------------- differential runs ----------------
+
+  test("distributed k-core peel equals the in-memory peel on random graphs") {
+    import spark.implicits._
+    for ((g, i) <- graphs(6, 9021L).zipWithIndex; k <- Seq(2, 3)) {
+      val df = g.edges.toSeq.sortBy(identity).toDF("a", "b")
+      // read by NAME: the left_semi USING-join reorders columns
+      val got = Graph.peelFixpoint(df, k)
+        .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+      val want = peelRef(g.edges, k)
+      assert(got == want,
+        s"graph#$i n=${g.n} |E|=${g.edges.size} k=$k")
+    }
+  }
+
+  test("distributed BFS levels equal the in-memory BFS on random graphs") {
+    import spark.implicits._
+    for ((g, i) <- graphs(6, 40712L).zipWithIndex) {
+      val und = g.edges.toSeq.sortBy(identity).toDF("a", "b")
+      val edges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+        .select(col("a").as("src"), col("b").as("dst"))
+      val seedIds = (0L until g.n.toLong).filter(_ % 5 == 0).toSet
+      val seeds = seedIds.toSeq.sorted.toDF("v")
+      val got = Graph.bfsLevels(edges, seeds, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = bfsRef(g.edges, seedIds, 3)
+      assert(got == want, s"graph#$i n=${g.n} |E|=${g.edges.size}")
+    }
+  }
+}
