@@ -341,7 +341,67 @@ object Stats {
        |FROM est e LEFT JOIN ex x USING (user_id) ORDER BY user_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ax_ab_conversion: the A/B two-proportion z-test — the
+  // experimentation primitive missing between "compute a rate" and
+  // "ship the feature". Cohorts are a deterministic id split (odd vs
+  // even custkey — in production the hashed assignment of
+  // tx_split_assign); conversion = the order is urgent-priority. The
+  // statistic z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) is float math, so both
+  // engines evaluate an IDENTICAL IEEE chain over the exact integer
+  // counts (the dd_lsh_tuning discipline: fixed op order, no library
+  // variance) and floor to milli-units; everything else in the row —
+  // counts, conversions, exact ppm rates — is pure integer. Scale
+  // shape: one fact scan into a 2-row map-side-combining aggregate;
+  // the z computation is arithmetic on 2 rows crossed.
+  // -------------------------------------------------------------------
+  private def abConversion(spark: SparkSession, dir: String): DataFrame = {
+    val g = spark.read.parquet(s"$dir/orders.parquet")
+      .select(pmod(col("o_custkey"), lit(2)).as("grp"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("conv"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val a = g.filter(col("grp") === 0)
+      .select(col("n").as("n1"), col("k").as("k1"))
+    val b = g.filter(col("grp") === 1)
+      .select(col("n").as("n2"), col("k").as("k2"))
+    a.crossJoin(broadcast(b))
+      .select(col("n1"), col("k1"), col("n2"), col("k2"),
+        expr("(1000000 * k1) div n1").as("rate1_ppm"),
+        expr("(1000000 * k2) div n2").as("rate2_ppm"),
+        expr("""CAST(floor(1000.0 * (
+                 (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 - (CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                / sqrt(
+                  (CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))))
+               AS BIGINT)""").as("z_milli"))
+  }
+
+  private val abConversionSql =
+    """WITH g AS (
+      |  SELECT o_custkey % 2 AS grp, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT n AS n1, k AS k1 FROM g WHERE grp = 0),
+      |b AS (SELECT n AS n2, k AS k2 FROM g WHERE grp = 1)
+      |SELECT n1, k1, n2, k2,
+      |  CAST((1000000 * k1) // n1 AS BIGINT) AS rate1_ppm,
+      |  CAST((1000000 * k2) // n2 AS BIGINT) AS rate2_ppm,
+      |  CAST(floor(1000.0 * (
+      |         (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |         - (CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+      |        / sqrt(
+      |          (CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+      |          * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+      |          * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))))
+      |       AS BIGINT) AS z_milli
+      |FROM a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_ab_conversion"   -> (abConversion _),
     "ax_cms_freq"        -> (cmsFreq _),
     "ax_month_end_balance" -> (monthEndBalance _),
     "ax_copurchase"      -> (copurchase _),
@@ -352,6 +412,7 @@ object Stats {
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_ab_conversion"   -> abConversionSql,
     "ax_cms_freq"        -> cmsFreqSql,
     "ax_month_end_balance" -> monthEndBalanceSql,
     "ax_copurchase"      -> copurchaseSql,
