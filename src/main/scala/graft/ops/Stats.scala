@@ -400,7 +400,99 @@ object Stats {
       |       AS BIGINT) AS z_milli
       |FROM a, b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_cuped: CUPED variance reduction (Deng et al. 2013) — the
+  // standard industrial upgrade to ax_ab_conversion's plain
+  // comparison: adjust each unit's experiment-period metric by its own
+  // PRE-period behavior, ŷ = y − θ(x − x̄), θ = cov(x,y)/var(x), which
+  // shrinks metric variance by the squared pre/post correlation
+  // without biasing the group difference (E[x] is assignment-
+  // independent). Here x = pre-1998 spend, y = 1998+ spend per
+  // customer, cohorts by id parity.
+  //
+  // Determinism discipline: every moment (n, Σx, Σy, Σxy, Σx²) is an
+  // EXACT integer in whole dollars (products stay under 2^62 through
+  // sf1; beyond that the two big sums move to DECIMAL(38,0) with the
+  // shape unchanged); θ and the adjusted means are the only float
+  // steps, evaluated as an identical IEEE chain in both engines and
+  // floored to milli-dollars. Scale shape: one per-customer aggregate
+  // (the only data-proportional stage), then a 1-row global moment
+  // aggregate crossed onto a 2-row group aggregate.
+  // -------------------------------------------------------------------
+  private def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("dollars"),
+        (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .as("pre"))
+      .groupBy("o_custkey")
+      .agg(sum(when(col("pre"), col("dollars")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("dollars")).otherwise(0L)).as("y"))
+      .withColumn("grp", pmod(col("o_custkey"), lit(2)))
+    val global = perCust.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val groups = perCust.groupBy("grp")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("x")).as("sxg"), sum(col("y")).as("syg"))
+    groups.crossJoin(broadcast(global))
+      .select(col("grp"), col("ng"), col("sxg"), col("syg"),
+        expr("""CAST(floor(1000.0 *
+                 (CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE))) AS BIGINT)""")
+          .as("mean_y_milli"),
+        expr("""CAST(floor(1000000.0 *
+                 (CAST(n*sxy - sx*sy AS DOUBLE)
+                  / CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT)""")
+          .as("theta_micro"),
+        expr("""CAST(floor(1000.0 * (
+                 (CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE))
+                 - (CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE))
+                   * ((CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE))
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))
+               AS BIGINT)""").as("mean_adj_y_milli"))
+      .orderBy("grp")
+  }
+
+  private val cupedSql =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+      |             THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+      |             THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS y,
+      |    o_custkey % 2 AS grp
+      |  FROM orders GROUP BY o_custkey),
+      |gm AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx
+      |  FROM pc),
+      |grps AS (
+      |  SELECT grp, COUNT(*) AS ng, CAST(SUM(x) AS BIGINT) AS sxg,
+      |    CAST(SUM(y) AS BIGINT) AS syg
+      |  FROM pc GROUP BY 1)
+      |SELECT grp, ng, sxg, syg,
+      |  CAST(floor(1000.0 *
+      |    (CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE))) AS BIGINT)
+      |    AS mean_y_milli,
+      |  CAST(floor(1000000.0 *
+      |    (CAST(n*sxy - sx*sy AS DOUBLE)
+      |     / CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT) AS theta_micro,
+      |  CAST(floor(1000.0 * (
+      |    (CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE))
+      |    - (CAST(n*sxy - sx*sy AS DOUBLE)
+      |       / CAST(n*sxx - sx*sx AS DOUBLE))
+      |      * ((CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE))
+      |         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))
+      |   AS BIGINT) AS mean_adj_y_milli
+      |FROM grps, gm ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_cuped"           -> (cuped _),
     "ax_ab_conversion"   -> (abConversion _),
     "ax_cms_freq"        -> (cmsFreq _),
     "ax_month_end_balance" -> (monthEndBalance _),
@@ -412,6 +504,7 @@ object Stats {
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_cuped"           -> cupedSql,
     "ax_ab_conversion"   -> abConversionSql,
     "ax_cms_freq"        -> cmsFreqSql,
     "ax_month_end_balance" -> monthEndBalanceSql,
