@@ -491,7 +491,46 @@ object Stats {
       |   AS BIGINT) AS mean_adj_y_milli
       |FROM grps, gm ORDER BY grp""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_srm_check: SAMPLE-RATIO-MISMATCH guardrail — the chi-square
+  // check every experiment must pass BEFORE its metrics mean anything
+  // (a 50/50 assignment that lands 52/48 usually means broken
+  // bucketing or differential logging loss, and every downstream
+  // readout is garbage). For an expected equal split the statistic
+  // collapses to χ² = (n₁−n₂)²/(n₁+n₂) — computable EXACTLY in
+  // integer arithmetic (floor to milli-units), no float anywhere. The
+  // flag compares against the 3.841 critical value (α = 0.05, 1 dof)
+  // as the integer literal 3841. One dimension-table scan into a
+  // 2-row aggregate.
+  // -------------------------------------------------------------------
+  private def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(pmod(col("c_custkey"), lit(2)).as("grp"))
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("grp") === 0, col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === 1, col("n")).otherwise(0L)).as("n2"))
+      .select(col("n1"), col("n2"),
+        expr("(1000 * (n1 - n2) * (n1 - n2)) div (n1 + n2)")
+          .as("chi2_milli"),
+        (expr("(1000 * (n1 - n2) * (n1 - n2)) div (n1 + n2)") > 3841L)
+          .cast("long").as("srm_flag"))
+
+  private val srmCheckSql =
+    """WITH g AS (
+      |  SELECT c_custkey % 2 AS grp, COUNT(*) AS n FROM customer GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(SUM(CASE WHEN grp = 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN grp = 1 THEN n ELSE 0 END) AS BIGINT) AS n2
+      |  FROM g)
+      |SELECT n1, n2,
+      |  CAST((1000 * (n1 - n2) * (n1 - n2)) // (n1 + n2) AS BIGINT)
+      |    AS chi2_milli,
+      |  CAST(CASE WHEN (1000 * (n1 - n2) * (n1 - n2)) // (n1 + n2) > 3841
+      |       THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_srm_check"       -> (srmCheck _),
     "ax_cuped"           -> (cuped _),
     "ax_ab_conversion"   -> (abConversion _),
     "ax_cms_freq"        -> (cmsFreq _),
@@ -504,6 +543,7 @@ object Stats {
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_srm_check"       -> srmCheckSql,
     "ax_cuped"           -> cupedSql,
     "ax_ab_conversion"   -> abConversionSql,
     "ax_cms_freq"        -> cmsFreqSql,
