@@ -35,6 +35,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffled dim join expected:\n$p")
   }
 
+  test("small-quantity decorrelates: one fact scan, window on the join key") {
+    // the Q17 shape: the correlated per-part-average must NOT appear as
+    // a second lineitem scan — one dimension-pruned scan, one window
+    // over the l_partkey partitioning of that same scan
+    val p = plan("ax_small_quantity")
+    assert(p.contains("Window"), "per-part stats must be a window")
+    assert(p.contains("BroadcastHashJoin"), "the part dim must broadcast")
+    val lineitemScans =
+      "lineitem\\.parquet".r.findAllIn(p).length
+    assert(lineitemScans == 1,
+      s"exactly one lineitem scan expected, found $lineitemScans:\n$p")
+  }
+
+  test("idle-customers decorrelates: anti join + 1-row threshold broadcast") {
+    val p = plan("ax_idle_customers")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left anti join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row threshold must broadcast")
+  }
+
   test("outlier stats join broadcasts (no 5-partition window)") {
     val p = plan("ax_outliers")
     assert(p.contains("BroadcastHashJoin"))
