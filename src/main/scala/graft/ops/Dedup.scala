@@ -298,6 +298,26 @@ private[ops] object MinHashLsh {
     * estimator property (E[agree/k] = J) gets a measured error column
     * instead of a tolerance hope.
     */
+  /** Oracle for the b-bit (b=2) minwise estimate with the Li-König
+    * chance-collision correction — exact rational arithmetic over the
+    * shared signatures, clamped at zero (see dd_minhash_bbit).
+    */
+  def bbitOracleSql(tokCte: String): String = {
+    val agree2 = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.m$i % 4 = sb.m$i % 4 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${cteChain(tokCte)}
+       |SELECT vp.doc_a, vp.doc_b, vp.jaccard_pm,
+       |  CAST(GREATEST(0, (1000 * (4 * ($agree2) - $NumHashes))
+       |    // (3 * $NumHashes)) AS BIGINT) AS est2_pm,
+       |  CAST(abs(GREATEST(0, (1000 * (4 * ($agree2) - $NumHashes))
+       |    // (3 * $NumHashes)) - vp.jaccard_pm) AS BIGINT) AS err_pm
+       |FROM vp
+       |JOIN sig sa ON sa.doc_id = vp.doc_a
+       |JOIN sig sb ON sb.doc_id = vp.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def estimateOracleSql(tokCte: String): String = {
     val agree = (0 until NumHashes)
       .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
@@ -537,6 +557,46 @@ object Dedup {
         expr(s"(1000 * agree) div ${MinHashLsh.NumHashes}"))
       .select(col("doc_a"), col("doc_b"), col("jaccard_pm"), col("est_pm"),
         abs(col("est_pm") - col("jaccard_pm")).as("err_pm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // -------------------------------------------------------------------
+  // dd_minhash_bbit: B-BIT MINWISE HASHING (Li & König 2010) measured —
+  // store only the lowest b = 2 bits of each min-hash (16× less
+  // signature storage than the 32-bit slots; at 100 TB the signature
+  // table is itself a large table, and b-bit storage is how production
+  // indexes afford k=128+). Collisions now happen by chance 1/4 of the
+  // time, so raw agreement overestimates J; the Li-König correction
+  // Ê = (agree/k − 1/4)/(3/4) = (4·agree − k)/(3k) restores an
+  // unbiased estimate — and with integer counts it is EXACT RATIONAL
+  // arithmetic, no floats: est2_pm = max(0, (1000·(4a−k)) div (3k)),
+  // clamped because a pair can in principle agree below the chance
+  // floor (truncate-vs-floor divergence on negatives dies in the
+  // clamp). Emitted per verified pair next to the exact Jaccard and
+  // the full-width estimate (dd_minhash_est), so the gate measures
+  // what the 16× compression costs in estimator error — the
+  // measured-design discipline applied to index STORAGE.
+  // -------------------------------------------------------------------
+  private def minhashBbit(spark: SparkSession, dir: String): DataFrame = {
+    val (_, sig) = shingleSubstrate(spark, dir)
+    val pairs = minhashPairs(spark, dir)
+    def side(tag: String): DataFrame =
+      sig.select(col("doc_id").as(s"doc_$tag") +:
+        (0 until MinHashLsh.NumHashes).map(i =>
+          col(s"m$i").as(s"${tag}_m$i")): _*)
+    val agree2 = (0 until MinHashLsh.NumHashes)
+      .map(i => when(pmod(col(s"a_m$i"), lit(4)) ===
+        pmod(col(s"b_m$i"), lit(4)), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val k = MinHashLsh.NumHashes
+    pairs
+      .join(side("a"), "doc_a")
+      .join(side("b"), "doc_b")
+      .withColumn("agree2", agree2)
+      .withColumn("est2_pm",
+        greatest(lit(0L), expr(s"(1000 * (4 * agree2 - $k)) div (3 * $k)")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_pm"), col("est2_pm"),
+        abs(col("est2_pm") - col("jaccard_pm")).as("err_pm"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1707,6 +1767,7 @@ object Dedup {
     "dd_semdedup"       -> (semDedup _),
     "dd_semdedup_rep"   -> (semDedupRep _),
     "dd_minhash_est"    -> (minhashEst _),
+    "dd_minhash_bbit"   -> (minhashBbit _),
     "dd_hll_intersect"  -> (hllIntersect _)
   )
 
@@ -1733,6 +1794,7 @@ object Dedup {
     "dd_semdedup"       -> semDedupSql,
     "dd_semdedup_rep"   -> semDedupRepSql,
     "dd_minhash_est"    -> MinHashLsh.estimateOracleSql(wordShingleTokCte),
+    "dd_minhash_bbit"   -> MinHashLsh.bbitOracleSql(wordShingleTokCte),
     "dd_hll_intersect"  -> hllIntersectSql
   )
 }
