@@ -1174,7 +1174,74 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sim_batch_ivf: BATCHED ANN SERVING through the IVF index — a panel
+  // of queries (the id-residue sample) answered in one pass, the shape
+  // of production retrieval (nightly re-embedding joins, RAG corpus
+  // refresh) as opposed to sim_ivf_label's single probe. The key scale
+  // move: after each query map-side argmaxes its nearest centroid
+  // (centroids broadcast — K×64 ints), candidates come from ONE
+  // equi-join of the corpus against the query panel ON THE CELL LABEL
+  // — each corpus row meets only the queries probing its cell, work =
+  // Σ_q |cell(q)|, never corpus × panel (the crossJoin that kills
+  // batch serving). Per-query top-5 is a window over cell-bounded
+  // candidate sets keyed by the high-cardinality query id. Exact
+  // integer dots; ties to the lower vec_id.
+  // -------------------------------------------------------------------
+  private def batchIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val cent = e.groupBy("label")
+      .agg(array((0 until 64).map(d =>
+        floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
+    val panel = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val probed = panel.crossJoin(broadcast(cent))
+      .withColumn("cdot", dotLong(col("centroid"), col("qq")))
+      .groupBy("qid")
+      .agg(max(struct(col("cdot"), (-col("label")).as("nl"))).as("m"),
+        first(col("qq")).as("qq"))
+      .select(col("qid"), (-col("m.nl")).as("probe_label"), col("qq"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    e.join(broadcast(probed),
+        col("label") === col("probe_label") && col("vec_id") =!= col("qid"))
+      .withColumn("dot", dotLong(col("q"), col("qq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("dot"))
+      .orderBy("qid", "rank")
+  }
+
+  private val batchIvfSql: String = {
+    val centroid = (0 until 64)
+      .map(d => s"CAST(floor(avg(q[${d + 1}])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH qt AS (SELECT vec_id, label, $quantizeDuck AS q FROM embeddings),
+       |cent AS (SELECT label, $centroid AS centroid FROM qt GROUP BY label),
+       |panel AS (SELECT vec_id AS qid, q AS qq FROM qt WHERE vec_id % 50 = 0),
+       |ranked AS (SELECT p.qid, p.qq, c.label,
+       |    row_number() OVER (PARTITION BY p.qid ORDER BY
+       |      ${PortableHash.dotSqlDuck("c.centroid", "p.qq")} DESC,
+       |      c.label ASC) AS crn
+       |  FROM panel p, cent c),
+       |probed AS (SELECT qid, qq, label AS probe_label
+       |  FROM ranked WHERE crn = 1),
+       |cand AS (SELECT pr.qid, t.vec_id,
+       |    ${PortableHash.dotSqlDuck("t.q", "pr.qq")} AS dot
+       |  FROM qt t JOIN probed pr
+       |    ON t.label = pr.probe_label AND t.vec_id <> pr.qid),
+       |rk AS (SELECT qid, vec_id, dot,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY dot DESC, vec_id ASC) AS rank
+       |  FROM cand)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, dot
+       |FROM rk WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_batch_ivf"      -> (batchIvf _),
     "sim_ivf_sweep"      -> (ivfSweep _),
     "sim_hard_negatives" -> (hardNegatives _),
     "sim_mips_norm"      -> (mipsNorm _),
@@ -1195,6 +1262,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_batch_ivf"      -> batchIvfSql,
     "sim_ivf_sweep"      -> ivfSweepSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_mips_norm"      -> mipsNormSql,
