@@ -465,11 +465,11 @@ object Graph {
   // test compares edge counts (the count is needed anyway to
   // materialize the checkpoint). Rounds are O(peel depth) — 11 at
   // gate scale. The oracle replays the identical peel as generated
-  // chained CTEs with a 24-round margin; peeling is idempotent after
+  // chained CTEs with a 32-round margin; peeling is idempotent after
   // convergence, so the fixed unroll equals the fixpoint.
   // -------------------------------------------------------------------
   private val CoreK = 3
-  private val OracleRounds = 24
+  private val OracleRounds = 32
 
   /** Peel an undirected (a, b) edge frame to its k-core fixpoint —
     * exposed for GraphFuzzSpec, which cross-checks this loop against an
