@@ -85,6 +85,68 @@ object Curation {
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // tx_contam_report: the EVAL OWNER'S view of contamination —
+  // tx_decontam answers "which training docs must go"; this answers
+  // "which benchmark items are already burned, and how badly". Per
+  // eval doc: how many of its distinct grams appear anywhere in the
+  // training corpus, how many training docs touch it, and the
+  // compromised fraction in exact permille — the table that decides
+  // whether an eval stays trustworthy or gets rotated. Same broadcast
+  // asymmetry as decontam (the eval side is KBs; the corpus side
+  // streams past it map-side) with the aggregation flipped to the
+  // bench key; the per-eval-doc gram totals join back on the tiny
+  // bench side only.
+  // -------------------------------------------------------------------
+  private def contamReport(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), split(TextAnalysis.normCol, " ").as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(gramsExpr))).as("gram"))
+    val bench = grams.filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+      .select(col("doc_id").as("bench_doc"), col("gram"))
+    val benchTotals = bench.groupBy("bench_doc")
+      .agg(count(lit(1)).as("n_grams"))
+    val corpus = grams.filter(pmod(col("doc_id"), lit(BenchMod)) =!= 0)
+    val hits = corpus.join(broadcast(bench), "gram")
+      .groupBy("bench_doc")
+      .agg(countDistinct(col("gram")).as("n_burned_grams"),
+        countDistinct(col("doc_id")).as("n_corpus_docs"))
+    benchTotals.join(hits, Seq("bench_doc"), "left_outer")
+      .select(col("bench_doc"), col("n_grams"),
+        coalesce(col("n_burned_grams"), lit(0L)).as("n_burned_grams"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        expr("(1000 * coalesce(n_burned_grams, 0)) div n_grams")
+          .as("burned_pm"))
+      .orderBy("bench_doc")
+  }
+
+  private val contamReportSql =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) d),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct($gramsSqlDuck)) AS gram
+       |  FROM ws),
+       |b AS (SELECT doc_id AS bench_doc, gram FROM g
+       |      WHERE doc_id % $BenchMod = 0),
+       |bt AS (SELECT bench_doc, COUNT(*) AS n_grams FROM b GROUP BY 1),
+       |c AS (SELECT doc_id, gram FROM g WHERE doc_id % $BenchMod <> 0),
+       |hit AS (
+       |  SELECT b.bench_doc,
+       |    COUNT(DISTINCT b.gram) AS n_burned_grams,
+       |    COUNT(DISTINCT c.doc_id) AS n_corpus_docs
+       |  FROM c JOIN b ON c.gram = b.gram
+       |  GROUP BY 1)
+       |SELECT bt.bench_doc, bt.n_grams,
+       |  CAST(COALESCE(h.n_burned_grams, 0) AS BIGINT) AS n_burned_grams,
+       |  CAST(COALESCE(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+       |  CAST((1000 * COALESCE(h.n_burned_grams, 0)) // bt.n_grams AS BIGINT)
+       |    AS burned_pm
+       |FROM bt LEFT OUTER JOIN hit h ON bt.bench_doc = h.bench_doc
+       |ORDER BY bt.bench_doc""".stripMargin
+
+  // -------------------------------------------------------------------
   // tx_decontam_fuzzy: THRESHOLD-overlap decontamination — the form
   // eval leakage actually takes in practice. Exact membership
   // (tx_decontam) only catches verbatim n-gram hits; paraphrased or
@@ -288,6 +350,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_dup_ngram_rate" -> (dupNgramRate _),
+    "tx_contam_report"  -> (contamReport _),
     "tx_decontam"       -> (decontam _),
     "tx_decontam_fuzzy" -> (decontamFuzzy _),
     "tx_redact"         -> (redact _),
@@ -296,6 +359,7 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "tx_dup_ngram_rate" -> dupNgramRateSql,
+    "tx_contam_report"  -> contamReportSql,
     "tx_decontam"       -> decontamSql,
     "tx_decontam_fuzzy" -> decontamFuzzySql,
     "tx_redact"         -> redactSql,
