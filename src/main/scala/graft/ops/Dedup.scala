@@ -1744,7 +1744,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // tx_dedup_impact: WHAT DEDUP SAVES, per source — the report that
+  // justifies (or kills) the dedup stage in a pipeline review: for
+  // each source, document and character volume before retention vs
+  // after keep-longest-per-cluster retention, and the savings in
+  // exact permille. Retention rule is IDENTICAL to dd_cluster_retain
+  // (longest member wins, doc_id tiebreak; singletons keep
+  // themselves), so the two queries cannot drift; the cost is one
+  // window over the session-cached cluster assignment + a per-source
+  // rollup — the assignment, the expensive part, is already paid.
+  // -------------------------------------------------------------------
+  private def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val sized = clusterAssign(spark, dir)
+      .join(docs(spark, dir)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("chars")),
+        "doc_id")
+    val ord = Window.partitionBy("cluster")
+      .orderBy(col("chars").desc, col("doc_id").asc)
+    sized
+      .withColumn("kept", (row_number().over(ord) === 1).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("chars")).as("chars_total"),
+        sum(col("chars") * col("kept")).as("chars_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("chars_total"), col("chars_kept"),
+        expr("(1000 * (chars_total - chars_kept)) div chars_total")
+          .as("savings_pm"))
+      .orderBy("source")
+  }
+
+  private val dedupImpactSql: String =
+    s"""$clustersCteSql,
+       |m AS (
+       |  SELECT c.cluster, c.doc_id, d.source,
+       |    CAST(length(d.text) AS BIGINT) AS chars,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster
+       |      ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn
+       |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(chars) AS BIGINT) AS chars_total,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN chars ELSE 0 END) AS BIGINT)
+       |    AS chars_kept,
+       |  CAST((1000 * (SUM(chars) - SUM(CASE WHEN rn = 1 THEN chars
+       |    ELSE 0 END))) // SUM(chars) AS BIGINT) AS savings_pm
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_dedup_impact"   -> (dedupImpact _),
     "dd_cc_incremental" -> (ccIncremental _),
     "dd_lsh_tuning"     -> (lshTuning _),
     "dd_semdedup_sweep" -> (semDedupSweep _),
@@ -1772,6 +1823,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_dedup_impact"   -> dedupImpactSql,
     "dd_cc_incremental" -> dupClustersSql,
     "dd_lsh_tuning"     -> lshTuningSql,
     "dd_semdedup_sweep" -> semDedupSweepSql,
