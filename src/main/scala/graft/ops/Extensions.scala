@@ -17,7 +17,8 @@ object Extensions {
       EventsOps.queries ++ Cohorts.queries ++ DataQuality.queries ++
       Reshape.queries ++ Stats.queries ++ Graph.queries ++
       Chunking.queries ++ Maintenance.queries ++ Curation.queries ++
-      ScanPruning.queries ++ Lifecycle.queries ++ Selection.queries
+      ScanPruning.queries ++ Lifecycle.queries ++ Selection.queries ++
+      TpchShapes.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
@@ -25,5 +26,6 @@ object Extensions {
       EventsOps.oracleSql ++ Cohorts.oracleSql ++ DataQuality.oracleSql ++
       Reshape.oracleSql ++ Stats.oracleSql ++ Graph.oracleSql ++
       Chunking.oracleSql ++ Maintenance.oracleSql ++ Curation.oracleSql ++
-      ScanPruning.oracleSql ++ Lifecycle.oracleSql ++ Selection.oracleSql
+      ScanPruning.oracleSql ++ Lifecycle.oracleSql ++ Selection.oracleSql ++
+      TpchShapes.oracleSql
 }
