@@ -560,15 +560,124 @@ object Graph {
        |     GROUP BY v) dd) AS min_core_deg""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Link-prediction pair: the two classic neighborhood-overlap scores
+  // over the strong co-purchase graph, both free derivatives of the
+  // shared pairCounts substrate (no new self-join of the fact).
+  //
+  // ax_jaccard_links: neighbor-set Jaccard for EXISTING strong edges —
+  // "how redundant is this edge?", the weight used for community
+  // pruning. Work ∝ edges × avg degree: per-node neighbor arrays are
+  // one groupBy over the symmetrized edges, the per-edge intersection
+  // runs in-memory per row (the triangle edge-iterator discipline —
+  // wedges never materialize), and the score is exact permille.
+  //
+  // ax_common_nbrs: common-neighbor counts for NON-adjacent pairs —
+  // "which products should be bundled next?", the candidate generator
+  // of every link-prediction pipeline. Candidates can only arise as
+  // wedge endpoints, so the wedge self-join IS the candidate
+  // enumeration; work is Σ_center deg² — the one graph shape whose
+  // cost a degree cap must bound, so wedge CENTERS are capped at
+  // deg ≤ 64 (hubs contribute quadratically and carry no signal —
+  // the standard mitigation, replicated exactly in the oracle). The
+  // existing-edge anti-join runs on the canonical a<b form, and the
+  // top-30 carries a full (count, a, b) tiebreak.
+  // -------------------------------------------------------------------
+
+  /** Symmetrized strong edge list (both directions of every a<b edge). */
+  private def strongSym(spark: SparkSession, dir: String): DataFrame = {
+    val e = strongEdges(spark, dir)
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  private def jaccardLinks(spark: SparkSession, dir: String): DataFrame = {
+    val adj = strongSym(spark, dir)
+      .groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
+        count(lit(1)).as("deg"))
+    val e = strongEdges(spark, dir)
+    e.join(adj.select(col("src").as("a"), col("nbrs").as("na"),
+        col("deg").as("da")), "a")
+      .join(adj.select(col("src").as("b"), col("nbrs").as("nb"),
+        col("deg").as("db")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("na"), col("nb"))).cast("long").as("common"),
+        (col("da") + col("db")).as("dsum"))
+      .select(col("a"), col("b"), col("common"),
+        (col("dsum") - col("common")).as("union_sz"),
+        expr("(1000 * common) div (dsum - common)").as("jaccard_pm"))
+      .orderBy(col("jaccard_pm").desc, col("a").asc, col("b").asc)
+      .limit(50)
+  }
+
+  private val jaccardLinksSql =
+    s"""$strongSqlPrefix,
+       |d AS (SELECT src, COUNT(*) AS deg FROM es GROUP BY 1),
+       |common AS (
+       |  SELECT x.src AS a, y.src AS b, COUNT(*) AS common
+       |  FROM es x JOIN es y ON x.dst = y.dst AND x.src < y.src
+       |  GROUP BY 1, 2)
+       |SELECT e.a, e.b, COALESCE(c.common, 0) AS common,
+       |  da.deg + db.deg - COALESCE(c.common, 0) AS union_sz,
+       |  CAST((1000 * COALESCE(c.common, 0)) //
+       |       (da.deg + db.deg - COALESCE(c.common, 0)) AS BIGINT)
+       |    AS jaccard_pm
+       |FROM e
+       |LEFT JOIN common c ON c.a = e.a AND c.b = e.b
+       |JOIN d da ON da.src = e.a
+       |JOIN d db ON db.src = e.b
+       |ORDER BY jaccard_pm DESC, e.a ASC, e.b ASC
+       |LIMIT 50""".stripMargin
+
+  private val WedgeCenterCap = 64
+
+  private def commonNbrs(spark: SparkSession, dir: String): DataFrame = {
+    val sym = strongSym(spark, dir)
+    val centers = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= WedgeCenterCap)
+      .select("src")
+    val capped = sym.join(centers.hint("shuffle_hash"), Seq("src"),
+      "left_semi")
+    val wedges = capped.select(col("src").as("c"), col("dst").as("a"))
+      .join(capped.select(col("src").as("c2"), col("dst").as("b")),
+        col("c") === col("c2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    val e = strongEdges(spark, dir)
+    wedges
+      .join(e, wedges("a") === e("a") && wedges("b") === e("b"), "left_anti")
+      .orderBy(col("common").desc, col("a").asc, col("b").asc)
+      .limit(30)
+  }
+
+  private val commonNbrsSql =
+    s"""$strongSqlPrefix,
+       |d AS (SELECT src, COUNT(*) AS deg FROM es GROUP BY 1),
+       |cen AS (SELECT src FROM d WHERE deg <= $WedgeCenterCap),
+       |w AS (
+       |  SELECT x.dst AS a, y.dst AS b, COUNT(*) AS common
+       |  FROM es x JOIN es y ON x.src = y.src AND x.dst < y.dst
+       |  WHERE x.src IN (SELECT src FROM cen)
+       |  GROUP BY 1, 2)
+       |SELECT a, b, common FROM w
+       |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b)
+       |ORDER BY common DESC, a ASC, b ASC
+       |LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_triangle_count" -> (triangleCount _),
     "ax_pagerank_parts" -> (pagerankParts _),
     "ax_bfs_hops"       -> (bfsHops _),
-    "ax_kcore"          -> (kcore _))
+    "ax_kcore"          -> (kcore _),
+    "ax_jaccard_links"  -> (jaccardLinks _),
+    "ax_common_nbrs"    -> (commonNbrs _))
 
   val oracleSql: Map[String, String] = Map(
     "ax_triangle_count" -> triangleCountSql,
     "ax_pagerank_parts" -> pagerankPartsSql,
     "ax_bfs_hops"       -> bfsHopsSql,
-    "ax_kcore"          -> kcoreSql)
+    "ax_kcore"          -> kcoreSql,
+    "ax_jaccard_links"  -> jaccardLinksSql,
+    "ax_common_nbrs"    -> commonNbrsSql)
 }
