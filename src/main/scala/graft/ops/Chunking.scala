@@ -161,13 +161,86 @@ object Chunking {
        |                          ORDER BY pos), '')) AS clean_hash
        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** boilerplate doc-frequency threshold for tx_boilerplate_rm */
+  private val BoilerDf = 2
+
+  // -------------------------------------------------------------------
+  // tx_boilerplate_rm: frequency-threshold boilerplate REMOVAL — the
+  // RefinedWeb/CCNet companion of tx_para_dedup with the opposite
+  // retention rule: a paragraph whose DISTINCT-DOCUMENT frequency is
+  // ≥ BoilerDf is boilerplate (headers, footers, navigation chrome —
+  // text that repeats across documents) and is removed EVERYWHERE,
+  // including its first occurrence; tx_para_dedup instead keeps
+  // exactly the first occurrence. Shares the 16-word paragraph
+  // substrate and the md5-pinned byte-faithful reassembly.
+  //
+  // Scale shape: same floor as the dedup rewrite — paragraph
+  // generation is map-side; the doc-frequency decision is ONE exchange
+  // keyed on the paragraph hash (distinct doc-set size via a window
+  // collect_set over the hash partition — never a broadcast: the
+  // boilerplate table is corpus-sized in the worst case); reassembly
+  // is ONE exchange back on doc_id. Keys are md5 / doc id —
+  // high-cardinality, no skew.
+  // -------------------------------------------------------------------
+  private def boilerplateRm(spark: SparkSession, dir: String): DataFrame = {
+    val byHash = Window.partitionBy("h")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.normCol.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), split(col("norm"), " ").as("w"))
+      .withColumn("pos",
+        explode(sequence(lit(0L), expr(s"(size(w) - 1) div $ParaW"))))
+      .select(col("doc_id"), col("pos"),
+        expr(s"array_join(slice(w, CAST(pos*$ParaW + 1 AS INT), $ParaW), ' ')")
+          .as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("kept",
+        size(collect_set(col("doc_id")).over(byHash)) < BoilerDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sort_array(collect_list(struct(col("pos"), col("chunk"), col("kept"))))
+          .as("cs"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        md5(array_join(expr("transform(filter(cs, x -> x.kept), x -> x.chunk)"),
+          " ")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateRmSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) n
+       |  WHERE length(norm) > 0),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(w[CAST(pos*$ParaW + 1 AS BIGINT):
+       |                      CAST(pos*$ParaW + $ParaW AS BIGINT)], ' ') AS chunk
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(0, (len(w) - 1) // $ParaW + 1)) AS pos
+       |        FROM d) x),
+       |freq AS (
+       |  SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS df
+       |  FROM occ GROUP BY 1),
+       |flagged AS (
+       |  SELECT doc_id, pos, chunk, df < $BoilerDf AS kept
+       |  FROM occ JOIN freq ON md5(chunk) = h)
+       |SELECT doc_id, COUNT(*) AS n_paras,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
+       |                          ORDER BY pos), '')) AS clean_hash
+       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tx_chunk_stats" -> (chunkStats _),
-    "tx_pack_bins"   -> (packBins _),
-    "tx_para_dedup"  -> (paraDedup _))
+    "tx_chunk_stats"     -> (chunkStats _),
+    "tx_pack_bins"       -> (packBins _),
+    "tx_para_dedup"      -> (paraDedup _),
+    "tx_boilerplate_rm"  -> (boilerplateRm _))
 
   val oracleSql: Map[String, String] = Map(
-    "tx_chunk_stats" -> chunkStatsSql,
-    "tx_pack_bins"   -> packBinsSql,
-    "tx_para_dedup"  -> paraDedupSql)
+    "tx_chunk_stats"     -> chunkStatsSql,
+    "tx_pack_bins"       -> packBinsSql,
+    "tx_para_dedup"      -> paraDedupSql,
+    "tx_boilerplate_rm"  -> boilerplateRmSql)
 }

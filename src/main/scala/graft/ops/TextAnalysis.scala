@@ -1184,7 +1184,53 @@ object TextAnalysis {
        |    // (slot * COUNT(*)) AS BIGINT) AS waste_ppm
        |FROM b GROUP BY slot ORDER BY slot""".stripMargin
 
+  // ---------------------------------------------------------------
+  // tx_zipf_check: rank×frequency audit of the corpus vocabulary —
+  // Zipf's law predicts rank·freq ≈ constant, and the deviation
+  // profile is the standard smell test for synthetic, templated, or
+  // deduplication-damaged corpora (a flat head = template spam, a
+  // collapsed tail = over-aggressive dedup). Scale shape: ONE term
+  // aggregate off the corpus (map-side partials), then the top-50
+  // head via orderBy.limit — planned as TakeOrderedAndProject
+  // (per-partition heaps), so the rank window runs over 50
+  // already-collected rows, never over the vocabulary. Deterministic
+  // under ties via the (freq desc, term asc) total order.
+  // ---------------------------------------------------------------
+  private def zipfCheck(spark: SparkSession, dir: String): DataFrame = {
+    val head = docs(spark, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(50)
+    head
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("term").asc)))
+      .select(col("rank").cast("long").as("rank"), col("term"), col("freq"),
+        (col("rank") * col("freq")).cast("long").as("rank_freq"))
+      .orderBy("rank")
+  }
+
+  private val zipfCheckSql =
+    """WITH head AS (
+      |  SELECT term, COUNT(*) AS freq
+      |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+      |          AS term FROM documents)
+      |  WHERE length(term) > 0
+      |  GROUP BY term
+      |  ORDER BY freq DESC, term ASC
+      |  LIMIT 50)
+      |SELECT CAST(rank AS BIGINT) AS rank, term, freq,
+      |  CAST(rank * freq AS BIGINT) AS rank_freq
+      |FROM (SELECT term, freq,
+      |        ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+      |      FROM head)
+      |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_zipf_check" -> (zipfCheck _),
     "tx_length_buckets" -> (lengthBuckets _),
     "tx_hash_embed"    -> (hashEmbed _),
     "tx_quality_logit" -> (qualityLogit _),
@@ -1213,6 +1259,7 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_zipf_check" -> zipfCheckSql,
     "tx_length_buckets" -> lengthBucketsSql,
     "tx_hash_embed"    -> hashEmbedSql,
     "tx_quality_logit" -> qualityLogitSql,
