@@ -1240,7 +1240,155 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sim_rrf_fusion: RECIPROCAL RANK FUSION of two independent ANN
+  // tiers — the standard ensemble step of hybrid retrieval (Cormack et
+  // al., SIGIR'09): each tier contributes 1/(60+rank) per candidate,
+  // and candidates surfacing in BOTH lists dominate. Tiers fused here
+  // are the two cheap ones: IVF (nearest-centroid cell) and
+  // multi-probe hyperplane LSH (bucket Hamming ≤ 1) — the production
+  // shape where no exact pass exists to fuse against. Scores are
+  // exact integers (floor(10⁹/(60+rank)) — no cross-engine float
+  // summation), so fusion ranks hash-match.
+  //
+  // Scale shape: the query panel broadcasts once per tier; each
+  // tier's candidates are cell-/bucket-bounded (work = Σ|cell(q)|,
+  // never corpus × panel); per-query ranks are windows over the
+  // bounded candidate sets; the fusion join moves only ≤ 2·20 ranked
+  // rows per query.
+  // -------------------------------------------------------------------
+  private val RrfK = 60
+  private val RrfDepth = 20
+
+  private def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+      .withColumn("bucket", bucketCol(BucketedPlanes))
+    val cent = e.groupBy("label")
+      .agg(array((0 until 64).map(d =>
+        floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
+    val panel = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("bucket").as("qbucket"))
+    val probed = panel.crossJoin(broadcast(cent))
+      .withColumn("cdot", dotLong(col("centroid"), col("qq")))
+      .groupBy("qid")
+      .agg(max(struct(col("cdot"), (-col("label")).as("nl"))).as("m"),
+        first(col("qq")).as("qq"), first(col("qbucket")).as("qbucket"))
+      .select(col("qid"), (-col("m.nl")).as("probe_label"), col("qq"),
+        col("qbucket"))
+    val byDot = Window.partitionBy("qid")
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    val tierIvf = e
+      .join(broadcast(probed),
+        col("label") === col("probe_label") && col("vec_id") =!= col("qid"))
+      .withColumn("dot", dotLong(col("q"), col("qq")))
+      .withColumn("rank_a", row_number().over(byDot))
+      .filter(col("rank_a") <= RrfDepth)
+      .select(col("qid"), col("vec_id"), col("rank_a"))
+    val tierLsh = e
+      .join(broadcast(probed),
+        expr("bit_count(bucket ^ qbucket) <= 1") && col("vec_id") =!= col("qid"))
+      .withColumn("dot", dotLong(col("q"), col("qq")))
+      .withColumn("rank_b", row_number().over(byDot))
+      .filter(col("rank_b") <= RrfDepth)
+      .select(col("qid").as("qid_b"), col("vec_id").as("vec_id_b"),
+        col("rank_b"))
+    val fused = tierIvf
+      .join(tierLsh, col("qid") === col("qid_b") &&
+        col("vec_id") === col("vec_id_b"), "full_outer")
+      .select(coalesce(col("qid"), col("qid_b")).as("qid"),
+        coalesce(col("vec_id"), col("vec_id_b")).as("vec_id"),
+        (coalesce(expr(s"1000000000 div ($RrfK + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($RrfK + rank_b)"), lit(0L)))
+          .as("rrf"))
+    val byRrf = Window.partitionBy("qid")
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+    fused.withColumn("rank", row_number().over(byRrf))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("rrf"))
+      .orderBy("qid", "rank")
+  }
+
+  private val rrfFusionSql: String = {
+    val centroid = (0 until 64)
+      .map(d => s"CAST(floor(avg(q[${d + 1}])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH qt AS (SELECT vec_id, label, $quantizeDuck AS q FROM embeddings),
+       |sig AS (SELECT vec_id, label, q, ${bucketSqlDuck(BucketedPlanes)}
+       |          AS bucket FROM qt),
+       |cent AS (SELECT label, $centroid AS centroid FROM qt GROUP BY label),
+       |panel AS (SELECT vec_id AS qid, q AS qq, bucket AS qbucket
+       |          FROM sig WHERE vec_id % 50 = 0),
+       |probed AS (SELECT qid, qq, qbucket, label AS probe_label FROM (
+       |    SELECT p.qid, p.qq, p.qbucket, c.label,
+       |      row_number() OVER (PARTITION BY p.qid ORDER BY
+       |        ${PortableHash.dotSqlDuck("c.centroid", "p.qq")} DESC,
+       |        c.label ASC) AS crn
+       |    FROM panel p, cent c) r WHERE crn = 1),
+       |ta AS (SELECT qid, vec_id, rank_a FROM (
+       |    SELECT pr.qid, t.vec_id,
+       |      row_number() OVER (PARTITION BY pr.qid ORDER BY
+       |        ${PortableHash.dotSqlDuck("t.q", "pr.qq")} DESC,
+       |        t.vec_id ASC) AS rank_a
+       |    FROM sig t JOIN probed pr
+       |      ON t.label = pr.probe_label AND t.vec_id <> pr.qid) x
+       |  WHERE rank_a <= $RrfDepth),
+       |tb AS (SELECT qid, vec_id, rank_b FROM (
+       |    SELECT pr.qid, t.vec_id,
+       |      row_number() OVER (PARTITION BY pr.qid ORDER BY
+       |        ${PortableHash.dotSqlDuck("t.q", "pr.qq")} DESC,
+       |        t.vec_id ASC) AS rank_b
+       |    FROM sig t JOIN probed pr
+       |      ON bit_count(xor(t.bucket, pr.qbucket)) <= 1
+       |        AND t.vec_id <> pr.qid) x
+       |  WHERE rank_b <= $RrfDepth),
+       |fused AS (SELECT COALESCE(a.qid, b.qid) AS qid,
+       |    COALESCE(a.vec_id, b.vec_id) AS vec_id,
+       |    COALESCE(1000000000 // ($RrfK + a.rank_a), 0)
+       |      + COALESCE(1000000000 // ($RrfK + b.rank_b), 0) AS rrf
+       |  FROM ta a FULL OUTER JOIN tb b
+       |    ON a.qid = b.qid AND a.vec_id = b.vec_id)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+       |  CAST(rrf AS BIGINT) AS rrf
+       |FROM (SELECT qid, vec_id, rrf,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY rrf DESC, vec_id ASC) AS rank
+       |      FROM fused) f
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // sim_inertia: per-cluster INERTIA (within-cluster sum of squared
+  // distances) over the session k-means assignment — THE quality /
+  // convergence diagnostic for the clustering substrate every
+  // cluster-bounded consumer (dd_semdedup, sim_ivf_*) depends on:
+  // rising inertia on a refresh means the cluster count stopped
+  // tracking corpus growth. One scan over the cached (vec_id,
+  // cluster, dist) table — dist is already the exact integer squared
+  // L2 to the assigned centroid, so the rollup adds nothing to the
+  // Lloyd's cost and is exact at any scale.
+  // -------------------------------------------------------------------
+  private def inertia(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssigned(spark, dir)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist")).as("inertia"),
+        max(col("dist")).as("max_dist"))
+      .orderBy("cluster")
+
+  private val inertiaSql =
+    s"""SELECT cluster, COUNT(*) AS n_vecs,
+       |  CAST(SUM(dist) AS BIGINT) AS inertia,
+       |  CAST(MAX(dist) AS BIGINT) AS max_dist
+       |FROM ($kmeansAssignSql) ka
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rrf_fusion"     -> (rrfFusion _),
+    "sim_inertia"        -> (inertia _),
     "sim_batch_ivf"      -> (batchIvf _),
     "sim_ivf_sweep"      -> (ivfSweep _),
     "sim_hard_negatives" -> (hardNegatives _),
@@ -1262,6 +1410,8 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_rrf_fusion"     -> rrfFusionSql,
+    "sim_inertia"        -> inertiaSql,
     "sim_batch_ivf"      -> batchIvfSql,
     "sim_ivf_sweep"      -> ivfSweepSql,
     "sim_hard_negatives" -> hardNegativesSql,
