@@ -325,6 +325,73 @@ object Multimodal {
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // mm_lum_hist: per-image LUMINANCE HISTOGRAM over the FULL decoded
+  // pixel array — the exposure/contrast audit a visual-quality filter
+  // runs before training (flat histograms = synthetic fills, collapsed
+  // ones = over/under-exposure), and the one image feature that needs
+  // every pixel rather than the 64-sample thumbnail. Four equal
+  // 64-value buckets (v div 64) in exact integers. Spark decodes the
+  // real BMP bytes (offsets, bottom-up rows, padding) and folds the
+  // histogram inside the same mapPartitions pass — pixels never leave
+  // the task; output is one 56-byte row per image. The DuckDB oracle
+  // replays the generator formula over the full w×h grid, so
+  // agreement proves the complete pixel walk, not a sampled one.
+  // -------------------------------------------------------------------
+  /** per-image output of the full-pixel histogram pass */
+  final case class LumHistRow(
+      doc_id: Long, w: Long, h: Long, n_px: Long,
+      b0: Long, b1: Long, b2: Long, b3: Long)
+
+  private def lumHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val w = (4 + id % DimMod).toInt
+          val h = (4 + len % DimMod).toInt
+          val img = ImageHeaders.bmpGray(w, h,
+            (x, y) => ((7L * x + 13L * y + 31L * id) % 256L).toInt)
+          val (dw, dh, px) = ImageHeaders.decodeBmpPixels(img)
+          val buckets = new Array[Long](4)
+          var y = 0
+          while (y < dh) {
+            var x = 0
+            while (x < dw) {
+              buckets(px(x, y) / 64) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          LumHistRow(id, dw.toLong, dh.toLong, dw.toLong * dh,
+            buckets(0), buckets(1), buckets(2), buckets(3))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val lumHistSql =
+    s"""WITH dims AS (
+       |  SELECT doc_id, 4 + doc_id % $DimMod AS w,
+       |    4 + CAST(octet_length(encode(text)) AS BIGINT) % $DimMod AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h,
+       |    (7 * x + 13 * y + 31 * doc_id) % 256 AS v
+       |  FROM (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims) gx,
+       |    LATERAL (SELECT unnest(range(0, gx.h)) AS y) gy)
+       |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS w,
+       |  CAST(MIN(h) AS BIGINT) AS h, COUNT(*) AS n_px,
+       |  CAST(SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+       |  CAST(SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       |  CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       |  CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // mm_phash_dup: perceptual NEAR-DUP detection over the aHash — what
   // mm_resize_phash's output exists for. The fixture makes visual
   // near-dups real: docs share a base pattern per GROUP (g = id div 4
@@ -818,6 +885,7 @@ object Multimodal {
     "mm_binary_source" -> (binarySource _),
     "mm_frame_sample" -> (frameSample _),
     "mm_resize_phash" -> (resizePhash _),
+    "mm_lum_hist"     -> (lumHist _),
     "mm_audio_stats"  -> (audioStats _),
     "mm_silence_spans" -> (silenceSpans _),
     "mm_phash_dup"    -> (phashDup _),
@@ -854,6 +922,7 @@ object Multimodal {
     "mm_binary_source" -> binarySourceSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize_phash" -> resizePhashSql,
+    "mm_lum_hist"     -> lumHistSql,
     "mm_audio_stats"  -> audioStatsSql,
     "mm_silence_spans" -> silenceSpansSql,
     "mm_phash_dup"    -> phashDupSql,
