@@ -714,6 +714,43 @@ object StreamingGate {
     * resolved to the final row per window by argmax on the
     * strictly-increasing count (st_tws_totals pattern).
     */
+  // -------------------------------------------------------------------
+  // st_union_sources: TWO independent file sources unioned into ONE
+  // streaming query — the multi-source topology every consolidation
+  // pipeline runs (regional kafka clusters, per-tenant buckets, a
+  // migration reading old+new paths). The semantics under test: both
+  // sources feed a single watermark (the query-level watermark is the
+  // MIN over sources, so one lagging source holds state for both) and
+  // one stateful aggregate sees interleaved triggers from either side.
+  // The staged split is deterministic (user parity), the sink runs
+  // complete-mode like st_events_hourly, and the batch oracle is the
+  // SAME hourly rollup over the undivided table — union must be
+  // lossless and order-free.
+  // -------------------------------------------------------------------
+  private def unionSourcesStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val inA = s"target/stream_union/a_$tag"
+    val inB = s"target/stream_union/b_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(inA, inB).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val ev = graft.Tables.events(spark, dir)
+    ev.filter(pmod(col("user_id"), lit(2)) === 0)
+      .coalesce(1).write.parquet(inA)
+    ev.filter(pmod(col("user_id"), lit(2)) === 1)
+      .coalesce(1).write.parquet(inB)
+    val sch = spark.read.parquet(inA).schema
+    def src(p: String) = spark.readStream
+      .schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(p)
+    runToTable(
+      EventsStream.hourlyByType(src(inA).unionByName(src(inB))),
+      s"st_union_sources_sink_$tag", "complete")(spark)
+      .orderBy("hour", "event_type")
+  }
+
   private def lateDropStreamed(spark: SparkSession, dir: String): DataFrame = {
     val tag = new java.io.File(dir).getName.replace('.', '_')
     val stage = s"target/stream_late/stage_$tag"
@@ -777,6 +814,7 @@ object StreamingGate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_late_drop"         -> (lateDropStreamed _),
+    "st_union_sources"     -> (unionSourcesStreamed _),
     "st_timer_sessions"    -> (timerSessionsStreamed _),
     "st_tws_totals"        -> (twsTotalsStreamed _),
     "st_recovery"          -> (recoveryStreamed _),
@@ -800,6 +838,7 @@ object StreamingGate {
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
     "st_late_drop"         -> lateDropStreamedSql,
+    "st_union_sources"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_timer_sessions"    -> sessionsStreamedSql,
     "st_tws_totals"        -> upsertSinkStreamedSql,
     "st_recovery"          -> upsertSinkStreamedSql,
