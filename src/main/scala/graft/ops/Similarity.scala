@@ -1277,6 +1277,10 @@ object Similarity {
         first(col("qq")).as("qq"), first(col("qbucket")).as("qbucket"))
       .select(col("qid"), (-col("m.nl")).as("probe_label"), col("qq"),
         col("qbucket"))
+      // panel-sized (one row per query): materialize so both tiers read
+      // the same tiny table instead of replanning the centroid argmax,
+      // and the candidate joins are the only joins left in the plan
+      .localCheckpoint()
     val byDot = Window.partitionBy("qid")
       .orderBy(col("dot").desc, col("vec_id").asc)
     val tierIvf = e
@@ -1286,9 +1290,18 @@ object Similarity {
       .withColumn("rank_a", row_number().over(byDot))
       .filter(col("rank_a") <= RrfDepth)
       .select(col("qid"), col("vec_id"), col("rank_a"))
+    // the multi-probe neighborhood (query bucket + Hamming-1 flips)
+    // EXPLODES into an equi-join key — a per-row Hamming predicate
+    // would plan as a nested loop over the corpus; the exploded probe
+    // list keeps the candidate join keyed on the bucket column
+    // (probe values are distinct, so no candidate duplicates)
+    val probes = probed.select(col("qid"), col("qq"),
+      explode(array(col("qbucket") +:
+        (0 until BucketedPlanes).map(i =>
+          col("qbucket").bitwiseXOR(lit(1L << i))): _*)).as("pbucket"))
     val tierLsh = e
-      .join(broadcast(probed),
-        expr("bit_count(bucket ^ qbucket) <= 1") && col("vec_id") =!= col("qid"))
+      .join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
       .withColumn("dot", dotLong(col("q"), col("qq")))
       .withColumn("rank_b", row_number().over(byDot))
       .filter(col("rank_b") <= RrfDepth)

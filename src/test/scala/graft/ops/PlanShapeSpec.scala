@@ -510,6 +510,79 @@ class PlanShapeSpec extends AnyFunSuite {
       "first-occurrence retention must stay a keyed window, no broadcast side")
     assert(p.contains("Window"))
   }
+
+  // ------------------------------------------------------------------
+  // round-7 shapes
+  // ------------------------------------------------------------------
+
+  test("Q19 disjunction stays a single hash join, never a nested loop") {
+    // the classic Q19 hazard: an OR-of-conjunctions join predicate with
+    // no extracted common equi-key plans as BroadcastNestedLoop — the
+    // all-pairs comparison. Catalyst must keep the p_partkey equi-key
+    // and evaluate the disjunction as a post-join residual.
+    val p = plan("ax_disjunct_pred")
+    assert(p.contains("BroadcastHashJoin"), s"equi hash join expected:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"disjunction degraded to all-pairs:\n$p")
+  }
+
+  test("Q18 big-orders: top-100 runs as heaps, qualifying agg filters first") {
+    val p = plan("ax_big_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be per-partition heaps, not a global sort")
+  }
+
+  test("Q2 min-cost supplier decorrelates: window over the aggregate, one scan") {
+    // the correlated min re-scans offers per part; the scale shape is
+    // ONE (part, supplier) aggregate and a window keyed on the part
+    // key itself (millions of tiny partitions)
+    val p = plan("ax_min_cost_supp")
+    assert(p.contains("Window"), "per-part min must be a window over the aggregate")
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"exactly one lineitem scan expected, found $scans:\n$p")
+  }
+
+  test("Q8 market share: one scan per fact, all dims broadcast") {
+    val p = plan("ax_market_share")
+    Seq("lineitem", "orders").foreach { t =>
+      val scans = s"$t\\.parquet".r.findAllIn(p).length
+      assert(scans == 1, s"exactly one $t scan expected, found $scans:\n$p")
+    }
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+  }
+
+  test("Q15 top supplier: 1-row max broadcasts, no window anywhere") {
+    val p = plan("ax_top_supplier")
+    assert(!p.contains("Window"),
+      "the max must come from a 1-row aggregate broadcast, not a window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the scalar threshold must broadcast")
+  }
+
+  test("link prediction stays wedge-keyed, never all-pairs") {
+    Seq("ax_common_nbrs", "ax_jaccard_links").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+        s"$q degraded to an all-pairs comparison:\n$p")
+    }
+  }
+
+  test("rrf fusion keeps both tiers equi-keyed on cell/bucket") {
+    // the LSH tier's multi-probe neighborhood must surface as an
+    // exploded equi-join key — a per-row Hamming predicate plans as a
+    // nested loop over the corpus
+    val p = plan("sim_rrf_fusion")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"a fusion tier degraded to a corpus nested loop:\n$p")
+  }
+
+  test("bpe encode attaches the vocab per-word costs without shuffling the corpus text") {
+    // the (source, word) occurrence aggregate and the vocab-sized
+    // symbol-count table join on the word — text itself reaches only
+    // the first aggregate's partial side
+    val p = plan("tx_bpe_encode")
+    assert(!p.contains("Cartesian"), s"vocab attach degraded:\n$p")
+  }
 }
 
 /** Small helper kept outside the spec so other tools can reuse it. */
