@@ -1260,7 +1260,11 @@ object Similarity {
   private val RrfK = 60
   private val RrfDepth = 20
 
-  private def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+  /** Fusion substrate shared by sim_rrf_fusion and sim_rrf_recall:
+    * (probed panel, IVF-tier ranks, LSH-tier ranks, fused scores).
+    */
+  private def rrfTiers(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir).withColumn("q", expr(quantize))
       .withColumn("bucket", bucketCol(BucketedPlanes))
@@ -1315,16 +1319,70 @@ object Similarity {
         (coalesce(expr(s"1000000000 div ($RrfK + rank_a)"), lit(0L)) +
           coalesce(expr(s"1000000000 div ($RrfK + rank_b)"), lit(0L)))
           .as("rrf"))
+    (probed, tierIvf, tierLsh, fused)
+  }
+
+  /** fused top-5 per query with the (rrf desc, vec_id) total order */
+  private def rrfTop5(fused: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byRrf = Window.partitionBy("qid")
       .orderBy(col("rrf").desc, col("vec_id").asc)
     fused.withColumn("rank", row_number().over(byRrf))
       .filter(col("rank") <= 5)
+  }
+
+  private def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfTop5(rrfTiers(spark, dir)._4)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("rrf"))
       .orderBy("qid", "rank")
+
+  // -------------------------------------------------------------------
+  // sim_rrf_recall: the fusion MEASURED — recall@5 of the IVF tier,
+  // the LSH tier, and their RRF fusion against the exact brute top-5
+  // for the same panel, in one oracle row. This is the number that
+  // justifies (or kills) the ensemble: fusion must recover neighbors
+  // either tier alone misses, and the measured-design discipline
+  // (dd_lsh_tuning / sim_ivf_sweep / sim_ann_recall) applies to the
+  // combiner too. The brute pass is panel-bounded (corpus × |panel|
+  // comparisons in one broadcast scan) — the standard sampled recall
+  // estimation a production deployment runs on an eval panel, never
+  // on the full query load.
+  // -------------------------------------------------------------------
+  private def rrfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (probed, tierIvf, tierLsh, fused) = rrfTiers(spark, dir)
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val byDot = Window.partitionBy("qid")
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    val exact = e
+      .join(broadcast(probed.select(col("qid"), col("qq"))),
+        col("vec_id") =!= col("qid"))
+      .withColumn("dot", dotLong(col("q"), col("qq")))
+      .withColumn("rk", row_number().over(byDot))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"))
+    def hits(cand: DataFrame): DataFrame =
+      exact.join(cand, Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("h"))
+    val nSlots = exact.agg(count(lit(1)).as("n_slots"))
+    val hIvf = hits(tierIvf.filter(col("rank_a") <= 5))
+      .select(col("h").as("hits_ivf"))
+    val hLsh = hits(tierLsh.select(col("qid_b").as("qid"),
+        col("vec_id_b").as("vec_id"), col("rank_b"))
+      .filter(col("rank_b") <= 5))
+      .select(col("h").as("hits_lsh"))
+    val hFus = hits(rrfTop5(fused).select(col("qid"), col("vec_id")))
+      .select(col("h").as("hits_fused"))
+    nSlots.crossJoin(hIvf).crossJoin(hLsh).crossJoin(hFus)
+      .select(col("n_slots"), col("hits_ivf"), col("hits_lsh"),
+        col("hits_fused"),
+        expr("(1000 * hits_ivf) div n_slots").as("recall_ivf_pm"),
+        expr("(1000 * hits_lsh) div n_slots").as("recall_lsh_pm"),
+        expr("(1000 * hits_fused) div n_slots").as("recall_fused_pm"))
   }
 
-  private val rrfFusionSql: String = {
+  private val rrfSqlPrefix: String = {
     val centroid = (0 until 64)
       .map(d => s"CAST(floor(avg(q[${d + 1}])) AS BIGINT)")
       .mkString("[", ", ", "]")
@@ -1362,7 +1420,11 @@ object Similarity {
        |    COALESCE(1000000000 // ($RrfK + a.rank_a), 0)
        |      + COALESCE(1000000000 // ($RrfK + b.rank_b), 0) AS rrf
        |  FROM ta a FULL OUTER JOIN tb b
-       |    ON a.qid = b.qid AND a.vec_id = b.vec_id)
+       |    ON a.qid = b.qid AND a.vec_id = b.vec_id)""".stripMargin
+  }
+
+  private val rrfFusionSql: String =
+    s"""$rrfSqlPrefix
        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
        |  CAST(rrf AS BIGINT) AS rrf
        |FROM (SELECT qid, vec_id, rrf,
@@ -1371,7 +1433,35 @@ object Similarity {
        |      FROM fused) f
        |WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
-  }
+
+  private val rrfRecallSql: String =
+    s"""$rrfSqlPrefix,
+       |exact AS (SELECT qid, vec_id FROM (
+       |    SELECT pr.qid, t.vec_id,
+       |      row_number() OVER (PARTITION BY pr.qid ORDER BY
+       |        ${PortableHash.dotSqlDuck("t.q", "pr.qq")} DESC,
+       |        t.vec_id ASC) AS rk
+       |    FROM qt t, probed pr WHERE t.vec_id <> pr.qid) x
+       |  WHERE rk <= 5),
+       |fivf AS (SELECT qid, vec_id FROM ta WHERE rank_a <= 5),
+       |flsh AS (SELECT qid, vec_id FROM tb WHERE rank_b <= 5),
+       |ffus AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY rrf DESC, vec_id ASC) AS rank
+       |    FROM fused) f WHERE rank <= 5),
+       |n AS (SELECT COUNT(*) AS n_slots FROM exact),
+       |hi AS (SELECT COUNT(*) AS hits_ivf FROM exact
+       |       SEMI JOIN fivf USING (qid, vec_id)),
+       |hl AS (SELECT COUNT(*) AS hits_lsh FROM exact
+       |       SEMI JOIN flsh USING (qid, vec_id)),
+       |hf AS (SELECT COUNT(*) AS hits_fused FROM exact
+       |       SEMI JOIN ffus USING (qid, vec_id))
+       |SELECT n_slots, hits_ivf, hits_lsh, hits_fused,
+       |  CAST((1000 * hits_ivf) // n_slots AS BIGINT) AS recall_ivf_pm,
+       |  CAST((1000 * hits_lsh) // n_slots AS BIGINT) AS recall_lsh_pm,
+       |  CAST((1000 * hits_fused) // n_slots AS BIGINT) AS recall_fused_pm
+       |FROM n, hi, hl, hf""".stripMargin
 
   // -------------------------------------------------------------------
   // sim_inertia: per-cluster INERTIA (within-cluster sum of squared
@@ -1401,6 +1491,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_rrf_fusion"     -> (rrfFusion _),
+    "sim_rrf_recall"     -> (rrfRecall _),
     "sim_inertia"        -> (inertia _),
     "sim_batch_ivf"      -> (batchIvf _),
     "sim_ivf_sweep"      -> (ivfSweep _),
@@ -1424,6 +1515,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "sim_rrf_fusion"     -> rrfFusionSql,
+    "sim_rrf_recall"     -> rrfRecallSql,
     "sim_inertia"        -> inertiaSql,
     "sim_batch_ivf"      -> batchIvfSql,
     "sim_ivf_sweep"      -> ivfSweepSql,
