@@ -1484,6 +1484,32 @@ object Dedup {
        |FROM m WHERE rn = 1 AND n_members >= 2 ORDER BY cluster""".stripMargin
 
   // -------------------------------------------------------------------
+  // dd_cluster_sizes: the duplicate-cluster SIZE SPECTRUM — how many
+  // clusters of each size the near-dup graph produced (singletons
+  // included: a healthy corpus is overwhelmingly size-1). This is the
+  // distribution Lee et al. report before choosing a retention rule,
+  // and the first thing to inspect when dedup output looks wrong (a
+  // giant cluster = a boilerplate template or an LSH bucket
+  // pathology). Two narrow aggregates over the session-cached
+  // assignment — per-cluster size (keyed shuffle of doc-id rows),
+  // then the size histogram (output bounded by the largest cluster).
+  // -------------------------------------------------------------------
+  private def clusterSizes(spark: SparkSession, dir: String): DataFrame =
+    clusterAssign(spark, dir)
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+
+  private val clusterSizesSql: String =
+    s"""$clustersCteSql,
+       |per AS (SELECT cluster, COUNT(*) AS sz FROM clusters GROUP BY 1)
+       |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+       |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin
+
+  // -------------------------------------------------------------------
   // CURATION FUNNEL: the whole pre-training pipeline as ONE query —
   // raw corpus → quality gate (score ≥ 3 of 4, the shared TextAnalysis
   // rule) → exact dedup (keep-min per md5) → near-dup retention (keep
@@ -1804,6 +1830,7 @@ object Dedup {
     "dd_dup_clusters"   -> (dupClusters _),
     "dd_cc_bigstar"     -> (ccBigStar _),
     "dd_cluster_retain" -> (clusterRetain _),
+    "dd_cluster_sizes"  -> (clusterSizes _),
     "dd_exact_keep_min" -> (exactKeepMin _),
     "dd_exact_groups"   -> (exactGroups _),
     "dd_minhash_pairs"  -> (minhashPairs _),
@@ -1832,6 +1859,7 @@ object Dedup {
     "dd_dup_clusters"   -> dupClustersSql,
     "dd_cc_bigstar"     -> dupClustersSql,
     "dd_cluster_retain" -> clusterRetainSql,
+    "dd_cluster_sizes"  -> clusterSizesSql,
     "dd_exact_keep_min" -> exactKeepMinSql,
     "dd_exact_groups"   -> exactGroupsSql,
     "dd_minhash_pairs"  -> MinHashLsh.oracleSql(wordShingleTokCte),

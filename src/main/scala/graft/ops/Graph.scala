@@ -630,6 +630,27 @@ object Graph {
        |ORDER BY jaccard_pm DESC, e.a ASC, e.b ASC
        |LIMIT 50""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_degree_dist: the DEGREE DISTRIBUTION of the strong co-purchase
+  // graph — the first diagnostic read before choosing any graph
+  // algorithm's knobs (the wedge-center cap below, PageRank partition
+  // count, whether a hub treatment is needed at all). Two narrow
+  // aggregates: per-node degree off the symmetrized edges (keyed
+  // shuffle), then the degree histogram (output bounded by the max
+  // degree). Free derivative of the shared pairCounts substrate.
+  // -------------------------------------------------------------------
+  private def degreeDist(spark: SparkSession, dir: String): DataFrame =
+    strongSym(spark, dir)
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+
+  private val degreeDistSql =
+    s"""$strongSqlPrefix,
+       |d AS (SELECT src, COUNT(*) AS deg FROM es GROUP BY 1)
+       |SELECT deg, COUNT(*) AS n_nodes FROM d
+       |GROUP BY deg ORDER BY deg""".stripMargin
+
   private val WedgeCenterCap = 64
 
   private def commonNbrs(spark: SparkSession, dir: String): DataFrame = {
@@ -671,6 +692,7 @@ object Graph {
     "ax_bfs_hops"       -> (bfsHops _),
     "ax_kcore"          -> (kcore _),
     "ax_jaccard_links"  -> (jaccardLinks _),
+    "ax_degree_dist"    -> (degreeDist _),
     "ax_common_nbrs"    -> (commonNbrs _))
 
   val oracleSql: Map[String, String] = Map(
@@ -679,5 +701,6 @@ object Graph {
     "ax_bfs_hops"       -> bfsHopsSql,
     "ax_kcore"          -> kcoreSql,
     "ax_jaccard_links"  -> jaccardLinksSql,
+    "ax_degree_dist"    -> degreeDistSql,
     "ax_common_nbrs"    -> commonNbrsSql)
 }
