@@ -475,6 +475,72 @@ object EventsOps {
       |   FROM events WHERE user_id BETWEEN 4 AND 8) AS sum_cents""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_partition_evolution: PARTITION-SPEC EVOLUTION — the second
+  // table-format axis after schema evolution: the table starts
+  // UNPARTITIONED (v1 commit, two plain files) and later commits
+  // switch to partitioning by event_type (v2 delta, one directory per
+  // type). History is never rewritten — the entire point — so a
+  // reader must plan PER LAYOUT: the v2 half of a type-filtered query
+  // prunes to ONE directory of K, while every v1 file must still be
+  // opened (old files carry no partition info; this asymmetry is the
+  // measured argument for eventually compacting history into the new
+  // spec, or attaching zone maps as in ax_manifest_prune). The
+  // emitted accounting pins exactly that: v2 reads 1 of K
+  // directories, v1 reads all its files, and the union equals the
+  // logical table — layouts are physical, answers are not.
+  // -------------------------------------------------------------------
+  private def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val stamp =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "events.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val pathF = FixtureCache.dir("events_part_evo", dir, "src" -> stamp)
+    val base = pathF.toString
+    val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
+    if (!marker.exists()) {
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .repartition(2) // v1 commit: the pre-evolution unpartitioned layout
+        .write.mode("overwrite").parquet(s"$base/v1")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .repartition(col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$base/v2")
+      marker.createNewFile()
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val v1 = spark.read.parquet(s"$base/v1")
+    val v1Files = v1.select(input_file_name()).distinct().count()
+    val v2Parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/v2"))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("event_type="))
+    // per-layout planning: v1 full scan + residual filter; v2 reads
+    // exactly the one matching directory (no other v2 file is opened)
+    val a1 = v1.filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n1"), sum(col("cents")).as("c1"))
+    val a2 = spark.read.parquet(s"$base/v2/event_type=purchase")
+      .agg(count(lit(1)).as("n2"), sum(col("cents")).as("c2"))
+    a1.crossJoin(a2).select(
+      lit(v1Files).as("n_v1_files_read"),
+      lit(v2Parts.toLong).as("n_v2_parts_total"),
+      lit(1L).as("n_v2_parts_read"),
+      (col("n1") + col("n2")).as("n_events"),
+      (col("c1") + col("c2")).as("sum_cents"))
+  }
+
+  private val partitionEvolutionSql =
+    """SELECT CAST(2 AS BIGINT) AS n_v1_files_read,
+      |  (SELECT COUNT(DISTINCT event_type) FROM events
+      |   WHERE event_id % 2 = 1) AS n_v2_parts_total,
+      |  CAST(1 AS BIGINT) AS n_v2_parts_read,
+      |  (SELECT COUNT(*) FROM events WHERE event_type = 'purchase')
+      |    AS n_events,
+      |  (SELECT CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |   FROM events WHERE event_type = 'purchase') AS sum_cents""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_schema_evolution: the lake's schema-evolution path — a table
   // whose early files lack a column later files carry. Generation 1
   // (even event ids) is written WITHOUT event_type; generation 2 (odd
@@ -738,6 +804,7 @@ object EventsOps {
     "ax_props_json"      -> (propsJson _),
     "ax_props_variant"   -> (propsVariant _),
     "ax_manifest_prune"  -> (manifestPrune _),
+    "ax_partition_evolution" -> (partitionEvolution _),
     "ax_interval_errors" -> (intervalErrors _),
     "ax_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "ax_csv_roundtrip"   -> (csvRoundtrip _),
@@ -757,6 +824,7 @@ object EventsOps {
     "ax_props_json"      -> propsJsonSql,
     "ax_props_variant"   -> propsVariantSql,
     "ax_manifest_prune"  -> manifestPruneSql,
+    "ax_partition_evolution" -> partitionEvolutionSql,
     "ax_interval_errors" -> intervalErrorsSql,
     "ax_jsonl_roundtrip" -> jsonlRoundtripSql,
     "ax_csv_roundtrip"   -> csvRoundtripSql,
