@@ -325,6 +325,88 @@ object Multimodal {
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // mm_audio_resample: SAMPLE-RATE CONVERSION — decimation by 4 with a
+  // box pre-filter, the downsampling step every audio featurizer runs
+  // before a model that expects a fixed rate. Each output frame is the
+  // SUM of its 4-sample group (an unnormalized box filter: summing
+  // avoids the cross-engine negative-integer-division trap a mean
+  // would hit, and peak/zero-crossing/energy read identically off the
+  // scaled signal). The gate pins the frame indexing, the tail frame
+  // (a partial group), and the rate bookkeeping (rate div 4) — the
+  // places real resamplers go wrong. Same one-pass mapPartitions
+  // shape as mm_audio_stats: decode + decimate + featurize without
+  // the PCM ever leaving the task; the oracle replays the generator
+  // formula grouped by i div 4.
+  // -------------------------------------------------------------------
+  /** per-asset output of the decimation pass */
+  final case class ResampleRow(doc_id: Long, out_rate: Long, n_frames: Long,
+      peak_ds: Long, zero_crossings_ds: Long, energy_ds: Long)
+
+  private def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val n = (64 + len % AudioNMod).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((17L * i + 31L * id) % AudioAmp) - 2000L).toShort)
+          val pcm = AudioWav.decode(AudioWav.wav(rate, samples))
+          val nf = (pcm.nSamples + 3) / 4
+          var peak = 0L; var zc = 0L; var energy = 0L
+          var prev = 0L; var j = 0
+          while (j < nf) {
+            var g = 0L
+            var i = 4 * j
+            val hi = math.min(4 * j + 4, pcm.nSamples)
+            while (i < hi) { g += pcm.sample(i); i += 1 }
+            if (math.abs(g) > peak) peak = math.abs(g)
+            if (j > 0 && ((prev < 0) != (g < 0))) zc += 1
+            energy += g * g
+            prev = g
+            j += 1
+          }
+          ResampleRow(id, pcm.sampleRate.toLong / 4, nf.toLong,
+            peak, zc, energy)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val audioResampleSql =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    64 + CAST(octet_length(encode(text)) AS BIGINT) % $AudioNMod AS n,
+       |    8000 + (doc_id % 4) * 4000 AS sample_rate
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, unnest(range(0, n)) AS i FROM dims),
+       |s AS (
+       |  SELECT doc_id, i // 4 AS j,
+       |    ((17 * i + 31 * doc_id) % $AudioAmp) - 2000 AS v
+       |  FROM idx),
+       |frames AS (
+       |  SELECT doc_id, j, SUM(v) AS g FROM s GROUP BY 1, 2),
+       |feat AS (
+       |  SELECT doc_id, j, g,
+       |    lag(g) OVER (PARTITION BY doc_id ORDER BY j) AS pg
+       |  FROM frames)
+       |SELECT f.doc_id,
+       |  CAST(MIN(d.sample_rate) // 4 AS BIGINT) AS out_rate,
+       |  CAST((MIN(d.n) + 3) // 4 AS BIGINT) AS n_frames,
+       |  CAST(MAX(abs(f.g)) AS BIGINT) AS peak_ds,
+       |  CAST(SUM(CASE WHEN f.pg IS NOT NULL
+       |    AND (f.pg < 0) <> (f.g < 0) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS zero_crossings_ds,
+       |  CAST(SUM(f.g * f.g) AS BIGINT) AS energy_ds
+       |FROM feat f JOIN dims d USING (doc_id)
+       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // mm_lum_hist: per-image LUMINANCE HISTOGRAM over the FULL decoded
   // pixel array — the exposure/contrast audit a visual-quality filter
   // runs before training (flat histograms = synthetic fills, collapsed
@@ -547,8 +629,8 @@ object Multimodal {
     * rate = 8000 + (id % 4) · 4000, s(i) = ((17i + 31·id) mod 4001) −
     * 2000 — bounded ±2000 so Σs² ≤ 4·10⁹ fits comfortably in a long.
     */
-  private val AudioNMod = 937L
-  private val AudioAmp = 4001L
+  private final val AudioNMod = 937L
+  private final val AudioAmp = 4001L
 
   /** per-asset output of the audio decode/feature pass */
   final case class AudioRow(doc_id: Long, sample_rate: Long, n_samples: Long,
@@ -886,6 +968,7 @@ object Multimodal {
     "mm_frame_sample" -> (frameSample _),
     "mm_resize_phash" -> (resizePhash _),
     "mm_lum_hist"     -> (lumHist _),
+    "mm_audio_resample" -> (audioResample _),
     "mm_audio_stats"  -> (audioStats _),
     "mm_silence_spans" -> (silenceSpans _),
     "mm_phash_dup"    -> (phashDup _),
@@ -923,6 +1006,7 @@ object Multimodal {
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize_phash" -> resizePhashSql,
     "mm_lum_hist"     -> lumHistSql,
+    "mm_audio_resample" -> audioResampleSql,
     "mm_audio_stats"  -> audioStatsSql,
     "mm_silence_spans" -> silenceSpansSql,
     "mm_phash_dup"    -> phashDupSql,
