@@ -243,7 +243,56 @@ object Cohorts {
       |WHERE "trailing" IS NOT NULL AND n * 24 > "trailing" * 2
       |ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_rolling_dau: DAU next to rolling 7-day distinct users (WAU) per
+  // day — the engagement pair every product dashboard leads with, and
+  // the canonical "distinct over a sliding window" problem: COUNT
+  // (DISTINCT) OVER a range frame doesn't exist in either engine, and
+  // HLL sketches would make it approximate. The exact scale shape is
+  // EXPAND-TO-WINDOW: dedup (user, day) once, explode each active day
+  // to the ≤7 window days it contributes to (bounded 7× fan-out of the
+  // already-deduped table, NOT of raw events), dedup (user, window
+  // day), count. Two keyed aggregates, no window operator, no
+  // per-day re-scan; the 7× factor is the price of exactness and is
+  // why real dashboards cap the window (30-day MAU uses the same
+  // shape at 30×, or switches to mergeable HLL — dd_hll_merge).
+  // Window days are clamped to OBSERVED days so no phantom trailing
+  // days appear.
+  // -------------------------------------------------------------------
+  private def rollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val active = graft.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val days = active.select(col("d")).distinct()
+    val dau = active.groupBy("d").agg(count(lit(1)).as("n_dau"))
+    val win = active
+      .select(col("user_id"),
+        explode(expr("sequence(d, date_add(d, 6))")).as("wd"))
+      .distinct()
+      .join(days.select(col("d").as("wd")).hint("broadcast"), Seq("wd"),
+        "left_semi")
+    val wau = win.groupBy(col("wd").as("d"))
+      .agg(count(lit(1)).as("n_wau7"))
+    dau.join(wau, "d")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_dau"), col("n_wau7"))
+      .orderBy("day")
+  }
+
+  private val rollingDauSql =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |days AS (SELECT DISTINCT d FROM active),
+      |win AS (
+      |  SELECT DISTINCT a.user_id, dd.d AS wd
+      |  FROM active a JOIN days dd ON dd.d BETWEEN a.d AND a.d + 6),
+      |dau AS (SELECT d, COUNT(*) AS n_dau FROM active GROUP BY 1),
+      |wau AS (SELECT wd AS d, COUNT(*) AS n_wau7 FROM win GROUP BY 1)
+      |SELECT strftime(dau.d, '%Y-%m-%d') AS day, n_dau, n_wau7
+      |FROM dau JOIN wau USING (d) ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_rolling_dau"       -> (rollingDau _),
     "ax_error_spikes"      -> (errorSpikes _),
     "ax_funnel_stages"     -> (funnelStages _),
     "ax_retention_cohorts" -> (retentionCohorts _),
@@ -251,6 +300,7 @@ object Cohorts {
     "ax_forward_fill"      -> (forwardFill _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_rolling_dau"       -> rollingDauSql,
     "ax_error_spikes"      -> errorSpikesSql,
     "ax_funnel_stages"     -> funnelStagesSql,
     "ax_retention_cohorts" -> retentionCohortsSql,
