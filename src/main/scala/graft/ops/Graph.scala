@@ -631,6 +631,79 @@ object Graph {
        |LIMIT 50""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_ppr_seeds: PERSONALIZED PageRank — the same damped power
+  // iteration as ax_pagerank_parts, but ALL restart mass returns to a
+  // seed set (the promoted products of ax_bfs_hops: v ≡ 0 mod 97)
+  // instead of spreading uniformly. This is the relevance-propagation
+  // primitive behind "more like these" recommendation and seed-based
+  // corpus expansion: scores decay with distance from the seeds, and
+  // nodes unreachable from them stay at zero. Exact integers (the
+  // same 0.15/0.85 · 1e6 scaling, per-step integer division), and the
+  // seed test is a PURE EXPRESSION of the node id — no seed table, no
+  // join, no broadcast. Same loop discipline as the PageRank guard:
+  // strong edges hash-placed on src once + persisted, two
+  // shuffled-hash joins + one reduced per-dst shuffle per round,
+  // ranks localCheckpoint'ed. Oracle unrolls the identical three
+  // rounds over the strong edge list.
+  // -------------------------------------------------------------------
+  private def pprSeedTerm(v: org.apache.spark.sql.Column) =
+    when(pmod(v, lit(97)) === 0, lit(150000L)).otherwise(lit(0L))
+
+  private def pprIter(edges: DataFrame, deg: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = ranks
+      .join(deg.hint("shuffle_hash"), ranks("v") === deg("src"))
+      .select(col("v"), expr("r div deg").as("c"))
+    edges
+      .join(contrib.hint("shuffle_hash"), edges("src") === contrib("v"))
+      .groupBy("dst")
+      .agg(expr("(85 * sum(c)) div 100").as("flow"))
+      .select(col("dst").as("v"),
+        (pprSeedTerm(col("dst")) + col("flow")).as("r"))
+  }
+
+  private def pprSeeds(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val edges = strongSym(spark, dir).repartition(n, col("src")).persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    var ranks = deg.select(col("src").as("v"),
+      when(pmod(col("src"), lit(97)) === 0, lit(1000000L))
+        .otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to 3)
+      ranks = pprIter(edges, deg, ranks).localCheckpoint()
+    val out = ranks
+      .filter(col("r") > 0)
+      .select(col("v").as("part"), col("r").as("pr"))
+      .orderBy(col("pr").desc, col("part").asc)
+      .limit(20)
+      .localCheckpoint()
+    edges.unpersist()
+    deg.unpersist()
+    out
+  }
+
+  private val pprSeedsSql = {
+    def round(i: Int) =
+      s"""r$i AS (SELECT e.dst AS v,
+         |    (CASE WHEN e.dst % 97 = 0 THEN 150000 ELSE 0 END)
+         |      + (85 * SUM(r${i - 1}.r // d.deg)) // 100 AS r
+         |  FROM es e JOIN r${i - 1} ON e.src = r${i - 1}.v
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY 1)""".stripMargin
+    s"""$strongSqlPrefix,
+       |deg AS (SELECT src, COUNT(*) AS deg FROM es GROUP BY 1),
+       |r0 AS (SELECT src AS v,
+       |  CAST(CASE WHEN src % 97 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       |  FROM deg),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT v AS part, CAST(r AS BIGINT) AS pr FROM r3
+       |WHERE r > 0
+       |ORDER BY pr DESC, part ASC LIMIT 20""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ax_degree_dist: the DEGREE DISTRIBUTION of the strong co-purchase
   // graph — the first diagnostic read before choosing any graph
   // algorithm's knobs (the wedge-center cap below, PageRank partition
@@ -693,6 +766,7 @@ object Graph {
     "ax_kcore"          -> (kcore _),
     "ax_jaccard_links"  -> (jaccardLinks _),
     "ax_degree_dist"    -> (degreeDist _),
+    "ax_ppr_seeds"      -> (pprSeeds _),
     "ax_common_nbrs"    -> (commonNbrs _))
 
   val oracleSql: Map[String, String] = Map(
@@ -702,5 +776,6 @@ object Graph {
     "ax_kcore"          -> kcoreSql,
     "ax_jaccard_links"  -> jaccardLinksSql,
     "ax_degree_dist"    -> degreeDistSql,
+    "ax_ppr_seeds"      -> pprSeedsSql,
     "ax_common_nbrs"    -> commonNbrsSql)
 }
