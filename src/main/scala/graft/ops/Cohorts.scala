@@ -259,25 +259,76 @@ object Cohorts {
   // Window days are clamped to OBSERVED days so no phantom trailing
   // days appear.
   // -------------------------------------------------------------------
-  private def rollingDau(spark: SparkSession, dir: String): DataFrame = {
+  /** exact per-day rolling-7 distinct users (d, n_wau7) — shared by
+    * the exact report and the HLL twin's tolerance gate
+    */
+  private def wauExact(spark: SparkSession, dir: String): DataFrame = {
     val active = graft.Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
     val days = active.select(col("d")).distinct()
-    val dau = active.groupBy("d").agg(count(lit(1)).as("n_dau"))
-    val win = active
+    active
       .select(col("user_id"),
         explode(expr("sequence(d, date_add(d, 6))")).as("wd"))
       .distinct()
       .join(days.select(col("d").as("wd")).hint("broadcast"), Seq("wd"),
         "left_semi")
-    val wau = win.groupBy(col("wd").as("d"))
+      .groupBy(col("wd").as("d"))
       .agg(count(lit(1)).as("n_wau7"))
-    dau.join(wau, "d")
+  }
+
+  private def rollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val dau = graft.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("n_dau"))
+    dau.join(wauExact(spark, dir), "d")
       .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
         col("n_dau"), col("n_wau7"))
       .orderBy("day")
   }
+
+  // -------------------------------------------------------------------
+  // ax_rolling_wau_hll: the AT-SCALE twin of ax_rolling_dau's window
+  // metric — per-day HLL sketches (a few KB each, the same rollup
+  // table as dd_hll_merge) unioned over the 7-day window, so the
+  // rolling distinct estimate touches ONLY 7 sketches per day and the
+  // raw events exactly once ever. This is the formulation that
+  // survives a 30- or 90-day window where the exact expand-to-window
+  // path pays window-times fan-out: sketch unions are O(window · days),
+  // independent of event volume. Tolerance-gated per day against the
+  // exact twin (2% band, lgk-12 error ≲1%), same pattern as
+  // ax_ntile_approx next to ax_ntile_bins.
+  // -------------------------------------------------------------------
+  private def rollingWauHll(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val days = daily.select(col("d"))
+    val est = daily
+      .select(col("sk"), explode(expr("sequence(d, date_add(d, 6))")).as("wd"))
+      .join(days.select(col("d").as("wd")).hint("broadcast"), Seq("wd"),
+        "left_semi")
+      .groupBy(col("wd").as("d"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    est.join(wauExact(spark, dir), "d")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_wau7"),
+        (abs(col("est") - col("n_wau7")) <= col("n_wau7") * 0.02)
+          .cast("long").as("approx_ok"))
+      .orderBy("day")
+  }
+
+  private val rollingWauHllSql =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |days AS (SELECT DISTINCT d FROM active),
+      |win AS (
+      |  SELECT DISTINCT a.user_id, dd.d AS wd
+      |  FROM active a JOIN days dd ON dd.d BETWEEN a.d AND a.d + 6)
+      |SELECT strftime(wd, '%Y-%m-%d') AS day, COUNT(*) AS n_wau7,
+      |  CAST(1 AS BIGINT) AS approx_ok
+      |FROM win GROUP BY wd ORDER BY day""".stripMargin
 
   private val rollingDauSql =
     """WITH active AS (
@@ -293,6 +344,7 @@ object Cohorts {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_rolling_dau"       -> (rollingDau _),
+    "ax_rolling_wau_hll"   -> (rollingWauHll _),
     "ax_error_spikes"      -> (errorSpikes _),
     "ax_funnel_stages"     -> (funnelStages _),
     "ax_retention_cohorts" -> (retentionCohorts _),
@@ -301,6 +353,7 @@ object Cohorts {
 
   val oracleSql: Map[String, String] = Map(
     "ax_rolling_dau"       -> rollingDauSql,
+    "ax_rolling_wau_hll"   -> rollingWauHllSql,
     "ax_error_spikes"      -> errorSpikesSql,
     "ax_funnel_stages"     -> funnelStagesSql,
     "ax_retention_cohorts" -> retentionCohortsSql,
