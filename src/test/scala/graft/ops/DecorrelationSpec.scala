@@ -177,4 +177,35 @@ class DecorrelationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ax_min_cost_supp equals the correlated scalar-min form (Q2 shape)") {
+    Seq("part", "supplier", "lineitem").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet")
+        .createOrReplaceTempView(s"q2_$t")
+    }
+    // the textbook phrasing: a correlated scalar subquery re-derives
+    // the per-part minimum for every candidate offer; Spark's optimizer
+    // decorrelates it its own way — results must match our explicit
+    // window-over-aggregate formulation row for row
+    val textbook = spark.sql(
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS offer_cents
+        |  FROM q2_lineitem GROUP BY 1, 2)
+        |SELECT p.p_partkey, p.p_brand, s.s_name, o.offer_cents
+        |FROM offers o
+        |JOIN q2_part p ON o.l_partkey = p.p_partkey AND p.p_size = 15
+        |JOIN q2_supplier s ON o.l_suppkey = s.s_suppkey
+        |WHERE o.offer_cents = (SELECT MIN(o2.offer_cents) FROM offers o2
+        |                       WHERE o2.l_partkey = o.l_partkey)""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sorted
+    val ours = Extensions.queries("ax_min_cost_supp")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sorted
+    assert(ours.nonEmpty, "fixture must produce at least one min-cost offer")
+    assert(ours.toSeq == textbook.toSeq)
+  }
 }
