@@ -325,6 +325,84 @@ object Multimodal {
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // mm_scene_cuts: SCENE-CHANGE DETECTION — the temporal half of the
+  // video path (mm_frame_sample is the spatial/sampling half): decode
+  // every frame, reduce it to a luminance mean, and flag a cut wherever
+  // consecutive means jump by ≥ the threshold — the shot-boundary
+  // primitive behind keyframe extraction and per-scene captioning.
+  // The fixture gives each document 8–12 REAL 8×8 BMP frames whose
+  // luminance formula shifts regime every 3rd frame, so genuine cuts
+  // exist; Spark decodes every frame through the pixel codec and
+  // walks the temporal diff INSIDE one mapPartitions pass (frames
+  // never shuffle; one 32-byte row per asset flows out), while the
+  // oracle replays the generator formula over the full frame×pixel
+  // grid — agreement proves the decode AND the temporal walk.
+  // -------------------------------------------------------------------
+  private final val SceneCutJump = 16L
+
+  /** per-asset output of the scene-cut pass */
+  final case class SceneRow(doc_id: Long, n_frames: Long, n_cuts: Long,
+      max_jump: Long)
+
+  private def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = (8 + id % 5).toInt
+          var prevMean = 0L
+          var cuts = 0L
+          var maxJump = 0L
+          var f = 0
+          while (f < nf) {
+            val shift = 91L * (f / 3)
+            val img = ImageHeaders.bmpGray(8, 8,
+              (x, y) => ((7L * x + 13L * y + 31L * id + shift) % 256L).toInt)
+            val (dw, dh, px) = ImageHeaders.decodeBmpPixels(img)
+            var s = 0L
+            var y = 0
+            while (y < dh) {
+              var x = 0
+              while (x < dw) { s += px(x, y); x += 1 }
+              y += 1
+            }
+            val mean = s / 64L
+            if (f > 0) {
+              val j = math.abs(mean - prevMean)
+              if (j > maxJump) maxJump = j
+              if (j >= SceneCutJump) cuts += 1
+            }
+            prevMean = mean
+            f += 1
+          }
+          SceneRow(id, nf.toLong, cuts, maxJump)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val sceneCutsSql =
+    s"""WITH dims AS (SELECT doc_id, 8 + doc_id % 5 AS nf FROM documents),
+       |fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM dims),
+       |px AS (
+       |  SELECT doc_id, f,
+       |    (7 * x + 13 * y + 31 * doc_id + 91 * (f // 3)) % 256 AS v
+       |  FROM fr, range(0, 8) t1(x), range(0, 8) t2(y)),
+       |m AS (SELECT doc_id, f, SUM(v) // 64 AS mean FROM px GROUP BY 1, 2),
+       |d AS (SELECT doc_id, f, mean,
+       |    lag(mean) OVER (PARTITION BY doc_id ORDER BY f) AS pm
+       |  FROM m)
+       |SELECT doc_id, CAST(MAX(f) + 1 AS BIGINT) AS n_frames,
+       |  CAST(SUM(CASE WHEN pm IS NOT NULL AND abs(mean - pm) >= $SceneCutJump
+       |            THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |  CAST(COALESCE(MAX(CASE WHEN pm IS NOT NULL
+       |            THEN abs(mean - pm) END), 0) AS BIGINT) AS max_jump
+       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // mm_audio_resample: SAMPLE-RATE CONVERSION — decimation by 4 with a
   // box pre-filter, the downsampling step every audio featurizer runs
   // before a model that expects a fixed rate. Each output frame is the
@@ -969,6 +1047,7 @@ object Multimodal {
     "mm_resize_phash" -> (resizePhash _),
     "mm_lum_hist"     -> (lumHist _),
     "mm_audio_resample" -> (audioResample _),
+    "mm_scene_cuts"   -> (sceneCuts _),
     "mm_audio_stats"  -> (audioStats _),
     "mm_silence_spans" -> (silenceSpans _),
     "mm_phash_dup"    -> (phashDup _),
@@ -1007,6 +1086,7 @@ object Multimodal {
     "mm_resize_phash" -> resizePhashSql,
     "mm_lum_hist"     -> lumHistSql,
     "mm_audio_resample" -> audioResampleSql,
+    "mm_scene_cuts"   -> sceneCutsSql,
     "mm_audio_stats"  -> audioStatsSql,
     "mm_silence_spans" -> silenceSpansSql,
     "mm_phash_dup"    -> phashDupSql,
