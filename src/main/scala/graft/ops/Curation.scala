@@ -348,7 +348,98 @@ object Curation {
        |FROM oc JOIN docf USING (gram)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // tx_span_corrupt: T5-STYLE SPAN CORRUPTION — the denoising-objective
+  // preprocessing step (Raffel et al.): mask ~15% of the text in short
+  // spans, replace each masked span with a numbered sentinel token.
+  // Spans here are fixed 3-token blocks; the mask decision is a pure
+  // function of (doc_id, block) through the portable hash — no RNG
+  // state, reruns and both engines agree bit-for-bit — and sentinels
+  // number 0,1,2,… in document order exactly like <extra_id_k>. The
+  // gate row carries token/mask/span accounting and the md5 of the
+  // corrupted sequence, so the oracle pins the REWRITTEN text, not
+  // just the rates.
+  //
+  // Scale shape: tokenization and mask decisions are map-side; block
+  // assembly is one exchange keyed (doc, block); sentinel numbering
+  // is a running sum over the doc partition (blocks per doc, not
+  // corpus-wide); reassembly is the same doc-keyed exchange. Nothing
+  // broadcasts, nothing is corpus-global.
+  // -------------------------------------------------------------------
+  private val SpanLen = 3
+  private val SpanPct = 15
+
+  private def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.normCol.as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), posexplode(split(col("norm"), " "))
+        .as(Seq("pos", "tok")))
+      .withColumn("blk", expr(s"pos div $SpanLen"))
+      .withColumn("masked",
+        pmod(PortableHash.hashCol(concat(lit("span:"), col("doc_id"),
+          lit(":"), col("blk"))), lit(100)) < SpanPct)
+    val blocks = toks
+      .groupBy(col("doc_id"), col("blk"), col("masked"))
+      .agg(count(lit(1)).as("n_toks"),
+        array_join(
+          expr("transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("blktext"))
+    val byBlk = Window.partitionBy("doc_id").orderBy("blk")
+    blocks
+      .withColumn("k",
+        sum(when(col("masked"), 1L).otherwise(0L)).over(byBlk))
+      .withColumn("piece",
+        when(col("masked"), concat(lit("<extra_id_"),
+          (col("k") - 1).cast("string"), lit(">")))
+          .otherwise(col("blktext")))
+      .groupBy("doc_id")
+      .agg(sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("masked"), col("n_toks")).otherwise(0L)).as("n_masked"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_spans"),
+        md5(array_join(
+          expr("transform(sort_array(collect_list(struct(blk, piece))), x -> x.piece)"),
+          " ")).as("corrupt_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val spanCorruptSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(norm, ' ') AS w
+       |  FROM (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) n
+       |  WHERE length(norm) > 0),
+       |occ AS (
+       |  SELECT doc_id, pos, w[CAST(pos + 1 AS BIGINT)] AS tok,
+       |    pos // $SpanLen AS blk
+       |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS pos FROM d) x),
+       |flagged AS (
+       |  SELECT doc_id, pos, tok, blk,
+       |    ${PortableHash.hashSql("'span:' || doc_id || ':' || blk")} % 100
+       |      < $SpanPct AS masked
+       |  FROM occ),
+       |blocks AS (
+       |  SELECT doc_id, blk, masked, COUNT(*) AS n_toks,
+       |    string_agg(tok, ' ' ORDER BY pos) AS blktext
+       |  FROM flagged GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT doc_id, blk, masked, n_toks,
+       |    CASE WHEN masked THEN '<extra_id_' ||
+       |      (SUM(CASE WHEN masked THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY doc_id ORDER BY blk
+       |              ROWS UNBOUNDED PRECEDING) - 1) || '>'
+       |    ELSE blktext END AS piece
+       |  FROM blocks)
+       |SELECT doc_id, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN masked THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS n_masked,
+       |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |  md5(string_agg(piece, ' ' ORDER BY blk)) AS corrupt_hash
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_span_corrupt"   -> (spanCorrupt _),
     "tx_dup_ngram_rate" -> (dupNgramRate _),
     "tx_contam_report"  -> (contamReport _),
     "tx_decontam"       -> (decontam _),
@@ -358,6 +449,7 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx_span_corrupt"   -> spanCorruptSql,
     "tx_dup_ngram_rate" -> dupNgramRateSql,
     "tx_contam_report"  -> contamReportSql,
     "tx_decontam"       -> decontamSql,
