@@ -89,6 +89,62 @@ object Chunking {
       |  CAST(SUM(toks) AS BIGINT) AS bin_tokens
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // tx_pack_attention: the ATTENTION-CONTAMINATION accounting for
+  // packed sequences — the number that justifies block-diagonal
+  // attention masks. Packing documents into shared context windows
+  // (tx_pack_bins) makes naive causal attention see token pairs that
+  // CROSS document boundaries: per bin, naive attention scores
+  // bin_tokens² pairs while a block-diagonal mask allows only
+  // Σ doc_tokens²; the difference is cross-document leakage (training
+  // contamination if unmasked, wasted FLOPs if masked late). Exact
+  // integers, same bin assignment as tx_pack_bins (shared window
+  // logic), per-language rollup with the leak fraction in ppm.
+  // -------------------------------------------------------------------
+  private def packAttention(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokensCol(TextAnalysis.normCol)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("doc_id"), toks.as("toks"))
+      .withColumn("prefix", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("bin", expr("prefix div 512"))
+      .groupBy("lang", "bin")
+      .agg(sum(col("toks")).as("bin_tokens"),
+        sum(col("toks") * col("toks")).as("doc_sq"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("bin_tokens") * col("bin_tokens")).as("naive_pairs"),
+        sum(col("doc_sq")).as("masked_pairs"))
+      .select(col("lang"), col("n_bins"), col("naive_pairs"),
+        col("masked_pairs"),
+        expr("(1000 * (naive_pairs - masked_pairs)) div (naive_pairs div 1000)")
+          .as("leak_ppm"))
+      .orderBy("lang")
+  }
+
+  private val packAttentionSql =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, ${TextAnalysis.tokensSql} AS toks
+       |  FROM (SELECT lang, doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) n),
+       |p AS (
+       |  SELECT lang, doc_id, toks,
+       |    COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+       |      AS bin
+       |  FROM d),
+       |bins AS (
+       |  SELECT lang, bin, CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+       |    CAST(SUM(toks * toks) AS BIGINT) AS doc_sq
+       |  FROM p GROUP BY 1, 2)
+       |SELECT lang, COUNT(*) AS n_bins,
+       |  CAST(SUM(bin_tokens * bin_tokens) AS BIGINT) AS naive_pairs,
+       |  CAST(SUM(doc_sq) AS BIGINT) AS masked_pairs,
+       |  CAST((1000 * (SUM(bin_tokens * bin_tokens) - SUM(doc_sq))) //
+       |       (SUM(bin_tokens * bin_tokens) // 1000) AS BIGINT) AS leak_ppm
+       |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** paragraph width in words for tx_para_dedup */
   private val ParaW = 16
 
@@ -235,12 +291,14 @@ object Chunking {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_chunk_stats"     -> (chunkStats _),
     "tx_pack_bins"       -> (packBins _),
+    "tx_pack_attention"  -> (packAttention _),
     "tx_para_dedup"      -> (paraDedup _),
     "tx_boilerplate_rm"  -> (boilerplateRm _))
 
   val oracleSql: Map[String, String] = Map(
     "tx_chunk_stats"     -> chunkStatsSql,
     "tx_pack_bins"       -> packBinsSql,
+    "tx_pack_attention"  -> packAttentionSql,
     "tx_para_dedup"      -> paraDedupSql,
     "tx_boilerplate_rm"  -> boilerplateRmSql)
 }
