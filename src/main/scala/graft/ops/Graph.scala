@@ -584,19 +584,24 @@ object Graph {
   // top-30 carries a full (count, a, b) tiebreak.
   // -------------------------------------------------------------------
 
-  /** Symmetrized strong edge list (both directions of every a<b edge). */
-  private def strongSym(spark: SparkSession, dir: String): DataFrame = {
-    val e = strongEdges(spark, dir)
+  /** Symmetrize a canonical a<b edge frame into (src, dst) both ways. */
+  private def symmetrize(e: DataFrame): DataFrame =
     e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-  }
 
-  private def jaccardLinks(spark: SparkSession, dir: String): DataFrame = {
-    val adj = strongSym(spark, dir)
+  /** Symmetrized strong edge list (both directions of every a<b edge). */
+  private def strongSym(spark: SparkSession, dir: String): DataFrame =
+    symmetrize(strongEdges(spark, dir))
+
+  /** Neighbor-Jaccard for every edge of a canonical a<b edge frame —
+    * exposed edge-parameterized so GraphFuzzSpec can differential-test
+    * it against an in-memory reference on random graphs.
+    */
+  private[graft] def jaccardAll(e: DataFrame): DataFrame = {
+    val adj = symmetrize(e)
       .groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
         count(lit(1)).as("deg"))
-    val e = strongEdges(spark, dir)
     e.join(adj.select(col("src").as("a"), col("nbrs").as("na"),
         col("deg").as("da")), "a")
       .join(adj.select(col("src").as("b"), col("nbrs").as("nb"),
@@ -607,9 +612,12 @@ object Graph {
       .select(col("a"), col("b"), col("common"),
         (col("dsum") - col("common")).as("union_sz"),
         expr("(1000 * common) div (dsum - common)").as("jaccard_pm"))
+  }
+
+  private def jaccardLinks(spark: SparkSession, dir: String): DataFrame =
+    jaccardAll(strongEdges(spark, dir))
       .orderBy(col("jaccard_pm").desc, col("a").asc, col("b").asc)
       .limit(50)
-  }
 
   private val jaccardLinksSql =
     s"""$strongSqlPrefix,
@@ -726,8 +734,11 @@ object Graph {
 
   private val WedgeCenterCap = 64
 
-  private def commonNbrs(spark: SparkSession, dir: String): DataFrame = {
-    val sym = strongSym(spark, dir)
+  /** Capped common-neighbor counts for NON-adjacent pairs of a
+    * canonical a<b edge frame — edge-parameterized for the fuzz spec.
+    */
+  private[graft] def commonNbrsAll(e: DataFrame): DataFrame = {
+    val sym = symmetrize(e)
     // center-degree cap as a WINDOW over the src partition: one
     // exchange on the wedge-center key (which the wedge self-join
     // below reuses), instead of a separate degree aggregate + semi
@@ -742,12 +753,14 @@ object Graph {
         col("c") === col("c2") && col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
-    val e = strongEdges(spark, dir)
     wedges
       .join(e, wedges("a") === e("a") && wedges("b") === e("b"), "left_anti")
+  }
+
+  private def commonNbrs(spark: SparkSession, dir: String): DataFrame =
+    commonNbrsAll(strongEdges(spark, dir))
       .orderBy(col("common").desc, col("a").asc, col("b").asc)
       .limit(30)
-  }
 
   private val commonNbrsSql =
     s"""$strongSqlPrefix,

@@ -85,6 +85,54 @@ class GraphFuzzSpec extends AnyFunSuite {
     }
   }
 
+  private def adjOf(edges: Set[(Long, Long)]): Map[Long, Set[Long]] = {
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    adj.view.mapValues(_.toSet).toMap
+  }
+
+  test("distributed neighbor-Jaccard equals the in-memory sets on random graphs") {
+    import spark.implicits._
+    for ((g, i) <- graphs(6, 5513L).zipWithIndex if g.edges.nonEmpty) {
+      val df = g.edges.toSeq.sortBy(identity).toDF("a", "b")
+      val got = Graph.jaccardAll(df).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+          (r.getAs[Long]("common"), r.getAs[Long]("union_sz"),
+            r.getAs[Long]("jaccard_pm"))).toMap
+      val adj = adjOf(g.edges)
+      g.edges.foreach { case (a, b) =>
+        val common = (adj(a) & adj(b)).size.toLong
+        val union = (adj(a) | adj(b)).size.toLong
+        val want = (common, union, 1000L * common / union)
+        assert(got((a, b)) == want, s"graph#$i edge ($a,$b)")
+      }
+      assert(got.size == g.edges.size, s"graph#$i row count")
+    }
+  }
+
+  test("distributed common-neighbor candidates equal the in-memory wedges") {
+    import spark.implicits._
+    for ((g, i) <- graphs(6, 77310L).zipWithIndex if g.edges.nonEmpty) {
+      val df = g.edges.toSeq.sortBy(identity).toDF("a", "b")
+      val got = Graph.commonNbrsAll(df).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+          r.getAs[Long]("common")).toMap
+      val adj = adjOf(g.edges)
+      val want = mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      // wedge enumeration through every center (all degrees are far
+      // under the 64 cap at these sizes, so the cap never binds)
+      adj.foreach { case (_, nbrs) =>
+        val ns = nbrs.toSeq.sorted
+        for (x <- ns; y <- ns if x < y && !g.edges((x, y)))
+          want((x, y)) += 1L
+      }
+      assert(got == want.toMap, s"graph#$i n=${g.n} |E|=${g.edges.size}")
+    }
+  }
+
   test("distributed BFS levels equal the in-memory BFS on random graphs") {
     import spark.implicits._
     for ((g, i) <- graphs(6, 40712L).zipWithIndex) {
