@@ -1820,7 +1820,119 @@ object Dedup {
        |    ELSE 0 END))) // SUM(chars) AS BIGINT) AS savings_pm
        |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dd_setjoin_exact: EXACT set-similarity join by PREFIX FILTERING
+  // (the PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al.) —
+  // the exact counterpart of the banded-LSH tier: every pair with
+  // Jaccard ≥ τ is found, none missed, no recall knob. The theorem:
+  // order each doc's tokens by ascending global document frequency;
+  // two sets with Jaccard ≥ τ MUST share a token among each one's
+  // first |d| − ⌈τ|d|⌉ + 1 rarest tokens, so the candidate join runs
+  // only on those PREFIX tokens — the frequent tokens that would
+  // explode a naive token join sort to the ends of the lists and
+  // never become join keys. Candidates then verify by exact
+  // intersection (τ = 1/2 as the rational test 2·|∩| ≥ |∪| — no
+  // floats). The gate is the completeness proof: the oracle computes
+  // the ALL-PAIRS exact join and the two row sets must be identical
+  // (the mm_phash_dup discipline — recall proven 1, not sampled).
+  //
+  // Scale shape: token table is the shared char-8-gram substrate
+  // shape; the df attach is a vocab-keyed join (never broadcast — the
+  // vocabulary is corpus-sized); prefix selection is one window over
+  // the doc partition; the candidate join moves only prefix tokens;
+  // verification moves only candidates. At 100 TB the prefix filter
+  // is what makes EXACT similarity join feasible at all — and when
+  // even that is too hot, the banded-LSH tier (dd_minhash_pairs)
+  // trades its gate-measured recall for the smaller join.
+  //
+  // Token choice is load-bearing: prefix filtering needs RARE tokens
+  // to exist. Over this fixture's 31-word vocabulary, char-8-gram
+  // tokens all have high document frequency, every prefix stays hot,
+  // and the candidate join degenerates toward all-pairs (measured:
+  // >300 s at sf0.1). Tokens here are therefore 16-WORD PARAGRAPH
+  // HASHES — the tx_para_dedup unit, df ≈ 1 for almost all of them —
+  // so the join is "docs sharing ≥ half their paragraphs", the CCNet
+  // document-overlap semantic, and candidates ∝ true near-dups. The
+  // same rule governs production corpora: set-similarity joins run on
+  // shingle/paragraph fingerprints, never on raw frequent tokens.
+  // -------------------------------------------------------------------
+  private def paraTok(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), split(col("norm"), " ").as("w"))
+      .withColumn("pos",
+        explode(sequence(lit(0L), expr("(size(w) - 1) div 16"))))
+      .select(col("doc_id"),
+        md5(expr("array_join(slice(w, CAST(pos*16 + 1 AS INT), 16), ' ')"))
+          .as("feature"))
+      .distinct()
+
+  private val paraTokCte =
+    """tok AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(array_to_string(w[CAST(pos*16 + 1 AS BIGINT):
+      |                          CAST(pos*16 + 16 AS BIGINT)], ' ')) AS feature
+      |  FROM (SELECT doc_id, w, unnest(range(0, (len(w) - 1) // 16 + 1)) AS pos
+      |        FROM (SELECT doc_id,
+      |                string_split(trim(regexp_replace(lower(text),
+      |                  '\s+', ' ', 'g')), ' ') AS w
+      |              FROM documents
+      |              WHERE length(trim(regexp_replace(lower(text),
+      |                '\s+', ' ', 'g'))) > 0) d) x)""".stripMargin
+
+  private def setjoinExact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = paraTok(spark, dir)
+    val tokdf = toks.groupBy("feature").agg(count(lit(1)).as("tokdf"))
+    val byDoc = Window.partitionBy("doc_id")
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("tokdf").asc, col("feature").asc)
+    val prefix = toks.join(tokdf, "feature")
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= expr("sz - (sz + 1) div 2 + 1"))
+      .select(col("doc_id"), col("feature"))
+    val cand = prefix.select(col("doc_id").as("a"), col("feature"))
+      .join(prefix.select(col("doc_id").as("b"), col("feature")),
+        Seq("feature"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sets = toks.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("feature"))).as("ts"),
+        count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("ts").as("ta"),
+        col("sz").as("sza")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("ts").as("tb"),
+        col("sz").as("szb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("u", col("sza") + col("szb") - col("inter"))
+      .filter(col("inter") * 2 >= col("u"))
+      .select(col("a"), col("b"), col("inter"), col("u"),
+        expr("(1000 * inter) div u").as("jaccard_pm"))
+      .orderBy("a", "b")
+  }
+
+  private val setjoinExactSql =
+    s"""WITH $paraTokCte,
+       |sets AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+       |i AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+       |  FROM tok x JOIN tok y
+       |    ON x.feature = y.feature AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS u,
+       |  CAST((1000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT)
+       |    AS jaccard_pm
+       |FROM i JOIN sets sa ON a = sa.doc_id JOIN sets sb ON b = sb.doc_id
+       |WHERE 2 * inter >= sa.sz + sb.sz - inter
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_setjoin_exact"  -> (setjoinExact _),
     "tx_dedup_impact"   -> (dedupImpact _),
     "dd_cc_incremental" -> (ccIncremental _),
     "dd_lsh_tuning"     -> (lshTuning _),
@@ -1851,6 +1963,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "tx_dedup_impact"   -> dedupImpactSql,
+    "dd_setjoin_exact"  -> setjoinExactSql,
     "dd_cc_incremental" -> dupClustersSql,
     "dd_lsh_tuning"     -> lshTuningSql,
     "dd_semdedup_sweep" -> semDedupSweepSql,
