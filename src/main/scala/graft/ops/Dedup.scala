@@ -858,7 +858,7 @@ object Dedup {
   private def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       // quantize once: int micro-units, exact integer math from here on
-      .withColumn("q", expr("transform(embedding, v -> CAST(round(v*10000) AS BIGINT))"))
+      .withColumn("q", expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT))"))
       .select(col("vec_id"), col("q"),
         Hyperplanes.bucketCol(col("q"), Hyperplanes.Planes).as("bucket"))
       // shuffle on bucket = materialization barrier: q/bucket computed
@@ -887,7 +887,7 @@ object Dedup {
 
   private val embedNearDupSql: String = {
     s"""WITH qt AS (SELECT vec_id,
-       |    list_transform(embedding, v -> CAST(round(v*10000) AS BIGINT)) AS q
+       |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
        |  FROM embeddings),
        |sig AS (SELECT vec_id, q,
        |    ${Hyperplanes.bucketSqlDuck("q", Hyperplanes.Planes)} AS bucket FROM qt),
@@ -1008,7 +1008,7 @@ object Dedup {
     s"""asg AS (SELECT vec_id, cluster
        |    FROM (${Similarity.kmeansAssignOracle}) ka),
        |qt AS (SELECT vec_id,
-       |    list_transform(embedding, v -> CAST(round(v*10000) AS BIGINT)) AS q
+       |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT)) AS q
        |  FROM embeddings),
        |v AS (SELECT a.vec_id, a.cluster, q.q
        |  FROM asg a JOIN qt q USING (vec_id)),

@@ -39,9 +39,9 @@ object Similarity {
     spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** integer micro-quantization: exact, portable arithmetic */
-  private val quantize = "transform(embedding, v -> CAST(round(v*10000) AS BIGINT))"
+  private val quantize = "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT))"
   private val quantizeDuck =
-    "list_transform(embedding, v -> CAST(round(v*10000) AS BIGINT))"
+    "list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT))"
 
   /** hyperplane bucket over the quantized vector — shared formulation,
     * see [[Hyperplanes.bucketCol]] / [[Hyperplanes.bucketSqlDuck]]
@@ -72,7 +72,7 @@ object Similarity {
     s"""SELECT b.vec_id,
        |  ${PortableHash.dotSqlDuck(
             s"(SELECT $quantizeDuck FROM embeddings WHERE vec_id = 0)",
-            "list_transform(b.embedding, v -> CAST(round(v*10000) AS BIGINT))")} AS dot
+            "list_transform(b.embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT))")} AS dot
        |FROM embeddings b WHERE b.vec_id <> 0
        |ORDER BY dot DESC, vec_id ASC LIMIT 20""".stripMargin
 

@@ -76,7 +76,7 @@ class FusedArrayMathSpec extends AnyFunSuite {
   test("fused expressions agree with the unfused path on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"),
-        expr("transform(embedding, v -> CAST(round(v*10000) AS BIGINT))").as("q"))
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT))").as("q"))
     val q0 = e.filter(col("vec_id") === 0).select(col("q").as("b"))
     val df = e.filter(col("vec_id") =!= 0).select(col("q").as("a"))
       .crossJoin(broadcast(q0))

@@ -60,7 +60,7 @@ class SemDedupSpec extends AnyFunSuite {
     val kept = asg.filter(!col("vec_id").isin(prunedIds.toSeq: _*))
       .join(spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"),
-          expr("transform(embedding, v -> CAST(round(v*10000) AS BIGINT))").as("q")),
+          expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT))").as("q")),
         "vec_id")
     val a = kept.select(col("cluster"), col("vec_id").as("a"), col("q").as("qa"))
     val b = kept.select(col("cluster"), col("vec_id").as("b"), col("q").as("qb"))
