@@ -1916,6 +1916,79 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  // -------------------------------------------------------------------
+  // dd_containment: EXACT asymmetric CONTAINMENT join — the "onion
+  // dedup" semantic: emit every ORDERED pair (a, b) where ≥ 3/4 of
+  // doc a's paragraph set also appears in doc b (|A∩B| / |A| ≥ τ).
+  // Jaccard misses this case by construction: a short doc wholly
+  // embedded in a long one has low Jaccard but containment 1 — the
+  // quote/boilerplate/subset-duplication shape that survives symmetric
+  // dedup. Same prefix-filter theorem as dd_setjoin_exact, adapted to
+  // the asymmetric threshold: order a's tokens by ascending global
+  // document frequency; if |A∩B| ≥ ⌈τ|A|⌉ then at most |A| − ⌈τ|A|⌉
+  // of A's tokens miss B, so a and b MUST share a token among a's
+  // first |A| − ⌈τ|A|⌉ + 1 rarest tokens (lossless — the oracle is
+  // the all-pairs join, so the gate proves recall = 1). Only the
+  // PROBE side prunes to its prefix; the indexed side stays whole —
+  // that is the correct asymmetry: the probe prefix tokens are the
+  // RAREST in the corpus, so the candidate join's fan-out is bounded
+  // by rare-token df, while the full b-side never self-joins.
+  // Verification is exact-rational (4·|∩| ≥ 3·|A|, no floats).
+  //
+  // Scale shape: one df attach (vocab-keyed join), one window over
+  // the doc partition for the rarity rank, candidate join moves only
+  // probe-prefix tokens, verify moves only candidates. Containment is
+  // directional, so both (a,b) and (b,a) can legitimately surface —
+  // the retention rule downstream (keep the superset doc) consumes
+  // the direction.
+  // -------------------------------------------------------------------
+  private def containment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = paraTok(spark, dir)
+    val tokdf = toks.groupBy("feature").agg(count(lit(1)).as("tokdf"))
+    val byDoc = Window.partitionBy("doc_id")
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("tokdf").asc, col("feature").asc)
+    // probe prefix: sz − ⌈3·sz/4⌉ + 1 rarest tokens of each doc
+    val prefix = toks.join(tokdf, "feature")
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= expr("sz - (3*sz + 3) div 4 + 1"))
+      .select(col("doc_id"), col("feature"))
+    val cand = prefix.select(col("doc_id").as("a"), col("feature"))
+      .join(toks.select(col("doc_id").as("b"), col("feature")),
+        Seq("feature"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val sets = toks.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("feature"))).as("ts"),
+        count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("ts").as("ta"),
+        col("sz").as("sza")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("ts").as("tb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * 4 >= col("sza") * 3)
+      .select(col("a"), col("b"), col("inter"), col("sza"),
+        expr("(1000 * inter) div sza").as("cont_pm"))
+      .orderBy("a", "b")
+  }
+
+  private val containmentSql =
+    s"""WITH $paraTokCte,
+       |sets AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+       |i AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+       |  FROM tok x JOIN tok y
+       |    ON x.feature = y.feature AND x.doc_id <> y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(sa.sz AS BIGINT) AS sza,
+       |  CAST((1000 * inter) // sa.sz AS BIGINT) AS cont_pm
+       |FROM i JOIN sets sa ON a = sa.doc_id
+       |WHERE 4 * inter >= 3 * sa.sz
+       |ORDER BY a, b""".stripMargin
+
   private val setjoinExactSql =
     s"""WITH $paraTokCte,
        |sets AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
@@ -1933,6 +2006,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_setjoin_exact"  -> (setjoinExact _),
+    "dd_containment"    -> (containment _),
     "tx_dedup_impact"   -> (dedupImpact _),
     "dd_cc_incremental" -> (ccIncremental _),
     "dd_lsh_tuning"     -> (lshTuning _),
@@ -1964,6 +2038,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "tx_dedup_impact"   -> dedupImpactSql,
     "dd_setjoin_exact"  -> setjoinExactSql,
+    "dd_containment"    -> containmentSql,
     "dd_cc_incremental" -> dupClustersSql,
     "dd_lsh_tuning"     -> lshTuningSql,
     "dd_semdedup_sweep" -> semDedupSweepSql,

@@ -281,6 +281,50 @@ object EventsOps {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_markov_events: the event-type TRANSITION MATRIX — the Markov
+  // chain ax_user_journey's raw sequences feed (next-step prediction,
+  // funnel leakage, bot detection all read this table first). Per
+  // user, consecutive events (ordered by ts, event_id) yield (src →
+  // dst) transitions via ONE lead() window partitioned on user_id — a
+  // high-cardinality key, so every partition's sort is one user's
+  // bounded history, never a global sort (contrast the ax_ntile_bins
+  // hazard: a window keyed on a handful of values). The per-src
+  // probability normalization then runs over the AGGREGATED matrix —
+  // |event_type|² rows, not corpus rows — so the only corpus-sized
+  // work is the keyed window and one partial-agg'd groupBy. Output in
+  // exact permille (integer div) so both engines hash identically.
+  // -------------------------------------------------------------------
+  private def markovEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(byUser))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pm",
+        expr("(1000 * n) div sum(n) over (partition by src)"))
+      .select(col("src"), col("dst"), col("n"),
+        col("pm").cast("long").as("pm"))
+      .orderBy("src", "dst")
+  }
+
+  private val markovEventsSql =
+    """WITH nx AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |t AS (SELECT src, dst, COUNT(*) AS n FROM nx
+      |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, CAST(n AS BIGINT) AS n,
+      |  CAST((1000 * n) // SUM(n) OVER (PARTITION BY src) AS BIGINT) AS pm
+      |FROM t ORDER BY src, dst""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_partitioned_write: Hive-style partitioned layout + partition-
   // pruned read. Events are written `partitionBy(event_type)` (each
   // type its own directory), then ONE partition is read back with a
@@ -801,6 +845,7 @@ object EventsOps {
     "ax_sorted_layout"   -> (sortedLayout _),
     "ax_partitioned_write" -> (partitionedWrite _),
     "ax_user_journey"    -> (userJourney _),
+    "ax_markov_events"   -> (markovEvents _),
     "ax_props_json"      -> (propsJson _),
     "ax_props_variant"   -> (propsVariant _),
     "ax_manifest_prune"  -> (manifestPrune _),
@@ -821,6 +866,7 @@ object EventsOps {
     "ax_sorted_layout"   -> sortedLayoutSql,
     "ax_partitioned_write" -> partitionedWriteSql,
     "ax_user_journey"    -> userJourneySql,
+    "ax_markov_events"   -> markovEventsSql,
     "ax_props_json"      -> propsJsonSql,
     "ax_props_variant"   -> propsVariantSql,
     "ax_manifest_prune"  -> manifestPruneSql,
