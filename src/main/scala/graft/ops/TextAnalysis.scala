@@ -241,6 +241,90 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // tx_winnow_fp: WINNOWING fingerprint selection (Schleimer/
+  // Shivakumar/Garcia-Molina, SIGMOD'03 — the MOSS algorithm), the
+  // guarantee-bearing refinement of tx_rolling_fp's whole-document
+  // min: slide a window of w=4 consecutive 8-gram hashes and select
+  // each window's RIGHTMOST minimum. The selection is position-local,
+  // so (unlike one global min) any shared substring of length
+  // ≥ w+7 chars between two documents is GUARANTEED to contribute at
+  // least one identical fingerprint to both — the property plagiarism
+  // /overlap detection needs — while expected density stays 2/(w+1)
+  // of positions. Emitted per doc: gram count, selected-fingerprint
+  // count, density in permille of windows, and the fingerprint-set
+  // hash-sum (the value two docs are compared on).
+  //
+  // Scale shape: everything after the scan is ONE projection of
+  // per-row array HOFs (no explode — the grams never become rows, no
+  // shuffle at all before the final tiny orderBy); per-doc cost is
+  // O(G·w²) with w=4 fixed. The repartition is the tx_rolling_fp
+  // materialization barrier: `norm` computes once per row, not once
+  // per lambda reference. Oracle-backed — DuckDB replays the same
+  // nested-lambda selection 1:1, so the rightmost-min tie rule is
+  // pinned cross-engine.
+  // ---------------------------------------------------------------
+  private val WinnowW = 4
+
+  private def winnowFp(spark: SparkSession, dir: String): DataFrame = {
+    val w = WinnowW
+    docs(spark, dir)
+      .select(col("doc_id"), normCol.as("norm"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, greatest(length(norm) - 7, 1)),
+           |  i -> ${PortableHash.hashSparkSql("substring(norm, i, 8)")})"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        expr(
+          s"""filter(sequence(1, size(hs)), p ->
+             |  exists(
+             |    sequence(greatest(1, p - ${w - 1}),
+             |             least(p, greatest(size(hs) - ${w - 1}, 1))),
+             |    j -> size(filter(sequence(j, least(j + ${w - 1}, size(hs))),
+             |      q -> element_at(hs, q) < element_at(hs, p)
+             |        OR (element_at(hs, q) = element_at(hs, p) AND q > p)))
+             |      = 0))""".stripMargin).as("sel"),
+        col("hs"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("sel")).cast("long").as("n_fp"),
+        expr(s"(1000 * size(sel)) div greatest(n_grams - ${w - 1}, 1)")
+          .as("density_pm"),
+        // fingerprint-set digest: modular sum (raw 60-bit hashes summed
+        // over hundreds of positions overflow BIGINT under ANSI)
+        expr("""aggregate(sel, CAST(0 AS BIGINT),
+               |  (acc, p) -> (acc + element_at(hs, p) % 1000000007)
+               |              % 1000000007)""".stripMargin)
+          .as("fp_sum"))
+      .orderBy("doc_id")
+  }
+
+  private val winnowFpSql = {
+    val w = WinnowW
+    s"""SELECT doc_id,
+       |  CAST(len(hs) AS BIGINT) AS n_grams,
+       |  CAST(len(sel) AS BIGINT) AS n_fp,
+       |  CAST((1000 * len(sel)) // greatest(len(hs) - ${w - 1}, 1) AS BIGINT)
+       |    AS density_pm,
+       |  CAST(coalesce(list_sum(list_transform(sel, s2 -> hs[s2] % 1000000007)),
+       |                0) % 1000000007 AS BIGINT) AS fp_sum
+       |FROM (
+       |  SELECT doc_id, hs,
+       |    list_filter(range(1, len(hs) + 1), p ->
+       |      len(list_filter(
+       |        range(greatest(1, p - ${w - 1}),
+       |              least(p, greatest(len(hs) - ${w - 1}, 1)) + 1),
+       |        j -> len(list_filter(range(j, least(j + ${w - 1}, len(hs)) + 1),
+       |          q -> hs[q] < hs[p] OR (hs[q] = hs[p] AND q > p))) = 0)) > 0)
+       |      AS sel
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+       |        i -> ${graft.ops.PortableHash.hashSql("substring(norm, i, 8)")}) AS hs
+       |    FROM (SELECT doc_id, $normSqlDef AS norm FROM documents) t0) t1) t2
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // tx_top_terms: exact corpus heavy hitters — top 20 terms by
   // document frequency (each term counted once per doc). The plan is
   // the scale shape for vocabulary stats: explode to (doc, word) rows,
@@ -1333,7 +1417,8 @@ object TextAnalysis {
     "tx_quality"     -> (quality _),
     "tx_fingerprint" -> (fingerprint _),
     "tx_token_bpe"   -> (tokenBpe _),
-    "tx_rolling_fp"  -> (rollingFp _)
+    "tx_rolling_fp"  -> (rollingFp _),
+    "tx_winnow_fp"   -> (winnowFp _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1363,6 +1448,7 @@ object TextAnalysis {
     "tx_quality"     -> qualitySql,
     "tx_fingerprint" -> fingerprintSql,
     "tx_token_bpe"   -> tokenBpeSql,
-    "tx_rolling_fp"  -> rollingFpSql
+    "tx_rolling_fp"  -> rollingFpSql,
+    "tx_winnow_fp"   -> winnowFpSql
   )
 }
