@@ -776,7 +776,72 @@ object Graph {
        |ORDER BY common DESC, a ASC, b ASC
        |LIMIT 30""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_hits_bipartite: HITS (Kleinberg hubs & authorities) over the
+  // customer→supplier purchase graph — the directed-graph companion of
+  // ax_pagerank_parts, on the graph where the distinction actually
+  // means something: customers are pure hubs (they only point), and
+  // suppliers pure authorities (they are only pointed at), so the
+  // mutual-reinforcement recursion "a good buyer buys from good
+  // suppliers; a good supplier is bought from by good buyers" is the
+  // classic bipartite HITS instance. Run UNNORMALIZED in exact BIGINT
+  // (power iteration without the per-round L2 normalization — the
+  // RANKING after k rounds is identical because normalization is a
+  // positive scalar per round, and the integers cannot drift across
+  // engines): hub₀ ≡ 1, auth₁(s) = Σ hub₀ = in-degree, hub₁(c) =
+  // Σ_{c→s} auth₁(s), auth₂(s) = Σ_{c→s} hub₁(c). Two full rounds on
+  // a bipartite graph = one step of the A·Aᵀ·A authority recursion.
+  //
+  // Scale shape: the (customer, supplier) edge set is ONE distinct
+  // projection of the orders⋈lineitem co-shuffle (both facts shuffle
+  // on the order key once — the honest fact-fact cost), persisted,
+  // then every round is an edge⋈score hash join + partial-agg'd
+  // groupBy whose shuffled payload is one (node, contribution) row
+  // per edge — the PageRank loop discipline; no score table is ever
+  // broadcast (per-node cardinality). Magnitudes are degree-bounded:
+  // auth₂ ≤ E·max-deg² — no overflow at any SF. Top-15 authorities
+  // emit via TakeOrderedAndProject.
+  // -------------------------------------------------------------------
+  private def hitsBipartite(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .persist()
+    val auth1 = edges.groupBy("s").agg(count(lit(1)).as("a1"))
+    val hub1 = edges.join(auth1.hint("shuffle_hash"), "s")
+      .groupBy("c").agg(sum(col("a1")).as("h1"))
+    val auth2 = edges.join(hub1.hint("shuffle_hash"), "c")
+      .groupBy("s").agg(sum(col("h1")).as("a2"))
+    val out = auth2.join(auth1, "s")
+      .select(col("s").as("suppkey"), col("a1").as("in_deg"),
+        col("a2").as("authority"))
+      .orderBy(col("authority").desc, col("suppkey").asc)
+      .limit(15)
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
+
+  private val hitsBipartiteSql =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |a1 AS (SELECT s, COUNT(*) AS a1 FROM e GROUP BY 1),
+      |h1 AS (SELECT e.c, SUM(a1.a1) AS h1 FROM e JOIN a1 ON e.s = a1.s
+      |       GROUP BY 1),
+      |a2 AS (SELECT e.s, SUM(h1.h1) AS a2 FROM e JOIN h1 ON e.c = h1.c
+      |       GROUP BY 1)
+      |SELECT a2.s AS suppkey, CAST(a1.a1 AS BIGINT) AS in_deg,
+      |  CAST(a2.a2 AS BIGINT) AS authority
+      |FROM a2 JOIN a1 ON a2.s = a1.s
+      |ORDER BY authority DESC, suppkey ASC LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_hits_bipartite" -> (hitsBipartite _),
     "ax_triangle_count" -> (triangleCount _),
     "ax_pagerank_parts" -> (pagerankParts _),
     "ax_bfs_hops"       -> (bfsHops _),
@@ -787,6 +852,7 @@ object Graph {
     "ax_common_nbrs"    -> (commonNbrs _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_hits_bipartite" -> hitsBipartiteSql,
     "ax_triangle_count" -> triangleCountSql,
     "ax_pagerank_parts" -> pagerankPartsSql,
     "ax_bfs_hops"       -> bfsHopsSql,
