@@ -1489,7 +1489,94 @@ object Similarity {
        |FROM ($kmeansAssignSql) ka
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sim_mmr_select: MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein,
+  // SIGIR'98) — greedy diversity-aware selection, the missing third
+  // mode next to top-k (pure relevance) and dedup (pure redundancy
+  // removal): pick k items that are RELEVANT to the query AND far
+  // from each other. λ = 1/2, so the integer objective is simply
+  // rel − max-dot-to-selected; round 1 has no selected set and picks
+  // by pure relevance. All arithmetic is the quantized BIGINT dot
+  // (sim_topk_quantized's), so both engines replay the greedy chain
+  // decision-for-decision — ties broken by vec_id, making the whole
+  // selection order deterministic.
+  //
+  // Scale shape: greedy MMR is inherently sequential in k, so the
+  // honest distributed form is k rounds of: one corpus scan computing
+  // score = rel − maxdot map-side, one TakeOrderedAndProject(1) (per-
+  // partition top-1 heaps + driver merge — never a sort), then fold
+  // the picked vector (64 ints — a point lookup, the sim_ann_lsh
+  // driver-side convention) into each candidate's running maxdot via
+  // the codegen'd dotLong. Per-candidate state is ONE BIGINT (the
+  // running max), not the k picked vectors; localCheckpoint truncates
+  // the k-deep lineage. At 100 TB: k scans of the embedding table,
+  // each embarrassingly parallel — the same cost profile as k top-k
+  // queries, with no pairwise candidate×candidate work anywhere.
+  // -------------------------------------------------------------------
+  private val MmrK = 5
+
+  private def mmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val qv = e.filter(col("vec_id") === 0).select("q")
+      .head().getSeq[Long](0) // query vector: driver-side point lookup
+    val qlit = qv.mkString("array(", "L,", "L)")
+    var cand = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("q"),
+        dotLong(col("q"), expr(qlit)).as("rel"))
+      .withColumn("maxdot", lit(null).cast("long"))
+      .localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (rank <- 1 to MmrK) {
+      val p = cand
+        .withColumn("mmr", col("rel") - coalesce(col("maxdot"), lit(0L)))
+        .orderBy(col("mmr").desc, col("vec_id").asc)
+        .limit(1).head()
+      val (pid, pq) = (p.getLong(0), p.getSeq[Long](1))
+      picks += ((rank.toLong, pid, p.getLong(2), p.getLong(4)))
+      if (rank < MmrK) {
+        val plit = pq.mkString("array(", "L,", "L)")
+        val d = dotLong(col("q"), expr(plit))
+        cand = cand.filter(col("vec_id") =!= pid)
+          .withColumn("maxdot", coalesce(greatest(col("maxdot"), d), d))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "vec_id", "rel", "mmr")
+  }
+
+  private val mmrSelectSql = {
+    val sel = (1 to MmrK).map { r =>
+      val prev = if (r == 1) "c0" else s"c${r - 1}"
+      val s =
+        s"""s$r AS (SELECT vec_id, q, rel, md FROM $prev
+           |  ORDER BY rel - coalesce(md, 0) DESC, vec_id ASC LIMIT 1)"""
+          .stripMargin
+      val c = if (r == MmrK) "" else {
+        val dot = PortableHash.dotSqlDuck("c.q", "s.q")
+        s""",
+           |c$r AS (SELECT c.vec_id, c.q, c.rel,
+           |    coalesce(greatest(c.md, $dot), $dot) AS md
+           |  FROM c${r - 1} c, s$r s WHERE c.vec_id <> s.vec_id)"""
+          .stripMargin
+      }
+      s + c
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(r =>
+      s"SELECT $r AS rank, vec_id, rel, rel - coalesce(md, 0) AS mmr FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |qq AS (SELECT q FROM qt WHERE vec_id = 0),
+       |c0 AS (SELECT t.vec_id, t.q,
+       |    ${PortableHash.dotSqlDuck("t.q", "qq.q")} AS rel,
+       |    CAST(NULL AS BIGINT) AS md
+       |  FROM qt t, qq WHERE t.vec_id <> 0),
+       |$sel
+       |SELECT * FROM ($out) ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr_select"     -> (mmrSelect _),
     "sim_rrf_fusion"     -> (rrfFusion _),
     "sim_rrf_recall"     -> (rrfRecall _),
     "sim_inertia"        -> (inertia _),
@@ -1514,6 +1601,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sim_mmr_select"     -> mmrSelectSql,
     "sim_rrf_fusion"     -> rrfFusionSql,
     "sim_rrf_recall"     -> rrfRecallSql,
     "sim_inertia"        -> inertiaSql,
