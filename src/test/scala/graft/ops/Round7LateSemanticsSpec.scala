@@ -1,0 +1,189 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent in-memory reference implementations for the late round-7
+  * operator batch (MMR selection, winnowing, containment join, bipartite
+  * HITS, event transition matrix), checked on real sf0.001 data. The
+  * DuckDB oracle proves cross-engine agreement; these prove the
+  * distributed formulations compute the ALGORITHM they claim, by
+  * re-deriving every answer from first principles on the driver.
+  */
+class Round7LateSemanticsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = Extensions.queries(name)(spark, dir)
+
+  // ---- shared reference primitives -----------------------------------
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** PortableHash.hashCol's exact semantics: first 15 md5 hex digits. */
+  private def pHash(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  private def norm(text: String): String =
+    text.toLowerCase.replaceAll("\\s+", " ").trim
+
+  /** paraTok's 16-word paragraph-hash set per document. */
+  private def paraSets(): Map[Long, Set[String]] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val n = norm(r.getString(1))
+        val feats =
+          if (n.isEmpty) Set.empty[String]
+          else n.split(" ").grouped(16).map(g => md5Hex(g.mkString(" "))).toSet
+        r.getLong(0) -> feats
+      }.toMap
+
+  // ---- dd_containment ------------------------------------------------
+
+  test("containment join equals the all-pairs in-memory reference") {
+    val sets = paraSets().filter(_._2.nonEmpty)
+    val truth = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b
+      inter = (sa & sb).size
+      if 4L * inter >= 3L * sa.size
+    } yield (a, b, inter.toLong, sa.size.toLong,
+        1000L * inter / sa.size)).sortBy(t => (t._1, t._2))
+    val got = q("dd_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == truth)
+  }
+
+  // ---- tx_winnow_fp --------------------------------------------------
+
+  /** Classic winnowing: for each window of w hash positions, select the
+    * rightmost minimum; the fingerprint set is the union.
+    */
+  private def winnowRef(hs: Array[Long], w: Int): Set[Int] = {
+    val n = hs.length
+    val wins =
+      if (n < w) Seq((0, n - 1))
+      else (0 to n - w).map(j => (j, j + w - 1))
+    wins.map { case (j, e) =>
+      var best = j
+      for (p <- j + 1 to e) if (hs(p) <= hs(best)) best = p
+      best
+    }.toSet
+  }
+
+  test("winnow fingerprints match the classic algorithm, and every window is covered") {
+    val w = 4
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> norm(r.getString(1))).toMap
+    val got = q("tx_winnow_fp").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, nm) =>
+      val g = math.max(nm.length - 7, 1)
+      val hs = (1 to g)
+        .map(i => pHash(nm.substring(i - 1, math.min(i + 7, nm.length))))
+        .toArray
+      val sel = winnowRef(hs, w)
+      // guarantee: every window of w consecutive grams holds a selection
+      if (hs.length >= w)
+        (0 to hs.length - w).foreach { j =>
+          assert(sel.exists(p => p >= j && p < j + w),
+            s"doc $id window $j uncovered") }
+      val fpSum = sel.toSeq.map(p => hs(p) % 1000000007L)
+        .foldLeft(0L)((a, x) => (a + x) % 1000000007L)
+      val windows = math.max(g - (w - 1), 1).toLong
+      assert(got(id) == ((g.toLong, sel.size.toLong,
+        1000L * sel.size / windows, fpSum)), s"doc $id mismatch")
+    }
+  }
+
+  // ---- ax_hits_bipartite ---------------------------------------------
+
+  test("bipartite HITS equals the in-memory two-round recursion") {
+    val edges = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet.toSeq
+    val a1 = edges.groupBy(_._2).map { case (s, es) => s -> es.size.toLong }
+    val h1 = edges.groupBy(_._1).map { case (c, es) =>
+      c -> es.map(e => a1(e._2)).sum }
+    val a2 = edges.groupBy(_._2).map { case (s, es) =>
+      s -> es.map(e => h1(e._1)).sum }
+    val truth = a2.toSeq.map { case (s, a) => (s, a1(s), a) }
+      .sortBy { case (s, _, a) => (-a, s) }.take(15)
+    val got = q("ax_hits_bipartite").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == truth)
+  }
+
+  // ---- ax_markov_events ----------------------------------------------
+
+  test("markov transition matrix equals the per-user ordered reference") {
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }
+    val n = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val srcTot = trans.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val truth = n.toSeq.map { case ((s, d), c) =>
+      (s, d, c, 1000L * c / srcTot(s)) }.sortBy(t => (t._1, t._2))
+    val got = q("ax_markov_events").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == truth)
+    // each src row-distribution floors to ≤ 1000 permille
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000 && s > 1000 - rows.length)
+    }
+  }
+
+  // ---- sim_mmr_select ------------------------------------------------
+
+  test("MMR selection equals the in-memory greedy chain") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qv = vecs(0L)
+    var cand = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, dot(v, qv), None: Option[Long]) }
+    val truth = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (rank <- 1 to 5) {
+      val p = cand.minBy { case (id, _, rel, md) => (-(rel - md.getOrElse(0L)), id) }
+      truth += ((rank.toLong, p._1, p._3, p._3 - p._4.getOrElse(0L)))
+      cand = cand.filter(_._1 != p._1).map { case (id, v, rel, md) =>
+        val d = dot(v, p._2)
+        (id, v, rel, Some(md.fold(d)(m => math.max(m, d))))
+      }
+    }
+    val got = q("sim_mmr_select").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == truth.toSeq)
+    // greedy scores are non-increasing from rank 2 on (rank 1 scores
+    // pure relevance — a negative max-dot can lift rank 2 above it,
+    // so the monotone run starts once the penalty term is live)
+    got.map(_._4).drop(1).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => }
+  }
+}
