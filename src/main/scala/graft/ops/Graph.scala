@@ -802,28 +802,51 @@ object Graph {
   // auth₂ ≤ E·max-deg² — no overflow at any SF. Top-15 authorities
   // emit via TakeOrderedAndProject.
   // -------------------------------------------------------------------
-  private def hitsBipartite(spark: SparkSession, dir: String): DataFrame = {
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-      .persist()
+  /** The full HITS chain over a (possibly persisted) edge set — shared
+    * by the query and the plan guard.
+    */
+  private def hitsChain(edges: DataFrame): DataFrame = {
     val auth1 = edges.groupBy("s").agg(count(lit(1)).as("a1"))
     val hub1 = edges.join(auth1.hint("shuffle_hash"), "s")
       .groupBy("c").agg(sum(col("a1")).as("h1"))
     val auth2 = edges.join(hub1.hint("shuffle_hash"), "c")
       .groupBy("s").agg(sum(col("h1")).as("a2"))
-    val out = auth2.join(auth1, "s")
+    auth2.join(auth1.hint("shuffle_hash"), "s")
       .select(col("s").as("suppkey"), col("a1").as("in_deg"),
         col("a2").as("authority"))
       .orderBy(col("authority").desc, col("suppkey").asc)
       .limit(15)
-      .localCheckpoint()
+  }
+
+  private def hitsEdges(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+  }
+
+  private def hitsBipartite(spark: SparkSession, dir: String): DataFrame = {
+    val edges = hitsEdges(spark, dir).persist()
+    val out = hitsChain(edges).localCheckpoint()
     edges.unpersist()
     out
+  }
+
+  /** Plan guard hook: the HITS chain over materialized persisted edges
+    * (the production shape) — must stay shuffled-hash throughout; a
+    * broadcast of any per-node score table is the iterative-graph
+    * scale-killer.
+    */
+  private[graft] def hitsBipartitePlan(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    val edges = hitsEdges(spark, dir).persist()
+    edges.count()
+    val plan = hitsChain(edges).queryExecution.executedPlan
+    edges.unpersist()
+    plan
   }
 
   private val hitsBipartiteSql =

@@ -1545,6 +1545,26 @@ object Similarity {
     picks.toSeq.toDF("rank", "vec_id", "rel", "mmr")
   }
 
+  /** Plan guard hook: one MMR round over the candidate table — must
+    * plan as map-side score projection + TakeOrderedAndProject(1), no
+    * join of any kind (the picked vectors fold in as literals).
+    */
+  private[graft] def mmrRoundPlan(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val qv = e.filter(col("vec_id") === 0).select("q")
+      .head().getSeq[Long](0)
+    val qlit = qv.mkString("array(", "L,", "L)")
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("q"),
+        dotLong(col("q"), expr(qlit)).as("rel"))
+      .withColumn("maxdot", dotLong(col("q"), expr(qlit)))
+      .withColumn("mmr", col("rel") - coalesce(col("maxdot"), lit(0L)))
+      .orderBy(col("mmr").desc, col("vec_id").asc)
+      .limit(1)
+      .queryExecution.executedPlan
+  }
+
   private val mmrSelectSql = {
     val sel = (1 to MmrK).map { r =>
       val prev = if (r == 1) "c0" else s"c${r - 1}"

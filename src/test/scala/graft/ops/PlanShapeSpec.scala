@@ -583,6 +583,42 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("tx_bpe_encode")
     assert(!p.contains("Cartesian"), s"vocab attach degraded:\n$p")
   }
+
+  test("containment join stays prefix-keyed, never all-pairs") {
+    val p = plan("dd_containment")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"containment candidate join degraded to all-pairs:\n$p")
+  }
+
+  test("markov transition matrix: corpus window keyed on user_id only") {
+    val p = plan("ax_markov_events")
+    assert(!p.contains("Cartesian"))
+    // the lead() window must partition on the high-cardinality user key
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"lead window must be keyed on user_id:\n$p")
+  }
+
+  test("winnowing runs as per-row array HOFs — no explode, no join") {
+    val p = plan("tx_winnow_fp")
+    assert(!p.contains("Generate"), s"grams must never become rows:\n$p")
+    assert(!p.contains("Join"), s"winnowing needs no join:\n$p")
+  }
+
+  test("HITS rounds stay shuffled-hash; score tables never broadcast") {
+    val p = Graph.hitsBipartitePlan(spark, dir).toString
+    // all three score attaches (auth1→hub1, hub1→auth2, auth1 readback)
+    // must be shuffled-hash — the cached edge-BUILD subtree may
+    // broadcast its dimension side, but a per-node score broadcast is
+    // the iterative scale-killer the hints pin against
+    val shuffled = "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shuffled >= 3, s"expected 3 shuffled score joins, got $shuffled:\n$p")
+  }
+
+  test("an MMR round is scan + top-1 heaps; picked vectors fold in as literals") {
+    val p = Similarity.mmrRoundPlan(spark, dir).toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-1 must be heaps:\n$p")
+    assert(!p.contains("Join"), s"an MMR round must be join-free:\n$p")
+  }
 }
 
 /** Small helper kept outside the spec so other tools can reuse it. */
