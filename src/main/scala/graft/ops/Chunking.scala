@@ -288,7 +288,104 @@ object Chunking {
        |                          ORDER BY pos), '')) AS clean_hash
        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dd_cdc_chunks: CONTENT-DEFINED CHUNKING (the Rabin/LBFS family —
+  // Muthitacharoen et al., SOSP'01) — the SHIFT-ROBUST dedup unit the
+  // fixed units lack. tx_para_dedup cuts every 16 words and
+  // tx_chunk_stats every 200 chars, so inserting one word near a
+  // document's head REWRITES every downstream unit and dedup misses
+  // everything after the edit; CDC instead cuts where the CONTENT
+  // says to — at positions whose rolling 8-gram hash ≡ 0 (mod 32) —
+  // so an edit only disturbs the one or two chunks it touches and
+  // every later boundary re-synchronizes (expected chunk ≈ 32 chars;
+  // the CdcSpec prefix-insertion test pins the property). Emitted per
+  // doc: chunk count and how many of its distinct chunks also appear
+  // in ≥1 other document — the storage/dedup win CDC exists to find.
+  //
+  // Scale shape: chunking is per-row array HOFs (no explode until the
+  // chunk table, whose rows are the PRODUCT — they feed the dedup
+  // exchange); cross-doc frequency is ONE exchange keyed on the chunk
+  // hash, and only 60-bit hashes move — never chunk text. The same
+  // repartition barrier as tx_winnow_fp keeps `norm` computed once.
+  // -------------------------------------------------------------------
+  private val CdcMod = 32
+
+  private def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val phash = graft.ops.PortableHash.hashSparkSql("substring(norm, i, 8)")
+    val chunkTbl = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .filter(length(col("norm")) > 0)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("norm"), expr(
+        s"""transform(sequence(1, greatest(length(norm) - 7, 1)),
+           |  i -> $phash)""".stripMargin).as("hs"))
+      .select(col("doc_id"), col("norm"), expr(
+        s"""concat(array(CAST(1 AS BIGINT)),
+           |  filter(sequence(1, size(hs)),
+           |    p -> p > 1 AND element_at(hs, p) % $CdcMod = 0))"""
+          .stripMargin).as("cuts"))
+      .select(col("doc_id"), col("norm"), col("cuts"), expr(
+        """concat(slice(cuts, 2, size(cuts) - 1),
+          |  array(CAST(length(norm) + 1 AS BIGINT)))""".stripMargin)
+        .as("ends"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(cuts)),
+          |  i -> md5(substring(norm, CAST(element_at(cuts, i) AS INT),
+          |    CAST(element_at(ends, i) - element_at(cuts, i) AS INT))))"""
+          .stripMargin)).as("ch"))
+    val perDoc = chunkTbl.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"))
+    val docCh = chunkTbl.distinct()
+    val shared = docCh
+      .withColumn("docs_with",
+        count(lit(1)).over(Window.partitionBy("ch")))
+      .filter(col("docs_with") >= 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_chunks"))
+    perDoc.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
+      .orderBy("doc_id")
+  }
+
+  private val cdcChunksSql = {
+    val phash = graft.ops.PortableHash.hashSql("substring(norm, i, 8)")
+    s"""WITH nd AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+       |    AS norm
+       |  FROM documents
+       |  WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0),
+       |h AS (SELECT doc_id, norm,
+       |    list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+       |      i -> $phash) AS hs
+       |  FROM nd),
+       |cu AS (SELECT doc_id, norm,
+       |    list_concat([CAST(1 AS BIGINT)],
+       |      list_filter(range(1, len(hs) + 1),
+       |        p -> p > 1 AND hs[p] % $CdcMod = 0)) AS cuts
+       |  FROM h),
+       |ce AS (SELECT doc_id, norm, cuts,
+       |    list_concat(cuts[2:], [CAST(length(norm) + 1 AS BIGINT)]) AS ends
+       |  FROM cu),
+       |chunks AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(cuts) + 1),
+       |      i -> md5(substring(norm, CAST(cuts[i] AS INT),
+       |        CAST(ends[i] - cuts[i] AS INT))))) AS ch
+       |  FROM ce),
+       |per_doc AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY 1),
+       |docch AS (SELECT DISTINCT doc_id, ch FROM chunks),
+       |freq AS (SELECT ch, COUNT(*) AS docs_with FROM docch GROUP BY 1),
+       |shared AS (SELECT d.doc_id, COUNT(*) AS dup_chunks
+       |  FROM docch d JOIN freq f ON d.ch = f.ch
+       |  WHERE f.docs_with >= 2 GROUP BY 1)
+       |SELECT p.doc_id, CAST(p.n_chunks AS BIGINT) AS n_chunks,
+       |  CAST(coalesce(s.dup_chunks, 0) AS BIGINT) AS dup_chunks
+       |FROM per_doc p LEFT JOIN shared s ON p.doc_id = s.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cdc_chunks"      -> (cdcChunks _),
     "tx_chunk_stats"     -> (chunkStats _),
     "tx_pack_bins"       -> (packBins _),
     "tx_pack_attention"  -> (packAttention _),
@@ -296,6 +393,7 @@ object Chunking {
     "tx_boilerplate_rm"  -> (boilerplateRm _))
 
   val oracleSql: Map[String, String] = Map(
+    "dd_cdc_chunks"      -> cdcChunksSql,
     "tx_chunk_stats"     -> chunkStatsSql,
     "tx_pack_bins"       -> packBinsSql,
     "tx_pack_attention"  -> packAttentionSql,

@@ -107,6 +107,41 @@ class Round7LateSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- dd_cdc_chunks -------------------------------------------------
+
+  /** In-memory CDC reference: cut where the rolling 8-gram hash ≡ 0
+    * (mod 32), exactly the operator's formula.
+    */
+  private def cdcRef(nm: String): Seq[String] = {
+    val g = math.max(nm.length - 7, 1)
+    val hs = (1 to g)
+      .map(i => pHash(nm.substring(i - 1, math.min(i + 7, nm.length))))
+    val cuts = 1 +: (2 to g).filter(p => hs(p - 1) % 32 == 0)
+    val ends = cuts.drop(1) :+ (nm.length + 1)
+    cuts.zip(ends).map { case (c, e) => nm.substring(c - 1, e - 1) }
+  }
+
+  test("CDC chunk counts match the reference; chunks re-sync after a head edit") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> norm(r.getString(1))).toMap
+    val got = q("dd_cdc_chunks").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.filter(_._2.nonEmpty).foreach { case (id, nm) =>
+      assert(got(id) == cdcRef(nm).size.toLong, s"doc $id chunk count") }
+    // the shift-robustness property CDC exists for: prepend a word and
+    // the chunk STREAM re-synchronizes — at most the head chunk
+    // differs, every later chunk survives byte-identical. A fixed-
+    // width chunker loses every chunk after the edit.
+    docs.values.filter(_.length > 200).take(25).foreach { nm =>
+      val orig = cdcRef(nm)
+      val edit = cdcRef("inserted words at the head " + nm)
+      val shared = orig.toSet.intersect(edit.toSet).size
+      assert(shared >= orig.size - 2,
+        s"CDC lost ${orig.size - shared} of ${orig.size} chunks after a head edit")
+    }
+  }
+
   // ---- ax_hits_bipartite ---------------------------------------------
 
   test("bipartite HITS equals the in-memory two-round recursion") {
