@@ -465,10 +465,12 @@ object EventsOps {
   // O(files) rows — the same KB-scale metadata a table format keeps —
   // never data. Oracle restates the zone-map selection declaratively.
   // -------------------------------------------------------------------
-  private def manifestPrune(spark: SparkSession, dir: String): DataFrame = {
-    // a table's layout is written once, not per query — disk fixture
-    // keyed by the bucket width AND the source mtime (regeneration
-    // rebuilds); the QUERY below is the manifest scan + planned read
+  /** The user-range-bucketed events layout shared by ax_manifest_prune
+    * and ax_manifest_bloom — a table's layout is written once, not per
+    * query. Disk fixture keyed by the bucket width AND the source
+    * mtime (regeneration rebuilds).
+    */
+  private def bucketedEventsLayout(spark: SparkSession, dir: String): String = {
     val stamp =
       try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(dir, "events.parquet")).toMillis
@@ -486,6 +488,11 @@ object EventsOps {
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
       marker.createNewFile()
     }
+    path
+  }
+
+  private def manifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = bucketedEventsLayout(spark, dir)
 
     // the manifest: file-level zone maps as a relation (one scan)
     val manifest = spark.read.parquet(path)
@@ -517,6 +524,74 @@ object EventsOps {
       |    AS n_events,
       |  (SELECT CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
       |   FROM events WHERE user_id BETWEEN 4 AND 8) AS sum_cents""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_manifest_bloom: BLOOM-INDEXED MANIFEST POINT LOOKUP — the zone
+  // maps' complement. ax_manifest_prune's [min,max] intervals answer
+  // RANGE predicates on the layout key; a point lookup on a column the
+  // layout does NOT sort by (event_id inside user-bucketed files) gets
+  // nothing from zone maps — every file's event_id interval spans
+  // ~the whole domain, so interval intersection selects ~every file
+  // (the emitted n_files_zonemap pins exactly that). Table formats
+  // answer this with per-file BLOOM filters: the manifest carries one
+  // KB-scale blob per file (bloom_filter_agg grouped by file — ONE
+  // scan), the coordinator probes the blobs with the query's key set,
+  // and only files that might contain a probe key are opened. The
+  // blobs are a deterministic function of file contents, so the gate
+  // can pin the bloom-selected set against the oracle's exact
+  // containment — proving zero false positives at these parameters
+  // (131072 bits per file) rather than hoping. Probes include an
+  // absent key (987654321): blooms must exclude it from every file.
+  //
+  // Scale: manifest collect moves O(files) KB-scale rows — what every
+  // table-format coordinator materializes — never data; the fact scan
+  // reads only bloom-selected files with the IN-filter pushed down.
+  // -------------------------------------------------------------------
+  private val BloomProbes = Seq(7L, 431L, 876L, 987654321L)
+
+  private def manifestBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Sketches
+    val path = bucketedEventsLayout(spark, dir)
+    val m = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+        // estimatedNumItems sizes the hash-function count k ≈ m/n·ln2:
+        // it must reflect PER-FILE cardinality (a corpus-level estimate
+        // gave k=1 and two measured false positives at sf0.01)
+        Sketches.bloomFilterAgg(col("event_id"), 4096L, 1L << 17).as("bf"))
+      .collect() // O(files) KB-scale manifest rows
+    val zonemap = m.count(r =>
+      BloomProbes.exists(p => r.getLong(1) <= p && p <= r.getLong(2)))
+    val selected = m.filter { r =>
+      val bf = Sketches.readBloom(r.getAs[Array[Byte]]("bf"))
+      BloomProbes.exists(p => bf.mightContainLong(Sketches.xxhash64Long(p)))
+    }.map(_.getString(0))
+    spark.read.parquet(selected.toSeq: _*)
+      .filter(col("event_id").isin(BloomProbes: _*))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(
+        lit(m.length.toLong).as("n_files_total"),
+        lit(zonemap.toLong).as("n_files_zonemap"),
+        lit(selected.length.toLong).as("n_files_bloom"),
+        col("n_events"), col("sum_cents"))
+  }
+
+  private val manifestBloomSql = {
+    val in = BloomProbes.mkString(", ")
+    val zone = BloomProbes
+      .map(p => s"(lo <= $p AND hi >= $p)").mkString(" OR ")
+    s"""WITH f AS (SELECT user_id // 4 AS b, MIN(event_id) AS lo,
+       |    MAX(event_id) AS hi,
+       |    MAX(CASE WHEN event_id IN ($in) THEN 1 ELSE 0 END) AS has_probe
+       |  FROM events GROUP BY 1)
+       |SELECT
+       |  (SELECT COUNT(*) FROM f) AS n_files_total,
+       |  (SELECT COUNT(*) FROM f WHERE $zone) AS n_files_zonemap,
+       |  (SELECT COUNT(*) FROM f WHERE has_probe = 1) AS n_files_bloom,
+       |  (SELECT COUNT(*) FROM events WHERE event_id IN ($in)) AS n_events,
+       |  (SELECT CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+       |   FROM events WHERE event_id IN ($in)) AS sum_cents""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // ax_partition_evolution: PARTITION-SPEC EVOLUTION — the second
@@ -849,6 +924,7 @@ object EventsOps {
     "ax_props_json"      -> (propsJson _),
     "ax_props_variant"   -> (propsVariant _),
     "ax_manifest_prune"  -> (manifestPrune _),
+    "ax_manifest_bloom"  -> (manifestBloom _),
     "ax_partition_evolution" -> (partitionEvolution _),
     "ax_interval_errors" -> (intervalErrors _),
     "ax_jsonl_roundtrip" -> (jsonlRoundtrip _),
@@ -870,6 +946,7 @@ object EventsOps {
     "ax_props_json"      -> propsJsonSql,
     "ax_props_variant"   -> propsVariantSql,
     "ax_manifest_prune"  -> manifestPruneSql,
+    "ax_manifest_bloom"  -> manifestBloomSql,
     "ax_partition_evolution" -> partitionEvolutionSql,
     "ax_interval_errors" -> intervalErrorsSql,
     "ax_jsonl_roundtrip" -> jsonlRoundtripSql,

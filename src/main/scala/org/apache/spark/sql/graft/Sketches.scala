@@ -38,4 +38,20 @@ object Sketches {
     Interop.column(BloomFilterMightContain(
       Interop.expression(bloom),
       new XxHash64(Seq(Interop.expression(key)))))
+
+  /** Driver-side (coordinator-style) probe of a serialized bloom blob —
+    * `BloomFilterMightContain` insists its bloom side be foldable or a
+    * scalar subquery, so a PER-FILE bloom manifest (one blob per row)
+    * is probed the way a table format's query coordinator probes its
+    * manifest metadata: deserialize the KB-scale blob and test the
+    * same `xxhash64(seed=42)` key hash [[bloomFilterAgg]] inserted.
+    */
+  def readBloom(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  /** the agg's key hash: XxHash64(seed 42) of a LongType value */
+  def xxhash64Long(v: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      v, org.apache.spark.sql.types.LongType, 42L)
 }
