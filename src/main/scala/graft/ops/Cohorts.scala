@@ -342,7 +342,65 @@ object Cohorts {
       |SELECT strftime(dau.d, '%Y-%m-%d') AS day, n_dau, n_wau7
       |FROM dau JOIN wau USING (d) ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_attribution_linear: MULTI-TOUCH ATTRIBUTION — each purchase's
+  // value is split EQUALLY across every view/click touch by the same
+  // user in the preceding 24 h (linear attribution; ax_asof_view_
+  // purchase is the last-touch special case). Credit is exact integer
+  // division (cents div n — remainders truncate identically in both
+  // engines), so per-channel credited revenue hash-matches.
+  //
+  // Scale shape: the point-in-interval join uses the ax_interval_
+  // errors discipline — both sides bin to the DAY, purchases explode
+  // to the ≤2 day-bins their look-back window touches, the join is a
+  // plain equi-join on (user, day) with the exact time predicate as a
+  // residual filter — never a per-user non-equi nested loop. Each
+  // touch lives in exactly one bin, so no pair dedup is needed. The
+  // per-purchase touch count is a window keyed on the purchase id
+  // (high cardinality), then one small groupBy per channel. The
+  // oracle runs the naive non-equi join (DuckDB IEJoin — fine at
+  // oracle scale).
+  // -------------------------------------------------------------------
+  private def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, dir)
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_type").as("channel"),
+        expr("CAST(unix_seconds(ts) div 86400 AS BIGINT)").as("day"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("pid"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("day", explode(array(
+        expr("CAST(unix_seconds(pts) div 86400 AS BIGINT)"),
+        expr("CAST(unix_seconds(pts) div 86400 - 1 AS BIGINT)"))))
+    purchases.join(touches, Seq("user_id", "day"))
+      .filter(col("tts") >= col("pts") - expr("INTERVAL 24 HOURS") &&
+        col("tts") < col("pts"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("pid")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(expr("cents div n")).as("credited_cents"))
+      .orderBy("channel")
+  }
+
+  private val attributionLinearSql =
+    """WITH t AS (SELECT user_id, ts AS tts, event_type AS channel
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |p AS (SELECT user_id, ts AS pts, event_id AS pid,
+      |    CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |pairs AS (SELECT p.pid, p.cents, t.channel
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.tts >= p.pts - INTERVAL 24 HOURS AND t.tts < p.pts),
+      |n AS (SELECT *, COUNT(*) OVER (PARTITION BY pid) AS n FROM pairs)
+      |SELECT channel, COUNT(*) AS n_touches,
+      |  CAST(SUM(cents // n) AS BIGINT) AS credited_cents
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_attribution_linear" -> (attributionLinear _),
     "ax_rolling_dau"       -> (rollingDau _),
     "ax_rolling_wau_hll"   -> (rollingWauHll _),
     "ax_error_spikes"      -> (errorSpikes _),
@@ -352,6 +410,7 @@ object Cohorts {
     "ax_forward_fill"      -> (forwardFill _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_attribution_linear" -> attributionLinearSql,
     "ax_rolling_dau"       -> rollingDauSql,
     "ax_rolling_wau_hll"   -> rollingWauHllSql,
     "ax_error_spikes"      -> errorSpikesSql,
