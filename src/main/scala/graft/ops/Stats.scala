@@ -529,7 +529,77 @@ object Stats {
       |       THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
       |FROM s""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_poisson_boot: the POISSON BOOTSTRAP — the one bootstrap that
+  // works at 100 TB. Classical resampling needs n draws WITH
+  // replacement from n rows (a global operation, un-distributable);
+  // the Poisson approximation gives each row an independent
+  // Poisson(1) replicate weight, so B complete resamples compute in
+  // ONE streaming pass: explode each row to its B (replicate, weight)
+  // contributions map-side and partial-aggregate — the only exchange
+  // carries B×partitions partial rows for B groups. Weights are
+  // DETERMINISTIC: the 60-bit portable hash of (doc_id, replicate)
+  // inverted through the exact Poisson(1) CDF ladder (thresholds are
+  // floor(P(K≤k)·2⁶⁰) integer literals, identical in both engines),
+  // so every replicate — and therefore the whole CI — is reproducible
+  // and oracle-checkable, not Monte Carlo noise. Replicate means use
+  // integer division; row b = −1 carries the unweighted point
+  // estimate the replicate spread brackets.
+  // -------------------------------------------------------------------
+  private val PoissonCdf60: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L)
+
+  private val BootB = 32
+
+  private def poissonKSql(u: String): String =
+    PoissonCdf60.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < ${t}L THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+
+  private def poissonKSqlDuck(u: String): String =
+    PoissonCdf60.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+
+  private def poissonBoot(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val reps = d
+      .select(col("doc_id"), col("len"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("b"))
+      .withColumn("u", PortableHash.hashCol(
+        concat(col("doc_id").cast("string"), lit("#"), col("b").cast("string"))))
+      .withColumn("k", expr(poissonKSql("u")).cast("long"))
+      .groupBy(col("b").cast("long").as("b"))
+      .agg(sum(col("k")).as("n_eff"),
+        expr("sum(k * len) div sum(k)").as("mean_len"))
+    val point = d.agg(count(lit(1)).as("n_eff"),
+        expr("sum(len) div count(1)").as("mean_len"))
+      .select(lit(-1L).as("b"), col("n_eff"), col("mean_len"))
+    point.unionAll(reps).orderBy("b")
+  }
+
+  private val poissonBootSql = {
+    val u = PortableHash.hashSql(
+      "(CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR))")
+    s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+       |  FROM documents),
+       |reps AS (SELECT doc_id, len, unnest(range(0, $BootB)) AS b FROM d),
+       |w AS (SELECT CAST(b AS BIGINT) AS b, len,
+       |    ${poissonKSqlDuck(u)} AS k
+       |  FROM reps)
+       |SELECT CAST(-1 AS BIGINT) AS b, COUNT(*) AS n_eff,
+       |  CAST(SUM(len) // COUNT(*) AS BIGINT) AS mean_len FROM d
+       |UNION ALL
+       |SELECT b, CAST(SUM(k) AS BIGINT) AS n_eff,
+       |  CAST(SUM(k * len) // SUM(k) AS BIGINT) AS mean_len
+       |FROM w GROUP BY b
+       |ORDER BY b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_poisson_boot"    -> (poissonBoot _),
     "ax_srm_check"       -> (srmCheck _),
     "ax_cuped"           -> (cuped _),
     "ax_ab_conversion"   -> (abConversion _),
@@ -543,6 +613,7 @@ object Stats {
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_poisson_boot"    -> poissonBootSql,
     "ax_srm_check"       -> srmCheckSql,
     "ax_cuped"           -> cupedSql,
     "ax_ab_conversion"   -> abConversionSql,
