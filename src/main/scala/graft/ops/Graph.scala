@@ -712,6 +712,89 @@ object Graph {
   }
 
   // -------------------------------------------------------------------
+  // ax_sssp_weighted: WEIGHTED multi-source shortest paths — the
+  // min-plus (Bellman-Ford) companion of ax_bfs_hops, and the first
+  // consumer of the co-purchase MULTIPLICITY column as an edge weight:
+  // w = 1000 div n, so frequently-co-purchased pairs are "closer" and
+  // distance means attenuated relatedness, not hop count. Three
+  // unrolled relaxation rounds from the promoted seed set (v ≡ 0 mod
+  // 97 — the ax_bfs_hops/ax_ppr_seeds seed convention, a pure id
+  // expression, no seed table): d₀ = 0 on seeds else INF(10¹⁵);
+  // dᵢ₊₁(v) = min(dᵢ(v), min over u→v of dᵢ(u)+w). Exact integers
+  // throughout — min-plus has no division, so the two engines cannot
+  // drift. Output: the 20 nearest NON-seed parts (seeds all tie at 0).
+  //
+  // Scale shape: the PageRank loop discipline — weighted edges
+  // hash-placed on src ONCE and persisted; each round is one
+  // shuffled-hash join of the per-node distance table into the placed
+  // edges, one map-side-combined per-dst MIN, and one per-node merge
+  // join; distances localCheckpoint per round. No broadcast anywhere
+  // (per-node table), no edge re-shuffle after placement.
+  // -------------------------------------------------------------------
+  private val SsspInf = 1000000000000000L
+
+  private def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.sessionState.conf.numShufflePartitions
+    val weighted = pairCounts(spark, dir).filter(col("n") >= 2)
+      .select(col("a"), col("b"), expr("1000 div n").as("w"))
+    val edges = weighted.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(weighted.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .repartition(n, col("src"))
+      .persist()
+    val nodes = edges.select(col("src").as("v")).distinct()
+    var dist = nodes.select(col("v"),
+      when(pmod(col("v"), lit(97)) === 0, lit(0L))
+        .otherwise(lit(SsspInf)).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val relaxed = edges
+        .join(dist.hint("shuffle_hash"), edges("src") === dist("v"))
+        .groupBy("dst").agg(min(col("d") + col("w")).as("cand"))
+      dist = dist
+        .join(relaxed.hint("shuffle_hash"),
+          dist("v") === relaxed("dst"), "left")
+        .select(dist("v"),
+          least(col("d"), coalesce(col("cand"), col("d"))).as("d"))
+        .localCheckpoint()
+    }
+    val out = dist
+      .filter(col("d") > 0 && col("d") < SsspInf)
+      .select(col("v").as("part"), col("d").as("dist"))
+      .orderBy(col("dist").asc, col("part").asc)
+      .limit(20)
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
+
+  private val ssspWeightedSql = {
+    def round(i: Int) =
+      s"""x$i AS (SELECT e.dst AS v, MIN(d${i - 1}.d + e.w) AS cand
+         |  FROM ew e JOIN d${i - 1} ON e.src = d${i - 1}.v GROUP BY 1),
+         |d$i AS (SELECT d${i - 1}.v,
+         |    LEAST(d${i - 1}.d, COALESCE(x$i.cand, d${i - 1}.d)) AS d
+         |  FROM d${i - 1} LEFT JOIN x$i ON d${i - 1}.v = x$i.v)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n
+       |      FROM li a JOIN li b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2),
+       |wp AS (SELECT a, b, 1000 // n AS w FROM p WHERE n >= 2),
+       |ew AS (SELECT a AS src, b AS dst, w FROM wp
+       |       UNION ALL SELECT b, a, w FROM wp),
+       |d0 AS (SELECT src AS v,
+       |    CAST(CASE WHEN src % 97 = 0 THEN 0 ELSE $SsspInf END AS BIGINT)
+       |      AS d
+       |  FROM (SELECT DISTINCT src FROM ew) s),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT v AS part, CAST(d AS BIGINT) AS dist FROM d3
+       |WHERE d > 0 AND d < $SsspInf
+       |ORDER BY dist ASC, part ASC LIMIT 20""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ax_degree_dist: the DEGREE DISTRIBUTION of the strong co-purchase
   // graph — the first diagnostic read before choosing any graph
   // algorithm's knobs (the wedge-center cap below, PageRank partition
@@ -872,6 +955,7 @@ object Graph {
     "ax_jaccard_links"  -> (jaccardLinks _),
     "ax_degree_dist"    -> (degreeDist _),
     "ax_ppr_seeds"      -> (pprSeeds _),
+    "ax_sssp_weighted"  -> (ssspWeighted _),
     "ax_common_nbrs"    -> (commonNbrs _))
 
   val oracleSql: Map[String, String] = Map(
@@ -883,5 +967,6 @@ object Graph {
     "ax_jaccard_links"  -> jaccardLinksSql,
     "ax_degree_dist"    -> degreeDistSql,
     "ax_ppr_seeds"      -> pprSeedsSql,
+    "ax_sssp_weighted"  -> ssspWeightedSql,
     "ax_common_nbrs"    -> commonNbrsSql)
 }

@@ -164,6 +164,37 @@ class Round7LateSemanticsSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  // ---- ax_sssp_weighted ----------------------------------------------
+
+  test("weighted SSSP equals three in-memory min-plus rounds") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wEdges = pairs.toSeq.filter(_._2 >= 2).flatMap { case ((a, b), n) =>
+      val w = 1000L / n
+      Seq((a, b, w), (b, a, w))
+    }
+    val inf = 1000000000000000L
+    val nodes = wEdges.map(_._1).distinct
+    var d = nodes.map(v => v -> (if (v % 97 == 0) 0L else inf)).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = wEdges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => d(e._1) + e._3).min }
+      d = d.map { case (v, dv) =>
+        v -> math.min(dv, relaxed.getOrElse(v, inf)) }
+    }
+    val truth = d.toSeq.filter { case (_, dv) => dv > 0 && dv < inf }
+      .sortBy { case (v, dv) => (dv, v) }.take(20)
+    val got = q("ax_sssp_weighted").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == truth)
+  }
+
   // ---- ax_markov_events ----------------------------------------------
 
   test("markov transition matrix equals the per-user ordered reference") {
