@@ -1781,6 +1781,53 @@ object Dedup {
   // window over the session-cached cluster assignment + a per-source
   // rollup — the assignment, the expensive part, is already paid.
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // tx_quality_dup_audit: the QUALITY × DUPLICATION cross audit — "are
+  // low-quality documents also the duplicated ones?", the table that
+  // decides whether quality filtering and dedup are redundant or
+  // complementary on a corpus (if dup rate concentrates in the bottom
+  // quality band, dedup after filtering is nearly free; if it is flat,
+  // both passes pay for themselves). Joins the two session substrates
+  // that already exist — the cached near-dup cluster assignment and
+  // the 0-4 integer quality score (its discreteness IS the bucketing:
+  // no ntile, no window over corpus rows) — so the audit costs one
+  // doc-keyed join and a 5-group aggregate. Dup rate in exact
+  // permille; the oracle replays the same recursive-CTE clustering +
+  // score formula, so the cross-family join cannot drift from either
+  // parent query.
+  // -------------------------------------------------------------------
+  private def qualityDupAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = clusterAssign(spark, dir)
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+    val qual = docs(spark, dir)
+      .withColumn("norm", TextAnalysis.normCol)
+      .select(col("doc_id"), TextAnalysis.qualityScoreOnNorm.as("quality"))
+    qual.join(sized, "doc_id")
+      .groupBy("quality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("csize") >= 2).cast("long")).as("n_dup"))
+      .withColumn("dup_pm", expr("(1000 * n_dup) div n_docs"))
+      .orderBy("quality")
+  }
+
+  private val qualityDupAuditSql =
+    s"""$clustersCteSql,
+       |sizes AS (SELECT doc_id,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS csize
+       |  FROM clusters),
+       |q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSqlOnNorm} AS quality
+       |  FROM (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) t)
+       |SELECT q.quality, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN s.csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup,
+       |  CAST((1000 * SUM(CASE WHEN s.csize >= 2 THEN 1 ELSE 0 END))
+       |    // COUNT(*) AS BIGINT) AS dup_pm
+       |FROM q JOIN sizes s ON q.doc_id = s.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
     val sized = clusterAssign(spark, dir)
       .join(docs(spark, dir)
@@ -2008,6 +2055,7 @@ object Dedup {
     "dd_setjoin_exact"  -> (setjoinExact _),
     "dd_containment"    -> (containment _),
     "tx_dedup_impact"   -> (dedupImpact _),
+    "tx_quality_dup_audit" -> (qualityDupAudit _),
     "dd_cc_incremental" -> (ccIncremental _),
     "dd_lsh_tuning"     -> (lshTuning _),
     "dd_semdedup_sweep" -> (semDedupSweep _),
@@ -2037,6 +2085,7 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "tx_dedup_impact"   -> dedupImpactSql,
+    "tx_quality_dup_audit" -> qualityDupAuditSql,
     "dd_setjoin_exact"  -> setjoinExactSql,
     "dd_containment"    -> containmentSql,
     "dd_cc_incremental" -> dupClustersSql,
