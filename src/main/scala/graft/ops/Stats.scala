@@ -598,7 +598,67 @@ object Stats {
        |ORDER BY b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ax_exact_percentile: EXACT order statistics WITHOUT a global sort —
+  // two-pass distributed selection. ax_approx_quantiles trades error
+  // for one pass; a global sort-and-index is the naive exact answer
+  // and is exactly what cannot run at 100 TB. The selection algorithm:
+  // pass 1 aggregates a COARSE HISTOGRAM (value div 4096 buckets — a
+  // map-side-combined groupBy whose result is domain/4096 rows, KBs),
+  // the driver walks the cumulative counts to locate each target
+  // rank's bucket (metadata-scale work); pass 2 reads ONLY that
+  // bucket's rows (a pushed-down range predicate — under a sorted/
+  // zone-mapped layout the scan prunes to the bucket's file span) and
+  // takes the remaining rank via per-partition top-m heaps
+  // (TakeOrderedAndProject — m ≤ bucket occupancy, never a full
+  // partition sort). k = ⌈q·n⌉ (the percentile_disc convention,
+  // stated as exact integer arithmetic). Under pathological skew (one
+  // bucket holding ~everything) the refinement recurses on the bucket
+  // with a narrower width; one level suffices for any real value
+  // distribution. The oracle ranks the whole column and indexes it —
+  // affordable at oracle scale, the thing this operator avoids.
+  // -------------------------------------------------------------------
+  private val PctBucket = 4096L
+  private val PctTargetsPm = Seq(500L, 900L, 990L)
+
+  private def exactPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val hist = c.groupBy(expr(s"v div $PctBucket").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val parts = PctTargetsPm.map { q =>
+      val k = (q * n + 999) / 1000
+      var cum = 0L
+      var bi = 0
+      while (cum + hist(bi)._2 < k) { cum += hist(bi)._2; bi += 1 }
+      val (b, _) = hist(bi)
+      val m = (k - cum).toInt
+      c.filter(expr(s"v div $PctBucket") === b)
+        .orderBy(col("v").asc).limit(m)
+        .agg(max(col("v")).as("value"))
+        .select(lit(q).as("q_pm"), lit(k).as("k"), col("value"))
+    }
+    parts.reduce(_ unionAll _).orderBy("q_pm")
+  }
+
+  private val exactPercentileSql = {
+    val ks = PctTargetsPm
+      .map(q => s"SELECT $q AS q_pm, ($q * n + 999) // 1000 AS k FROM n")
+      .mkString("\nUNION ALL ")
+    s"""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+       |  FROM lineitem),
+       |n AS (SELECT COUNT(*) AS n FROM c),
+       |ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+       |ks AS ($ks)
+       |SELECT ks.q_pm, CAST(ks.k AS BIGINT) AS k, r.v AS value
+       |FROM ks JOIN ranked r ON r.rn = ks.k
+       |ORDER BY q_pm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_exact_percentile" -> (exactPercentile _),
     "ax_poisson_boot"    -> (poissonBoot _),
     "ax_srm_check"       -> (srmCheck _),
     "ax_cuped"           -> (cuped _),
@@ -613,6 +673,7 @@ object Stats {
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_exact_percentile" -> exactPercentileSql,
     "ax_poisson_boot"    -> poissonBootSql,
     "ax_srm_check"       -> srmCheckSql,
     "ax_cuped"           -> cupedSql,
