@@ -924,6 +924,56 @@ object TextAnalysis {
       |  CAST((1000000 * s_scaled) // s_total AS BIGINT) AS temp_ppm
       |FROM src, tot ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // tx_mixture_epochs: the EPOCH-COUNT audit of a temperature mix —
+  // the data-constrained question (Muennighoff et al.): under the
+  // α = 1/2 temperature weights and a token budget of B = 2× the
+  // corpus, how many times does each source REPEAT? Upweighting a
+  // scarce source buys its tokens more passes, and past ~4 epochs
+  // repeated data stops helping — this table is where that trade-off
+  // becomes visible before a run is launched. Token-based weights
+  // (the unit budgets are spent in), same determinism discipline as
+  // tx_mixture_temperature: IEEE sqrt quantized to an integer BEFORE
+  // the cross-source sum, allocation and epochs in exact integer
+  // arithmetic. One scan + a 20-row aggregate cross.
+  // ---------------------------------------------------------------
+  private def mixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir)
+      .withColumn("norm", normCol)
+      .groupBy("source")
+      .agg(sum(tokensCol(col("norm"))).as("n_tokens"))
+      .withColumn("s_scaled",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val tot = src.agg(sum(col("s_scaled")).as("s_total"),
+      sum(col("n_tokens")).as("t_total"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("(1000000 * s_scaled) div s_total").as("temp_ppm"),
+        expr("((2 * t_total) * ((1000000 * s_scaled) div s_total)) div 1000000")
+          .as("alloc_tokens"))
+      .withColumn("epochs_pm", expr("(1000 * alloc_tokens) div n_tokens"))
+      .orderBy("source")
+  }
+
+  private val mixtureEpochsSql =
+    s"""WITH src AS (
+       |  SELECT source, SUM($tokensSql) AS n_tokens
+       |  FROM (SELECT source, $normSqlDef AS norm FROM documents) d
+       |  GROUP BY 1),
+       |sc AS (SELECT source, n_tokens,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+       |      AS s_scaled
+       |  FROM src),
+       |tot AS (SELECT SUM(s_scaled) AS s_total, SUM(n_tokens) AS t_total
+       |        FROM sc)
+       |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST((1000000 * s_scaled) // s_total AS BIGINT) AS temp_ppm,
+       |  CAST(((2 * t_total) * ((1000000 * s_scaled) // s_total)) // 1000000
+       |    AS BIGINT) AS alloc_tokens,
+       |  CAST((1000 * (((2 * t_total) * ((1000000 * s_scaled) // s_total))
+       |    // 1000000)) // n_tokens AS BIGINT) AS epochs_pm
+       |FROM sc, tot ORDER BY source""".stripMargin
+
   // tx_mixture_sample: DATA-MIX downsampling — hit target per-language
   // proportions by keeping each stratum at its own rate (the "data
   // mixture" step of every LLM corpus build: upweight scarce
@@ -1399,6 +1449,7 @@ object TextAnalysis {
     "tx_bpe_encode"   -> (bpeEncode _),
     "tx_mixture_sample" -> (mixtureSample _),
     "tx_mixture_temperature" -> (mixtureTemperature _),
+    "tx_mixture_epochs" -> (mixtureEpochs _),
     "tx_approx_topk"  -> (approxTopk _),
     "tx_bm25"         -> (bm25 _),
     "tx_inverted_index" -> (invertedIndex _),
@@ -1430,6 +1481,7 @@ object TextAnalysis {
     "tx_bpe_encode"   -> bpeEncodeSql,
     "tx_mixture_sample" -> mixtureSampleSql,
     "tx_mixture_temperature" -> mixtureTemperatureSql,
+    "tx_mixture_epochs" -> mixtureEpochsSql,
     "tx_approx_topk"  -> approxTopkSql,
     "tx_bm25"         -> bm25Sql,
     "tx_inverted_index" -> invertedIndexSql,
