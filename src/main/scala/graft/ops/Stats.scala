@@ -657,7 +657,65 @@ object Stats {
        |ORDER BY q_pm""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ax_join_size_est: JOIN CARDINALITY ESTIMATION from per-bucket
+  // count statistics — the optimizer's question ("how big is this join
+  // going to be?") answered WITHOUT running the join, then measured
+  // against the truth (the dd_minhash_est discipline: estimators are
+  // gate-measured, not hoped). Hash each side's join key into 1024
+  // buckets, keep only the per-bucket counts (two map-side-combined
+  // aggregates — KBs of statistics per side, the histogram a catalog
+  // would store); the estimate is Σ_b c₁(b)·c₂(b), exact when no two
+  // distinct keys collide in a bucket and upward-biased otherwise —
+  // the bias the measured err_pm exposes. At 100 TB this is the
+  // difference between discovering a 10¹⁴-row join blow-up from KBs
+  // of metadata versus from a dead cluster; the same statistic drives
+  // the broadcast-vs-shuffle and reorder decisions ax_join_explosion
+  // diagnoses after the fact. Bucketing uses the portable hash so
+  // both engines see identical collisions; truth = the real join
+  // count (affordable at gate scale, the thing the estimate avoids).
+  // -------------------------------------------------------------------
+  private val JseBuckets = 1024L
+
+  private def joinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    val bkt = (c: Column) => pmod(PortableHash.hashCol(c.cast("string")),
+      lit(JseBuckets))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(bkt(col("o_custkey")).as("b"))
+      .agg(count(lit(1)).as("c1"))
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .groupBy(bkt(col("c_custkey")).as("b"))
+      .agg(count(lit(1)).as("c2"))
+    val est = o.join(c, "b")
+      .agg(sum(col("c1") * col("c2")).as("est_rows"))
+    val truth = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("true_rows"))
+    est.crossJoin(truth)
+      .select(col("est_rows"), col("true_rows"),
+        expr("(1000 * (est_rows - true_rows)) div true_rows").as("bias_pm"))
+  }
+
+  private val joinSizeEstSql = {
+    val bkt = (k: String) =>
+      s"${PortableHash.hashSql(s"CAST($k AS VARCHAR)")} % $JseBuckets"
+    s"""WITH o AS (SELECT ${bkt("o_custkey")} AS b, COUNT(*) AS c1
+       |  FROM orders GROUP BY 1),
+       |c AS (SELECT ${bkt("c_custkey")} AS b, COUNT(*) AS c2
+       |  FROM customer GROUP BY 1),
+       |e AS (SELECT CAST(SUM(c1 * c2) AS BIGINT) AS est_rows
+       |  FROM o JOIN c USING (b)),
+       |t AS (SELECT COUNT(*) AS true_rows
+       |  FROM orders JOIN customer ON o_custkey = c_custkey)
+       |SELECT est_rows, true_rows,
+       |  CAST((1000 * (est_rows - true_rows)) // true_rows AS BIGINT)
+       |    AS bias_pm
+       |FROM e, t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_join_size_est"   -> (joinSizeEst _),
     "ax_exact_percentile" -> (exactPercentile _),
     "ax_poisson_boot"    -> (poissonBoot _),
     "ax_srm_check"       -> (srmCheck _),
@@ -673,6 +731,7 @@ object Stats {
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_join_size_est"   -> joinSizeEstSql,
     "ax_exact_percentile" -> exactPercentileSql,
     "ax_poisson_boot"    -> poissonBootSql,
     "ax_srm_check"       -> srmCheckSql,
