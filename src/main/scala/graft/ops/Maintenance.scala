@@ -164,6 +164,84 @@ object Maintenance {
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_bitemporal: BITEMPORAL point query — the two time axes the
+  // maintenance family has so far kept separate, combined: VALID time
+  // (when a fact is true in the world — ax_scd2_customer's axis) ×
+  // TRANSACTION time (when the system learned it — ax_time_travel's
+  // axis). The version substrate derives deterministically from
+  // orders: v1 = the booked price, known at order date; orders with
+  // key ≡ 3 (mod 10) receive a RETROACTIVE +500-cent correction —
+  // valid from the original order date but recorded 30 days later.
+  // The query answers "total booked value as of valid time V, as the
+  // system knew it at transaction time T" for three (V, T) corners:
+  // same-date audit, late audit of the same valid instant (the
+  // retroactive corrections now visible — THE bitemporal
+  // distinction), and a later valid instant. Resolution per key is
+  // latest-transaction-wins among versions with valid_from ≤ V and
+  // tx_from ≤ T — a max(struct(tx, cents)) argmax aggregate, no
+  // window.
+  //
+  // Scale shape: versions = one projection + one filtered projection
+  // (no join); the 3-row corner table broadcasts into a single pass;
+  // resolution and rollup are two keyed partial aggregates. A real
+  // bitemporal table at 100 TB would partition on tx_from so T
+  // predicates prune whole commits — exactly ax_time_travel's layout.
+  // -------------------------------------------------------------------
+  private def bitemporal(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        to_date(col("o_orderdate")).as("od"))
+    val v1 = orders.select(col("k"), col("cents"),
+      col("od").as("vf"), col("od").as("tf"))
+    val v2 = orders.filter(pmod(col("k"), lit(10)) === 3)
+      .select(col("k"), (col("cents") + 500L).as("cents"),
+        col("od").as("vf"), date_add(col("od"), 30).as("tf"))
+    val vers = v1.unionAll(v2)
+    val corners = Seq(
+      ("1997-01-01", "1997-01-01"),
+      ("1997-01-01", "1998-01-01"),
+      ("1998-01-01", "1998-01-01"))
+    import spark.implicits._
+    val cdf = corners.toDF("v", "t")
+      .select(to_date(col("v")).as("v"), to_date(col("t")).as("t"))
+    vers.crossJoin(broadcast(cdf))
+      .filter(col("vf") <= col("v") && col("tf") <= col("t"))
+      .groupBy(col("v"), col("t"), col("k"))
+      .agg(max(struct(col("tf"), col("cents"))).as("m"))
+      .groupBy(col("v"), col("t"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("m.cents")).as("total_cents"))
+      .select(date_format(col("v"), "yyyy-MM-dd").as("v"),
+        date_format(col("t"), "yyyy-MM-dd").as("t"),
+        col("n_orders"), col("total_cents"))
+      .orderBy("v", "t")
+  }
+
+  private val bitemporalSql =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(o_orderdate AS DATE) AS od
+      |  FROM orders),
+      |vers AS (
+      |  SELECT k, cents, od AS vf, od AS tf FROM o
+      |  UNION ALL
+      |  SELECT k, cents + 500, od, od + INTERVAL 30 DAY FROM o
+      |  WHERE k % 10 = 3),
+      |corners AS (
+      |  SELECT DATE '1997-01-01' AS v, DATE '1997-01-01' AS t
+      |  UNION ALL SELECT DATE '1997-01-01', DATE '1998-01-01'
+      |  UNION ALL SELECT DATE '1998-01-01', DATE '1998-01-01'),
+      |resolved AS (
+      |  SELECT c.v, c.t, vers.k,
+      |    max_by(vers.cents, vers.tf) AS cents
+      |  FROM vers JOIN corners c ON vers.vf <= c.v AND vers.tf <= c.t
+      |  GROUP BY 1, 2, 3)
+      |SELECT strftime(v, '%Y-%m-%d') AS v, strftime(t, '%Y-%m-%d') AS t,
+      |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM resolved GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_scd2_customer: build a Type-2 slowly-changing dimension from an
   // observation log — each order is a sighting of its customer's
   // priority tier; CONSECUTIVE equal sightings collapse into one
@@ -536,6 +614,7 @@ object Maintenance {
     "ax_mor_read"        -> (morRead _),
     "ax_table_checksum"  -> (tableChecksum _),
     "ax_scd2_customer"   -> (scd2Customer _),
+    "ax_bitemporal"      -> (bitemporal _),
     "ax_dq_rules"        -> (dqRules _),
     "ax_upsert_orders"   -> (upsertOrders _),
     "ax_snapshot_diff"   -> (snapshotDiff _),
@@ -547,6 +626,7 @@ object Maintenance {
     "ax_mor_read"        -> morReadSql,
     "ax_table_checksum"  -> tableChecksumSql,
     "ax_scd2_customer"   -> scd2CustomerSql,
+    "ax_bitemporal"      -> bitemporalSql,
     "ax_dq_rules"        -> dqRulesSql,
     "ax_upsert_orders"   -> upsertOrdersSql,
     "ax_snapshot_diff"   -> snapshotDiffSql,
