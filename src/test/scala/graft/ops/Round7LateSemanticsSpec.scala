@@ -222,6 +222,77 @@ class Round7LateSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- ax_attribution_linear -----------------------------------------
+
+  test("linear attribution equals the naive interval-join reference") {
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val touches = evs.filter(e => e._4 == "view" || e._4 == "click")
+    val purchases = evs.filter(_._4 == "purchase")
+    val pairs = for {
+      p <- purchases
+      t <- touches
+      if t._1 == p._1 && t._2 >= p._2 - 86400 && t._2 < p._2
+    } yield (p._3, p._5, t._4)
+    val nPer = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val truth = pairs.groupBy(_._3).map { case (ch, ps) =>
+      (ch, ps.size.toLong, ps.map(p => p._2 / nPer(p._1)).sum)
+    }.toSeq.sortBy(_._1)
+    val got = q("ax_attribution_linear").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == truth)
+  }
+
+  // ---- ax_exact_percentile -------------------------------------------
+
+  test("two-pass selection equals the sorted-index quantiles") {
+    val vs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vs.length.toLong
+    val truth = Seq(500L, 900L, 990L).map { qpm =>
+      val k = (qpm * n + 999) / 1000
+      (qpm, k, vs((k - 1).toInt))
+    }
+    val got = q("ax_exact_percentile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == truth)
+  }
+
+  // ---- ax_join_size_est / ax_bitemporal / tx_mixture_epochs ----------
+
+  test("join size estimate is an upper bound that collision-inflates") {
+    val r = q("ax_join_size_est").collect()(0)
+    assert(r.getLong(0) >= r.getLong(1), "bucketed estimate must upper-bound")
+    assert(r.getLong(2) >= 0)
+  }
+
+  test("bitemporal corners: later transaction knowledge only adds value") {
+    val rows = q("ax_bitemporal").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val audit97   = rows.find(r => r._1 == "1997-01-01" && r._2 == "1997-01-01").get
+    val lateAudit = rows.find(r => r._1 == "1997-01-01" && r._2 == "1998-01-01").get
+    assert(audit97._3 == lateAudit._3,
+      "same valid instant must cover the same orders")
+    assert(lateAudit._4 > audit97._4,
+      "retroactive corrections must surface at the later transaction time")
+  }
+
+  test("mixture epochs: allocation conserves the 2x budget up to rounding") {
+    val rows = q("tx_mixture_epochs").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = rows.map(_._1).sum
+    val alloc = rows.map(_._3).sum
+    assert(alloc <= 2 * total && alloc >= 2 * total - 2 * rows.length * 2,
+      s"allocated $alloc vs budget ${2 * total}")
+    rows.foreach { case (n, _, a, e) => assert(e == 1000L * a / n) }
+  }
+
   // ---- sim_mmr_select ------------------------------------------------
 
   test("MMR selection equals the in-memory greedy chain") {
