@@ -614,6 +614,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffled >= 3, s"expected 3 shuffled score joins, got $shuffled:\n$p")
   }
 
+  test("attribution interval join stays keyed on (user, day-bin)") {
+    val p = plan("ax_attribution_linear")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+      s"the look-back join degraded to a per-user nested loop:\n$p")
+  }
+
+  test("two-pass percentile refinement pushes the bucket predicate to the scan") {
+    val p = plan("ax_exact_percentile")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"in-bucket rank must be top-m heaps, not a sort:\n$p")
+  }
+
   test("an MMR round is scan + top-1 heaps; picked vectors fold in as literals") {
     val p = Similarity.mmrRoundPlan(spark, dir).toString
     assert(p.contains("TakeOrderedAndProject"), s"top-1 must be heaps:\n$p")
