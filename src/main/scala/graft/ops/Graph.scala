@@ -733,20 +733,23 @@ object Graph {
   // -------------------------------------------------------------------
   private val SsspInf = 1000000000000000L
 
-  private def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
+  /** The min-plus relaxation loop over a directed weighted edge frame
+    * (src, dst, w) — exposed edge-parameterized so GraphFuzzSpec can
+    * differential-test it against an in-memory reference on random
+    * graphs. Returns (v, d) for every node, unreachable = SsspInf.
+    */
+  private[graft] def ssspLoop(edges0: DataFrame,
+      isSeed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      rounds: Int): DataFrame = {
+    val spark = edges0.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
-    val weighted = pairCounts(spark, dir).filter(col("n") >= 2)
-      .select(col("a"), col("b"), expr("1000 div n").as("w"))
-    val edges = weighted.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(weighted.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .repartition(n, col("src"))
-      .persist()
-    val nodes = edges.select(col("src").as("v")).distinct()
+    val edges = edges0.repartition(n, col("src")).persist()
+    val nodes = edges.select(col("src").as("v"))
+      .unionAll(edges.select(col("dst").as("v"))).distinct()
     var dist = nodes.select(col("v"),
-      when(pmod(col("v"), lit(97)) === 0, lit(0L))
-        .otherwise(lit(SsspInf)).as("d"))
+      when(isSeed(col("v")), lit(0L)).otherwise(lit(SsspInf)).as("d"))
       .localCheckpoint()
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       val relaxed = edges
         .join(dist.hint("shuffle_hash"), edges("src") === dist("v"))
         .groupBy("dst").agg(min(col("d") + col("w")).as("cand"))
@@ -757,14 +760,21 @@ object Graph {
           least(col("d"), coalesce(col("cand"), col("d"))).as("d"))
         .localCheckpoint()
     }
-    val out = dist
+    edges.unpersist()
+    dist
+  }
+
+  private def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val weighted = pairCounts(spark, dir).filter(col("n") >= 2)
+      .select(col("a"), col("b"), expr("1000 div n").as("w"))
+    val edges = weighted.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(weighted.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    ssspLoop(edges, v => pmod(v, lit(97)) === 0, 3)
       .filter(col("d") > 0 && col("d") < SsspInf)
       .select(col("v").as("part"), col("d").as("dist"))
       .orderBy(col("dist").asc, col("part").asc)
       .limit(20)
       .localCheckpoint()
-    edges.unpersist()
-    out
   }
 
   private val ssspWeightedSql = {

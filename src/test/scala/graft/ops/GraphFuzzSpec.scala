@@ -147,4 +147,29 @@ class GraphFuzzSpec extends AnyFunSuite {
       assert(got == want, s"graph#$i n=${g.n} |E|=${g.edges.size}")
     }
   }
+
+  test("distributed min-plus SSSP equals the in-memory rounds on random graphs") {
+    import spark.implicits._
+    val inf = 1000000000000000L
+    for ((g, i) <- graphs(6, 61144L).zipWithIndex if g.edges.nonEmpty) {
+      // DIRECTED a→b edges with deterministic weights: exercises
+      // dst-only nodes (unreachable forever) and asymmetric reach
+      val wEdges = g.edges.toSeq.sortBy(identity)
+        .map { case (a, b) => (a, b, (a + b) % 7 + 1) }
+      val df = wEdges.toDF("src", "dst", "w")
+      val seedIds = (0L until g.n.toLong).filter(_ % 3 == 0).toSet
+      val got = Graph.ssspLoop(df, v => pmod(v, lit(3)) === 0, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // synchronous min-plus reference, 3 rounds
+      val nodes = wEdges.flatMap(e => Seq(e._1, e._2)).distinct
+      var d = nodes.map(v => v -> (if (seedIds(v)) 0L else inf)).toMap
+      for (_ <- 1 to 3) {
+        val relaxed = wEdges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => d(e._1) + e._3).min }
+        d = d.map { case (v, dv) =>
+          v -> math.min(dv, relaxed.getOrElse(v, inf)) }
+      }
+      assert(got == d, s"graph#$i n=${g.n} |E|=${g.edges.size}")
+    }
+  }
 }
