@@ -164,6 +164,67 @@ object Maintenance {
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_cdc_apply: ORDERED CHANGE-LOG APPLICATION — the missing verb
+  // next to ax_upsert_orders (inserts/updates only) and ax_snapshot_
+  // diff (produces a log): consume an I/U/D change stream WITH
+  // sequence numbers and materialize the final table state,
+  // last-writer-wins per key, deletes tombstoning. The log derives
+  // deterministically from orders (every key inserted at seq 1, keys
+  // ≡ 1 mod 5 updated at seq 2, keys ≡ 4 mod 11 deleted at seq 3 —
+  // the classes overlap, so delete-after-update and update-only paths
+  // both exercise). Resolution is ONE max(struct(seq, op, cents))
+  // argmax aggregate per key — no window, no self-join, the same
+  // partial-agg shape at any scale — then a single rollup counts the
+  // live/updated/deleted populations and the surviving value sum.
+  // At 100 TB the log would be partitioned by arrival batch and the
+  // argmax runs incrementally per batch (ax_incremental_agg's merge
+  // discipline); the semantics pinned here are the same.
+  // -------------------------------------------------------------------
+  private def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+        col("cents"))
+      .unionAll(o.filter(pmod(col("k"), lit(5)) === 1)
+        .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+          (col("cents") + 777L).as("cents")))
+      .unionAll(o.filter(pmod(col("k"), lit(11)) === 4)
+        .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(0L).as("cents")))
+    log.groupBy("k")
+      .agg(max(struct(col("seq"), col("op"), col("cents"))).as("m"))
+      .agg(
+        sum((col("m.op") =!= "D").cast("long")).as("n_live"),
+        sum(when(col("m.op") =!= "D", col("m.cents")).otherwise(lit(0L)))
+          .as("live_cents"),
+        sum((col("m.op") === "U").cast("long")).as("n_updated"),
+        sum((col("m.op") === "D").cast("long")).as("n_deleted"))
+  }
+
+  private val cdcApplySql =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |log AS (
+      |  SELECT k, 1 AS seq, 'I' AS op, cents FROM o
+      |  UNION ALL
+      |  SELECT k, 2, 'U', cents + 777 FROM o WHERE k % 5 = 1
+      |  UNION ALL
+      |  SELECT k, 3, 'D', 0 FROM o WHERE k % 11 = 4),
+      |fin AS (SELECT k, max_by(op, seq) AS op, max_by(cents, seq) AS cents
+      |  FROM log GROUP BY 1)
+      |SELECT
+      |  CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_live,
+      |  CAST(SUM(CASE WHEN op <> 'D' THEN cents ELSE 0 END) AS BIGINT)
+      |    AS live_cents,
+      |  CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_updated,
+      |  CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_deleted
+      |FROM fin""".stripMargin
+
   // ax_bitemporal: BITEMPORAL point query — the two time axes the
   // maintenance family has so far kept separate, combined: VALID time
   // (when a fact is true in the world — ax_scd2_customer's axis) ×
@@ -615,6 +676,7 @@ object Maintenance {
     "ax_table_checksum"  -> (tableChecksum _),
     "ax_scd2_customer"   -> (scd2Customer _),
     "ax_bitemporal"      -> (bitemporal _),
+    "ax_cdc_apply"       -> (cdcApply _),
     "ax_dq_rules"        -> (dqRules _),
     "ax_upsert_orders"   -> (upsertOrders _),
     "ax_snapshot_diff"   -> (snapshotDiff _),
@@ -627,6 +689,7 @@ object Maintenance {
     "ax_table_checksum"  -> tableChecksumSql,
     "ax_scd2_customer"   -> scd2CustomerSql,
     "ax_bitemporal"      -> bitemporalSql,
+    "ax_cdc_apply"       -> cdcApplySql,
     "ax_dq_rules"        -> dqRulesSql,
     "ax_upsert_orders"   -> upsertOrdersSql,
     "ax_snapshot_diff"   -> snapshotDiffSql,
