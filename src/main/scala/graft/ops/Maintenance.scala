@@ -164,6 +164,92 @@ object Maintenance {
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // dd_survivorship: GOLDEN-RECORD field survivorship — the merge step
+  // after entity resolution (ax_er_blocked finds that records co-refer;
+  // this decides what the ONE surviving record says). Different fields
+  // want different rules, which is the whole point of survivorship vs
+  // row-level last-writer-wins (ax_cdc_apply): here name = LONGEST
+  // value (most complete wins; struct-max tiebreak = lexicographically
+  // larger), balance = LATEST by record sequence (freshest wins), and
+  // segment = EARLIEST non-null (first authoritative source wins).
+  // The record variants derive deterministically from customer (keys
+  // ≡ 0 mod 3 get a name-truncated, balance-shifted seq-2 copy; keys
+  // ≡ 0 mod 6 also a suffixed seq-3 copy with null segment), so the
+  // oracle replays the identical conflict set. Every rule is ONE
+  // min/max(struct(...)) partial aggregate per entity — no window, no
+  // self-join — and the audit row reports the conflict population and
+  // how often each rule actually changed the surviving value.
+  // -------------------------------------------------------------------
+  private def survivorship(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"),
+        col("c_mktsegment").as("seg"))
+    val recs = c.select(col("k"), lit(1L).as("seq"), col("name"),
+        col("cents"), col("seg"))
+      .unionAll(c.filter(pmod(col("k"), lit(3)) === 0)
+        .select(col("k"), lit(2L).as("seq"),
+          substring(col("name"), 1, 8).as("name"),
+          (col("cents") + 123L).as("cents"), col("seg")))
+      .unionAll(c.filter(pmod(col("k"), lit(6)) === 0)
+        .select(col("k"), lit(3L).as("seq"),
+          concat(col("name"), lit(" jr")).as("name"),
+          (col("cents") - 50L).as("cents"),
+          lit(null).cast("string").as("seg")))
+    val merged = recs.groupBy("k")
+      .agg(count(lit(1)).as("n_recs"),
+        max(struct(length(col("name")).as("l"), col("name").as("v")))
+          .as("mn"),
+        max(struct(col("seq"), col("cents"))).as("mc"),
+        min(when(col("seg").isNotNull,
+          struct(col("seq"), col("seg")))).as("ms"))
+      .select(col("k"), col("n_recs"), col("mn.v").as("g_name"),
+        col("mc.cents").as("g_cents"), col("ms.seg").as("g_seg"))
+    merged.join(c.select(col("k"), col("name").as("o_name"),
+        col("cents").as("o_cents")), "k")
+      .agg(count(lit(1)).as("n_entities"),
+        sum((col("n_recs") > 1).cast("long")).as("n_conflicted"),
+        sum((col("g_name") =!= col("o_name")).cast("long"))
+          .as("n_name_changed"),
+        sum((col("g_cents") =!= col("o_cents")).cast("long"))
+          .as("n_cents_changed"),
+        sum(col("g_cents")).as("golden_cents_total"),
+        // keeps the earliest-non-null segment rule live in the plan
+        sum(col("g_seg").isNotNull.cast("long")).as("n_seg_kept"))
+  }
+
+  private val survivorshipSql =
+    """WITH c AS (SELECT c_custkey AS k, c_name AS name,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+      |    c_mktsegment AS seg
+      |  FROM customer),
+      |recs AS (
+      |  SELECT k, 1 AS seq, name, cents, seg FROM c
+      |  UNION ALL
+      |  SELECT k, 2, substring(name, 1, 8), cents + 123, seg
+      |  FROM c WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, 3, name || ' jr', cents - 50, NULL
+      |  FROM c WHERE k % 6 = 0),
+      |merged AS (
+      |  SELECT k, COUNT(*) AS n_recs,
+      |    (max(struct_pack(l := length(name), v := name))).v AS g_name,
+      |    max_by(cents, seq) AS g_cents,
+      |    (min(CASE WHEN seg IS NOT NULL
+      |         THEN struct_pack(q := seq, v := seg) END)).v AS g_seg
+      |  FROM recs GROUP BY 1)
+      |SELECT COUNT(*) AS n_entities,
+      |  CAST(SUM(CASE WHEN m.n_recs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_conflicted,
+      |  CAST(SUM(CASE WHEN m.g_name <> c.name THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_name_changed,
+      |  CAST(SUM(CASE WHEN m.g_cents <> c.cents THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_cents_changed,
+      |  CAST(SUM(m.g_cents) AS BIGINT) AS golden_cents_total,
+      |  CAST(SUM(CASE WHEN m.g_seg IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_seg_kept
+      |FROM merged m JOIN c ON m.k = c.k""".stripMargin
+
   // ax_cdc_apply: ORDERED CHANGE-LOG APPLICATION — the missing verb
   // next to ax_upsert_orders (inserts/updates only) and ax_snapshot_
   // diff (produces a log): consume an I/U/D change stream WITH
@@ -677,6 +763,7 @@ object Maintenance {
     "ax_scd2_customer"   -> (scd2Customer _),
     "ax_bitemporal"      -> (bitemporal _),
     "ax_cdc_apply"       -> (cdcApply _),
+    "dd_survivorship"    -> (survivorship _),
     "ax_dq_rules"        -> (dqRules _),
     "ax_upsert_orders"   -> (upsertOrders _),
     "ax_snapshot_diff"   -> (snapshotDiff _),
@@ -690,6 +777,7 @@ object Maintenance {
     "ax_scd2_customer"   -> scd2CustomerSql,
     "ax_bitemporal"      -> bitemporalSql,
     "ax_cdc_apply"       -> cdcApplySql,
+    "dd_survivorship"    -> survivorshipSql,
     "ax_dq_rules"        -> dqRulesSql,
     "ax_upsert_orders"   -> upsertOrdersSql,
     "ax_snapshot_diff"   -> snapshotDiffSql,
