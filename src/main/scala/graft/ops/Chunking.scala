@@ -334,17 +334,18 @@ object Chunking {
           |  i -> md5(substring(norm, CAST(element_at(cuts, i) AS INT),
           |    CAST(element_at(ends, i) - element_at(cuts, i) AS INT))))"""
           .stripMargin)).as("ch"))
-    val perDoc = chunkTbl.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"))
-    val docCh = chunkTbl.distinct()
-    val shared = docCh
+    // ONE exchange consumes the expensive per-gram hash pipeline: the
+    // (doc, chunk) multiplicity aggregate. Everything downstream
+    // (total count, cross-doc frequency window, dup rollup) runs over
+    // that 30×-smaller table — the original two-consumer formulation
+    // recomputed every md5 twice and benched 3.9 s at sf0.1.
+    chunkTbl.groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("m"))
       .withColumn("docs_with",
         count(lit(1)).over(Window.partitionBy("ch")))
-      .filter(col("docs_with") >= 2)
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_chunks"))
-    perDoc.join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_chunks"),
-        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_chunks"),
+        sum((col("docs_with") >= 2).cast("long")).as("dup_chunks"))
       .orderBy("doc_id")
   }
 
