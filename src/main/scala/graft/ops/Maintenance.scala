@@ -288,7 +288,7 @@ object Maintenance {
         sum((col("m.op") === "D").cast("long")).as("n_deleted"))
   }
 
-  private val cdcApplySql =
+  private[ops] val cdcApplySql =
     """WITH o AS (SELECT o_orderkey AS k,
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       |  FROM orders),

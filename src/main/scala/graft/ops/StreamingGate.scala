@@ -812,7 +812,98 @@ object StreamingGate {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > mt - INTERVAL 4 DAY
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** st_cdc_sink: STREAMING CDC APPLY WITH DELETES — st_upsert_sink's
+    * merge handles additive deltas only; real change streams carry
+    * I/U/D rows and the store must honor sequence order and
+    * tombstones. The change log derives exactly as ax_cdc_apply's
+    * (same classes, same seq numbers) and is staged as TWO source
+    * files with pinned modification times — inserts first, then the
+    * update+delete wave — so maxFilesPerTrigger=1 replays a
+    * deterministic two-trigger arrival where batch 1's updates
+    * override batch 0's inserts ACROSS the store boundary and deletes
+    * tombstone rows committed by an earlier trigger. The foreachBatch
+    * body is last-writer-wins resolution: union the batch with the
+    * previous committed version (read from the filesystem, never
+    * driver memory — the st_upsert_sink exactly-once discipline) and
+    * take ONE max(struct(seq, op, cents)) argmax per key; replaying a
+    * batch re-merges against the same previous version and rewrites
+    * its own directory, so at-least-once triggers stay exactly-once.
+    * Tombstones are KEPT in the store (a delete must survive replay
+    * and block earlier-seq re-inserts); the readout filters them.
+    * Oracle = the batch ax_cdc_apply aggregate — the streamed store
+    * must converge to the batch answer.
+    */
+  private def cdcSinkStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val stage = s"target/stream_cdc/stage_$tag"
+    val input = s"target/stream_cdc/input_$tag"
+    val base = s"target/stream_cdc/store_$tag"
+    val chk = s"target/stream_cdc/chk_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(stage, input, base, chk).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName).head
+      val dst = new org.apache.hadoop.fs.Path(s"$input/$name.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, mtime, -1)
+    }
+    val now = System.currentTimeMillis() - 600000L
+    writeOne(o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+      col("cents")), "b0", now)
+    writeOne(
+      o.filter(pmod(col("k"), lit(5)) === 1)
+        .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+          (col("cents") + 777L).as("cents"))
+        .unionAll(o.filter(pmod(col("k"), lit(11)) === 4)
+          .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+            lit(0L).as("cents"))),
+      "b1", now + 60000L)
+
+    val sch = spark.read.parquet(input).schema
+    val mergeBatch: (DataFrame, Long) => Unit = { (batch, id) =>
+      val all = committedVersionBefore(fs, base, id) match {
+        case None => batch
+        case Some(prev) => batch.unionAll(spark.read.parquet(prev))
+      }
+      all.groupBy("k")
+        .agg(max(struct(col("seq"), col("op"), col("cents"))).as("m"))
+        .select(col("k"), col("m.seq").as("seq"), col("m.op").as("op"),
+          col("m.cents").as("cents"))
+        .write.mode("overwrite").parquet(s"$base/v$id")
+    }
+    withGateShuffle(spark) {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input)
+        .writeStream
+        .option("checkpointLocation", chk)
+        .foreachBatch(mergeBatch)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.parquet(latestVersion(spark, base))
+      .agg(
+        sum((col("op") =!= "D").cast("long")).as("n_live"),
+        sum(when(col("op") =!= "D", col("cents")).otherwise(lit(0L)))
+          .as("live_cents"),
+        sum((col("op") === "U").cast("long")).as("n_updated"),
+        sum((col("op") === "D").cast("long")).as("n_deleted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_cdc_sink"          -> (cdcSinkStreamed _),
     "st_late_drop"         -> (lateDropStreamed _),
     "st_union_sources"     -> (unionSourcesStreamed _),
     "st_timer_sessions"    -> (timerSessionsStreamed _),
@@ -845,6 +936,8 @@ object StreamingGate {
     "st_full_outer"        -> fullOuterJoinStreamedSql,
     "st_outer_join"        -> outerJoinStreamedSql,
     "st_upsert_sink"       -> upsertSinkStreamedSql,
+    // the streamed CDC store must converge to the batch apply
+    "st_cdc_sink"          -> Maintenance.cdcApplySql,
     "st_sessionize"        -> sessionsStreamedSql,
     "st_static_join"       -> staticJoinStreamedSql,
     "st_stream_join"       -> streamJoinStreamedSql,

@@ -293,6 +293,24 @@ class Round7LateSemanticsSpec extends AnyFunSuite {
     rows.foreach { case (n, _, a, e) => assert(e == 1000L * a / n) }
   }
 
+  // ---- st_cdc_sink ---------------------------------------------------
+
+  test("streaming CDC store: updates/deletes override across the trigger boundary") {
+    q("st_cdc_sink").collect() // drives the two-trigger run
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val base = s"target/stream_cdc/store_$tag"
+    val v0 = spark.read.parquet(s"$base/v0")
+    val v1 = spark.read.parquet(s"$base/v1")
+    // batch 0 committed only the insert wave
+    assert(v0.filter(col("op") =!= "I").count() == 0, "v0 must be all inserts")
+    // batch 1's updates/deletes overrode rows ALREADY COMMITTED in v0
+    assert(v1.filter(col("op") === "D").count() > 0, "tombstones must persist")
+    assert(v1.filter(col("op") === "U").count() > 0)
+    val overridden = v1.join(v0.select(col("k")), "k")
+      .filter(col("op") =!= "I").count()
+    assert(overridden > 0, "later seq must win over committed earlier seq")
+  }
+
   // ---- sim_mmr_select ------------------------------------------------
 
   test("MMR selection equals the in-memory greedy chain") {
