@@ -411,10 +411,12 @@ object Stats {
   // customer, cohorts by id parity.
   //
   // Determinism discipline: every moment (n, Σx, Σy, Σxy, Σx²) is an
-  // EXACT integer in whole dollars (products stay under 2^62 through
-  // sf1; beyond that the two big sums move to DECIMAL(38,0) with the
-  // shape unchanged); θ and the adjusted means are the only float
-  // steps, evaluated as an identical IEEE chain in both engines and
+  // EXACT integer in whole dollars; the moment COMBINATIONS
+  // n·Σxy − Σx·Σy enter the double chain operand-by-operand (n·Σxy as
+  // a BIGINT product overflowed 2^63 at sf0.1 — caught by the full-
+  // census sf0.1 oracle sweep; θ is a float step anyway, and the
+  // identical IEEE op order in both engines keeps the floored outputs
+  // bit-equal). θ and the adjusted means are the only float steps,
   // floored to milli-dollars. Scale shape: one per-customer aggregate
   // (the only data-proportional stage), then a 1-row global moment
   // aggregate crossed onto a 2-row group aggregate.
@@ -442,13 +444,13 @@ object Stats {
                  (CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE))) AS BIGINT)""")
           .as("mean_y_milli"),
         expr("""CAST(floor(1000000.0 *
-                 (CAST(n*sxy - sx*sy AS DOUBLE)
-                  / CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT)""")
+                 ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))) AS BIGINT)""")
           .as("theta_micro"),
         expr("""CAST(floor(1000.0 * (
                  (CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE))
-                 - (CAST(n*sxy - sx*sy AS DOUBLE)
-                    / CAST(n*sxx - sx*sx AS DOUBLE))
+                 - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
                    * ((CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE))
                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))
                AS BIGINT)""").as("mean_adj_y_milli"))
@@ -480,12 +482,12 @@ object Stats {
       |    (CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE))) AS BIGINT)
       |    AS mean_y_milli,
       |  CAST(floor(1000000.0 *
-      |    (CAST(n*sxy - sx*sy AS DOUBLE)
-      |     / CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT) AS theta_micro,
+      |    ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |     / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))) AS BIGINT) AS theta_micro,
       |  CAST(floor(1000.0 * (
       |    (CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE))
-      |    - (CAST(n*sxy - sx*sy AS DOUBLE)
-      |       / CAST(n*sxx - sx*sx AS DOUBLE))
+      |    - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |       / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
       |      * ((CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE))
       |         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))))
       |   AS BIGINT) AS mean_adj_y_milli
