@@ -1782,6 +1782,54 @@ object Dedup {
   // rollup — the assignment, the expensive part, is already paid.
   // -------------------------------------------------------------------
   // -------------------------------------------------------------------
+  // dd_method_compare: the two LSH FAMILIES measured AGAINST EACH
+  // OTHER — MinHash/banded-Jaccard and SimHash/Hamming run very
+  // different theories over the same corpus (set resemblance of word
+  // shingles vs sign-agreement of a weighted feature projection), and
+  // every production dedup picks one. This table is the pick's
+  // evidence: the two verified pair sets' overlap and each family's
+  // exclusive finds. Both pipelines are session-cached substrates
+  // (minhashPairs, simhashPairs), so the comparison costs ONE
+  // full-outer join of two already-materialized pair tables — at any
+  // scale the audit is output-bounded, never a recompute. The oracle
+  // composes both pipelines' full oracle SQL as subqueries, so the
+  // agreement numbers are themselves cross-engine-proven.
+  // -------------------------------------------------------------------
+  private def methodCompare(spark: SparkSession, dir: String): DataFrame = {
+    val m = minhashPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"),
+        lit(1L).as("inm"))
+    val s = simhashPairs(spark, dir)
+      .select(col("a"), col("b"), lit(1L).as("ins"))
+    m.join(s, Seq("a", "b"), "full_outer")
+      .agg(count(lit(1)).as("n_union"),
+        sum((col("inm").isNotNull && col("ins").isNotNull).cast("long"))
+          .as("n_both"),
+        sum((col("ins").isNull).cast("long")).as("n_minhash_only"),
+        sum((col("inm").isNull).cast("long")).as("n_simhash_only"))
+      .withColumn("agree_pm", expr("(1000 * n_both) div n_union"))
+  }
+
+  private val methodCompareSql = {
+    val mh = MinHashLsh.oracleSql(wordShingleTokCte)
+    s"""WITH m AS (SELECT doc_a AS a, doc_b AS b FROM ($mh) mh),
+       |s AS (SELECT a, b FROM ($simhashPairsSql) sh),
+       |j AS (SELECT coalesce(m.a, s.a) AS a,
+       |    (m.a IS NOT NULL) AS inm, (s.a IS NOT NULL) AS ins
+       |  FROM m FULL OUTER JOIN s ON m.a = s.a AND m.b = s.b)
+       |SELECT COUNT(*) AS n_union,
+       |  CAST(SUM(CASE WHEN inm AND ins THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_both,
+       |  CAST(SUM(CASE WHEN NOT ins THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_minhash_only,
+       |  CAST(SUM(CASE WHEN NOT inm THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_simhash_only,
+       |  CAST((1000 * SUM(CASE WHEN inm AND ins THEN 1 ELSE 0 END))
+       |    // COUNT(*) AS BIGINT) AS agree_pm
+       |FROM j""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // tx_quality_dup_audit: the QUALITY × DUPLICATION cross audit — "are
   // low-quality documents also the duplicated ones?", the table that
   // decides whether quality filtering and dedup are redundant or
@@ -2056,6 +2104,7 @@ object Dedup {
     "dd_containment"    -> (containment _),
     "tx_dedup_impact"   -> (dedupImpact _),
     "tx_quality_dup_audit" -> (qualityDupAudit _),
+    "dd_method_compare" -> (methodCompare _),
     "dd_cc_incremental" -> (ccIncremental _),
     "dd_lsh_tuning"     -> (lshTuning _),
     "dd_semdedup_sweep" -> (semDedupSweep _),
@@ -2086,6 +2135,7 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "tx_dedup_impact"   -> dedupImpactSql,
     "tx_quality_dup_audit" -> qualityDupAuditSql,
+    "dd_method_compare" -> methodCompareSql,
     "dd_setjoin_exact"  -> setjoinExactSql,
     "dd_containment"    -> containmentSql,
     "dd_cc_incremental" -> dupClustersSql,
