@@ -684,35 +684,49 @@ object Stats {
       lit(JseBuckets))
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .groupBy(bkt(col("o_custkey")).as("b"))
-      .agg(count(lit(1)).as("c1"))
+      .agg(count(lit(1)).as("c1"),
+        countDistinct(col("o_custkey")).as("d1"))
     val c = spark.read.parquet(s"$dir/customer.parquet")
       .groupBy(bkt(col("c_custkey")).as("b"))
-      .agg(count(lit(1)).as("c2"))
+      .agg(count(lit(1)).as("c2"),
+        countDistinct(col("c_custkey")).as("d2"))
+    // count-only estimate (collision-inflated) next to the System-R
+    // NDV correction c1·c2/max(d1,d2) — per-bucket, which is why
+    // optimizers carry distinct counts in their statistics, measured
     val est = o.join(c, "b")
-      .agg(sum(col("c1") * col("c2")).as("est_rows"))
+      .agg(sum(col("c1") * col("c2")).as("est_rows"),
+        sum(expr("(c1 * c2) div greatest(d1, d2)")).as("est_ndv_rows"))
     val truth = spark.read.parquet(s"$dir/orders.parquet")
       .join(spark.read.parquet(s"$dir/customer.parquet"),
         col("o_custkey") === col("c_custkey"))
       .agg(count(lit(1)).as("true_rows"))
     est.crossJoin(truth)
-      .select(col("est_rows"), col("true_rows"),
-        expr("(1000 * (est_rows - true_rows)) div true_rows").as("bias_pm"))
+      .select(col("est_rows"), col("est_ndv_rows"), col("true_rows"),
+        expr("(1000 * (est_rows - true_rows)) div true_rows").as("bias_pm"),
+        // raw signed difference: Spark div truncates toward zero while
+        // DuckDB // floors, so a possibly-negative ratio would diverge
+        (col("est_ndv_rows") - col("true_rows")).as("diff_ndv_rows"))
   }
 
   private val joinSizeEstSql = {
     val bkt = (k: String) =>
       s"${PortableHash.hashSql(s"CAST($k AS VARCHAR)")} % $JseBuckets"
-    s"""WITH o AS (SELECT ${bkt("o_custkey")} AS b, COUNT(*) AS c1
+    s"""WITH o AS (SELECT ${bkt("o_custkey")} AS b, COUNT(*) AS c1,
+       |    COUNT(DISTINCT o_custkey) AS d1
        |  FROM orders GROUP BY 1),
-       |c AS (SELECT ${bkt("c_custkey")} AS b, COUNT(*) AS c2
+       |c AS (SELECT ${bkt("c_custkey")} AS b, COUNT(*) AS c2,
+       |    COUNT(DISTINCT c_custkey) AS d2
        |  FROM customer GROUP BY 1),
-       |e AS (SELECT CAST(SUM(c1 * c2) AS BIGINT) AS est_rows
+       |e AS (SELECT CAST(SUM(c1 * c2) AS BIGINT) AS est_rows,
+       |    CAST(SUM((c1 * c2) // greatest(d1, d2)) AS BIGINT)
+       |      AS est_ndv_rows
        |  FROM o JOIN c USING (b)),
        |t AS (SELECT COUNT(*) AS true_rows
        |  FROM orders JOIN customer ON o_custkey = c_custkey)
-       |SELECT est_rows, true_rows,
+       |SELECT est_rows, est_ndv_rows, true_rows,
        |  CAST((1000 * (est_rows - true_rows)) // true_rows AS BIGINT)
-       |    AS bias_pm
+       |    AS bias_pm,
+       |  CAST(est_ndv_rows - true_rows AS BIGINT) AS diff_ndv_rows
        |FROM e, t""".stripMargin
   }
 
