@@ -730,7 +730,78 @@ object Stats {
        |FROM e, t""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ax_group_percentile: EXACT per-GROUP order statistics — the
+  // grouped generalization of ax_exact_percentile's two-pass
+  // selection, and the shape that replaces the classic
+  // percentile-over-window antipattern (a window keyed on a
+  // low-cardinality group sends each group's entire row set through
+  // one reducer's sort — the ax_ntile_bins hazard). Pass 1 is one
+  // grouped coarse histogram (group × div-1024 bucket — a
+  // map-side-combined aggregate, KBs); the driver walks each group's
+  // cumulative counts (metadata-scale); pass 2 takes each target's
+  // remaining rank via a group+bucket-filtered TakeOrderedAndProject
+  // — per-target work bounded by bucket occupancy, and under a
+  // type-partitioned layout each probe scan prunes to its group's
+  // files. k = ⌈q·n_group⌉, all integer. The oracle ranks per group
+  // and indexes — the full sort this operator avoids.
+  // -------------------------------------------------------------------
+  private val GrpPctBucket = 1024L
+  private val GrpPctTargetsPm = Seq(500L, 950L)
+
+  private def groupPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+    val hist = c.groupBy(col("event_type"),
+        expr(s"v div $GrpPctBucket").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1))
+      .toMap
+    val parts = for {
+      (etype, buckets) <- hist.toSeq.sortBy(_._1)
+      n = buckets.map(_._2).sum
+      q <- GrpPctTargetsPm
+    } yield {
+      val k = (q * n + 999) / 1000
+      var cum = 0L
+      var bi = 0
+      while (cum + buckets(bi)._2 < k) { cum += buckets(bi)._2; bi += 1 }
+      val (b, _) = buckets(bi)
+      val m = (k - cum).toInt
+      c.filter(col("event_type") === etype &&
+          expr(s"v div $GrpPctBucket") === b)
+        .orderBy(col("v").asc).limit(m)
+        .agg(max(col("v")).as("value_cents"))
+        .select(lit(etype).as("event_type"), lit(q).as("q_pm"),
+          lit(k).as("k"), col("value_cents"))
+    }
+    parts.reduce(_ unionAll _).orderBy("event_type", "q_pm")
+  }
+
+  private val groupPercentileSql = {
+    val ks = GrpPctTargetsPm
+      .map(q => s"SELECT event_type, $q AS q_pm, ($q * n + 999) // 1000 AS k FROM n")
+      .mkString("\nUNION ALL ")
+    s"""WITH c AS (SELECT event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events),
+       |n AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY 1),
+       |ranked AS (SELECT event_type, v,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+       |  FROM c),
+       |ks AS ($ks)
+       |SELECT ks.event_type, ks.q_pm, CAST(ks.k AS BIGINT) AS k,
+       |  r.v AS value_cents
+       |FROM ks JOIN ranked r
+       |  ON r.event_type = ks.event_type AND r.rn = ks.k
+       |ORDER BY ks.event_type, q_pm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_group_percentile" -> (groupPercentile _),
     "ax_join_size_est"   -> (joinSizeEst _),
     "ax_exact_percentile" -> (exactPercentile _),
     "ax_poisson_boot"    -> (poissonBoot _),
@@ -747,6 +818,7 @@ object Stats {
     "ax_skyline_parts"   -> (skylineParts _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_group_percentile" -> groupPercentileSql,
     "ax_join_size_est"   -> joinSizeEstSql,
     "ax_exact_percentile" -> exactPercentileSql,
     "ax_poisson_boot"    -> poissonBootSql,
