@@ -310,11 +310,18 @@ object Chunking {
   // -------------------------------------------------------------------
   private val CdcMod = 32
 
-  private def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val phash = graft.ops.PortableHash.hashSparkSql("substring(norm, i, 8)")
-    val chunkTbl = spark.read.parquet(s"$dir/documents.parquet")
+  private def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcFrame(spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
-        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm")))
+
+  /** The CDC pipeline over any (doc_id, norm) frame — exposed so
+    * TextFuzzSpec can differential-test cut placement and dup counting
+    * on adversarial short/repetitive strings.
+    */
+  private[graft] def cdcFrame(docsNorm: DataFrame): DataFrame = {
+    val phash = graft.ops.PortableHash.hashSparkSql("substring(norm, i, 8)")
+    val chunkTbl = docsNorm
       .filter(length(col("norm")) > 0)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("norm"), expr(

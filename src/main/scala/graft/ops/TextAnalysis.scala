@@ -265,10 +265,18 @@ object TextAnalysis {
   // ---------------------------------------------------------------
   private val WinnowW = 4
 
-  private def winnowFp(spark: SparkSession, dir: String): DataFrame = {
+  private def winnowFp(spark: SparkSession, dir: String): DataFrame =
+    winnowFrame(docs(spark, dir).select(col("doc_id"), normCol.as("norm")))
+      .orderBy("doc_id")
+
+  /** The winnowing pipeline over any (doc_id, norm) frame — exposed so
+    * TextFuzzSpec can differential-test the selection rule (incl.
+    * strings shorter than one gram and hash-tie runs the fixture never
+    * produces) against the classic in-memory algorithm.
+    */
+  private[graft] def winnowFrame(docsNorm: DataFrame): DataFrame = {
     val w = WinnowW
-    docs(spark, dir)
-      .select(col("doc_id"), normCol.as("norm"))
+    docsNorm
       .repartition(col("doc_id"))
       .select(col("doc_id"), expr(
         s"""transform(sequence(1, greatest(length(norm) - 7, 1)),
