@@ -1977,9 +1977,17 @@ object Dedup {
       |              WHERE length(trim(regexp_replace(lower(text),
       |                '\s+', ' ', 'g'))) > 0) d) x)""".stripMargin
 
-  private def setjoinExact(spark: SparkSession, dir: String): DataFrame = {
+  private def setjoinExact(spark: SparkSession, dir: String): DataFrame =
+    setjoinFrame(paraTok(spark, dir))
+
+  /** The prefix-filtered exact set-similarity join over any
+    * (doc_id, feature) frame — exposed so SetJoinFuzzSpec can prove
+    * the prefix theorem's losslessness against all-pairs references
+    * on adversarial token distributions (uniform df, identical sets,
+    * singleton sets) the fixture never produces.
+    */
+  private[graft] def setjoinFrame(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = paraTok(spark, dir)
     val tokdf = toks.groupBy("feature").agg(count(lit(1)).as("tokdf"))
     val byDoc = Window.partitionBy("doc_id")
     val byRarity = Window.partitionBy("doc_id")
@@ -2037,9 +2045,14 @@ object Dedup {
   // the retention rule downstream (keep the superset doc) consumes
   // the direction.
   // -------------------------------------------------------------------
-  private def containment(spark: SparkSession, dir: String): DataFrame = {
+  private def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentFrame(paraTok(spark, dir))
+
+  /** The probe-prefix containment join over any (doc_id, feature)
+    * frame — fuzz hook, same rationale as [[setjoinFrame]].
+    */
+  private[graft] def containmentFrame(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = paraTok(spark, dir)
     val tokdf = toks.groupBy("feature").agg(count(lit(1)).as("tokdf"))
     val byDoc = Window.partitionBy("doc_id")
     val byRarity = Window.partitionBy("doc_id")
