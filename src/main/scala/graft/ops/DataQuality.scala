@@ -211,13 +211,58 @@ object DataQuality {
       |    AS sum_delay_sec
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_k_anonymity: PRIVACY RE-IDENTIFICATION audit — k-anonymity and
+  // l-diversity over quasi-identifier classes, the table a release
+  // review reads before any record-level data leaves the fence. QI =
+  // (nation, market segment): every record in an equivalence class of
+  // size < k is re-identifiable by linking those public attributes;
+  // l-diversity then catches the subtler failure where a class is
+  // large but its SENSITIVE attribute (here: negative account balance)
+  // is homogeneous — class size 50, all in debt, membership alone
+  // discloses the secret. One groupBy over the QI pair (bounded by
+  // |nation|×|segment| classes) + one rollup row: class count,
+  // smallest class, records below k=5, and the minimum class
+  // l-diversity. Scale shape: map-side-combined aggregate; at 100 TB
+  // the QI cardinality, not the row count, bounds everything after
+  // the first partial agg.
+  // -------------------------------------------------------------------
+  private def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("seg"),
+        (col("c_acctbal") < 0).cast("long").as("in_debt"))
+      .groupBy("nation", "seg")
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("in_debt")).as("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("sz")).as("min_class"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+          .as("n_records_lt_k5"),
+        min(col("l")).as("min_l"))
+
+  private val kAnonymitySql =
+    """WITH cls AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS seg,
+      |    COUNT(*) AS sz,
+      |    COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS l
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_classes,
+      |  CAST(MIN(sz) AS BIGINT) AS min_class,
+      |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS n_records_lt_k5,
+      |  CAST(MIN(l) AS BIGINT) AS min_l
+      |FROM cls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_k_anonymity" -> (kAnonymity _),
     "ax_profile"  -> (profile _),
     "ax_outliers" -> (outliers _),
     "ax_benford"  -> (benford _),
     "ax_disorder_audit" -> (disorderAudit _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_k_anonymity" -> kAnonymitySql,
     "ax_profile"  -> profileSql,
     "ax_outliers" -> outliersSql,
     "ax_benford"  -> benfordSql,
