@@ -254,8 +254,64 @@ object DataQuality {
       |  CAST(MIN(l) AS BIGINT) AS min_l
       |FROM cls""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_dp_geometric: DIFFERENTIAL PRIVACY for released aggregates —
+  // the GEOMETRIC mechanism (Ghosh/Roughgarden/Sundararajan: the
+  // discrete Laplace, ε-DP for counts, α = e^-ε = 1/2 here), made
+  // reproducible the same way ax_poisson_boot makes resampling
+  // reproducible: the per-release noise draw is the 60-bit portable
+  // hash of (release nonce, group) inverted through the mechanism's
+  // CDF ladder — integer-literal thresholds floor(P(K≤k)·2⁶⁰),
+  // truncated to ±8 — so both engines draw the IDENTICAL noise and
+  // the gate pins the released table bit-for-bit. (True DP would use
+  // a secret nonce; the mechanism, sensitivity-1 count release, and
+  // utility accounting are exactly what ships.) Emitted per segment:
+  // true count, the drawn noise, and the released noisy count — the
+  // |noise| column is the utility cost the ε budget buys. One
+  // QI-bounded aggregate; noise attaches map-side to group rows.
+  // -------------------------------------------------------------------
+  private val GeoCdf60: Seq[(Int, Long)] = Seq(
+    -8 -> 1505119457711288L, -7 -> 4515358373133866L,
+    -6 -> 10535836203979020L, -5 -> 22576791865669328L,
+    -4 -> 46658703189049944L, -3 -> 94822525835811168L,
+    -2 -> 191150171129333632L, -1 -> 383805461716378560L,
+    0 -> 769116042890468352L, 1 -> 961771333477513216L,
+    2 -> 1058098978771035648L, 3 -> 1106262801417796864L,
+    4 -> 1130344712741177472L, 5 -> 1142385668402867840L,
+    6 -> 1148406146233713024L, 7 -> 1151416385149135616L)
+
+  private def geoKSql(u: String): String =
+    GeoCdf60.map { case (k, t) => s"WHEN $u < ${t}L THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  private def geoKSqlDuck(u: String): String =
+    GeoCdf60.map { case (k, t) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  private def dpGeometric(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u", graft.ops.PortableHash.hashCol(
+        concat(lit("dp1#"), col("seg"))))
+      .withColumn("k", expr(geoKSql("u")).cast("long"))
+      .select(col("seg"), col("n"), col("k").as("noise"),
+        (col("n") + col("k")).as("released"))
+      .orderBy("seg")
+
+  private val dpGeometricSql = {
+    val u = graft.ops.PortableHash.hashSql("('dp1#' || seg)")
+    s"""WITH g AS (SELECT c_mktsegment AS seg, COUNT(*) AS n
+       |  FROM customer GROUP BY 1),
+       |d AS (SELECT seg, n, ${geoKSqlDuck(u)} AS k FROM g)
+       |SELECT seg, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS noise,
+       |  CAST(n + k AS BIGINT) AS released
+       |FROM d ORDER BY seg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_k_anonymity" -> (kAnonymity _),
+    "ax_dp_geometric" -> (dpGeometric _),
     "ax_profile"  -> (profile _),
     "ax_outliers" -> (outliers _),
     "ax_benford"  -> (benford _),
@@ -263,6 +319,7 @@ object DataQuality {
 
   val oracleSql: Map[String, String] = Map(
     "ax_k_anonymity" -> kAnonymitySql,
+    "ax_dp_geometric" -> dpGeometricSql,
     "ax_profile"  -> profileSql,
     "ax_outliers" -> outliersSql,
     "ax_benford"  -> benfordSql,
