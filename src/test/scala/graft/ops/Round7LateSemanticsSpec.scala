@@ -311,6 +311,51 @@ class Round7LateSemanticsSpec extends AnyFunSuite {
     assert(overridden > 0, "later seq must win over committed earlier seq")
   }
 
+  // ---- ax_group_percentile / privacy pair ------------------------------
+
+  test("grouped two-pass selection equals per-group sorted-index quantiles") {
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byType = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val truth = (for {
+      (et, vs) <- byType.toSeq
+      q <- Seq(500L, 950L)
+      k = (q * vs.length + 999) / 1000
+    } yield (et, q, k, vs((k - 1).toInt))).sortBy(t => (t._1, t._2))
+    val got = q("ax_group_percentile").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == truth)
+  }
+
+  test("k-anonymity audit equals the in-memory class walk") {
+    val rows = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        (col("c_acctbal") < 0).cast("long"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    val classes = rows.groupBy(_._1).values.toSeq
+    val truth = (classes.size.toLong,
+      classes.map(_.size).min.toLong,
+      classes.filter(_.size < 5).map(_.size).sum.toLong,
+      classes.map(_.map(_._2).distinct.size).min.toLong)
+    val r = q("ax_k_anonymity").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == truth)
+  }
+
+  test("geometric DP release: noise bounded, released = n + noise, counts true") {
+    val trueCounts = spark.read.parquet(s"$dir/customer.parquet")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q("ax_dp_geometric").collect().foreach { r =>
+      val (seg, n, noise, released) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == trueCounts(seg))
+      assert(noise >= -8 && noise <= 8)
+      assert(released == n + noise)
+    }
+  }
+
   // ---- sim_mmr_select ------------------------------------------------
 
   test("MMR selection equals the in-memory greedy chain") {
