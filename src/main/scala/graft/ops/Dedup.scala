@@ -1782,6 +1782,78 @@ object Dedup {
   // rollup — the assignment, the expensive part, is already paid.
   // -------------------------------------------------------------------
   // -------------------------------------------------------------------
+  // tx_dataset_card: the DATASHEET row — "Datasheets for Datasets"
+  // (Gebru et al.) distilled to the per-source table every release
+  // ships: volume (docs, tokens), quality (mean 0-4 score in exact
+  // milli-units), duplication exposure (docs in near-dup clusters,
+  // rate in permille), and the dominant language. One pass composes
+  // what the session already computed — the cached cluster assignment
+  // joins the per-doc stats on doc_id, the language argmax runs over
+  // |source|×|lang| aggregate rows — so the capstone report costs two
+  // keyed aggregates, not a re-derivation. The oracle recomposes the
+  // same parents (recursive-CTE clustering + the quality/token
+  // formulas), so the card cannot drift from any query it summarizes.
+  // -------------------------------------------------------------------
+  private def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .withColumn("norm", TextAnalysis.normCol)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.tokensCol(col("norm")).as("tokens"),
+        TextAnalysis.qualityScoreOnNorm.as("quality"))
+    val sized = clusterAssign(spark, dir)
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
+      .select(col("doc_id"), col("csize"))
+    val per = d.join(sized, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tokens"),
+        expr("(1000 * sum(quality)) div count(1)").as("avg_quality_milli"),
+        sum((col("csize") >= 2).cast("long")).as("dup_docs"))
+      .withColumn("dup_pm", expr("(1000 * dup_docs) div n_docs"))
+    val topLang = d.groupBy("source", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(max(struct(col("cnt"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"))
+    per.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("avg_quality_milli"), col("dup_docs"), col("dup_pm"),
+        col("top_lang"))
+      .orderBy("source")
+  }
+
+  private val datasetCardSql =
+    s"""$clustersCteSql,
+       |sizes AS (SELECT doc_id,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS csize
+       |  FROM clusters),
+       |d AS (SELECT doc_id, source, lang,
+       |    ${TextAnalysis.tokensSql} AS tokens,
+       |    ${TextAnalysis.qualityScoreSqlOnNorm} AS quality
+       |  FROM (SELECT doc_id, source, lang,
+       |          ${TextAnalysis.normSqlDef} AS norm
+       |        FROM documents) t),
+       |per AS (SELECT d.source, COUNT(*) AS n_docs,
+       |    CAST(SUM(d.tokens) AS BIGINT) AS tokens,
+       |    CAST((1000 * SUM(d.quality)) // COUNT(*) AS BIGINT)
+       |      AS avg_quality_milli,
+       |    CAST(SUM(CASE WHEN s.csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS dup_docs
+       |  FROM d JOIN sizes s ON d.doc_id = s.doc_id
+       |  GROUP BY 1),
+       |tl AS (SELECT source,
+       |    (max(struct_pack(cnt := cnt, lang := lang))).lang AS top_lang
+       |  FROM (SELECT source, lang, COUNT(*) AS cnt FROM d GROUP BY 1, 2) c
+       |  GROUP BY 1)
+       |SELECT per.source, per.n_docs, per.tokens, per.avg_quality_milli,
+       |  per.dup_docs,
+       |  CAST((1000 * per.dup_docs) // per.n_docs AS BIGINT) AS dup_pm,
+       |  tl.top_lang
+       |FROM per JOIN tl ON per.source = tl.source
+       |ORDER BY per.source""".stripMargin
+
+  // -------------------------------------------------------------------
   // dd_method_compare: the two LSH FAMILIES measured AGAINST EACH
   // OTHER — MinHash/banded-Jaccard and SimHash/Hamming run very
   // different theories over the same corpus (set resemblance of word
@@ -2118,6 +2190,7 @@ object Dedup {
     "tx_dedup_impact"   -> (dedupImpact _),
     "tx_quality_dup_audit" -> (qualityDupAudit _),
     "dd_method_compare" -> (methodCompare _),
+    "tx_dataset_card"   -> (datasetCard _),
     "dd_cc_incremental" -> (ccIncremental _),
     "dd_lsh_tuning"     -> (lshTuning _),
     "dd_semdedup_sweep" -> (semDedupSweep _),
@@ -2149,6 +2222,7 @@ object Dedup {
     "tx_dedup_impact"   -> dedupImpactSql,
     "tx_quality_dup_audit" -> qualityDupAuditSql,
     "dd_method_compare" -> methodCompareSql,
+    "tx_dataset_card"   -> datasetCardSql,
     "dd_setjoin_exact"  -> setjoinExactSql,
     "dd_containment"    -> containmentSql,
     "dd_cc_incremental" -> dupClustersSql,
