@@ -815,7 +815,79 @@ object Stats {
     "ax_histogram"       -> (histogram _),
     "ax_corr_sums"       -> (corrSums _),
     "ax_decimal_sum"     -> (decimalSum _),
+    "ax_anomaly_mad"     -> (anomalyMad _),
     "ax_skyline_parts"   -> (skylineParts _))
+
+  // -------------------------------------------------------------------
+  // ax_anomaly_mad: robust anomaly detection on the event stream —
+  // per-type daily volumes screened by MEDIAN ± 3·MAD (median absolute
+  // deviation), the estimator that survives the anomalies it hunts
+  // (mean ± 3σ famously doesn't: one 10× spike inflates σ until
+  // nothing flags — a 50% breakdown point vs 0%). Everything is exact
+  // integers: the "median" is the LOWER median (rank ⌈n/2⌉ = (n+1) div
+  // 2 under the total order (value, day)), so no cross-engine
+  // even-count interpolation exists, and the flag test |x−med| > 3·mad
+  // never divides.
+  //
+  // Scale shape: the corpus collapses in the FIRST map-side-combined
+  // aggregate to the (type, day) daily table — calendar-bounded
+  // (|types|·|days| rows, KBs at any SF) — and every window/join after
+  // runs over THAT aggregate, never corpus rows: the documented
+  // discipline for small-key windows (the inverse of the ax_ntile_bins
+  // trap, same as ax_markov_events). Output is |types| rows.
+  // -------------------------------------------------------------------
+  private def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wMed = Window.partitionBy("event_type").orderBy("cnt", "day")
+    val wN = Window.partitionBy("event_type")
+    val med = daily
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("nd", count(lit(1)).over(wN))
+      .filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("event_type"), col("cnt").as("med"))
+    val dev = daily.join(med, Seq("event_type"))
+      .withColumn("dev", abs(col("cnt") - col("med")))
+    val wMad = Window.partitionBy("event_type").orderBy("dev", "day")
+    val mad = dev
+      .withColumn("rn", row_number().over(wMad))
+      .withColumn("nd", count(lit(1)).over(wN))
+      .filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_anom"),
+        max(col("dev")).as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  private val anomalyMadSql =
+    """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |    COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+      |r AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM daily),
+      |med AS (SELECT event_type, cnt AS med FROM r WHERE rn = (nd + 1) // 2),
+      |d AS (SELECT daily.event_type, day, cnt, med, ABS(cnt - med) AS dev
+      |      FROM daily JOIN med USING (event_type)),
+      |r2 AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM d),
+      |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (nd + 1) // 2)
+      |SELECT d.event_type, COUNT(*) AS n_days, MIN(d.med) AS med,
+      |  MIN(m.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_anom,
+      |  MAX(d.dev) AS max_dev
+      |FROM d JOIN mad m USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ax_group_percentile" -> groupPercentileSql,
@@ -832,5 +904,6 @@ object Stats {
     "ax_histogram"       -> histogramSql,
     "ax_corr_sums"       -> corrSumsSql,
     "ax_decimal_sum"     -> decimalSumSql,
+    "ax_anomaly_mad"     -> anomalyMadSql,
     "ax_skyline_parts"   -> skylinePartsSql)
 }
