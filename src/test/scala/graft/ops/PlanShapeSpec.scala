@@ -631,6 +631,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-1 must be heaps:\n$p")
     assert(!p.contains("Join"), s"an MMR round must be join-free:\n$p")
   }
+
+  test("assortativity attaches degrees by shuffled-hash, never broadcast") {
+    // the degree table has one row per graph NODE (the pagerank-loop
+    // cardinality) — both endpoint attaches must stay co-partitioned
+    // (the substrate's own build lineage may contain a benign broadcast
+    // at fixture scale — the guard binds to the two degree ATTACHES)
+    val p = plan("ax_assortativity")
+    assert("ShuffledHashJoin \\[src".r.findAllIn(p).nonEmpty &&
+      "ShuffledHashJoin \\[dst".r.findAllIn(p).nonEmpty,
+      s"both degree attaches must be shuffled-hash joins:\n$p")
+  }
+
+  test("lift rules screen as a top-100 heap over broadcast-free pair joins") {
+    val p = plan("ax_lift_rules")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 by lift must be per-partition heaps, not a sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
+  test("rtbf purge prunes every level-1 table by broadcast semi join") {
+    // the request set is a tiny key list — each table prune must be a
+    // broadcast LeftSemi with zero fact shuffle
+    val p = plan("ax_rtbf_purge")
+    assert("BroadcastHashJoin \\[[^\\n]*LeftSemi".r.findAllIn(p).length >= 2,
+      s"orders/events must prune via broadcast semi joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross products:\n$p")
+  }
 }
 
 /** Small helper kept outside the spec so other tools can reuse it. */
