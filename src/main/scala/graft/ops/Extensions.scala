@@ -18,7 +18,8 @@ object Extensions {
       Reshape.queries ++ Stats.queries ++ Graph.queries ++
       Chunking.queries ++ Maintenance.queries ++ Curation.queries ++
       ScanPruning.queries ++ Lifecycle.queries ++ Selection.queries ++
-      TpchShapes.queries ++ Association.queries ++ Governance.queries
+      TpchShapes.queries ++ Association.queries ++ Governance.queries ++
+      DriftAudit.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
@@ -27,5 +28,6 @@ object Extensions {
       Reshape.oracleSql ++ Stats.oracleSql ++ Graph.oracleSql ++
       Chunking.oracleSql ++ Maintenance.oracleSql ++ Curation.oracleSql ++
       ScanPruning.oracleSql ++ Lifecycle.oracleSql ++ Selection.oracleSql ++
-      TpchShapes.oracleSql ++ Association.oracleSql ++ Governance.oracleSql
+      TpchShapes.oracleSql ++ Association.oracleSql ++ Governance.oracleSql ++
+      DriftAudit.oracleSql
 }
