@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact-integer temporal statistics: time-weighted averages over the
+  * event stream and latency percentiles from bounded-support
+  * histograms. Extension surface beyond reference parity (north star
+  * repo:BASELINE.json); the reference generates expressions only
+  * (/root/reference/polarify/main.py:49-388).
+  */
+object TemporalStats {
+
+  // -------------------------------------------------------------------
+  // ax_twap: TIME-WEIGHTED average of the event `value` per type — the
+  // correct mean for irregularly-sampled observations (sensor levels,
+  // account balances, prices): each reading is held until the user's
+  // next event, so its weight is the interval it was live, not 1.
+  // Plain AVG over-counts chatty periods; TWAP is the fix every
+  // finance/telemetry stack reaches for.
+  //
+  // Exactness: values quantize to integer cents (round(·100), the
+  // ax_decimal_sum discipline); timestamps to integer epoch SECONDS
+  // (unix_micros div 10⁶ — floored identically in both engines);
+  // num = Σ cents·Δt and den = Σ Δt are exact int64 (cents ≤ ~10⁵,
+  // Δt ≤ corpus span ⇒ products ≤ ~10¹¹; sums < 2^63 through sf1 —
+  // beyond, DECIMAL(38,0), same plan). Zero-length intervals are
+  // dropped: they contribute 0 to BOTH sums, and excluding them makes
+  // the final division provably nonzero-denominator (ANSI-safe).
+  //
+  // Scale shape: ONE lead() window keyed on the HIGH-CARDINALITY
+  // user_id (the inverse of the ntile trap — millions of tiny
+  // partitions), then one map-side-combined aggregate to |types|
+  // rows. The interval belongs to its STARTING event's type.
+  // -------------------------------------------------------------------
+  private def twap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("unix_micros(ts) div 1000000L").as("su"))
+      .withColumn("dt", lead(col("su"), 1).over(w) - col("su"))
+      .filter(col("dt") > 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("cents") * col("dt")).as("num"),
+        sum(col("dt")).as("den"))
+      .withColumn("twap_cents", expr("num div den"))
+      .orderBy("event_type")
+  }
+
+  private val twapSql =
+    """WITH e AS (SELECT event_type, user_id, ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(ts) // 1000000 AS su
+      |  FROM events),
+      |w AS (SELECT event_type, cents,
+      |    LEAD(su) OVER (PARTITION BY user_id ORDER BY ts, event_id) - su
+      |      AS dt
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_intervals,
+      |  CAST(SUM(cents * dt) AS BIGINT) AS num,
+      |  CAST(SUM(dt) AS BIGINT) AS den,
+      |  CAST(SUM(cents * dt) // SUM(dt) AS BIGINT) AS twap_cents
+      |FROM w WHERE dt > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_latency_histogram: order-to-ship latency percentiles per order
+  // priority — the SLA report — computed EXACTLY from the
+  // (priority, days) histogram, never a rank window over fact rows.
+  // This is the bounded-support specialization of the two-pass
+  // selection family (ax_exact_percentile): calendar-day latency has
+  // a few thousand distinct values no matter how many rows back them,
+  // so the fact collapses in ONE map-side-combined aggregate and the
+  // cumulative walk runs over the KB-scale histogram. The percentile
+  // definition is the exact order statistic: lower median = smallest
+  // d with cum(d) ≥ (n+1) div 2, p90 = smallest d with cum(d) ≥
+  // ⌈9n/10⌉ = (9n+9) div 10 — integer ranks, no interpolation to
+  // drift. Latency uses pure DATE arithmetic (both engines cast to
+  // DATE then count calendar days — no timestamp boundary semantics).
+  //
+  // Scale shape: the lineitem/orders equi-join is the honest
+  // fact-fact co-shuffle on the order key (ax_shipmode_priority
+  // discipline); everything after the histogram aggregate is
+  // histogram-sized. The per-priority windows run over ≤ |priorities|
+  // × |distinct days| rows — the documented small-key-window-over-
+  // aggregate shape.
+  // -------------------------------------------------------------------
+  private def latencyHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderpriority").as("prio"))
+    val h = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("prio"), datediff(col("sd"), col("od")).cast("long").as("days"))
+      .groupBy("prio", "days").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("prio").orderBy("days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("prio")
+    h.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .groupBy("prio")
+      .agg(min(col("n")).as("n"),
+        min(col("days")).as("min_days"),
+        min(when(expr("cum >= (n + 1) div 2"), col("days"))).as("med_days"),
+        min(when(expr("cum >= (9 * n + 9) div 10"), col("days"))).as("p90_days"),
+        max(col("days")).as("max_days"))
+      .orderBy("prio")
+  }
+
+  private val latencyHistogramSql =
+    """WITH j AS (SELECT o_orderpriority AS prio,
+      |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+      |                  CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h AS (SELECT prio, days, COUNT(*) AS cnt FROM j GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    SUM(cnt) OVER (PARTITION BY prio ORDER BY days) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY prio) AS n
+      |  FROM h)
+      |SELECT prio, CAST(MIN(n) AS BIGINT) AS n, MIN(days) AS min_days,
+      |  CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN days END) AS BIGINT)
+      |    AS med_days,
+      |  CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN days END) AS BIGINT)
+      |    AS p90_days,
+      |  MAX(days) AS max_days
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_twap"              -> (twap _),
+    "ax_latency_histogram" -> (latencyHistogram _))
+
+  def oracleSql: Map[String, String] = Map(
+    "ax_twap"              -> twapSql,
+    "ax_latency_histogram" -> latencyHistogramSql)
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-memory references for the temporal-statistics pair (TWAP,
+  * histogram-based latency percentiles) on real sf0.001 data.
+  */
+class TemporalStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = Extensions.queries(name)(spark, dir)
+
+  test("ax_twap matches the in-memory hold-until-next-event computation") {
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val intervals = rows.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2.getTime * 1000 +
+        e._2.getNanos / 1000 % 1000, e._3))
+      sorted.zip(sorted.tail).map { case (cur, next) =>
+        def sec(t: java.sql.Timestamp) =
+          Math.floorDiv(t.getTime * 1000 + t.getNanos / 1000 % 1000, 1000000L)
+        (cur._4, math.round(cur._5 * 100), sec(next._2) - sec(cur._2))
+      }
+    }.filter(_._3 > 0).toSeq
+    val expected = intervals.groupBy(_._1).map { case (t, is) =>
+      val num = is.map(i => i._2 * i._3).sum
+      val den = is.map(_._3).sum
+      (t, is.size.toLong, num, den, num / den)
+    }.toSeq.sortBy(_._1)
+    val got = q("ax_twap").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("ax_latency_histogram matches in-memory exact order statistics") {
+    val od = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getTimestamp(1).toLocalDateTime.toLocalDate, r.getString(2))))
+      .toMap
+    val lat = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate").collect()
+      .map { r =>
+        val (odate, prio) = od(r.getLong(0))
+        (prio, java.time.temporal.ChronoUnit.DAYS.between(
+          odate, r.getTimestamp(1).toLocalDateTime.toLocalDate))
+      }
+    val expected = lat.groupBy(_._1).map { case (p, ls) =>
+      val sorted = ls.map(_._2).sorted
+      val n = sorted.length.toLong
+      def atRank(k: Long) = sorted((k - 1).toInt)
+      (p, n, sorted.head, atRank((n + 1) / 2), atRank((9 * n + 9) / 10),
+        sorted.last)
+    }.toSeq.sortBy(_._1)
+    val got = q("ax_latency_histogram").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+}
