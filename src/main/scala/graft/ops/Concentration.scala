@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Revenue-concentration analytics: the Gini coefficient of customer
+  * spend and the decile gains table — "how unequal is the customer
+  * base, and which tenth of it carries the revenue". Both read ONE
+  * globally-ranked per-customer spend substrate built with the
+  * declarative zipWithIndex decomposition (range exchange + P-row
+  * offset table — [[Lifecycle]]'s tx_assign_ids discipline), so the
+  * global rank every formula needs NEVER runs a single-partition
+  * window over data.
+  *
+  * Extension surface beyond reference parity (north star
+  * repo:BASELINE.json); the reference generates expressions only
+  * (/root/reference/polarify/main.py:49-388).
+  */
+object Concentration {
+
+  private val RankParts = 8
+
+  private val rankedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  /** Per-customer spend (whole dollars, exact integers) with its global
+    * ascending rank i under the total order (spend, custkey), plus the
+    * (n, sx) scalars every consumer needs. Rank assignment is the
+    * declarative zipWithIndex: range-repartition on the sort key, count
+    * rows per range partition, prefix-sum the P-row offset table (the
+    * only unpartitioned window runs over P = 8 rows), local row_number
+    * + broadcast offset = global rank. Persisted per (application, SF
+    * dir): the Gini and the gains table both consume it.
+    */
+  private def ranked(spark: SparkSession, dir: String): DataFrame =
+    rankedCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", { _ =>
+        import org.apache.spark.sql.expressions.Window
+        val s = spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey").as("c"),
+            expr("CAST(round(o_totalprice) AS BIGINT)").as("d"))
+          .groupBy("c").agg(sum(col("d")).as("x"))
+          .repartitionByRange(RankParts, col("x"), col("c"))
+          .withColumn("pid", spark_partition_id().cast("long"))
+          .persist()
+        val offsets = s.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset", coalesce(
+            sum(col("cnt")).over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("offset"))
+        val tot = s.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        val local = Window.partitionBy("pid").orderBy("x", "c")
+        s.withColumn("local", row_number().over(local).cast("long"))
+          .join(broadcast(offsets), "pid") // P rows — bounded by design
+          .crossJoin(broadcast(tot))       // 1 row — scalar attach
+          .select(col("c"), col("x"),
+            (col("offset") + col("local")).as("i"), col("n"), col("sx"))
+          .persist()
+      })
+
+  // -------------------------------------------------------------------
+  // ax_revenue_gini: the GINI COEFFICIENT of per-customer spend — the
+  // one-number concentration audit (0 = perfectly equal, →1 = one
+  // customer is the business), from the rank formulation over values
+  // sorted ascending:
+  //
+  //   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+  //
+  // num is non-negative by the rearrangement inequality (ranks
+  // ascending with values), so gini_permille = 1000·num div den is
+  // truncation-portable. Exact int64 through sf0.1 (Σi·x ≤ n·Σx ≈
+  // 3×10¹⁵, ×1000 ≈ 3×10¹⁸ < 2^63); past that the two wide terms
+  // switch to DECIMAL(38,0) (ax_decimal_sum discipline), same plan.
+  //
+  // Scale shape: the ranked substrate (one range exchange over the
+  // per-customer AGGREGATE, never raw orders) + ONE map-side-combined
+  // pass to a single row.
+  // -------------------------------------------------------------------
+  private def revenueGini(spark: SparkSession, dir: String): DataFrame =
+    ranked(spark, dir)
+      .agg(min(col("n")).as("n"), min(col("sx")).as("sum_spend"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n"), col("sum_spend"),
+        (lit(2L) * col("six") - (col("n") + 1L) * col("sum_spend"))
+          .as("num"),
+        (col("n") * col("sum_spend")).as("den"))
+      .withColumn("gini_permille", expr("(1000L * num) div den"))
+
+  private val revenueGiniSql =
+    """WITH s AS (SELECT o_custkey AS c,
+      |    SUM(CAST(round(o_totalprice) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT c, x, ROW_NUMBER() OVER (ORDER BY x, c) AS i,
+      |        COUNT(*) OVER () AS n, SUM(x) OVER () AS sx
+      |      FROM s)
+      |SELECT CAST(MIN(n) AS BIGINT) AS n, CAST(MIN(sx) AS BIGINT)
+      |    AS sum_spend,
+      |  CAST(2 * SUM(i * x) - (MIN(n) + 1) * MIN(sx) AS BIGINT) AS num,
+      |  CAST(MIN(n) * MIN(sx) AS BIGINT) AS den,
+      |  CAST(1000 * (2 * SUM(i * x) - (MIN(n) + 1) * MIN(sx))
+      |       // (MIN(n) * MIN(sx)) AS BIGINT) AS gini_permille
+      |FROM r""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_decile_gains: the GAINS TABLE over the same ranked substrate —
+  // customers split into spend deciles by exact global rank
+  // (decile = 10·(i−1) div n, 0 = bottom tenth), each decile priced
+  // by row count, spend, and exact-ppm revenue share. The "top decile
+  // carries X% of revenue" statement every concentration claim cites,
+  // and the Lorenz curve in 10 points. Free once the rank exists —
+  // one more |deciles|-row aggregate.
+  // -------------------------------------------------------------------
+  private def decileGains(spark: SparkSession, dir: String): DataFrame =
+    ranked(spark, dir)
+      .select(expr("((i - 1) * 10) div n").as("decile"), col("x"),
+        col("sx"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum(col("x")).as("spend"),
+        min(col("sx")).as("sx"))
+      .withColumn("share_ppm", expr("(spend * 1000000L) div sx"))
+      .select(col("decile"), col("n_cust"), col("spend"), col("share_ppm"))
+      .orderBy("decile")
+
+  private val decileGainsSql =
+    """WITH s AS (SELECT o_custkey AS c,
+      |    SUM(CAST(round(o_totalprice) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT c, x, ROW_NUMBER() OVER (ORDER BY x, c) AS i,
+      |        COUNT(*) OVER () AS n, SUM(x) OVER () AS sx
+      |      FROM s)
+      |SELECT CAST(((i - 1) * 10) // n AS BIGINT) AS decile,
+      |  COUNT(*) AS n_cust, CAST(SUM(x) AS BIGINT) AS spend,
+      |  CAST(SUM(x) * 1000000 // MIN(sx) AS BIGINT) AS share_ppm
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_revenue_gini" -> (revenueGini _),
+    "ax_decile_gains" -> (decileGains _))
+
+  def oracleSql: Map[String, String] = Map(
+    "ax_revenue_gini" -> revenueGiniSql,
+    "ax_decile_gains" -> decileGainsSql)
+}

@@ -19,7 +19,7 @@ object Extensions {
       Chunking.queries ++ Maintenance.queries ++ Curation.queries ++
       ScanPruning.queries ++ Lifecycle.queries ++ Selection.queries ++
       TpchShapes.queries ++ Association.queries ++ Governance.queries ++
-      DriftAudit.queries ++ TemporalStats.queries
+      DriftAudit.queries ++ TemporalStats.queries ++ Concentration.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
@@ -29,5 +29,6 @@ object Extensions {
       Chunking.oracleSql ++ Maintenance.oracleSql ++ Curation.oracleSql ++
       ScanPruning.oracleSql ++ Lifecycle.oracleSql ++ Selection.oracleSql ++
       TpchShapes.oracleSql ++ Association.oracleSql ++ Governance.oracleSql ++
-      DriftAudit.oracleSql ++ TemporalStats.oracleSql
+      DriftAudit.oracleSql ++ TemporalStats.oracleSql ++
+      Concentration.oracleSql
 }
