@@ -133,11 +133,82 @@ object Concentration {
       |  CAST(SUM(x) * 1000000 // MIN(sx) AS BIGINT) AS share_ppm
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_abc_class: ABC CLASSIFICATION of parts by revenue — the
+  // inventory-management standard: A = the head carrying the first 80%
+  // of cumulative revenue, B = to 95%, C = the tail. Needs a GLOBAL
+  // PREFIX SUM over parts ranked by revenue descending, computed with
+  // the same decomposition as the rank: range-exchange on
+  // (revenue desc, partkey), per-partition SUM offsets (the P-row
+  // prefix-sum window), local cumulative window + broadcast offset =
+  // exact global running total — no single-partition scan at any
+  // size. Class boundaries in exact integers (cum·5 ≤ 4·total ⇒ A;
+  // cum·20 ≤ 19·total ⇒ B), ties broken by the (x desc, p) total
+  // order so the cut is deterministic.
+  // -------------------------------------------------------------------
+  private def abcClass(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").as("p"),
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("d"))
+      .groupBy("p").agg(sum(col("d")).as("x"))
+      .repartitionByRange(RankParts, col("x").desc, col("p"))
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .persist()
+    val offsets = s.groupBy("pid").agg(sum(col("x")).as("psum"))
+      .withColumn("offset", coalesce(
+        sum(col("psum")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val tot = s.agg(sum(col("x")).as("total"))
+    val local = Window.partitionBy("pid").orderBy(col("x").desc, col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = s.withColumn("lcum", sum(col("x")).over(local))
+      .join(broadcast(offsets), "pid") // P rows — bounded by design
+      .crossJoin(broadcast(tot))       // 1 row — scalar attach
+      .select(col("x"),
+        (col("offset") + col("lcum")).as("cum"), col("total"))
+      .select(col("x"), col("total"),
+        when(expr("cum * 5 <= 4 * total"), "A")
+          .when(expr("cum * 20 <= 19 * total"), "B")
+          .otherwise("C").as("abc_class"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum(col("x")).as("revenue"),
+        min(col("total")).as("total"))
+      .withColumn("share_ppm", expr("(revenue * 1000000L) div total"))
+      .select(col("abc_class"), col("n_parts"), col("revenue"),
+        col("share_ppm"))
+      .orderBy("abc_class")
+      .localCheckpoint() // materialize before dropping the substrate
+    s.unpersist()
+    out
+  }
+
+  private val abcClassSql =
+    """WITH s AS (SELECT l_partkey AS p,
+      |    SUM(CAST(round(l_extendedprice) AS BIGINT)) AS x
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT x,
+      |    SUM(x) OVER (ORDER BY x DESC, p) AS cum,
+      |    SUM(x) OVER () AS total
+      |  FROM s),
+      |c AS (SELECT x, total,
+      |    CASE WHEN cum * 5 <= 4 * total THEN 'A'
+      |         WHEN cum * 20 <= 19 * total THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM r)
+      |SELECT abc_class, COUNT(*) AS n_parts, CAST(SUM(x) AS BIGINT)
+      |    AS revenue,
+      |  CAST(SUM(x) * 1000000 // MIN(total) AS BIGINT) AS share_ppm
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_revenue_gini" -> (revenueGini _),
-    "ax_decile_gains" -> (decileGains _))
+    "ax_decile_gains" -> (decileGains _),
+    "ax_abc_class"    -> (abcClass _))
 
   def oracleSql: Map[String, String] = Map(
     "ax_revenue_gini" -> revenueGiniSql,
-    "ax_decile_gains" -> decileGainsSql)
+    "ax_decile_gains" -> decileGainsSql,
+    "ax_abc_class"    -> abcClassSql)
 }

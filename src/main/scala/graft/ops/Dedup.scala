@@ -1510,6 +1510,51 @@ object Dedup {
        |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin
 
   // -------------------------------------------------------------------
+  // dd_source_flow: the cross-source DUPLICATE-FLOW matrix — which
+  // sources duplicate INTO which, the dataset-ops view that turns "we
+  // have duplicates" into "source X is mirroring source Y" (license
+  // laundering, scraper overlap, re-crawls). For every source pair
+  // (sa ≤ sb): the number of same-cluster DOC PAIRS with one member in
+  // each (the diagonal sa = sb counts within-source pairs C(c,2)).
+  //
+  // Scale shape: a free derivative of the session-cached cluster
+  // assignment — per-(cluster, source) counts (one keyed aggregate),
+  // then a self-equi-join ON CLUSTER of that aggregate: per-cluster
+  // work is |sources in cluster|² ≤ |sources|², never doc pairs, and
+  // the pair arithmetic c_a·c_b replaces enumerating the pairs
+  // themselves. Output ≤ |sources|² rows.
+  // -------------------------------------------------------------------
+  private def sourceFlow(spark: SparkSession, dir: String): DataFrame = {
+    val cs = clusterAssign(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy("cluster", "source").agg(count(lit(1)).as("c"))
+    val a = cs.select(col("cluster"), col("source").as("sa"),
+      col("c").as("ca"))
+    val b = cs.select(col("cluster"), col("source").as("sb"),
+      col("c").as("cb"))
+    a.join(b, Seq("cluster")).filter(col("sa") <= col("sb"))
+      .select(col("sa"), col("sb"),
+        when(col("sa") < col("sb"), col("ca") * col("cb"))
+          .otherwise(expr("(ca * (ca - 1)) div 2")).as("pairs"))
+      .groupBy("sa", "sb").agg(sum(col("pairs")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .orderBy("sa", "sb")
+  }
+
+  private val sourceFlowSql: String =
+    s"""$clustersCteSql,
+       |cs AS (SELECT cluster, source, COUNT(*) AS c
+       |       FROM clusters JOIN documents USING (doc_id) GROUP BY 1, 2),
+       |j AS (SELECT a.source AS sa, b.source AS sb,
+       |        CASE WHEN a.source < b.source THEN a.c * b.c
+       |             ELSE (a.c * (a.c - 1)) // 2 END AS pairs
+       |      FROM cs a JOIN cs b
+       |        ON a.cluster = b.cluster AND a.source <= b.source)
+       |SELECT sa, sb, CAST(SUM(pairs) AS BIGINT) AS n_pairs
+       |FROM j GROUP BY 1, 2 HAVING SUM(pairs) > 0 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // CURATION FUNNEL: the whole pre-training pipeline as ONE query —
   // raw corpus → quality gate (score ≥ 3 of 4, the shared TextAnalysis
   // rule) → exact dedup (keep-min per md5) → near-dup retention (keep
@@ -2200,6 +2245,7 @@ object Dedup {
     "dd_cc_bigstar"     -> (ccBigStar _),
     "dd_cluster_retain" -> (clusterRetain _),
     "dd_cluster_sizes"  -> (clusterSizes _),
+    "dd_source_flow"    -> (sourceFlow _),
     "dd_exact_keep_min" -> (exactKeepMin _),
     "dd_exact_groups"   -> (exactGroups _),
     "dd_minhash_pairs"  -> (minhashPairs _),
@@ -2234,6 +2280,7 @@ object Dedup {
     "dd_cc_bigstar"     -> dupClustersSql,
     "dd_cluster_retain" -> clusterRetainSql,
     "dd_cluster_sizes"  -> clusterSizesSql,
+    "dd_source_flow"    -> sourceFlowSql,
     "dd_exact_keep_min" -> exactKeepMinSql,
     "dd_exact_groups"   -> exactGroupsSql,
     "dd_minhash_pairs"  -> MinHashLsh.oracleSql(wordShingleTokCte),

@@ -129,11 +129,54 @@ object TemporalStats {
       |  MAX(days) AS max_days
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_new_returning: the daily NEW vs RETURNING user split — the
+  // growth-accounting decomposition every activity dashboard leads
+  // with (is today's volume acquisition or retention?). A user is
+  // "new" on their first-ever active day, "returning" on every later
+  // active day.
+  //
+  // Scale shape: two chained aggregates on the HIGH-cardinality user
+  // key — (user, day) dedup, then min(day) per user — followed by a
+  // broadcast-free equi-join of two user-keyed aggregates and a final
+  // calendar-sized rollup. No window anywhere: "first day" is an
+  // ordinary min aggregate, and the join keys on user_id so both
+  // sides co-partition. Output is |days| rows.
+  // -------------------------------------------------------------------
+  private def newReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    ud.join(first, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .orderBy("day")
+  }
+
+  private val newReturningSql =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    strftime(ts, '%Y-%m-%d') AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+      |SELECT day, COUNT(*) AS n_active,
+      |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_returning
+      |FROM ud JOIN f USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_twap"              -> (twap _),
-    "ax_latency_histogram" -> (latencyHistogram _))
+    "ax_latency_histogram" -> (latencyHistogram _),
+    "ax_new_returning"     -> (newReturning _))
 
   def oracleSql: Map[String, String] = Map(
     "ax_twap"              -> twapSql,
-    "ax_latency_histogram" -> latencyHistogramSql)
+    "ax_latency_histogram" -> latencyHistogramSql,
+    "ax_new_returning"     -> newReturningSql)
 }
