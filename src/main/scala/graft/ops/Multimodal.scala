@@ -552,6 +552,145 @@ object Multimodal {
        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // mm_grad_energy: per-image HORIZONTAL GRADIENT energy over the full
+  // decoded pixel array — the sharpness/blur proxy a visual-quality
+  // filter runs next to the exposure histogram (near-zero gradient
+  // energy = synthetic fill or heavy blur; a spiky max = compression
+  // artifacts or hard seams). Exact integers: per neighboring pixel
+  // pair d = |v(x+1,y) − v(x,y)|, emitting pair count, edge count
+  // (d > 32), total and max gradient. Spark decodes the REAL BMP bytes
+  // and folds the metric inside the same mapPartitions pass (pixels
+  // never leave the task — one 40-byte row per image out); the oracle
+  // replays the generator formula over the (w−1)×h pair grid, so
+  // agreement proves the full-pixel walk including row strides.
+  // -------------------------------------------------------------------
+  /** per-image output of the gradient pass */
+  final case class GradRow(
+      doc_id: Long, n_pairs: Long, n_edges: Long,
+      grad_sum: Long, grad_max: Long)
+
+  private def gradEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val w = (4 + id % DimMod).toInt
+          val h = (4 + len % DimMod).toInt
+          val img = ImageHeaders.bmpGray(w, h,
+            (x, y) => ((7L * x + 13L * y + 31L * id) % 256L).toInt)
+          val (dw, dh, px) = ImageHeaders.decodeBmpPixels(img)
+          var nEdges = 0L; var gradSum = 0L; var gradMax = 0L
+          var y = 0
+          while (y < dh) {
+            var x = 0
+            while (x < dw - 1) {
+              val d = math.abs(px(x + 1, y) - px(x, y)).toLong
+              if (d > 32L) nEdges += 1L
+              gradSum += d
+              if (d > gradMax) gradMax = d
+              x += 1
+            }
+            y += 1
+          }
+          GradRow(id, (dw - 1).toLong * dh, nEdges, gradSum, gradMax)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val gradEnergySql =
+    s"""WITH dims AS (
+       |  SELECT doc_id, 4 + doc_id % $DimMod AS w,
+       |    4 + CAST(octet_length(encode(text)) AS BIGINT) % $DimMod AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id,
+       |    ABS(((7 * (x + 1) + 13 * y + 31 * doc_id) % 256)
+       |        - ((7 * x + 13 * y + 31 * doc_id) % 256)) AS d
+       |  FROM (SELECT doc_id, w, h, unnest(range(0, w - 1)) AS x FROM dims) gx,
+       |    LATERAL (SELECT unnest(range(0, gx.h)) AS y) gy)
+       |SELECT doc_id, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN d > 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_edges,
+       |  CAST(SUM(d) AS BIGINT) AS grad_sum,
+       |  CAST(MAX(d) AS BIGINT) AS grad_max
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // mm_audio_clip: CLIPPING detection over the decoded PCM stream —
+  // the audio-quality gate's first check (samples pinned at the rail =
+  // recording or normalization damage). |v| ≥ 1900 marks a clipped
+  // sample (the fixture rails at ±2000); emitted per asset: clipped
+  // count and the LONGEST CONSECUTIVE clipped run — run length is
+  // what distinguishes a transient peak from a flattened waveform.
+  // Spark walks the real WAV decode (chunk list, junk-LIST skip,
+  // sign-extended PCM16) with an in-pass run tracker; the oracle
+  // replays the sample formula and derives runs by gaps-and-islands
+  // (i − row_number over clipped i = run id).
+  // -------------------------------------------------------------------
+  /** per-asset output of the clipping pass */
+  final case class ClipRow(
+      doc_id: Long, n_samples: Long, n_clipped: Long, max_run: Long)
+
+  private def audioClip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val n = (64 + len % AudioNMod).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((17L * i + 31L * id) % AudioAmp) - 2000L).toShort)
+          val stream0 = AudioWav.wav(rate, samples)
+          val stream = if (id % 3 == 0) {
+            val junk = "LIST".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+              Array[Byte](6, 0, 0, 0) ++ Array[Byte](73, 78, 70, 79, 1, 2)
+            stream0.take(12) ++ junk ++ stream0.drop(12)
+          } else stream0
+          val pcm = AudioWav.decode(stream)
+          var nClipped = 0L; var run = 0L; var maxRun = 0L
+          var i = 0
+          while (i < pcm.nSamples) {
+            if (math.abs(pcm.sample(i).toLong) >= 1900L) {
+              nClipped += 1L; run += 1L
+              if (run > maxRun) maxRun = run
+            } else run = 0L
+            i += 1
+          }
+          ClipRow(id, pcm.nSamples.toLong, nClipped, maxRun)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val audioClipSql =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    64 + CAST(octet_length(encode(text)) AS BIGINT) % $AudioNMod AS n
+       |  FROM documents),
+       |idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM dims),
+       |s AS (SELECT doc_id, i,
+       |    ((17 * i + 31 * doc_id) % $AudioAmp) - 2000 AS v FROM idx),
+       |c AS (SELECT doc_id, i FROM s WHERE abs(v) >= 1900),
+       |g AS (SELECT doc_id,
+       |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM c),
+       |runs AS (SELECT doc_id, COUNT(*) AS run FROM g GROUP BY doc_id, grp),
+       |agg AS (SELECT doc_id, SUM(run) AS n_clipped, MAX(run) AS max_run
+       |        FROM runs GROUP BY 1)
+       |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples,
+       |  CAST(COALESCE(a.n_clipped, 0) AS BIGINT) AS n_clipped,
+       |  CAST(COALESCE(a.max_run, 0) AS BIGINT) AS max_run
+       |FROM dims d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // mm_phash_dup: perceptual NEAR-DUP detection over the aHash — what
   // mm_resize_phash's output exists for. The fixture makes visual
   // near-dups real: docs share a base pattern per GROUP (g = id div 4
@@ -1046,6 +1185,8 @@ object Multimodal {
     "mm_frame_sample" -> (frameSample _),
     "mm_resize_phash" -> (resizePhash _),
     "mm_lum_hist"     -> (lumHist _),
+    "mm_grad_energy"  -> (gradEnergy _),
+    "mm_audio_clip"   -> (audioClip _),
     "mm_audio_resample" -> (audioResample _),
     "mm_scene_cuts"   -> (sceneCuts _),
     "mm_audio_stats"  -> (audioStats _),
@@ -1085,6 +1226,8 @@ object Multimodal {
     "mm_frame_sample" -> frameSampleSql,
     "mm_resize_phash" -> resizePhashSql,
     "mm_lum_hist"     -> lumHistSql,
+    "mm_grad_energy"  -> gradEnergySql,
+    "mm_audio_clip"   -> audioClipSql,
     "mm_audio_resample" -> audioResampleSql,
     "mm_scene_cuts"   -> sceneCutsSql,
     "mm_audio_stats"  -> audioStatsSql,
