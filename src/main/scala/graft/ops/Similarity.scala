@@ -53,6 +53,42 @@ object Similarity {
     Hyperplanes.bucketSqlDuck("q", planes)
 
   // -------------------------------------------------------------------
+  // sim_dim_variance: per-DIMENSION variance profile of the embedding
+  // corpus — the "which dimensions are dead" audit that decides
+  // dimension pruning, PQ subspace splits, and whether a cheap
+  // projection loses anything. Exactly the ax_corr_sums discipline
+  // applied per coordinate: micro-quantized x (round(v·10⁴), the
+  // shared portable quantization), per-dim n, Σx, Σx², and the
+  // non-negative variance numerator n·Σx² − (Σx)² — no division, no
+  // floats, bit-identical cross-engine.
+  //
+  // Scale shape: posexplode is MAP-LOCAL (64·n narrow rows feed a
+  // partial aggregate that reduces to 64 rows before any exchange);
+  // output is |dims| rows regardless of corpus size. The magnitudes:
+  // |x| ≤ 10⁴ ⇒ n·Σx² ≤ n²·10⁸ — int64-safe to n ≈ 3×10⁵ vectors,
+  // past which the two wide terms switch to DECIMAL(38,0)
+  // (ax_decimal_sum discipline), same single-pass plan.
+  // -------------------------------------------------------------------
+  private def dimVariance(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).withColumn("q", expr(quantize))
+      .select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("dim"), col("n"), col("sx"), col("sxx"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("var_num"))
+      .orderBy("dim")
+
+  private val dimVarianceSql =
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |d AS (SELECT i AS dim, q[i + 1] AS x
+       |      FROM qt, (SELECT unnest(range(0, 64)) AS i) g)
+       |SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+       |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |  CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS var_num
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // sim_topk_quantized: exact top-20 neighbors of vec 0 by quantized
   // dot product. Oracle-backed (same integer math in DuckDB).
   // -------------------------------------------------------------------
@@ -1683,6 +1719,7 @@ object Similarity {
     "sim_rrf_fusion"     -> (rrfFusion _),
     "sim_rrf_recall"     -> (rrfRecall _),
     "sim_inertia"        -> (inertia _),
+    "sim_dim_variance"   -> (dimVariance _),
     "sim_batch_ivf"      -> (batchIvf _),
     "sim_ivf_sweep"      -> (ivfSweep _),
     "sim_hard_negatives" -> (hardNegatives _),
@@ -1716,6 +1753,7 @@ object Similarity {
     "sim_pq_topk"        -> pqTopkSql,
     "sim_pq_recall"      -> pqRecallSql,
     "sim_quantize_audit" -> quantizeAuditSql,
+    "sim_dim_variance"   -> dimVarianceSql,
     "sim_knn_batch"      -> knnBatchSql,
     "sim_silhouette"     -> silhouetteSql,
     "sim_pair_hist"      -> pairHistSql,
