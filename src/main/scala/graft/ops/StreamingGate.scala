@@ -149,6 +149,37 @@ object StreamingGate {
     * same horizon (the dedup tier is exercised, not observable in the
     * answer — exactly the exactly-once contract).
     */
+  /** st_new_returning: the growth-accounting split (ax_new_returning's
+    * batch semantics) streamed end-to-end. "First-seen day" is a
+    * min(day) aggregate per user — deliberately ORDER-INDEPENDENT, so
+    * the answer is identical no matter how arrival order scrambles
+    * event time (a streaming dropDuplicates would pin "first" to
+    * arrival order and diverge); daily actives are the (day, user)
+    * distinct-by-aggregate. Complete mode; the two converged sinks
+    * compose batch-side into the daily split. Oracle = the batch twin
+    * ax_new_returning, so stream and batch must agree row-for-row.
+    */
+  private def newReturningStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val first = runToTable(
+      eventsStream(spark, dir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .groupBy("user_id").agg(min(col("day")).as("first_day")),
+      "st_new_returning_first", "complete")(spark)
+    val active = runToTable(
+      eventsStream(spark, dir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .groupBy("day", "user_id").agg(count(lit(1)).as("cnt")),
+      "st_new_returning_active", "complete")(spark)
+    val nNew = first.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    active.groupBy("day").agg(count(lit(1)).as("n_active"))
+      .join(nNew, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+      .orderBy("day")
+  }
+
   private def dedupAggStreamed(spark: SparkSession, dir: String): DataFrame =
     runToTable(EventsStream.dedupThenHourly(eventsStream(spark, dir)),
       "st_dedup_agg_sink", "append")(spark)
@@ -917,6 +948,7 @@ object StreamingGate {
     "st_stream_join"       -> (streamJoinStreamed _),
     "st_file_sink"         -> (fileSinkStreamed _),
     "st_chained_agg"       -> (chainedAggStreamed _),
+    "st_new_returning"     -> (newReturningStreamed _),
     "st_dedup_agg"         -> (dedupAggStreamed _),
     "st_join_agg"          -> (joinAggStreamed _),
     "st_sliding_counts"    -> (slidingStreamed _),
@@ -947,6 +979,7 @@ object StreamingGate {
     "st_join_agg"          -> joinAggStreamedSql,
     "st_sliding_counts"    -> slidingStreamedSql,
     "st_events_hourly"     -> Analytics.oracleSql("ax_events_hourly"),
+    "st_new_returning"     -> TemporalStats.oracleSql("ax_new_returning"),
     "st_dedup_events"      -> dedupStreamedSql,
     "st_semi_join"         -> semiJoinStreamedSql,
     "st_purchase_streaks"  -> streaksStreamedSql

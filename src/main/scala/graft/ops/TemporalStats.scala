@@ -170,13 +170,56 @@ object TemporalStats {
       |FROM ud JOIN f USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_dow_hour_heat: the DAY-OF-WEEK × HOUR activity heatmap — the
+  // first chart on every ops dashboard, and the table capacity
+  // planning and anomaly baselines read from. Day-of-week is computed
+  // PORTABLY as integer date arithmetic — ISO dow from days since the
+  // 1970-01-01 (Thursday) epoch anchor: ((days mod 7) + 3) mod 7 + 1,
+  // 1 = Monday — because the engines' dayofweek() builtins disagree
+  // on week start (Spark 1=Sunday, DuckDB isodow 1=Monday) and
+  // locale-name formatting is worse. Shares in exact ppm of the
+  // corpus total (1-row aggregate, crossJoin-broadcast attach).
+  //
+  // Scale shape: ONE map-side-combined aggregate straight to ≤ 7×24
+  // rows; nothing downstream is corpus-proportional.
+  // -------------------------------------------------------------------
+  private def dowHourHeat(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(
+        expr("((datediff(to_date(ts), DATE '1970-01-01') % 7) + 3) % 7 + 1")
+          .cast("long").as("iso_dow"),
+        hour(col("ts")).cast("long").as("hh"))
+      .groupBy("iso_dow", "hh").agg(count(lit(1)).as("n_events"))
+    val tot = ev.agg(sum(col("n_events")).as("total"))
+    ev.crossJoin(broadcast(tot))
+      .select(col("iso_dow"), col("hh"), col("n_events"),
+        expr("(n_events * 1000000L) div total").as("share_ppm"))
+      .orderBy("iso_dow", "hh")
+  }
+
+  private val dowHourHeatSql =
+    """WITH e AS (SELECT
+      |    ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 3)
+      |      % 7 + 1 AS iso_dow,
+      |    hour(ts) AS hh
+      |  FROM events),
+      |h AS (SELECT iso_dow, hh, COUNT(*) AS n_events FROM e GROUP BY 1, 2),
+      |t AS (SELECT SUM(n_events) AS total FROM h)
+      |SELECT CAST(iso_dow AS BIGINT) AS iso_dow, CAST(hh AS BIGINT) AS hh,
+      |  n_events,
+      |  CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm
+      |FROM h, t ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_twap"              -> (twap _),
     "ax_latency_histogram" -> (latencyHistogram _),
-    "ax_new_returning"     -> (newReturning _))
+    "ax_new_returning"     -> (newReturning _),
+    "ax_dow_hour_heat"     -> (dowHourHeat _))
 
   def oracleSql: Map[String, String] = Map(
     "ax_twap"              -> twapSql,
     "ax_latency_histogram" -> latencyHistogramSql,
-    "ax_new_returning"     -> newReturningSql)
+    "ax_new_returning"     -> newReturningSql,
+    "ax_dow_hour_heat"     -> dowHourHeatSql)
 }

@@ -63,4 +63,29 @@ class TemporalStatsSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got === expected)
   }
+
+  test("ax_dow_hour_heat matches in-memory ISO dow/hour bucketing") {
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select("ts").collect().map { r =>
+        val ldt = r.getTimestamp(0).toLocalDateTime
+        (ldt.getDayOfWeek.getValue.toLong, ldt.getHour.toLong)
+      }
+    val total = rows.length.toLong
+    val expected = rows.groupBy(identity).map { case ((d, h), xs) =>
+      (d, h, xs.length.toLong, xs.length.toLong * 1000000L / total)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = q("ax_dow_hour_heat").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // the epoch-anchor dow formula must agree with java.time's ISO dow
+    assert(got.map(_._1).distinct.forall(d => d >= 1 && d <= 7))
+  }
+
+  test("st_new_returning converges to the batch ax_new_returning answer") {
+    // stream and batch share the oracle; this pins them to each other
+    // directly, row-for-row, without the oracle in the middle
+    val batch = q("ax_new_returning").collect().map(_.toSeq).toSeq
+    val streamed = q("st_new_returning").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
 }
