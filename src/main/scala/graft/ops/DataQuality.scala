@@ -309,7 +309,87 @@ object DataQuality {
        |FROM d ORDER BY seg""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ax_fk_orphans: REFERENTIAL-INTEGRITY audit — for every foreign-key
+  // relationship in the star schema, the child rows whose key has no
+  // parent (orphans), as (relationship, child rows, orphan rows,
+  // distinct orphan keys). Lakes have no FK enforcement; this audit IS
+  // the constraint, run per ingest batch, and "all zeros" is the
+  // certificate every downstream join silently assumes.
+  //
+  // Scale shape: one LEFT ANTI join per relationship, keyed on the FK —
+  // the parent side is projected to its key column only, dimension
+  // parents broadcast (part/supplier/customer/nation), the fact-fact
+  // edge (lineitem→orders) co-shuffles on the order key. Each audit
+  // collapses to a 1-row aggregate; the union is O(#relationships).
+  // NULL FKs count as orphans here deliberately (an unset FK breaks
+  // the same joins a dangling one does) — anti join keeps NULL keys.
+  // -------------------------------------------------------------------
+  private def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk))
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col(fk)).as("n_orphan_keys"))
+        .crossJoin(broadcast(
+          child.agg(count(lit(1)).as("n_rows"))))
+        .select(lit(rel).as("relationship"), col("n_rows"),
+          col("n_orphans"), col("n_orphan_keys"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    audit("customer.nation", c, "c_nationkey", n, "n_nationkey")
+      .unionAll(audit("lineitem.orders", li, "l_orderkey", o, "o_orderkey"))
+      .unionAll(audit("lineitem.part", li, "l_partkey", p, "p_partkey"))
+      .unionAll(audit("lineitem.supplier", li, "l_suppkey", s, "s_suppkey"))
+      .unionAll(audit("orders.customer", o, "o_custkey", c, "c_custkey"))
+      .orderBy("relationship")
+  }
+
+  private val fkOrphansSql =
+    """SELECT * FROM (
+      |  SELECT 'customer.nation' AS relationship,
+      |    (SELECT COUNT(*) FROM customer) AS n_rows,
+      |    COUNT(*) AS n_orphans, COUNT(DISTINCT c_nationkey) AS n_orphan_keys
+      |  FROM customer WHERE c_nationkey NOT IN
+      |    (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL)
+      |    OR c_nationkey IS NULL
+      |  UNION ALL
+      |  SELECT 'lineitem.orders',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    COUNT(*), COUNT(DISTINCT l_orderkey)
+      |  FROM lineitem WHERE l_orderkey NOT IN
+      |    (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+      |    OR l_orderkey IS NULL
+      |  UNION ALL
+      |  SELECT 'lineitem.part',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    COUNT(*), COUNT(DISTINCT l_partkey)
+      |  FROM lineitem WHERE l_partkey NOT IN
+      |    (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
+      |    OR l_partkey IS NULL
+      |  UNION ALL
+      |  SELECT 'lineitem.supplier',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    COUNT(*), COUNT(DISTINCT l_suppkey)
+      |  FROM lineitem WHERE l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)
+      |    OR l_suppkey IS NULL
+      |  UNION ALL
+      |  SELECT 'orders.customer',
+      |    (SELECT COUNT(*) FROM orders),
+      |    COUNT(*), COUNT(DISTINCT o_custkey)
+      |  FROM orders WHERE o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+      |    OR o_custkey IS NULL
+      |) ORDER BY relationship""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_fk_orphans" -> (fkOrphans _),
     "ax_k_anonymity" -> (kAnonymity _),
     "ax_dp_geometric" -> (dpGeometric _),
     "ax_profile"  -> (profile _),
@@ -318,6 +398,7 @@ object DataQuality {
     "ax_disorder_audit" -> (disorderAudit _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_fk_orphans" -> fkOrphansSql,
     "ax_k_anonymity" -> kAnonymitySql,
     "ax_dp_geometric" -> dpGeometricSql,
     "ax_profile"  -> profileSql,

@@ -135,6 +135,41 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------
+  // tx_langid_confusion: the language-ID CONFUSION MATRIX — the
+  // classifier-evaluation primitive as a corpus operator: per (true
+  // lang, predicted lang) cell counts plus each cell's exact-ppm
+  // share of its true class (diagonal = recall, off-diagonal = the
+  // specific confusion). This is the table that decides whether the
+  // heuristic is safe to filter on, and per-pair which languages
+  // bleed into each other. Pure derivative of the tx_langid per-doc
+  // scorer (single source of truth — the marker lists and the
+  // declaration-order argmax cannot drift between the two queries).
+  //
+  // Scale shape: the per-doc scorer is one codegen'd projection; the
+  // matrix is ONE map-side-combined aggregate to ≤ |langs|² rows plus
+  // a |langs|-row totals join. Nothing after the projection is
+  // corpus-proportional.
+  // ---------------------------------------------------------------
+  private def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val per = langid(spark, dir)
+    val m = per.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val t = m.groupBy("lang").agg(sum(col("n")).as("n_true"))
+    m.join(t, Seq("lang"))
+      .withColumn("share_ppm", expr("(n * 1000000L) div n_true"))
+      .select(col("lang"), col("lang_pred"), col("n"), col("n_true"),
+        col("share_ppm"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  private val langidConfusionSql: String =
+    s"""WITH per AS ($langidSql),
+       |m AS (SELECT lang, lang_pred, COUNT(*) AS n FROM per GROUP BY 1, 2),
+       |t AS (SELECT lang, SUM(n) AS n_true FROM m GROUP BY 1)
+       |SELECT m.lang, m.lang_pred, m.n, CAST(t.n_true AS BIGINT) AS n_true,
+       |  CAST(m.n * 1000000 // t.n_true AS BIGINT) AS share_ppm
+       |FROM m JOIN t USING (lang) ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   // tx_quality: integer quality score 0..4 from portable metrics:
   // length in bounds, token count in bounds, mean word length sane,
   // stopword hit. Oracle-backed.
@@ -1473,6 +1508,7 @@ object TextAnalysis {
     "tx_top_terms"   -> (topTerms _),
     "tx_stats"       -> (stats _),
     "tx_langid"      -> (langid _),
+    "tx_langid_confusion" -> (langidConfusion _),
     "tx_quality"     -> (quality _),
     "tx_fingerprint" -> (fingerprint _),
     "tx_token_bpe"   -> (tokenBpe _),
@@ -1505,6 +1541,7 @@ object TextAnalysis {
     "tx_top_terms"   -> topTermsSql,
     "tx_stats"       -> statsSql,
     "tx_langid"      -> langidSql,
+    "tx_langid_confusion" -> langidConfusionSql,
     "tx_quality"     -> qualitySql,
     "tx_fingerprint" -> fingerprintSql,
     "tx_token_bpe"   -> tokenBpeSql,

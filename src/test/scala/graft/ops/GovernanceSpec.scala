@@ -89,4 +89,46 @@ class GovernanceSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got === expected)
   }
+
+  test("ax_fk_orphans matches the in-memory FK walk (zero on this schema)") {
+    def keys(tbl: String, c: String): Set[Long] =
+      spark.read.parquet(s"$dir/$tbl.parquet").select(c).collect()
+        .map(r => r.getAs[Number](0).longValue).toSet
+    def child(tbl: String, c: String): Seq[Long] =
+      spark.read.parquet(s"$dir/$tbl.parquet").select(c).collect()
+        .map(r => r.getAs[Number](0).longValue).toSeq
+    val rels = Seq(
+      ("customer.nation", child("customer", "c_nationkey"), keys("nation", "n_nationkey")),
+      ("lineitem.orders", child("lineitem", "l_orderkey"), keys("orders", "o_orderkey")),
+      ("lineitem.part", child("lineitem", "l_partkey"), keys("part", "p_partkey")),
+      ("lineitem.supplier", child("lineitem", "l_suppkey"), keys("supplier", "s_suppkey")),
+      ("orders.customer", child("orders", "o_custkey"), keys("customer", "c_custkey")))
+    val expected = rels.map { case (rel, ch, pk) =>
+      val orphans = ch.filterNot(pk)
+      (rel, ch.size.toLong, orphans.size.toLong,
+        orphans.distinct.size.toLong)
+    }
+    val got = q("ax_fk_orphans").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // the generated star schema is referentially intact — the audit's
+    // zero certificate is itself the pinned expectation
+    assert(got.forall(_._3 === 0L))
+  }
+
+  test("tx_langid_confusion aggregates the per-doc langid verdicts") {
+    val per = q("tx_langid").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val total = per.length.toLong
+    val expected = per.groupBy(identity).map { case ((t, p), xs) =>
+      val nTrue = per.count(_._1 == t).toLong
+      (t, p, xs.length.toLong, nTrue, xs.length.toLong * 1000000L / nTrue)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = q("tx_langid_confusion").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // conservation: cells tile the corpus
+    assert(got.map(_._3).sum === total)
+  }
 }
