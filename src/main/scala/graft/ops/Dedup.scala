@@ -251,7 +251,11 @@ private[ops] object MinHashLsh {
     * capped buckets → candidates → intersections), used by
     * [[oracleSql]] and [[estimateOracleSql]] so they cannot drift.
     */
-  private def cteChain(tokCte: String): String = {
+  /** CTE prefix through `banded` — shared by the pair chain and the
+    * bucket-occupancy audit (single source of truth for the band
+    * formulas on the oracle side).
+    */
+  private[ops] def bandedCte(tokCte: String): String = {
     val minCols = (0 until NumHashes)
       .map(s => s"min((${coefA(s)} * (h % $P) + ${coefB(s)}) % $P) AS m$s")
       .mkString(",\n    ")
@@ -266,7 +270,11 @@ private[ops] object MinHashLsh {
        |    count(*) AS n
        |  FROM hashed GROUP BY doc_id),
        |banded AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  private def cteChain(tokCte: String): String = {
+    s"""${bandedCte(tokCte)},
        |capped AS (SELECT doc_id, band, bh FROM (
        |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bucket_n
        |    FROM banded) c
@@ -1510,6 +1518,43 @@ object Dedup {
        |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin
 
   // -------------------------------------------------------------------
+  // dd_bucket_skew: LSH BUCKET-OCCUPANCY spectrum — the health check
+  // run BEFORE the band self-join, because the join's cost is
+  // Σ sz² over buckets and one boilerplate-degenerate bucket turns a
+  // linear pass quadratic (exactly why verifiedPairs caps at
+  // MaxBucket). Per occupancy size: bucket count, row mass, the sz²
+  // candidate-cost proxy, and whether the cap would drop it — the
+  // measured justification for the cap value, next to dd_lsh_recall's
+  // measured cost of having one.
+  //
+  // Scale shape: banded rows off the session-cached signature
+  // substrate (no tokenize, no self-join), ONE (band, bh) aggregate,
+  // then a histogram aggregate bounded by the largest bucket.
+  // -------------------------------------------------------------------
+  private def bucketSkew(spark: SparkSession, dir: String): DataFrame = {
+    val (_, sig) = shingleSubstrate(spark, dir)
+    MinHashLsh.bandedOf(sig)
+      .groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_buckets"))
+      .select(col("sz").as("bucket_size"), col("n_buckets"),
+        (col("sz") * col("n_buckets")).as("n_rows"),
+        (col("sz") * col("sz") * col("n_buckets")).as("pair_cost"),
+        when(col("sz") > MinHashLsh.MaxBucket, 1L).otherwise(0L)
+          .as("capped"))
+      .orderBy("bucket_size")
+  }
+
+  private val bucketSkewSql: String =
+    s"""WITH ${MinHashLsh.bandedCte(wordShingleTokCte)},
+       |occ AS (SELECT band, bh, COUNT(*) AS sz FROM banded GROUP BY 1, 2)
+       |SELECT sz AS bucket_size, COUNT(*) AS n_buckets,
+       |  CAST(sz * COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(sz * sz * COUNT(*) AS BIGINT) AS pair_cost,
+       |  CAST(CASE WHEN sz > ${MinHashLsh.MaxBucket} THEN 1 ELSE 0 END
+       |    AS BIGINT) AS capped
+       |FROM occ GROUP BY sz ORDER BY sz""".stripMargin
+
+  // -------------------------------------------------------------------
   // dd_source_flow: the cross-source DUPLICATE-FLOW matrix — which
   // sources duplicate INTO which, the dataset-ops view that turns "we
   // have duplicates" into "source X is mirroring source Y" (license
@@ -2246,6 +2291,7 @@ object Dedup {
     "dd_cluster_retain" -> (clusterRetain _),
     "dd_cluster_sizes"  -> (clusterSizes _),
     "dd_source_flow"    -> (sourceFlow _),
+    "dd_bucket_skew"    -> (bucketSkew _),
     "dd_exact_keep_min" -> (exactKeepMin _),
     "dd_exact_groups"   -> (exactGroups _),
     "dd_minhash_pairs"  -> (minhashPairs _),
@@ -2281,6 +2327,7 @@ object Dedup {
     "dd_cluster_retain" -> clusterRetainSql,
     "dd_cluster_sizes"  -> clusterSizesSql,
     "dd_source_flow"    -> sourceFlowSql,
+    "dd_bucket_skew"    -> bucketSkewSql,
     "dd_exact_keep_min" -> exactKeepMinSql,
     "dd_exact_groups"   -> exactGroupsSql,
     "dd_minhash_pairs"  -> MinHashLsh.oracleSql(wordShingleTokCte),

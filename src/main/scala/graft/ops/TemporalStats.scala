@@ -211,13 +211,59 @@ object TemporalStats {
       |  CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm
       |FROM h, t ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_wow_growth: WEEK-OVER-WEEK volume growth per event type — the
+  // trend line every metric review opens with. Weeks are PORTABLE
+  // integer buckets (days-since-1970-01-01 div 7 — no engine week-of-
+  // year/locale semantics); "previous" is the previous OBSERVED week
+  // (lag over the per-type weekly aggregate). The signed change is
+  // emitted as the raw difference `delta` — NEVER divided, because
+  // Spark's `div` truncates toward zero while DuckDB's `//` floors,
+  // and they disagree exactly on negative growth — while the
+  // non-negative ratio n·1000 div prev carries the magnitude.
+  //
+  // Scale shape: one map-side aggregate to |types|·|weeks| rows; the
+  // lag window runs over that calendar-bounded aggregate.
+  // -------------------------------------------------------------------
+  private def wowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01') div 7")
+          .cast("long").as("week_idx"))
+      .groupBy("event_type", "week_idx").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("week_idx")
+    wk.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .select(col("event_type"), col("week_idx"), col("n"), col("prev_n"),
+        (col("n") - col("prev_n")).as("delta"),
+        expr("(n * 1000L) div prev_n").as("ratio_permille"))
+      .orderBy("event_type", "week_idx")
+  }
+
+  private val wowGrowthSql =
+    """WITH wk AS (SELECT event_type,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+      |      AS week_idx,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT *,
+      |    LAG(n) OVER (PARTITION BY event_type ORDER BY week_idx) AS prev_n
+      |  FROM wk)
+      |SELECT event_type, CAST(week_idx AS BIGINT) AS week_idx, n, prev_n,
+      |  CAST(n - prev_n AS BIGINT) AS delta,
+      |  CAST(n * 1000 // prev_n AS BIGINT) AS ratio_permille
+      |FROM l WHERE prev_n IS NOT NULL ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_wow_growth"        -> (wowGrowth _),
     "ax_twap"              -> (twap _),
     "ax_latency_histogram" -> (latencyHistogram _),
     "ax_new_returning"     -> (newReturning _),
     "ax_dow_hour_heat"     -> (dowHourHeat _))
 
   def oracleSql: Map[String, String] = Map(
+    "ax_wow_growth"        -> wowGrowthSql,
     "ax_twap"              -> twapSql,
     "ax_latency_histogram" -> latencyHistogramSql,
     "ax_new_returning"     -> newReturningSql,

@@ -74,4 +74,18 @@ class AbcActivitySpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(rows.forall { case (sa, sb, n) => sa <= sb && n > 0 })
   }
+
+  test("dd_bucket_skew row mass conserves: every doc appears once per band") {
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val rows = q("dd_bucket_skew").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // Σ n_rows over the spectrum = Bands × docs (each doc contributes
+    // exactly one (band, bh) row per band)
+    assert(rows.map(_._3).sum === MinHashLsh.Bands * nDocs)
+    rows.foreach { case (sz, nB, nR, cost, capped) =>
+      assert(nR === sz * nB && cost === sz * sz * nB)
+      assert(capped === (if (sz > MinHashLsh.MaxBucket) 1L else 0L))
+    }
+  }
 }

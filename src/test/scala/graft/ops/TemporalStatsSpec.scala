@@ -81,6 +81,28 @@ class TemporalStatsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.forall(d => d >= 1 && d <= 7))
   }
 
+  test("ax_wow_growth matches the in-memory weekly lag computation") {
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_type", "ts").collect()
+      .map { r =>
+        val epochDay = r.getTimestamp(1).toLocalDateTime.toLocalDate.toEpochDay
+        (r.getString(0), epochDay / 7)
+      }
+    val weekly = rows.groupBy(identity).map { case ((t, w), xs) =>
+      (t, w, xs.length.toLong)
+    }.toSeq
+    val expected = weekly.groupBy(_._1).toSeq.flatMap { case (t, ws) =>
+      val sorted = ws.sortBy(_._2)
+      sorted.zip(sorted.tail).map { case ((_, _, prev), (_, w, n)) =>
+        (t, w, n, prev, n - prev, n * 1000L / prev)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = q("ax_wow_growth").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
   test("st_new_returning converges to the batch ax_new_returning answer") {
     // stream and batch share the oracle; this pins them to each other
     // directly, row-for-row, without the oracle in the middle
