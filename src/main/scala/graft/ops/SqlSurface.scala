@@ -211,7 +211,48 @@ object SqlSurface {
     spark.sql(existsSemiTemplate("graft_sql_customer", "graft_sql_orders"))
   }
 
+  /** GROUP BY ROLLUP through the SQL front door — the grouping-set
+    * surface sq_pivot_sql doesn't cover. Must plan the identical
+    * Expand + aggregate tree as the DataFrame `.rollup` twin
+    * (ax_rollup_lineitem); PlanShapeSpec pins the plan identity.
+    */
+  private def rollupViaSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM graft_sql_lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  /** event-time RANGE frame (90 PRECEDING over a value axis) through
+    * the SQL front door — the window-frame surface in SQL text,
+    * planning the same Window node as ax_trailing_revenue.
+    */
+  private def rangeFrameViaSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/orders.parquet")
+      .createOrReplaceTempView("graft_sql_orders")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff(to_date(o_orderdate), DATE '1970-01-01') AS BIGINT)
+        |    AS epoch_day,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(datediff(to_date(o_orderdate), DATE '1970-01-01')
+        |      AS BIGINT)
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trailing90_cents
+        |FROM graft_sql_orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq_rollup_sql"        -> (rollupViaSql _),
+    "sq_range_frame_sql"   -> (rangeFrameViaSql _),
     "sq_pivot_sql"         -> (pivotViaSql _),
     "sq_exists_semi"       -> (existsSemiViaSql _),
     "sq_signum_sql"        -> (signumViaSql _),
@@ -221,6 +262,9 @@ object SqlSurface {
     "sq_recursive_reach"   -> (recursiveReachViaSql _))
 
   val oracleSql: Map[String, String] = Map(
+    // the DataFrame twins' oracles, verbatim — one definition, two surfaces
+    "sq_rollup_sql"        -> Analytics.oracleSql("ax_rollup_lineitem"),
+    "sq_range_frame_sql"   -> Analytics.oracleSql("ax_trailing_revenue"),
     "sq_pivot_sql"         -> pivotOracle,
     "sq_exists_semi"       -> existsSemiTemplate("customer", "orders"),
     "sq_signum_sql"        -> signumViaSqlOracle,

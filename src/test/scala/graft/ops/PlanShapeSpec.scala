@@ -650,6 +650,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
   }
 
+  test("SQL-text rollup and range frame plan identically to the DataFrame twins") {
+    def nodes(name: String): Seq[String] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.collect { case n => n.nodeName }
+    assert(nodes("sq_rollup_sql") == nodes("ax_rollup_lineitem"),
+      "ROLLUP SQL must produce the same Expand+aggregate tree")
+    assert(nodes("sq_range_frame_sql") == nodes("ax_trailing_revenue"),
+      "RANGE-frame SQL must produce the same Window tree")
+    assert(plan("sq_rollup_sql").contains("Expand"))
+    assert(plan("sq_range_frame_sql").contains("Window"))
+  }
+
   test("rtbf purge prunes every level-1 table by broadcast semi join") {
     // the request set is a tiny key list — each table prune must be a
     // broadcast LeftSemi with zero fact shuffle
