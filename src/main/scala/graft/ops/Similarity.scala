@@ -89,6 +89,88 @@ object Similarity {
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // sim_prune_recall: the MEASURED recall cost of variance-based
+  // DIMENSION PRUNING — sim_dim_variance's follow-through: search with
+  // only the 32 highest-variance dimensions (of 64) and report
+  // recall@10 against the full-dimension ground truth per probe. The
+  // same measured-trade-off genre as sim_ann_recall/sim_pq_recall:
+  // the knob (half the dot-product cost, half the vector bytes) gets
+  // a number, not a hope. Dimension selection is a KB-scale
+  // driver-side decision off the 64-row variance aggregate (the
+  // k-means-centroid discipline: only K×dims ints cross the driver),
+  // deterministic under (var_num desc, dim) — the oracle replays the
+  // identical ranking in SQL.
+  //
+  // Scale shape: both searches share ONE scan + broadcast probe panel;
+  // per-row work is two codegen'd integer dots; top-k via the bounded
+  // TopK aggregator (map-side k-row partials, no per-probe sort).
+  // -------------------------------------------------------------------
+  private def pruneRecall(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK.TopKByScore(10))
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    val sel = dimVariance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+      .sortBy { case (d, v) => (-v, d) }
+      .take(32).map(_._1.toInt).sorted
+    val base = e.select(col("vec_id"), col("q"),
+      array(sel.map(i => col("q").getItem(i)): _*).as("qs"))
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("qs").as("pqs"))
+    val scored = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        dotLong(col("q"), col("pq")).as("dot_full"),
+        dotLong(col("qs"), col("pqs")).as("dot_sel"))
+    def top10(scoreCol: String): DataFrame = scored
+      .groupBy("probe_id")
+      .agg(topk(col(scoreCol), col("vec_id")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("w"))
+      .select(col("probe_id"), col("w.id").as("vec_id"))
+    top10("dot_full").join(top10("dot_sel"), Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+      .join(probes.select("probe_id"), Seq("probe_id"), "right")
+      .na.fill(0L, Seq("n_overlap"))
+      .select(col("probe_id"), lit(10L).as("k"), col("n_overlap"),
+        expr("(n_overlap * 1000L) div 10").as("recall_pm"))
+      .orderBy("probe_id")
+  }
+
+  private val pruneRecallSql =
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |dv AS (SELECT i AS dim, COUNT(*) AS n, SUM(x) AS sx,
+       |    SUM(x * x) AS sxx
+       |  FROM (SELECT q[i + 1] AS x, i
+       |        FROM qt, (SELECT unnest(range(0, 64)) AS i) g)
+       |  GROUP BY 1),
+       |sel AS (SELECT dim FROM (
+       |    SELECT dim, ROW_NUMBER() OVER
+       |      (ORDER BY (n * sxx - sx * sx) DESC, dim) AS rn FROM dv)
+       |  WHERE rn <= 32),
+       |probes AS (SELECT vec_id AS probe_id, q AS pq FROM qt
+       |           WHERE vec_id < 10),
+       |pairs AS (SELECT p.probe_id, t.vec_id,
+       |    SUM(t.q[i.i + 1] * p.pq[i.i + 1]) AS dot_full,
+       |    SUM(CASE WHEN i.i IN (SELECT dim FROM sel)
+       |        THEN t.q[i.i + 1] * p.pq[i.i + 1] ELSE 0 END) AS dot_sel
+       |  FROM qt t, probes p, (SELECT unnest(range(0, 64)) AS i) i
+       |  WHERE t.vec_id <> p.probe_id GROUP BY 1, 2),
+       |rf AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY dot_full DESC, vec_id) AS r
+       |  FROM pairs),
+       |rs AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY dot_sel DESC, vec_id) AS r
+       |  FROM pairs),
+       |ov AS (SELECT rf.probe_id, COUNT(*) AS n_overlap
+       |  FROM rf JOIN rs USING (probe_id, vec_id)
+       |  WHERE rf.r <= 10 AND rs.r <= 10 GROUP BY 1)
+       |SELECT p.probe_id, CAST(10 AS BIGINT) AS k,
+       |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(ov.n_overlap, 0) * 1000 // 10 AS BIGINT) AS recall_pm
+       |FROM probes p LEFT JOIN ov USING (probe_id)
+       |ORDER BY probe_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // sim_topk_quantized: exact top-20 neighbors of vec 0 by quantized
   // dot product. Oracle-backed (same integer math in DuckDB).
   // -------------------------------------------------------------------
@@ -1720,6 +1802,7 @@ object Similarity {
     "sim_rrf_recall"     -> (rrfRecall _),
     "sim_inertia"        -> (inertia _),
     "sim_dim_variance"   -> (dimVariance _),
+    "sim_prune_recall"   -> (pruneRecall _),
     "sim_batch_ivf"      -> (batchIvf _),
     "sim_ivf_sweep"      -> (ivfSweep _),
     "sim_hard_negatives" -> (hardNegatives _),
@@ -1754,6 +1837,7 @@ object Similarity {
     "sim_pq_recall"      -> pqRecallSql,
     "sim_quantize_audit" -> quantizeAuditSql,
     "sim_dim_variance"   -> dimVarianceSql,
+    "sim_prune_recall"   -> pruneRecallSql,
     "sim_knn_batch"      -> knnBatchSql,
     "sim_silhouette"     -> silhouetteSql,
     "sim_pair_hist"      -> pairHistSql,

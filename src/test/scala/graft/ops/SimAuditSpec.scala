@@ -30,4 +30,38 @@ class SimAuditSpec extends AnyFunSuite {
     // real embedding corpus has no dead dimension
     assert(got.forall(_._5 > 0L))
   }
+
+  test("sim_prune_recall matches the in-memory pruned-search reference") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * 10000)).toArray)
+      .toMap
+    val n = vecs.size.toLong
+    val sel = (0 until 64).map { d =>
+      val xs = vecs.values.map(_(d)).toSeq
+      val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+      (d, n * sxx - sx * sx)
+    }.sortBy { case (d, v) => (-v, d) }.take(32).map(_._1).toSet
+    def top10(qid: Long, dims: Int => Boolean): Set[Long] =
+      vecs.toSeq.filter(_._1 != qid).map { case (id, v) =>
+        val dot = (0 until 64).filter(dims)
+          .map(d => v(d) * vecs(qid)(d)).sum
+        (id, dot)
+      }.sortBy { case (id, dot) => (-dot, id) }.take(10).map(_._1).toSet
+    val expected = (0L until 10L).map { qid =>
+      val overlap = (top10(qid, _ => true) &
+        top10(qid, sel.contains)).size.toLong
+      (qid, 10L, overlap, overlap * 1000L / 10L)
+    }
+    val got = Extensions.queries("sim_prune_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // the fixture's embeddings are near-isotropic, so halving the
+    // dimensions costs real recall (~30% here) — the measured number
+    // IS the operator's point; only the bounds are invariant
+    assert(got.forall(t => t._3 >= 0L && t._3 <= 10L))
+    assert(got.exists(_._3 > 0L))
+  }
 }
