@@ -399,7 +399,57 @@ object Cohorts {
       |  CAST(SUM(cents // n) AS BIGINT) AS credited_cents
       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_cohort_ltv: the cohort LIFETIME-VALUE curve — retention's
+  // revenue sibling: purchase value accumulated per signup cohort by
+  // age-in-days. "Does week-1 spend predict the cohort's eventual
+  // value" is THE unit-economics question, and it reads directly off
+  // this table. Same single user_id exchange as ax_retention_cohorts
+  // (cohort = windowed MIN day over the user key), values in exact
+  // integer cents; the running total is a window over the
+  // (cohort, age) AGGREGATE — calendar² rows at most, never events —
+  // at observed ages (gap ages carry no purchases and are skipped;
+  // the cum is right-continuous across them).
+  // -------------------------------------------------------------------
+  private def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val daily = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("cohort", min(col("d")).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).cast("long")
+        .as("age"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+    val cum = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_cents", sum(col("cents")).over(cum))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("age"), col("n_purchases"), col("cents"), col("cum_cents"))
+      .orderBy("cohort_day", "age")
+  }
+
+  private val cohortLtvSql =
+    """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+      |           FROM events GROUP BY 1),
+      |p AS (SELECT e.user_id,
+      |    datediff('day', f.cohort, CAST(e.ts AS DATE)) AS age, f.cohort,
+      |    CAST(round(e.value * 100) AS BIGINT) AS cents
+      |  FROM events e JOIN f USING (user_id)
+      |  WHERE e.event_type = 'purchase'),
+      |d AS (SELECT cohort, age, COUNT(*) AS n_purchases,
+      |        SUM(cents) AS cents
+      |      FROM p GROUP BY 1, 2)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      |  CAST(age AS BIGINT) AS age, n_purchases,
+      |  CAST(cents AS BIGINT) AS cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age) AS BIGINT)
+      |    AS cum_cents
+      |FROM d ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_cohort_ltv"        -> (cohortLtv _),
     "ax_attribution_linear" -> (attributionLinear _),
     "ax_rolling_dau"       -> (rollingDau _),
     "ax_rolling_wau_hll"   -> (rollingWauHll _),
@@ -410,6 +460,7 @@ object Cohorts {
     "ax_forward_fill"      -> (forwardFill _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_cohort_ltv"        -> cohortLtvSql,
     "ax_attribution_linear" -> attributionLinearSql,
     "ax_rolling_dau"       -> rollingDauSql,
     "ax_rolling_wau_hll"   -> rollingWauHllSql,

@@ -103,6 +103,33 @@ class TemporalStatsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("ax_cohort_ltv matches the in-memory cohort accumulation") {
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toLocalDateTime.toLocalDate,
+        r.getString(2), math.round(r.getDouble(3) * 100)))
+    val cohort = rows.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).min
+    }
+    val daily = rows.filter(_._3 == "purchase").map { case (u, d, _, c) =>
+      ((cohort(u), java.time.temporal.ChronoUnit.DAYS.between(cohort(u), d)),
+        c)
+    }.groupBy(_._1).map { case ((co, age), xs) =>
+      (co.toString, age, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).map { case (co, age, n, c) =>
+        cum += c; (co, age, n, c, cum)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = q("ax_cohort_ltv").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
   test("st_new_returning converges to the batch ax_new_returning answer") {
     // stream and batch share the oracle; this pins them to each other
     // directly, row-for-row, without the oracle in the middle
