@@ -116,13 +116,14 @@ object Association {
   // q_num is the negative expectation term, and dropping them inflates
   // Q — the classic silent bug in hand-rolled modularity.
   // -------------------------------------------------------------------
-  private def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val e = Graph.pairCounts(spark, dir).filter(col("n") >= 2)
-      .select(col("a"), col("b"))
+  /** Frame-parameterized modularity core over a canonical (a < b)
+    * undirected edge frame and a (v, brand) label frame — exposed for
+    * AssociationFuzzSpec, which cross-checks it against an in-memory
+    * reference on random graphs and partitions.
+    */
+  private[ops] def modularityOf(e: DataFrame, lab: DataFrame): DataFrame = {
     val es = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = es.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
-    val lab = spark.read.parquet(s"$dir/part.parquet")
-      .select(col("p_partkey").as("v"), col("p_brand").as("brand"))
     val dC = deg.join(broadcast(lab), Seq("v"))
       .groupBy("brand").agg(sum(col("d")).as("d_c"))
     val eC = e
@@ -141,6 +142,13 @@ object Association {
           .as("q_num"))
       .orderBy("brand")
   }
+
+  private def modularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(
+      Graph.pairCounts(spark, dir).filter(col("n") >= 2)
+        .select(col("a"), col("b")),
+      spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("v"), col("p_brand").as("brand")))
 
   private val modularitySql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -193,9 +201,10 @@ object Association {
   // guaranteed OOM). Everything after is ONE partial-aggregated pass
   // to a single row.
   // -------------------------------------------------------------------
-  private def assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val e = Graph.pairCounts(spark, dir).filter(col("n") >= 2)
-      .select(col("a"), col("b"))
+  /** Frame-parameterized assortativity core over a canonical (a < b)
+    * undirected edge frame — exposed for AssociationFuzzSpec.
+    */
+  private[ops] def assortativityOf(e: DataFrame): DataFrame = {
     val es = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("src"), col("b").as("dst"))
     val deg = es.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
@@ -212,6 +221,11 @@ object Association {
         (col("n_dir") * col("sxy") - col("sx") * col("sx")).as("r_num"),
         (col("n_dir") * col("sxx") - col("sx") * col("sx")).as("r_den"))
   }
+
+  private def assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(
+      Graph.pairCounts(spark, dir).filter(col("n") >= 2)
+        .select(col("a"), col("b")))
 
   private val assortativitySql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
