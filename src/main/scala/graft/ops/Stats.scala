@@ -836,12 +836,13 @@ object Stats {
   // discipline for small-key windows (the inverse of the ax_ntile_bins
   // trap, same as ax_markov_events). Output is |types| rows.
   // -------------------------------------------------------------------
-  private def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-parameterized MAD screen over a (event_type, day, cnt)
+    * daily-count frame — exposed for MadFuzzSpec, which cross-checks
+    * the lower-median/tie selection against an in-memory reference on
+    * random series (odd/even lengths, heavy ties, zero MAD).
+    */
+  private[ops] def madScreenOf(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = spark.read.parquet(s"$dir/events.parquet")
-      .groupBy(col("event_type"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("cnt"))
     val wMed = Window.partitionBy("event_type").orderBy("cnt", "day")
     val wN = Window.partitionBy("event_type")
     val med = daily
@@ -867,6 +868,12 @@ object Stats {
         max(col("dev")).as("max_dev"))
       .orderBy("event_type")
   }
+
+  private def anomalyMad(spark: SparkSession, dir: String): DataFrame =
+    madScreenOf(spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt")))
 
   private val anomalyMadSql =
     """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
