@@ -146,12 +146,14 @@ object Concentration {
   // cum·20 ≤ 19·total ⇒ B), ties broken by the (x desc, p) total
   // order so the cut is deterministic.
   // -------------------------------------------------------------------
-  private def abcClass(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-parameterized ABC core over a (p, x) per-key measure frame —
+    * exposed for SelectionFuzzSpec, which cross-checks the distributed
+    * prefix-sum classification (range exchange + per-partition sum
+    * offsets) against an in-memory cumulative walk on random spends.
+    */
+  private[ops] def abcClassOf(keyed: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_partkey").as("p"),
-        expr("CAST(round(l_extendedprice) AS BIGINT)").as("d"))
-      .groupBy("p").agg(sum(col("d")).as("x"))
+    val s = keyed
       .repartitionByRange(RankParts, col("x").desc, col("p"))
       .withColumn("pid", spark_partition_id().cast("long"))
       .persist()
@@ -183,6 +185,12 @@ object Concentration {
     s.unpersist()
     out
   }
+
+  private def abcClass(spark: SparkSession, dir: String): DataFrame =
+    abcClassOf(spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").as("p"),
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("d"))
+      .groupBy("p").agg(sum(col("d")).as("x")))
 
   private val abcClassSql =
     """WITH s AS (SELECT l_partkey AS p,

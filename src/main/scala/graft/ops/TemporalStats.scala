@@ -87,16 +87,14 @@ object TemporalStats {
   // × |distinct days| rows — the documented small-key-window-over-
   // aggregate shape.
   // -------------------------------------------------------------------
-  private def latencyHistogram(spark: SparkSession, dir: String): DataFrame = {
+  /** Frame-parameterized histogram-percentile core over a (prio, days)
+    * value frame — exposed for SelectionFuzzSpec, which cross-checks
+    * the cumulative rank selection (lower median, ⌈9n/10⌉ p90) against
+    * in-memory order statistics on random distributions.
+    */
+  private[ops] def latencyPercentilesOf(values: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
-        col("o_orderpriority").as("prio"))
-    val h = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("prio"), datediff(col("sd"), col("od")).cast("long").as("days"))
-      .groupBy("prio", "days").agg(count(lit(1)).as("cnt"))
+    val h = values.groupBy("prio", "days").agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy("prio").orderBy("days")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy("prio")
@@ -109,6 +107,18 @@ object TemporalStats {
         min(when(expr("cum >= (9 * n + 9) div 10"), col("days"))).as("p90_days"),
         max(col("days")).as("max_days"))
       .orderBy("prio")
+  }
+
+  private def latencyHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderpriority").as("prio"))
+    latencyPercentilesOf(
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("prio"),
+          datediff(col("sd"), col("od")).cast("long").as("days")))
   }
 
   private val latencyHistogramSql =

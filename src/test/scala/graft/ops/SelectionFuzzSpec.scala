@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fuzz the cumulative-selection cores: histogram order statistics
+  * (lower median / ⌈9n/10⌉ p90) and the distributed prefix-sum ABC
+  * classification, against in-memory references on random inputs —
+  * rank-boundary and partition-boundary edge cases (n = 1, heavy
+  * ties, skewed heads, values spanning multiple range partitions).
+  */
+class SelectionFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("histogram percentiles match in-memory order statistics") {
+    for (seed <- 1 to 12) {
+      val rng = new scala.util.Random(seed)
+      val rows = (0 until (1 + rng.nextInt(4))).flatMap { g =>
+        val n = 1 + rng.nextInt(40)
+        (0 until n).map { _ =>
+          // heavy ties + occasional negatives (latency can be negative)
+          (s"p$g", (rng.nextInt(12) - 3).toLong)
+        }
+      }
+      val expected = rows.groupBy(_._1).map { case (p, rs) =>
+        val sorted = rs.map(_._2).sorted
+        val n = sorted.length.toLong
+        def atRank(k: Long) = sorted((k - 1).toInt)
+        (p, n, sorted.head, atRank((n + 1) / 2), atRank((9 * n + 9) / 10),
+          sorted.last)
+      }.toSeq.sortBy(_._1)
+      val got = TemporalStats.latencyPercentilesOf(
+        rows.toDF("prio", "days")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("distributed prefix-sum ABC matches the in-memory cumulative walk") {
+    for (seed <- 21 to 30) {
+      val rng = new scala.util.Random(seed)
+      val n = 3 + rng.nextInt(60)
+      // zipf-ish head so class A is a genuine minority of keys
+      val keyed = (0L until n).map(p =>
+        (p, 1L + (rng.nextInt(1000).toLong * 1000) / (1 + p * p)))
+      val total = keyed.map(_._2).sum
+      var cum = 0L
+      val classed = keyed.sortBy { case (p, x) => (-x, p) }.map { case (_, x) =>
+        cum += x
+        val cls = if (cum * 5 <= 4 * total) "A"
+          else if (cum * 20 <= 19 * total) "B" else "C"
+        (cls, x)
+      }
+      val expected = classed.groupBy(_._1).map { case (c, xs) =>
+        val rev = xs.map(_._2).sum
+        (c, xs.size.toLong, rev, rev * 1000000L / total)
+      }.toSeq.sortBy(_._1)
+      val got = Concentration.abcClassOf(keyed.toDF("p", "x")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got === expected, s"seed=$seed")
+      // classes tile the keys and the revenue exactly
+      assert(got.map(_._2).sum === n, s"seed=$seed")
+      assert(got.map(_._3).sum === total, s"seed=$seed")
+    }
+  }
+}
