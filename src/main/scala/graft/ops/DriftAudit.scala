@@ -43,12 +43,15 @@ object DriftAudit {
   // output (their TV is the sum of the two ppm totals; at any real
   // corpus the common-word head makes the case unreachable).
   // -------------------------------------------------------------------
-  private def sourceTv(spark: SparkSession, dir: String): DataFrame = {
-    val counts = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("source"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+  /** Frame-parameterized TV core over a (source, term) occurrence
+    * frame — exposed for DriftFuzzSpec, which cross-checks the
+    * subtraction-based disjoint-mass handling against an all-pairs
+    * in-memory reference on random corpora including fully-disjoint
+    * vocabularies (where the equi-join sees nothing and the
+    * correction carries ALL the mass).
+    */
+  private[ops] def sourceTvOf(tok: DataFrame): DataFrame = {
+    val counts = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("source").agg(sum(col("c")).as("n"))
     val p = counts.join(totals, Seq("source"))
       .select(col("source"), col("term"),
@@ -72,6 +75,12 @@ object DriftAudit {
       .withColumn("tv_ppm", expr("l1_ppm div 2"))
       .orderBy("sa", "sb")
   }
+
+  private def sourceTv(spark: SparkSession, dir: String): DataFrame =
+    sourceTvOf(spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0))
 
   private val sourceTvSql =
     """WITH tok AS (SELECT source,
