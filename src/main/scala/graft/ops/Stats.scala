@@ -816,6 +816,7 @@ object Stats {
     "ax_corr_sums"       -> (corrSums _),
     "ax_decimal_sum"     -> (decimalSum _),
     "ax_anomaly_mad"     -> (anomalyMad _),
+    "ax_target_encode"   -> (targetEncode _),
     "ax_skyline_parts"   -> (skylineParts _))
 
   // -------------------------------------------------------------------
@@ -896,6 +897,56 @@ object Stats {
       |FROM d JOIN mad m USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_target_encode: SMOOTHED TARGET ENCODING — the ML feature-prep
+  // standard for high-cardinality categoricals: encode each category
+  // by its target mean, shrunk toward the global prior so rare
+  // categories don't memorize noise:
+  //
+  //   enc = (Σ_cat + m·prior) / (n_cat + m),  m = 10
+  //
+  // In exact scaled integers: prior_milli = 1000·S div N computed ONCE
+  // globally (a 1-row aggregate crossJoin-broadcast), then enc_milli =
+  // (1000·s + m·prior_milli) div (n + m) — all non-negative divisions,
+  // truncation-portable, and the STAGED order (global div first, then
+  // the blend) is pinned so both engines run the identical arithmetic.
+  //
+  // Scale shape: one fact aggregate to |categories| rows + the scalar
+  // prior attach; the emitted table IS the feature dictionary a
+  // training job broadcast-joins back, so the operator is the whole
+  // encoding pipeline at any corpus size.
+  // -------------------------------------------------------------------
+  private def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("d"))
+    val lab = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_brand").as("brand"))
+    val cat = li.join(broadcast(lab), col("l_partkey") === col("p_partkey"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s"))
+    val prior = cat.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+      .select(expr("(1000L * ss) div nn").as("prior_milli"))
+    cat.crossJoin(broadcast(prior))
+      .select(col("brand"), col("n"), col("s").as("sum_dollars"),
+        col("prior_milli"),
+        expr("(1000L * s + 10L * prior_milli) div (n + 10L)")
+          .as("enc_milli"))
+      .orderBy("brand")
+  }
+
+  private val targetEncodeSql =
+    """WITH cat AS (SELECT p_brand AS brand, COUNT(*) AS n,
+      |    SUM(CAST(round(l_extendedprice) AS BIGINT)) AS s
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1),
+      |pr AS (SELECT CAST(1000 * SUM(s) // SUM(n) AS BIGINT) AS prior_milli
+      |       FROM cat)
+      |SELECT brand, n, CAST(s AS BIGINT) AS sum_dollars, prior_milli,
+      |  CAST((1000 * s + 10 * prior_milli) // (n + 10) AS BIGINT)
+      |    AS enc_milli
+      |FROM cat, pr ORDER BY brand""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "ax_group_percentile" -> groupPercentileSql,
     "ax_join_size_est"   -> joinSizeEstSql,
@@ -912,5 +963,6 @@ object Stats {
     "ax_corr_sums"       -> corrSumsSql,
     "ax_decimal_sum"     -> decimalSumSql,
     "ax_anomaly_mad"     -> anomalyMadSql,
+    "ax_target_encode"   -> targetEncodeSql,
     "ax_skyline_parts"   -> skylinePartsSql)
 }

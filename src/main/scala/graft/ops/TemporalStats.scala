@@ -265,7 +265,66 @@ object TemporalStats {
       |  CAST(n * 1000 // prev_n AS BIGINT) AS ratio_permille
       |FROM l WHERE prev_n IS NOT NULL ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_backtest_naive: FORECAST BACKTESTING as an operator — score the
+  // two baselines every forecasting effort must beat, on the corpus's
+  // own history: naive (tomorrow = today) and seasonal-naive
+  // (tomorrow = same weekday last week), day-ahead, per event type.
+  // Errors are exact integer absolute deviations; the output is the
+  // per-type scorecard (scored days, Σ|err| for both baselines, and
+  // the winner) — if seasonal-naive wins, the series has weekly
+  // structure worth modeling; if naive wins, it doesn't. No division
+  // anywhere: the comparison is on equal-length sums.
+  //
+  // Scale shape: daily counts collapse the corpus in one map-side
+  // aggregate; both lags are windows over the calendar-bounded
+  // (type, day) table; scoring starts at day 8 so both baselines
+  // score the SAME days (else the comparison is apples-to-oranges).
+  // -------------------------------------------------------------------
+  private def backtestNaive(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long")
+          .as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("p1", lag(col("cnt"), 1).over(w))
+      .withColumn("p7", lag(col("cnt"), 7).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 7)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("cnt") - col("p1"))).as("ae_naive"),
+        sum(abs(col("cnt") - col("p7"))).as("ae_snaive"))
+      .withColumn("winner",
+        when(col("ae_snaive") < col("ae_naive"), "seasonal")
+          .when(col("ae_naive") < col("ae_snaive"), "naive")
+          .otherwise("tie"))
+      .orderBy("event_type")
+  }
+
+  private val backtestNaiveSql =
+    """WITH daily AS (SELECT event_type,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT *,
+      |    LAG(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+      |    LAG(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS p7,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily)
+      |SELECT event_type, COUNT(*) AS n_scored,
+      |  CAST(SUM(ABS(cnt - p1)) AS BIGINT) AS ae_naive,
+      |  CAST(SUM(ABS(cnt - p7)) AS BIGINT) AS ae_snaive,
+      |  CASE WHEN SUM(ABS(cnt - p7)) < SUM(ABS(cnt - p1)) THEN 'seasonal'
+      |       WHEN SUM(ABS(cnt - p1)) < SUM(ABS(cnt - p7)) THEN 'naive'
+      |       ELSE 'tie' END AS winner
+      |FROM l WHERE rn > 7 GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_backtest_naive"    -> (backtestNaive _),
     "ax_wow_growth"        -> (wowGrowth _),
     "ax_twap"              -> (twap _),
     "ax_latency_histogram" -> (latencyHistogram _),
@@ -273,6 +332,7 @@ object TemporalStats {
     "ax_dow_hour_heat"     -> (dowHourHeat _))
 
   def oracleSql: Map[String, String] = Map(
+    "ax_backtest_naive"    -> backtestNaiveSql,
     "ax_wow_growth"        -> wowGrowthSql,
     "ax_twap"              -> twapSql,
     "ax_latency_histogram" -> latencyHistogramSql,

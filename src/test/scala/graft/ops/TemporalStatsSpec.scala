@@ -103,6 +103,56 @@ class TemporalStatsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("ax_backtest_naive matches the in-memory baseline scoring") {
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toLocalDateTime.toLocalDate.toEpochDay))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.size.toLong) }
+      .toSeq
+    val expected = daily.groupBy(_._1).map { case (t, ds) =>
+      val sorted = ds.sortBy(_._2).map(_._3)
+      val scored = (7 until sorted.length).map { i =>
+        (math.abs(sorted(i) - sorted(i - 1)),
+          math.abs(sorted(i) - sorted(i - 7)))
+      }
+      val (aeN, aeS) = (scored.map(_._1).sum, scored.map(_._2).sum)
+      (t, scored.length.toLong, aeN, aeS,
+        if (aeS < aeN) "seasonal" else if (aeN < aeS) "naive" else "tie")
+    }.toSeq.sortBy(_._1)
+    val got = q("ax_backtest_naive").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("ax_target_encode shrinks toward the prior (in-memory reference)") {
+    val lab = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byBrand = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_partkey", "l_extendedprice").collect()
+      .map(r => (lab(r.getLong(0)), math.round(r.getDouble(1))))
+      .groupBy(_._1)
+    val (nn, ss) = (byBrand.values.map(_.size.toLong).sum,
+      byBrand.values.map(_.map(_._2).sum).sum)
+    val prior = 1000L * ss / nn
+    val expected = byBrand.map { case (b, xs) =>
+      val (n, s) = (xs.size.toLong, xs.map(_._2).sum)
+      (b, n, s, prior, (1000L * s + 10L * prior) / (n + 10L))
+    }.toSeq.sortBy(_._1)
+    val got = Extensions.queries("ax_target_encode")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // shrinkage: every encoding sits between its raw mean and the prior
+    got.foreach { case (b, n, s, pr, enc) =>
+      val raw = 1000L * s / n
+      val (lo, hi) = (math.min(raw, pr), math.max(raw, pr))
+      assert(enc >= lo - 1 && enc <= hi + 1, s"brand $b not shrunk")
+    }
+  }
+
   test("ax_cohort_ltv matches the in-memory cohort accumulation") {
     val rows = spark.read.parquet(s"$dir/events.parquet")
       .select("user_id", "ts", "event_type", "value").collect()
