@@ -1555,6 +1555,60 @@ object Dedup {
        |FROM occ GROUP BY sz ORDER BY sz""".stripMargin
 
   // -------------------------------------------------------------------
+  // tx_split_leakage: TRAIN/TEST SPLIT LEAKAGE — near-duplicate pairs
+  // that STRADDLE the split boundary. The eval-side complement of
+  // tx_decontam: decontam screens the corpus against an external
+  // benchmark; this audits the corpus against its OWN split — a test
+  // document whose near-dup sits in train is memorization disguised
+  // as generalization, and hash-random splits guarantee some unless
+  // dedup runs FIRST (split-then-dedup is the classic pipeline-order
+  // bug this table makes visible). Cells are (split_a ≤ split_b)
+  // same-cluster doc-pair counts — the dd_source_flow count
+  // arithmetic with the split as the label, over the session-cached
+  // cluster assignment and the exact tx_split_assign hash rule (one
+  // source of truth for both).
+  // -------------------------------------------------------------------
+  private def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = docs(spark, dir).select(col("doc_id"),
+      pmod(PortableHash.hashCol(concat(lit("split:"), col("doc_id"))),
+        lit(100)).as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+    val cs = clusterAssign(spark, dir).join(split, Seq("doc_id"))
+      .groupBy("cluster", "split").agg(count(lit(1)).as("c"))
+    val a = cs.select(col("cluster"), col("split").as("sa"), col("c").as("ca"))
+    val b = cs.select(col("cluster"), col("split").as("sb"), col("c").as("cb"))
+    a.join(b, Seq("cluster")).filter(col("sa") <= col("sb"))
+      .select(col("sa"), col("sb"),
+        when(col("sa") < col("sb"), col("ca") * col("cb"))
+          .otherwise(expr("(ca * (ca - 1)) div 2")).as("pairs"))
+      .groupBy("sa", "sb").agg(sum(col("pairs")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .orderBy("sa", "sb")
+  }
+
+  private val splitLeakageSql: String = {
+    val h = PortableHash.hashSql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""$clustersCteSql,
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN ($h) % 100 < 80 THEN 'train'
+       |         WHEN ($h) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |cs AS (SELECT cluster, split, COUNT(*) AS c
+       |       FROM clusters JOIN sp USING (doc_id) GROUP BY 1, 2),
+       |j AS (SELECT a.split AS sa, b.split AS sb,
+       |        CASE WHEN a.split < b.split THEN a.c * b.c
+       |             ELSE (a.c * (a.c - 1)) // 2 END AS pairs
+       |      FROM cs a JOIN cs b
+       |        ON a.cluster = b.cluster AND a.split <= b.split)
+       |SELECT sa, sb, CAST(SUM(pairs) AS BIGINT) AS n_pairs
+       |FROM j GROUP BY 1, 2 HAVING SUM(pairs) > 0 ORDER BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // dd_source_flow: the cross-source DUPLICATE-FLOW matrix — which
   // sources duplicate INTO which, the dataset-ops view that turns "we
   // have duplicates" into "source X is mirroring source Y" (license
@@ -2292,6 +2346,7 @@ object Dedup {
     "dd_cluster_sizes"  -> (clusterSizes _),
     "dd_source_flow"    -> (sourceFlow _),
     "dd_bucket_skew"    -> (bucketSkew _),
+    "tx_split_leakage"  -> (splitLeakage _),
     "dd_exact_keep_min" -> (exactKeepMin _),
     "dd_exact_groups"   -> (exactGroups _),
     "dd_minhash_pairs"  -> (minhashPairs _),
@@ -2328,6 +2383,7 @@ object Dedup {
     "dd_cluster_sizes"  -> clusterSizesSql,
     "dd_source_flow"    -> sourceFlowSql,
     "dd_bucket_skew"    -> bucketSkewSql,
+    "tx_split_leakage"  -> splitLeakageSql,
     "dd_exact_keep_min" -> exactKeepMinSql,
     "dd_exact_groups"   -> exactGroupsSql,
     "dd_minhash_pairs"  -> MinHashLsh.oracleSql(wordShingleTokCte),

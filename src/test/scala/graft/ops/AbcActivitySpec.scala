@@ -75,6 +75,21 @@ class AbcActivitySpec extends AnyFunSuite {
     assert(rows.forall { case (sa, sb, n) => sa <= sb && n > 0 })
   }
 
+  test("tx_split_leakage conserves against the cluster-size spectrum") {
+    // same conservation as the source-flow matrix: every same-cluster
+    // pair lands in exactly one (split_a, split_b) cell
+    val flowTotal = q("tx_split_leakage").collect().map(_.getLong(2)).sum
+    val sizeTotal = q("dd_cluster_sizes").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (sz, n) => n * (sz * (sz - 1) / 2) }.sum
+    assert(flowTotal === sizeTotal)
+    // a hash-random split MUST leak when clusters exist — the bug this
+    // table exists to catch; the train-only diagonal dominates at 80%
+    val cells = q("tx_split_leakage").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    if (sizeTotal > 0) assert(cells.nonEmpty)
+  }
+
   test("dd_bucket_skew row mass conserves: every doc appears once per band") {
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     val rows = q("dd_bucket_skew").collect()
