@@ -250,7 +250,36 @@ object SqlSurface {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** EXCEPT through the SQL front door — the set-op surface next to
+    * the DataFrame `.intersect` twin (ax_buyers_intersect): customers
+    * with no PRE-1996 order, stated as set difference (the window
+    * keeps the result non-empty at every SF — the unwindowed version
+    * is empty because the generated schema is referentially covered).
+    * Catalyst rewrites EXCEPT to a dedup + LEFT ANTI join — the same
+    * physical shape as the hand-written anti-join phrasing, so the
+    * set-op surface costs nothing; the date predicate pushes into the
+    * subtrahend's scan.
+    */
+  private def exceptViaSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/customer.parquet")
+      .createOrReplaceTempView("graft_sql_customer")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .createOrReplaceTempView("graft_sql_orders")
+    spark.sql(
+      """SELECT c_custkey AS custkey FROM graft_sql_customer
+        |EXCEPT SELECT o_custkey FROM graft_sql_orders
+        |WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |ORDER BY custkey""".stripMargin)
+  }
+
+  private val exceptOracle =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT SELECT o_custkey FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq_except_sql"        -> (exceptViaSql _),
     "sq_rollup_sql"        -> (rollupViaSql _),
     "sq_range_frame_sql"   -> (rangeFrameViaSql _),
     "sq_pivot_sql"         -> (pivotViaSql _),
@@ -262,6 +291,7 @@ object SqlSurface {
     "sq_recursive_reach"   -> (recursiveReachViaSql _))
 
   val oracleSql: Map[String, String] = Map(
+    "sq_except_sql"        -> exceptOracle,
     // the DataFrame twins' oracles, verbatim — one definition, two surfaces
     "sq_rollup_sql"        -> Analytics.oracleSql("ax_rollup_lineitem"),
     "sq_range_frame_sql"   -> Analytics.oracleSql("ax_trailing_revenue"),
