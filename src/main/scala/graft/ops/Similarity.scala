@@ -171,6 +171,62 @@ object Similarity {
        |ORDER BY probe_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // sim_bucket_drift: EMBEDDING-DISTRIBUTION drift — the vector-side
+  // twin of tx_source_tv: split the corpus into two cohorts (even/odd
+  // vec_id, standing in for old/new ingest batches), histogram each
+  // over the shared 8-plane hyperplane buckets, and report the
+  // per-bucket ppm shares plus the total-variation distance between
+  // the cohorts in exact ppm. The monitor that catches an embedding
+  // model swap or a corpus-composition shift BEFORE ANN recall decays:
+  // bucket occupancy is exactly what the LSH/IVF tiers key on, so
+  // drift in this histogram IS drift in their performance envelope.
+  //
+  // Scale shape: one scan → bucket + cohort → ONE map-side-combined
+  // aggregate to ≤ 2·256 rows; the TV fold runs over that aggregate.
+  // All 256 possible buckets of the 8-plane signature are a bounded
+  // output at any corpus size.
+  // -------------------------------------------------------------------
+  private def bucketDrift(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 8
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+      .select(pmod(col("vec_id"), lit(2)).as("cohort"),
+        bucketCol(planes).as("bucket"))
+      .groupBy("cohort", "bucket").agg(count(lit(1)).as("c"))
+    val tot = e.groupBy("cohort").agg(sum(col("c")).as("n"))
+    val p = e.join(tot, Seq("cohort"))
+      .select(col("cohort"), col("bucket"),
+        col("c"), expr("(c * 1000000L) div n").as("p_ppm"))
+    val a = p.filter(col("cohort") === 0)
+      .select(col("bucket"), col("c").as("c0"), col("p_ppm").as("p0"))
+    val b = p.filter(col("cohort") === 1)
+      .select(col("bucket"), col("c").as("c1"), col("p_ppm").as("p1"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("c0", "c1", "p0", "p1"))
+      .select(col("bucket"), col("c0"), col("c1"), col("p0"), col("p1"),
+        abs(col("p0") - col("p1")).as("l1_ppm"))
+      .orderBy("bucket")
+  }
+
+  private val bucketDriftSql =
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |bk AS (SELECT vec_id % 2 AS cohort, ${bucketSqlDuck(8)} AS bucket
+       |       FROM qt),
+       |h AS (SELECT cohort, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+       |t AS (SELECT cohort, SUM(c) AS n FROM h GROUP BY 1),
+       |p AS (SELECT h.cohort, bucket, c,
+       |        CAST(c * 1000000 // t.n AS BIGINT) AS p_ppm
+       |      FROM h JOIN t ON t.cohort = h.cohort)
+       |SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+       |  COALESCE(a.c, 0) AS c0, COALESCE(b.c, 0) AS c1,
+       |  COALESCE(a.p_ppm, 0) AS p0, COALESCE(b.p_ppm, 0) AS p1,
+       |  CAST(ABS(COALESCE(a.p_ppm, 0) - COALESCE(b.p_ppm, 0)) AS BIGINT)
+       |    AS l1_ppm
+       |FROM (SELECT * FROM p WHERE cohort = 0) a
+       |FULL OUTER JOIN (SELECT * FROM p WHERE cohort = 1) b
+       |  ON a.bucket = b.bucket
+       |ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------------
   // sim_topk_quantized: exact top-20 neighbors of vec 0 by quantized
   // dot product. Oracle-backed (same integer math in DuckDB).
   // -------------------------------------------------------------------
@@ -1803,6 +1859,7 @@ object Similarity {
     "sim_inertia"        -> (inertia _),
     "sim_dim_variance"   -> (dimVariance _),
     "sim_prune_recall"   -> (pruneRecall _),
+    "sim_bucket_drift"   -> (bucketDrift _),
     "sim_batch_ivf"      -> (batchIvf _),
     "sim_ivf_sweep"      -> (ivfSweep _),
     "sim_hard_negatives" -> (hardNegatives _),
@@ -1838,6 +1895,7 @@ object Similarity {
     "sim_quantize_audit" -> quantizeAuditSql,
     "sim_dim_variance"   -> dimVarianceSql,
     "sim_prune_recall"   -> pruneRecallSql,
+    "sim_bucket_drift"   -> bucketDriftSql,
     "sim_knn_batch"      -> knnBatchSql,
     "sim_silhouette"     -> silhouetteSql,
     "sim_pair_hist"      -> pairHistSql,

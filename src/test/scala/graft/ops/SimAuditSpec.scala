@@ -64,4 +64,23 @@ class SimAuditSpec extends AnyFunSuite {
     assert(got.forall(t => t._3 >= 0L && t._3 <= 10L))
     assert(got.exists(_._3 > 0L))
   }
+
+  test("sim_bucket_drift cohort shares conserve; TV within ppm bounds") {
+    val rows = Extensions.queries("sim_bucket_drift")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // every vector lands in exactly one (cohort, bucket) cell
+    assert(rows.map(_._2).sum + rows.map(_._3).sum === n)
+    // ppm shares per cohort sum to 10^6 minus truncation loss
+    val (s0, s1) = (rows.map(_._4).sum, rows.map(_._5).sum)
+    assert(s0 > 999000L && s0 <= 1000000L && s1 > 999000L && s1 <= 1000000L)
+    // l1 is the per-bucket |p0 − p1|; TV = Σ/2 must be a valid ppm
+    val tv = rows.map(_._6).sum / 2
+    assert(tv >= 0L && tv <= 1000000L)
+    rows.foreach { case (_, _, _, p0, p1, l1) =>
+      assert(l1 === math.abs(p0 - p1))
+    }
+  }
 }
