@@ -325,6 +325,47 @@ object EventsOps {
       |FROM t ORDER BY src, dst""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_event_motifs: depth-3 SEQUENTIAL PATTERN mining — the top-10
+  // contiguous event-type trigrams across all user histories, the
+  // behavioral-motif table funnel design and bot detection read after
+  // the ax_markov_events pair matrix (pairs say what follows what;
+  // motifs say which three-step paths actually dominate). Trigrams
+  // form in the SAME single lead() window pass as the Markov matrix —
+  // two leads over the high-cardinality user_id key, zero self-joins
+  // (the posexplode-and-join-twice formulation shuffles the corpus
+  // three times; this shuffles once) — then one map-side-combined
+  // count and a TakeOrderedAndProject top-10 (n desc, motif asc:
+  // deterministic under ties).
+  // -------------------------------------------------------------------
+  private def eventMotifs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(byUser))
+      .withColumn("e3", lead(col("e1"), 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("motif"))
+      .groupBy("motif").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("motif").asc)
+      .limit(10)
+  }
+
+  private val eventMotifsSql =
+    """WITH nx AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS e2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT e1 || '>' || e2 || '>' || e3 AS motif, COUNT(*) AS n
+      |FROM nx WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, motif ASC LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_partitioned_write: Hive-style partitioned layout + partition-
   // pruned read. Events are written `partitionBy(event_type)` (each
   // type its own directory), then ONE partition is read back with a
@@ -921,6 +962,7 @@ object EventsOps {
     "ax_partitioned_write" -> (partitionedWrite _),
     "ax_user_journey"    -> (userJourney _),
     "ax_markov_events"   -> (markovEvents _),
+    "ax_event_motifs"    -> (eventMotifs _),
     "ax_props_json"      -> (propsJson _),
     "ax_props_variant"   -> (propsVariant _),
     "ax_manifest_prune"  -> (manifestPrune _),
@@ -943,6 +985,7 @@ object EventsOps {
     "ax_partitioned_write" -> partitionedWriteSql,
     "ax_user_journey"    -> userJourneySql,
     "ax_markov_events"   -> markovEventsSql,
+    "ax_event_motifs"    -> eventMotifsSql,
     "ax_props_json"      -> propsJsonSql,
     "ax_props_variant"   -> propsVariantSql,
     "ax_manifest_prune"  -> manifestPruneSql,

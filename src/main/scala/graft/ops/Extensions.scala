@@ -19,7 +19,8 @@ object Extensions {
       Chunking.queries ++ Maintenance.queries ++ Curation.queries ++
       ScanPruning.queries ++ Lifecycle.queries ++ Selection.queries ++
       TpchShapes.queries ++ Association.queries ++ Governance.queries ++
-      DriftAudit.queries ++ TemporalStats.queries ++ Concentration.queries
+      DriftAudit.queries ++ TemporalStats.queries ++ Concentration.queries ++
+      BitmapIndex.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
@@ -30,5 +31,5 @@ object Extensions {
       ScanPruning.oracleSql ++ Lifecycle.oracleSql ++ Selection.oracleSql ++
       TpchShapes.oracleSql ++ Association.oracleSql ++ Governance.oracleSql ++
       DriftAudit.oracleSql ++ TemporalStats.oracleSql ++
-      Concentration.oracleSql
+      Concentration.oracleSql ++ BitmapIndex.oracleSql
 }

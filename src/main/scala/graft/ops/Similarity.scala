@@ -171,6 +171,106 @@ object Similarity {
        |ORDER BY probe_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // sim_mrl_recall: MATRYOSHKA (prefix-truncation) recall curve —
+  // recall@10 of searching with only the FIRST 8 / 16 / 32 of 64
+  // dimensions, against the full-dimension ground truth, per probe.
+  // The measured-trade-off genre (sim_ann_recall / sim_pq_recall /
+  // sim_prune_recall) applied to the truncation every MRL-trained
+  // embedding ships with: prefix dims are the model's own coarse-to-
+  // fine ordering, so "how short can the query-time vector be" gets a
+  // number per prefix length, not a hope. Differs from
+  // sim_prune_recall by construction: FIXED prefixes (no data-driven
+  // dimension selection), three lengths in one pass.
+  //
+  // Scale shape: ONE scan + broadcast probe panel; per row, four
+  // codegen'd integer dots (the prefix dots reuse the same quantized
+  // array via slice — no extra columns stored); top-k via the bounded
+  // TopK aggregator (map-side k-row partials). Output = 3·|probes|
+  // rows.
+  // -------------------------------------------------------------------
+  private def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK.TopKByScore(10))
+    val base = emb(spark, dir).withColumn("q", expr(quantize))
+      .select(col("vec_id"), col("q"),
+        expr("slice(q, 1, 8)").as("q8"),
+        expr("slice(q, 1, 16)").as("q16"),
+        expr("slice(q, 1, 32)").as("q32"))
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("q8").as("pq8"), col("q16").as("pq16"), col("q32").as("pq32"))
+    val scored = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        dotLong(col("q"), col("pq")).as("d64"),
+        dotLong(col("q8"), col("pq8")).as("d8"),
+        dotLong(col("q16"), col("pq16")).as("d16"),
+        dotLong(col("q32"), col("pq32")).as("d32"))
+    def top10(scoreCol: String): DataFrame = scored
+      .groupBy("probe_id")
+      .agg(topk(col(scoreCol), col("vec_id")).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("w"))
+      .select(col("probe_id"), col("w.id").as("vec_id"))
+    val full = top10("d64")
+    def recallAt(scoreCol: String, dims: Int): DataFrame =
+      full.join(top10(scoreCol), Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+        .join(probes.select("probe_id"), Seq("probe_id"), "right")
+        .na.fill(0L, Seq("n_overlap"))
+        .select(col("probe_id"), lit(dims.toLong).as("prefix_dims"),
+          col("n_overlap"),
+          expr("(n_overlap * 1000L) div 10").as("recall_pm"))
+    recallAt("d8", 8).unionAll(recallAt("d16", 16))
+      .unionAll(recallAt("d32", 32))
+      .orderBy("probe_id", "prefix_dims")
+  }
+
+  private val mrlRecallSql =
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, q AS pq FROM qt
+       |           WHERE vec_id < 10),
+       |pairs AS (SELECT p.probe_id, t.vec_id,
+       |    SUM(t.q[i.i + 1] * p.pq[i.i + 1]) AS d64,
+       |    SUM(CASE WHEN i.i < 8
+       |        THEN t.q[i.i + 1] * p.pq[i.i + 1] ELSE 0 END) AS d8,
+       |    SUM(CASE WHEN i.i < 16
+       |        THEN t.q[i.i + 1] * p.pq[i.i + 1] ELSE 0 END) AS d16,
+       |    SUM(CASE WHEN i.i < 32
+       |        THEN t.q[i.i + 1] * p.pq[i.i + 1] ELSE 0 END) AS d32
+       |  FROM qt t, probes p, (SELECT unnest(range(0, 64)) AS i) i
+       |  WHERE t.vec_id <> p.probe_id GROUP BY 1, 2),
+       |rf AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY d64 DESC, vec_id) AS r
+       |  FROM pairs),
+       |r8 AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY d8 DESC, vec_id) AS r
+       |  FROM pairs),
+       |r16 AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY d16 DESC, vec_id) AS r
+       |  FROM pairs),
+       |r32 AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY d32 DESC, vec_id) AS r
+       |  FROM pairs),
+       |grid AS (SELECT probe_id, d AS prefix_dims
+       |  FROM probes, (SELECT unnest([8, 16, 32]) AS d) g),
+       |ov AS (
+       |  SELECT rf.probe_id, 8 AS prefix_dims, COUNT(*) AS n_overlap
+       |  FROM rf JOIN r8 USING (probe_id, vec_id)
+       |  WHERE rf.r <= 10 AND r8.r <= 10 GROUP BY 1
+       |  UNION ALL
+       |  SELECT rf.probe_id, 16, COUNT(*)
+       |  FROM rf JOIN r16 USING (probe_id, vec_id)
+       |  WHERE rf.r <= 10 AND r16.r <= 10 GROUP BY 1
+       |  UNION ALL
+       |  SELECT rf.probe_id, 32, COUNT(*)
+       |  FROM rf JOIN r32 USING (probe_id, vec_id)
+       |  WHERE rf.r <= 10 AND r32.r <= 10 GROUP BY 1)
+       |SELECT g.probe_id, CAST(g.prefix_dims AS BIGINT) AS prefix_dims,
+       |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(ov.n_overlap, 0) * 1000 // 10 AS BIGINT) AS recall_pm
+       |FROM grid g LEFT JOIN ov USING (probe_id, prefix_dims)
+       |ORDER BY probe_id, prefix_dims""".stripMargin
+
+  // -------------------------------------------------------------------
   // sim_bucket_drift: EMBEDDING-DISTRIBUTION drift — the vector-side
   // twin of tx_source_tv: split the corpus into two cohorts (even/odd
   // vec_id, standing in for old/new ingest batches), histogram each
@@ -1859,6 +1959,7 @@ object Similarity {
     "sim_inertia"        -> (inertia _),
     "sim_dim_variance"   -> (dimVariance _),
     "sim_prune_recall"   -> (pruneRecall _),
+    "sim_mrl_recall"     -> (mrlRecall _),
     "sim_bucket_drift"   -> (bucketDrift _),
     "sim_batch_ivf"      -> (batchIvf _),
     "sim_ivf_sweep"      -> (ivfSweep _),
@@ -1895,6 +1996,7 @@ object Similarity {
     "sim_quantize_audit" -> quantizeAuditSql,
     "sim_dim_variance"   -> dimVarianceSql,
     "sim_prune_recall"   -> pruneRecallSql,
+    "sim_mrl_recall"     -> mrlRecallSql,
     "sim_bucket_drift"   -> bucketDriftSql,
     "sim_knn_batch"      -> knnBatchSql,
     "sim_silhouette"     -> silhouetteSql,

@@ -323,7 +323,229 @@ object TemporalStats {
       |       ELSE 'tie' END AS winner
       |FROM l WHERE rn > 7 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_changepoint: OFFLINE CHANGEPOINT detection per event type — the
+  // single most-probable level-shift day in the daily volume series,
+  // by the exact-integer CUSUM criterion: with C_t the cumulative
+  // count through day t (of n days, total S), the deviation
+  // D_t = n·C_t − t·S is n·(C_t − (t/n)·S) — the classic CUSUM excess
+  // scaled by n so it stays in exact BIGINT (no rational means). The
+  // changepoint is argmax |D_t| (earliest day on ties — which also
+  // guarantees the argmax is never the last row for n ≥ 2, since
+  // D_n ≡ 0, so both side means below are division-safe). Emits the
+  // split-point day plus the exact before/after mean rates in
+  // permille — the "did the level shift and by how much" audit.
+  //
+  // Scale shape: the corpus collapses in ONE map-side-combined
+  // aggregate to |types|·|days| rows; every window below runs over
+  // that calendar-bounded table (the documented small-window-over-
+  // aggregate shape, never over fact rows). Magnitudes: |D_t| ≤
+  // n·S ≤ days·|events| — int64-safe through sf100.
+  // -------------------------------------------------------------------
+  private def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long")
+          .as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wTot = Window.partitionBy("event_type")
+    val dev = daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("c", sum(col("cnt")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wTot))
+      .withColumn("s", sum(col("cnt")).over(wTot))
+      .filter(col("n") >= 2)
+      .withColumn("abs_dev", abs(col("n") * col("c") - col("t") * col("s")))
+    val wSel = Window.partitionBy("event_type")
+      .orderBy(col("abs_dev").desc, col("day").asc)
+    dev.withColumn("rk", row_number().over(wSel))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("day").as("cp_day"),
+        date_format(date_add(lit("1970-01-01").cast("date"),
+          col("day").cast("int")), "yyyy-MM-dd").as("cp_date"),
+        col("abs_dev").as("dev_scaled"),
+        expr("(c * 1000L) div t").as("mean_before_permille"),
+        expr("((s - c) * 1000L) div (n - t)").as("mean_after_permille"))
+      .orderBy("event_type")
+  }
+
+  private val changepointSql =
+    """WITH daily AS (SELECT event_type,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day) AS c,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS s
+      |  FROM daily),
+      |d AS (SELECT *, ABS(n * c - t * s) AS abs_dev FROM w WHERE n >= 2),
+      |r AS (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY event_type ORDER BY abs_dev DESC, day) AS rk
+      |  FROM d)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  CAST(day AS BIGINT) AS cp_day,
+      |  strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d')
+      |    AS cp_date,
+      |  CAST(abs_dev AS BIGINT) AS dev_scaled,
+      |  CAST(c * 1000 // t AS BIGINT) AS mean_before_permille,
+      |  CAST((s - c) * 1000 // (n - t) AS BIGINT) AS mean_after_permille
+      |FROM r WHERE rk = 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_runs_test: the WALD–WOLFOWITZ runs audit per event type — is
+  // the daily volume series random around its median, or does it
+  // trend/cluster? Days are signed above/below the series' own lower
+  // median (exact order statistic via the histogram-selection
+  // discipline, ax_latency_histogram); tie days (= median) are
+  // dropped per the standard test; runs = 1 + sign changes over the
+  // kept days in day order. The expected run count under randomness,
+  // E[R] = 2ab/(a+b) + 1, is emitted in exact permille (a, b ≥ 1
+  // whenever both signs occur; single-sign series emit expected for
+  // that degenerate case too since a+b ≥ 1 after the kept-row
+  // filter). Observed ≪ expected ⇒ trending; ≫ ⇒ oscillating.
+  //
+  // Scale shape: identical substrate to ax_changepoint — one
+  // map-side aggregate to the calendar-bounded daily table, then
+  // median selection + lag over ≤ |types|·|days| rows.
+  // -------------------------------------------------------------------
+  private def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long")
+          .as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("event_type").orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    val med = daily.groupBy("event_type", "cnt").agg(count(lit(1)).as("f"))
+      .withColumn("cum", sum(col("f")).over(wCum))
+      .withColumn("n", sum(col("f")).over(wTot))
+      .groupBy("event_type")
+      .agg(min(when(expr("cum >= (n + 1) div 2"), col("cnt")))
+        .as("median_cnt"))
+    val signed = daily.join(med, Seq("event_type"))
+      .withColumn("sign",
+        when(col("cnt") > col("median_cnt"), 1L)
+          .when(col("cnt") < col("median_cnt"), -1L).otherwise(0L))
+      .filter(col("sign") =!= 0L)
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    signed
+      .withColumn("prev", lag(col("sign"), 1).over(wOrd))
+      .withColumn("chg",
+        when(col("prev").isNotNull && col("prev") =!= col("sign"), 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(min(col("median_cnt")).as("median_cnt"),
+        sum(when(col("sign") === 1L, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("sign") === -1L, 1L).otherwise(0L)).as("n_below"),
+        (sum(col("chg")) + 1L).as("n_runs"))
+      .withColumn("expected_runs_permille",
+        expr("(2000L * n_above * n_below) div (n_above + n_below) + 1000L"))
+      .orderBy("event_type")
+  }
+
+  private val runsTestSql =
+    """WITH daily AS (SELECT event_type,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |h AS (SELECT event_type, cnt, COUNT(*) AS f FROM daily GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    SUM(f) OVER (PARTITION BY event_type ORDER BY cnt) AS cum,
+      |    SUM(f) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |med AS (SELECT event_type,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN cnt END) AS median_cnt
+      |  FROM c GROUP BY 1),
+      |sg AS (SELECT d.event_type, d.day, m.median_cnt,
+      |    CASE WHEN d.cnt > m.median_cnt THEN 1
+      |         WHEN d.cnt < m.median_cnt THEN -1 ELSE 0 END AS sign
+      |  FROM daily d JOIN med m USING (event_type)),
+      |k AS (SELECT *,
+      |    LAG(sign) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |  FROM sg WHERE sign <> 0)
+      |SELECT event_type, CAST(MIN(median_cnt) AS BIGINT) AS median_cnt,
+      |  CAST(SUM(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above,
+      |  CAST(SUM(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_below,
+      |  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> sign
+      |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs,
+      |  CAST(2000 * SUM(CASE WHEN sign = 1 THEN 1 ELSE 0 END)
+      |    * SUM(CASE WHEN sign = -1 THEN 1 ELSE 0 END)
+      |    // COUNT(*) + 1000 AS BIGINT) AS expected_runs_permille
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_trend_fit: exact-integer LINEAR TREND fit per event type — the
+  // OLS slope of daily volume on the day index, carried as an exact
+  // rational (slope_num/slope_den from the closed-form normal
+  // equations: num = n·Σty − Σt·Σy, den = n·Σt² − (Σt)², den > 0 for
+  // ≥ 2 distinct days). Division only happens once: slope_micro =
+  // num·10⁶ div den, events/day in micro-units, sign-faithful —
+  // Spark's `div` and DuckDB's integer `//` BOTH truncate toward
+  // zero (verified on this very query's negative slopes), so the
+  // quotient is portable as-is. The trend verdict is the num's sign.
+  //
+  // Scale shape: the same one-aggregate daily substrate; the
+  // per-type sums are a second KB-scale aggregate. Magnitudes:
+  // num·10⁶ ≤ days²·|events|·10⁶ — int64-safe at gate scales and
+  // flagged for DECIMAL(38,0) beyond (ax_decimal_sum discipline).
+  // -------------------------------------------------------------------
+  private def trendFit(spark: SparkSession, dir: String): DataFrame = {
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long")
+          .as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day")).as("st"),
+        sum(col("cnt")).as("sy"),
+        sum(col("day") * col("cnt")).as("sty"),
+        sum(col("day") * col("day")).as("stt"))
+      .filter(col("n_days") >= 2)
+      .withColumn("slope_num",
+        col("n_days") * col("sty") - col("st") * col("sy"))
+      .withColumn("slope_den",
+        col("n_days") * col("stt") - col("st") * col("st"))
+      .select(col("event_type"), col("n_days"), col("slope_num"),
+        col("slope_den"),
+        expr("(slope_num * 1000000L) div slope_den").as("slope_micro"),
+        when(col("slope_num") > 0, "up")
+          .when(col("slope_num") < 0, "down").otherwise("flat")
+          .as("trend"))
+      .orderBy("event_type")
+  }
+
+  private val trendFitSql =
+    """WITH daily AS (SELECT event_type,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, COUNT(*) AS n_days, SUM(day) AS st,
+      |    SUM(cnt) AS sy, SUM(day * cnt) AS sty, SUM(day * day) AS stt
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  CAST(n_days * sty - st * sy AS BIGINT) AS slope_num,
+      |  CAST(n_days * stt - st * st AS BIGINT) AS slope_den,
+      |  CAST((n_days * sty - st * sy) * 1000000
+      |    // (n_days * stt - st * st) AS BIGINT) AS slope_micro,
+      |  CASE WHEN n_days * sty - st * sy > 0 THEN 'up'
+      |       WHEN n_days * sty - st * sy < 0 THEN 'down'
+      |       ELSE 'flat' END AS trend
+      |FROM s WHERE n_days >= 2 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_changepoint"       -> (changepoint _),
+    "ax_runs_test"         -> (runsTest _),
+    "ax_trend_fit"         -> (trendFit _),
     "ax_backtest_naive"    -> (backtestNaive _),
     "ax_wow_growth"        -> (wowGrowth _),
     "ax_twap"              -> (twap _),
@@ -332,6 +554,9 @@ object TemporalStats {
     "ax_dow_hour_heat"     -> (dowHourHeat _))
 
   def oracleSql: Map[String, String] = Map(
+    "ax_changepoint"       -> changepointSql,
+    "ax_runs_test"         -> runsTestSql,
+    "ax_trend_fit"         -> trendFitSql,
     "ax_backtest_naive"    -> backtestNaiveSql,
     "ax_wow_growth"        -> wowGrowthSql,
     "ax_twap"              -> twapSql,
