@@ -800,7 +800,210 @@ object Stats {
        |ORDER BY ks.event_type, q_pm""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ax_discount_elasticity: GROUPED REGRESSION at fact scale — the OLS
+  // slope of quantity on discount per part brand, the "does
+  // discounting move volume" table pricing reads. The regression
+  // never materializes per-row residuals: each brand collapses to its
+  // five moment sums (n, Σx, Σy, Σxy, Σx²) in ONE map-side-combined
+  // aggregate over the fact/dim join — the only shape that survives
+  // 100 TB (per-group closed-form normal equations, the ax_corr_sums
+  // discipline; the part side broadcasts). x = discount in exact
+  // permille (0..100 here), y = quantity in whole units; num/den ship
+  // as exact BIGINTs (int64-safe through ~sf1 at n²·Σ-scale,
+  // DECIMAL(38,0) beyond), and the quotient takes the cuped path —
+  // floor(10⁶·num/den) through IDENTICAL double ops in both engines
+  // (num, den < 2⁵³ here, so the doubles are exact).
+  // -------------------------------------------------------------------
+  private def discountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_discount * 1000) AS BIGINT)").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("slope_den") > 0)
+      .select(col("p_brand"), col("n"), col("slope_num"), col("slope_den"),
+        expr("""CAST(floor(1000000.0 * CAST(slope_num AS DOUBLE)
+                / CAST(slope_den AS DOUBLE)) AS BIGINT)""")
+          .as("slope_micro"),
+        when(col("slope_num") > 0, "up")
+          .when(col("slope_num") < 0, "down").otherwise("flat")
+          .as("direction"))
+      .orderBy("p_brand")
+  }
+
+  private val discountElasticitySql =
+    """WITH f AS (SELECT p_brand,
+      |    CAST(round(l_discount * 1000) AS BIGINT) AS x,
+      |    CAST(l_quantity AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |s AS (SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM f GROUP BY 1),
+      |e AS (SELECT p_brand, n,
+      |    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      |    CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+      |  FROM s)
+      |SELECT p_brand, n, slope_num, slope_den,
+      |  CAST(floor(1000000.0 * CAST(slope_num AS DOUBLE)
+      |    / CAST(slope_den AS DOUBLE)) AS BIGINT) AS slope_micro,
+      |  CASE WHEN slope_num > 0 THEN 'up'
+      |       WHEN slope_num < 0 THEN 'down' ELSE 'flat' END AS direction
+      |FROM e WHERE slope_den > 0 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_diff_in_diff: DIFFERENCE-IN-DIFFERENCES — the 2×2 causal
+  // scorecard (treat × pre/post) that complements ax_cuped's variance
+  // reduction: DiD removes group-level baseline differences AND
+  // period-level shocks in one subtraction, the workhorse identifier
+  // when randomization is imperfect. Cohorts by user-id parity; the
+  // period split is the corpus's own midpoint day (a 1-row MIN/MAX
+  // anchor crossJoin-broadcast back — never wall clock, never a
+  // collect). Every cell mean is the exact truncating permille of
+  // integer cents (identical div in both engines, cells guaranteed
+  // nonempty by the n > 0 filter on the estimate row), and the DiD
+  // estimate is pure integer arithmetic on those four means. One
+  // corpus scan, one 1-row aggregate — nothing else.
+  // -------------------------------------------------------------------
+  private def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(pmod(col("user_id"), lit(2)).as("treat"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long")
+          .as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val anchor = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val cells = ev.crossJoin(broadcast(anchor))
+      .withColumn("post", col("day") > col("mid"))
+      .groupBy("treat", "post")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("mean_milli", expr("(s * 1000L) div n"))
+    val wide = cells.agg(
+      min(when(col("treat") === 1 && col("post"), col("mean_milli")))
+        .as("m11"),
+      min(when(col("treat") === 1 && !col("post"), col("mean_milli")))
+        .as("m10"),
+      min(when(col("treat") === 0 && col("post"), col("mean_milli")))
+        .as("m01"),
+      min(when(col("treat") === 0 && !col("post"), col("mean_milli")))
+        .as("m00"),
+      min(col("n")).as("min_cell_n"))
+    wide.filter(col("min_cell_n") > 0)
+      .select(col("m00"), col("m01"), col("m10"), col("m11"),
+        col("min_cell_n"),
+        (col("m11") - col("m10") - (col("m01") - col("m00")))
+          .as("did_milli"))
+  }
+
+  private val diffInDiffSql =
+    """WITH e AS (SELECT user_id % 2 AS treat,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |a AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM e),
+      |c AS (SELECT treat, day > mid AS post, COUNT(*) AS n,
+      |    SUM(cents) AS s
+      |  FROM e, a GROUP BY 1, 2),
+      |m AS (SELECT treat, post, n, s * 1000 // n AS mean_milli FROM c),
+      |w AS (SELECT
+      |    MIN(CASE WHEN treat = 1 AND post THEN mean_milli END) AS m11,
+      |    MIN(CASE WHEN treat = 1 AND NOT post THEN mean_milli END) AS m10,
+      |    MIN(CASE WHEN treat = 0 AND post THEN mean_milli END) AS m01,
+      |    MIN(CASE WHEN treat = 0 AND NOT post THEN mean_milli END) AS m00,
+      |    MIN(n) AS min_cell_n
+      |  FROM m)
+      |SELECT CAST(m00 AS BIGINT) AS m00, CAST(m01 AS BIGINT) AS m01,
+      |  CAST(m10 AS BIGINT) AS m10, CAST(m11 AS BIGINT) AS m11,
+      |  CAST(min_cell_n AS BIGINT) AS min_cell_n,
+      |  CAST(m11 - m10 - (m01 - m00) AS BIGINT) AS did_milli
+      |FROM w WHERE min_cell_n > 0""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_winsor_mean: WINSORIZED mean per event type — the robust
+  // location estimate that tames heavy tails without discarding rows
+  // (clamp to the exact [p5, p95] order statistics, then average):
+  // what metric pipelines use when ax_anomaly_mad says the tails are
+  // real but you still need a stable headline number. Thresholds come
+  // from the bounded-support histogram-selection core (cent values
+  // have bounded support no matter how many rows back them —
+  // ax_latency_histogram discipline): p5 = smallest v with
+  // cum ≥ ⌈n/20⌉, p95 = smallest v with cum ≥ ⌈19n/20⌉. The clamped
+  // sum is computed ON THE HISTOGRAM (Σ freq·clamp(v)), so after the
+  // one fact aggregate nothing is corpus-proportional. Raw mean ships
+  // alongside — the gap is the tail influence, which is the point of
+  // the table.
+  // -------------------------------------------------------------------
+  private def winsorMean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("f"))
+    val wCum = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    val th = h
+      .withColumn("cum", sum(col("f")).over(wCum))
+      .withColumn("n", sum(col("f")).over(wTot))
+      .groupBy("event_type")
+      .agg(min(col("n")).as("n"),
+        min(when(expr("cum >= (n + 19) div 20"), col("cents")))
+          .as("p05_cents"),
+        min(when(expr("cum >= (19 * n + 19) div 20"), col("cents")))
+          .as("p95_cents"))
+    h.join(th, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(min(col("n")).as("n"),
+        min(col("p05_cents")).as("p05_cents"),
+        min(col("p95_cents")).as("p95_cents"),
+        sum(col("f") * col("cents")).as("raw_sum"),
+        sum(col("f") *
+          greatest(least(col("cents"), col("p95_cents")), col("p05_cents")))
+          .as("winsor_sum"))
+      .select(col("event_type"), col("n"), col("p05_cents"),
+        col("p95_cents"),
+        expr("(raw_sum * 1000L) div n").as("raw_mean_milli"),
+        expr("(winsor_sum * 1000L) div n").as("winsor_mean_milli"))
+      .orderBy("event_type")
+  }
+
+  private val winsorMeanSql =
+    """WITH h AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents, COUNT(*) AS f
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    SUM(f) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+      |    SUM(f) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |th AS (SELECT event_type, MIN(n) AS n,
+      |    MIN(CASE WHEN cum >= (n + 19) // 20 THEN cents END) AS p05_cents,
+      |    MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN cents END)
+      |      AS p95_cents
+      |  FROM c GROUP BY 1)
+      |SELECT h.event_type, CAST(MIN(th.n) AS BIGINT) AS n,
+      |  CAST(MIN(th.p05_cents) AS BIGINT) AS p05_cents,
+      |  CAST(MIN(th.p95_cents) AS BIGINT) AS p95_cents,
+      |  CAST(SUM(h.f * h.cents) * 1000 // MIN(th.n) AS BIGINT)
+      |    AS raw_mean_milli,
+      |  CAST(SUM(h.f * GREATEST(LEAST(h.cents, th.p95_cents),
+      |    th.p05_cents)) * 1000 // MIN(th.n) AS BIGINT)
+      |    AS winsor_mean_milli
+      |FROM h JOIN th USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_discount_elasticity" -> (discountElasticity _),
+    "ax_diff_in_diff"    -> (diffInDiff _),
+    "ax_winsor_mean"     -> (winsorMean _),
     "ax_group_percentile" -> (groupPercentile _),
     "ax_join_size_est"   -> (joinSizeEst _),
     "ax_exact_percentile" -> (exactPercentile _),
@@ -948,6 +1151,9 @@ object Stats {
       |FROM cat, pr ORDER BY brand""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ax_discount_elasticity" -> discountElasticitySql,
+    "ax_diff_in_diff"    -> diffInDiffSql,
+    "ax_winsor_mean"     -> winsorMeanSql,
     "ax_group_percentile" -> groupPercentileSql,
     "ax_join_size_est"   -> joinSizeEstSql,
     "ax_exact_percentile" -> exactPercentileSql,

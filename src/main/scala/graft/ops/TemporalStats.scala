@@ -542,7 +542,124 @@ object TemporalStats {
       |       ELSE 'flat' END AS trend
       |FROM s WHERE n_days >= 2 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_weekend_lift: WEEKEND vs WEEKDAY volume lift per event type —
+  // the day-mix decomposition behind staffing and anomaly baselines
+  // (a Saturday "drop" is usually just the weekend mix). Both sides
+  // are mean daily volume over the type's ACTIVE days (portable ISO
+  // dow from the epoch-day anchor, the ax_dow_hour_heat formula);
+  // the lift is the exact rational (S_we·n_wd_days·1000) div
+  // (S_wd·n_we_days) — no floating means, and the raw pieces ship
+  // alongside so the ratio is auditable. Types without both weekday
+  // and weekend activity drop out (division-safe, matched in the
+  // oracle).
+  //
+  // Scale shape: one map-side-combined aggregate to |types|·|days|
+  // rows, then a second KB-scale aggregate. Nothing downstream is
+  // corpus-proportional.
+  // -------------------------------------------------------------------
+  private def weekendLift(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long")
+          .as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("is_we", expr("((day % 7) + 3) % 7 + 1 >= 6"))
+      .groupBy("event_type")
+      .agg(sum(when(col("is_we"), col("cnt")).otherwise(0L)).as("s_we"),
+        sum(when(col("is_we"), 1L).otherwise(0L)).as("d_we"),
+        sum(when(!col("is_we"), col("cnt")).otherwise(0L)).as("s_wd"),
+        sum(when(!col("is_we"), 1L).otherwise(0L)).as("d_wd"))
+      .filter(col("d_we") > 0 && col("d_wd") > 0 && col("s_wd") > 0)
+      .select(col("event_type"), col("s_we"), col("d_we"), col("s_wd"),
+        col("d_wd"),
+        expr("(s_we * d_wd * 1000L) div (s_wd * d_we)")
+          .as("lift_permille"))
+      .orderBy("event_type")
+
+  private val weekendLiftSql =
+    """WITH daily AS (SELECT event_type,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type,
+      |    ((day % 7) + 3) % 7 + 1 >= 6 AS is_we, cnt FROM daily),
+      |s AS (SELECT event_type,
+      |    SUM(CASE WHEN is_we THEN cnt ELSE 0 END) AS s_we,
+      |    SUM(CASE WHEN is_we THEN 1 ELSE 0 END) AS d_we,
+      |    SUM(CASE WHEN is_we THEN 0 ELSE cnt END) AS s_wd,
+      |    SUM(CASE WHEN is_we THEN 0 ELSE 1 END) AS d_wd
+      |  FROM t GROUP BY 1)
+      |SELECT event_type, CAST(s_we AS BIGINT) AS s_we,
+      |  CAST(d_we AS BIGINT) AS d_we, CAST(s_wd AS BIGINT) AS s_wd,
+      |  CAST(d_wd AS BIGINT) AS d_wd,
+      |  CAST(s_we * d_wd * 1000 // (s_wd * d_we) AS BIGINT)
+      |    AS lift_permille
+      |FROM s WHERE d_we > 0 AND d_wd > 0 AND s_wd > 0
+      |ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_order_gap_stats: REPEAT-PURCHASE CADENCE — exact percentiles of
+  // the days between a customer's consecutive orders, per market
+  // segment: the replenishment-cycle table that churn models and
+  // "send the reminder when the customer is due" campaigns read.
+  // Gaps come from ONE lag() window over the HIGH-cardinality
+  // o_custkey (each partition is one customer's short order history —
+  // the documented inverse of the ntile trap); the percentile
+  // selection reuses the bounded-support histogram core
+  // (latencyPercentilesOf): calendar-day gaps have a few thousand
+  // distinct values no matter how many customers back them, so the
+  // selection runs over a KB-scale histogram. Same-day repeat orders
+  // count as gap 0 — real cadence signal, kept.
+  // -------------------------------------------------------------------
+  private def orderGapStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    val gaps = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("gap",
+        datediff(col("od"), lag(col("od"), 1).over(w)).cast("long"))
+      .filter(col("gap").isNotNull)
+    val seg = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    latencyPercentilesOf(
+      gaps.join(seg, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("prio"), col("gap").as("days")))
+      .select(col("prio").as("segment"), col("n").as("n_gaps"),
+        col("min_days").as("min_gap"), col("med_days").as("med_gap"),
+        col("p90_days").as("p90_gap"), col("max_days").as("max_gap"))
+      .orderBy("segment")
+  }
+
+  private val orderGapStatsSql =
+    """WITH g AS (SELECT o_custkey,
+      |    datediff('day',
+      |      LAG(CAST(o_orderdate AS DATE)) OVER
+      |        (PARTITION BY o_custkey
+      |         ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      |      CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders),
+      |j AS (SELECT c_mktsegment AS segment, CAST(gap AS BIGINT) AS days
+      |  FROM g JOIN customer ON o_custkey = c_custkey
+      |  WHERE gap IS NOT NULL),
+      |h AS (SELECT segment, days, COUNT(*) AS cnt FROM j GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |    SUM(cnt) OVER (PARTITION BY segment ORDER BY days) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY segment) AS n
+      |  FROM h)
+      |SELECT segment, CAST(MIN(n) AS BIGINT) AS n_gaps,
+      |  MIN(days) AS min_gap,
+      |  CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN days END) AS BIGINT)
+      |    AS med_gap,
+      |  CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN days END)
+      |    AS BIGINT) AS p90_gap,
+      |  MAX(days) AS max_gap
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_weekend_lift"      -> (weekendLift _),
+    "ax_order_gap_stats"   -> (orderGapStats _),
     "ax_changepoint"       -> (changepoint _),
     "ax_runs_test"         -> (runsTest _),
     "ax_trend_fit"         -> (trendFit _),
@@ -554,6 +671,8 @@ object TemporalStats {
     "ax_dow_hour_heat"     -> (dowHourHeat _))
 
   def oracleSql: Map[String, String] = Map(
+    "ax_weekend_lift"      -> weekendLiftSql,
+    "ax_order_gap_stats"   -> orderGapStatsSql,
     "ax_changepoint"       -> changepointSql,
     "ax_runs_test"         -> runsTestSql,
     "ax_trend_fit"         -> trendFitSql,
