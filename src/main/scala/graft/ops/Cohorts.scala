@@ -448,7 +448,142 @@ object Cohorts {
       |    AS cum_cents
       |FROM d ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_activity_streaks: GAPS-AND-ISLANDS — the distribution of
+  // consecutive-calendar-day activity streaks across all users, the
+  // engagement table behind "3-day streak" product mechanics and
+  // habit-formation analyses. The island id is the classic constant:
+  // day − row_number() is invariant within a run of consecutive days
+  // and jumps at every gap — ONE window over the HIGH-cardinality
+  // user key (each partition is one user's ≤|days| active days), no
+  // self-joins, no recursion. Everything after the (user, island)
+  // aggregate is a histogram: streak length → islands, distinct
+  // users, share of all islands in exact ppm.
+  // -------------------------------------------------------------------
+  private def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long")
+          .as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("streak_len"))
+    val h = islands.groupBy("streak_len")
+      .agg(count(lit(1)).as("n_islands"),
+        countDistinct(col("user_id")).as("n_users"))
+    val tot = h.agg(sum(col("n_islands")).as("total"))
+    h.crossJoin(broadcast(tot))
+      .select(col("streak_len"), col("n_islands"), col("n_users"),
+        expr("(n_islands * 1000000L) div total").as("share_ppm"))
+      .orderBy("streak_len")
+  }
+
+  private val activityStreaksSql =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events),
+      |isl AS (SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS island
+      |  FROM ud),
+      |runs AS (SELECT user_id, island, COUNT(*) AS streak_len
+      |  FROM isl GROUP BY 1, 2),
+      |h AS (SELECT streak_len, COUNT(*) AS n_islands,
+      |    COUNT(DISTINCT user_id) AS n_users
+      |  FROM runs GROUP BY 1),
+      |t AS (SELECT SUM(n_islands) AS total FROM h)
+      |SELECT CAST(streak_len AS BIGINT) AS streak_len, n_islands, n_users,
+      |  CAST(n_islands * 1000000 // total AS BIGINT) AS share_ppm
+      |FROM h, t ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ax_budget_pacing: FIRST-CROSSING analysis — for each customer, the
+  // order at which cumulative spend exceeds their budget (100× account
+  // balance — a deterministic stand-in for a contract cap), rolled up
+  // per market segment: how many customers exhaust, and the exact
+  // median order-index at exhaustion. The running-sum-then-first-
+  // crossing shape is the budget/quota/credit-limit pacing primitive
+  // (ad pacing, prepaid burn-down, credit exposure all compute it).
+  //
+  // Scale shape: ONE cumulative window over the HIGH-cardinality
+  // o_custkey (each partition = one customer's short order history),
+  // then a per-customer min-rank aggregate and a segment rollup; the
+  // median-at-exhaustion selection runs on the (segment, k) histogram
+  // — order indexes have tiny bounded support. Negative balances
+  // cross at their first order: deterministic, matched in the oracle.
+  // -------------------------------------------------------------------
+  private def budgetPacing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (expr("CAST(round(c_acctbal) AS BIGINT)") * 100L).as("budget"))
+    val firstCross = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("dollars"))
+      .withColumn("cum", sum(col("dollars")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_custkey")
+      .agg(min(col("c_mktsegment")).as("segment"),
+        min(when(col("cum") > col("budget"), col("k"))).as("k_exhaust"))
+    val wCum = Window.partitionBy("segment").orderBy("k_exhaust")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("segment")
+    val medK = firstCross.filter(col("k_exhaust").isNotNull)
+      .groupBy("segment", "k_exhaust").agg(count(lit(1)).as("f"))
+      .withColumn("cum", sum(col("f")).over(wCum))
+      .withColumn("n", sum(col("f")).over(wTot))
+      .groupBy("segment")
+      .agg(min(when(expr("cum >= (n + 1) div 2"), col("k_exhaust")))
+        .as("med_order_k"))
+    firstCross.groupBy("segment")
+      .agg(count(lit(1)).as("n_cust"),
+        count(col("k_exhaust")).as("n_exhausted"))
+      .join(medK, Seq("segment"), "left")
+      .orderBy("segment")
+  }
+
+  private val budgetPacingSql =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |    CAST(o_orderdate AS DATE) AS od,
+      |    CAST(round(o_totalprice) AS BIGINT) AS dollars
+      |  FROM orders),
+      |r AS (SELECT o_custkey,
+      |    SUM(dollars) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+      |      AS k
+      |  FROM o),
+      |fc AS (SELECT r.o_custkey, MIN(c.c_mktsegment) AS segment,
+      |    MIN(CASE WHEN r.cum > CAST(round(c.c_acctbal) AS BIGINT) * 100
+      |        THEN r.k END) AS k_exhaust
+      |  FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+      |  GROUP BY 1),
+      |h AS (SELECT segment, k_exhaust, COUNT(*) AS f FROM fc
+      |  WHERE k_exhaust IS NOT NULL GROUP BY 1, 2),
+      |cu AS (SELECT *,
+      |    SUM(f) OVER (PARTITION BY segment ORDER BY k_exhaust) AS cum,
+      |    SUM(f) OVER (PARTITION BY segment) AS n
+      |  FROM h),
+      |med AS (SELECT segment,
+      |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN k_exhaust END)
+      |      AS med_order_k
+      |  FROM cu GROUP BY 1)
+      |SELECT fc.segment, COUNT(*) AS n_cust,
+      |  COUNT(fc.k_exhaust) AS n_exhausted,
+      |  CAST(med.med_order_k AS BIGINT) AS med_order_k
+      |FROM fc LEFT JOIN med ON fc.segment = med.segment
+      |GROUP BY 1, med.med_order_k ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_activity_streaks" -> (activityStreaks _),
+    "ax_budget_pacing"    -> (budgetPacing _),
     "ax_cohort_ltv"        -> (cohortLtv _),
     "ax_attribution_linear" -> (attributionLinear _),
     "ax_rolling_dau"       -> (rollingDau _),
@@ -460,6 +595,8 @@ object Cohorts {
     "ax_forward_fill"      -> (forwardFill _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_activity_streaks" -> activityStreaksSql,
+    "ax_budget_pacing"    -> budgetPacingSql,
     "ax_cohort_ltv"        -> cohortLtvSql,
     "ax_attribution_linear" -> attributionLinearSql,
     "ax_rolling_dau"       -> rollingDauSql,

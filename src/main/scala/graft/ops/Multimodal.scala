@@ -1178,7 +1178,68 @@ object Multimodal {
        |  CAST((COUNT(*) - 1) * MAX(chunk_bytes) AS BIGINT) AS reclaimed_bytes
        |FROM chunks GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm_aspect_buckets: ASPECT-RATIO curation gate — orientation
+  // (landscape/portrait/square from the DECODED header dimensions)
+  // and the aspect range per (fmt, orientation), the filter table a
+  // vision-training pipeline applies before resize (extreme aspect
+  // ratios destroy content under square resize; most recipes drop
+  // outside ~[1:3, 3:1]). Spark parses the REAL container headers in
+  // the same mapPartitions seam as mm_decode_stats; the DuckDB
+  // oracle replays the fixture generator's dimension formulas — the
+  // differential proof that classification reads decoded fields, not
+  // the generator. Aspect is exact integer permille (w·1000 div h,
+  // h ≥ 4 > 0); flagged = outside [333, 3000] permille, the rows a
+  // curation run would drop.
+  // -------------------------------------------------------------------
+  private def aspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val payload = assetBytes(id,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val (fmt, dw, dh, _) = ImageHeaders.decodeHeader(payload)
+          (fmt, dw.toLong, dh.toLong)
+        }
+      }.toDF("fmt", "w", "h")
+    assets
+      .withColumn("orientation",
+        when(col("w") > col("h"), "landscape")
+          .when(col("w") < col("h"), "portrait").otherwise("square"))
+      .withColumn("aspect_pm", expr("(w * 1000L) div h"))
+      .groupBy("fmt", "orientation")
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("aspect_pm")).as("min_aspect_pm"),
+        max(col("aspect_pm")).as("max_aspect_pm"),
+        sum(when(col("aspect_pm") < 333 || col("aspect_pm") > 3000, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .orderBy("fmt", "orientation")
+  }
+
+  private val aspectBucketsSql =
+    """WITH a AS (SELECT
+      |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+      |    4 + doc_id % 509 AS w,
+      |    4 + CAST(octet_length(encode(text)) AS BIGINT) % 509 AS h
+      |  FROM documents),
+      |c AS (SELECT fmt,
+      |    CASE WHEN w > h THEN 'landscape'
+      |         WHEN w < h THEN 'portrait' ELSE 'square' END AS orientation,
+      |    w * 1000 // h AS aspect_pm
+      |  FROM a)
+      |SELECT fmt, orientation, COUNT(*) AS n_assets,
+      |  CAST(MIN(aspect_pm) AS BIGINT) AS min_aspect_pm,
+      |  CAST(MAX(aspect_pm) AS BIGINT) AS max_aspect_pm,
+      |  CAST(SUM(CASE WHEN aspect_pm < 333 OR aspect_pm > 3000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_aspect_buckets" -> (aspectBuckets _),
     "mm_metadata"     -> (metadata _),
     "mm_decode_stats" -> (decodeStats _),
     "mm_binary_source" -> (binarySource _),
@@ -1220,6 +1281,7 @@ object Multimodal {
        |FROM assets GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "mm_aspect_buckets" -> aspectBucketsSql,
     "mm_metadata"     -> metadataSql,
     "mm_decode_stats" -> decodeStatsSql,
     "mm_binary_source" -> binarySourceSql,

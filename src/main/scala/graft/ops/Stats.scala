@@ -801,6 +801,68 @@ object Stats {
   }
 
   // -------------------------------------------------------------------
+  // ax_sample_error: MEASURED approximate-query-processing error — run
+  // the same per-type mean/count on a deterministic 5% hash sample
+  // (portable md5 hash of the event id, residue class 0 of 20 — the
+  // engine-portable analogue of TABLESAMPLE that both engines can
+  // replay bit-for-bit) and report the scaled estimates NEXT TO the
+  // exact truth with signed-magnitude errors in exact ppm. The
+  // measured-trade-off genre (sim_ann_recall discipline) applied to
+  // sampling: "is a 20× cheaper scan good enough for this dashboard"
+  // gets a number per group, not a hope.
+  //
+  // Scale shape: both passes are single map-side-combined aggregates;
+  // at 100 TB the sample pass reads 1/20 of the data (with a stored
+  // sample-bucket column it prunes at the scan). The hash is the
+  // pluggable PortableHash column — swap for xxhash64 off-oracle.
+  // -------------------------------------------------------------------
+  private def sampleError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        pmod(PortableHash.hashCol(col("event_id").cast("string")), lit(20))
+          .as("bucket"))
+    val truth = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("mean_milli", expr("(s * 1000L) div n"))
+    val est = ev.filter(col("bucket") === 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sample"), sum(col("cents")).as("s_sample"))
+      .withColumn("est_mean_milli", expr("(s_sample * 1000L) div n_sample"))
+      .withColumn("est_n", col("n_sample") * 20L)
+    truth.join(est, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("n_sample"),
+        col("mean_milli"), col("est_mean_milli"),
+        expr("(abs(est_mean_milli - mean_milli) * 1000000L) div mean_milli")
+          .as("mean_err_ppm"),
+        col("est_n"),
+        expr("(abs(est_n - n) * 1000000L) div n").as("count_err_ppm"))
+      .orderBy("event_type")
+  }
+
+  private val sampleErrorSql = {
+    val h = PortableHash.hashSql("CAST(event_id AS VARCHAR)")
+    s"""WITH ev AS (SELECT event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    $h % 20 AS bucket
+       |  FROM events),
+       |t AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS s
+       |  FROM ev GROUP BY 1),
+       |e AS (SELECT event_type, COUNT(*) AS n_sample,
+       |    SUM(cents) AS s_sample
+       |  FROM ev WHERE bucket = 0 GROUP BY 1)
+       |SELECT event_type, n, n_sample,
+       |  CAST(s * 1000 // n AS BIGINT) AS mean_milli,
+       |  CAST(s_sample * 1000 // n_sample AS BIGINT) AS est_mean_milli,
+       |  CAST(ABS(s_sample * 1000 // n_sample - s * 1000 // n) * 1000000
+       |    // (s * 1000 // n) AS BIGINT) AS mean_err_ppm,
+       |  CAST(n_sample * 20 AS BIGINT) AS est_n,
+       |  CAST(ABS(n_sample * 20 - n) * 1000000 // n AS BIGINT)
+       |    AS count_err_ppm
+       |FROM t JOIN e USING (event_type) ORDER BY 1""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ax_discount_elasticity: GROUPED REGRESSION at fact scale — the OLS
   // slope of quantity on discount per part brand, the "does
   // discounting move volume" table pricing reads. The regression
@@ -1001,6 +1063,7 @@ object Stats {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_sample_error"    -> (sampleError _),
     "ax_discount_elasticity" -> (discountElasticity _),
     "ax_diff_in_diff"    -> (diffInDiff _),
     "ax_winsor_mean"     -> (winsorMean _),
@@ -1151,6 +1214,7 @@ object Stats {
       |FROM cat, pr ORDER BY brand""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ax_sample_error"    -> sampleErrorSql,
     "ax_discount_elasticity" -> discountElasticitySql,
     "ax_diff_in_diff"    -> diffInDiffSql,
     "ax_winsor_mean"     -> winsorMeanSql,
