@@ -188,10 +188,12 @@ object Association {
   // Emitted as the EXACT integer numerator r_num and denominator r_den
   // next to the raw sums — r_num is signed, so no cross-engine integer
   // division is attempted; r itself is r_num/r_den for anyone
-  // downstream. Magnitudes at sf0.1: M ≈ 7×10³, Σdxdy ≤ M·maxdeg² ≈
-  // 10⁶ ⇒ products ≈ 10¹⁰, int64-safe to ~10⁹ edges; beyond that the
-  // two wide products switch to DECIMAL(38,0) (ax_decimal_sum
-  // discipline), same single-pass plan.
+  // downstream. The two wide products (M·Σdxdy, M·Σdx²) are the 2^63
+  // class (products of two data-proportional sums), so they run in
+  // DECIMAL(38,0) UNCONDITIONALLY and emit as STRINGS (ax_decimal_sum
+  // discipline), same single-pass plan; the inner BIGINT sums are
+  // bounded by M·maxdeg² — MomentBoundsSpec pins the bound and the
+  // decimal/int64 agreement.
   //
   // Scale shape: degrees are one aggregate of the symmetrized
   // substrate; attaching them to both edge endpoints is two
@@ -218,8 +220,12 @@ object Association {
         sum(col("dx") * col("dy")).as("sxy"),
         sum(col("dx") * col("dx")).as("sxx"))
       .select(col("n_dir"), col("sx"), col("sxy"), col("sxx"),
-        (col("n_dir") * col("sxy") - col("sx") * col("sx")).as("r_num"),
-        (col("n_dir") * col("sxx") - col("sx") * col("sx")).as("r_den"))
+        (col("n_dir").cast("decimal(38,0)") * col("sxy").cast("decimal(38,0)")
+          - col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
+          .cast("string").as("r_num"),
+        (col("n_dir").cast("decimal(38,0)") * col("sxx").cast("decimal(38,0)")
+          - col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
+          .cast("string").as("r_den"))
   }
 
   private def assortativity(spark: SparkSession, dir: String): DataFrame =
@@ -244,8 +250,8 @@ object Association {
       |             SUM(dx*dx) AS sxx FROM j)
       |SELECT n_dir, CAST(sx AS BIGINT) AS sx, CAST(sxy AS BIGINT) AS sxy,
       |  CAST(sxx AS BIGINT) AS sxx,
-      |  CAST(n_dir * sxy - sx * sx AS BIGINT) AS r_num,
-      |  CAST(n_dir * sxx - sx * sx AS BIGINT) AS r_den
+      |  CAST(CAST(n_dir AS HUGEINT) * sxy - sx * sx AS VARCHAR) AS r_num,
+      |  CAST(CAST(n_dir AS HUGEINT) * sxx - sx * sx AS VARCHAR) AS r_den
       |FROM a""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

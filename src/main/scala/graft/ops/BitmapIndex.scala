@@ -27,7 +27,15 @@ object BitmapIndex {
   private def bitmapWords(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_type"), col("user_id")).distinct()
-      .select(col("event_type"), expr("user_id div 64").as("w"),
+      // FLOORING word decomposition: `(id - pmod(id,64)) div 64` is a
+      // truncating div of an exact multiple of 64, i.e. floor division
+      // for any sign — matching DuckDB's flooring `//`. Bare `div`
+      // truncates toward zero, so a negative id (e.g. -1 → word 0 bit
+      // 63) would collide with positive ids and diverge from the
+      // oracle; fixture ids are non-negative today, but the substrate
+      // shouldn't carry that precondition silently.
+      .select(col("event_type"),
+        expr("(user_id - pmod(user_id, 64)) div 64").as("w"),
         expr("shiftleft(1L, CAST(pmod(user_id, 64) AS INT))").as("bit"))
       .groupBy("event_type", "w")
       .agg(expr("bit_or(bit)").as("bits"))

@@ -23,6 +23,21 @@ object Concentration {
   private val rankedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
+  /** Substrate key: application × SF dir × fixture generation (orders
+    * mtime — the Graph/Similarity discipline). Before computing a new
+    * generation, every entry of the same (application, dir) under an
+    * older stamp is evicted and its blocks unpersisted, so a long-lived
+    * session that sees fixture regenerations doesn't accumulate stale
+    * checkpoint partitions (round-7 ADVICE).
+    */
+  private def rankedKey(spark: SparkSession, dir: String): String = {
+    val stamp =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "orders.parquet")).toMillis.toString
+      catch { case _: Exception => "absent" }
+    s"${spark.sparkContext.applicationId}#$dir@$stamp"
+  }
+
   /** Per-customer spend (whole dollars, exact integers) with its global
     * ascending rank i under the total order (spend, custkey), plus the
     * (n, sx) scalars every consumer needs. Rank assignment is the
@@ -30,33 +45,52 @@ object Concentration {
     * rows per range partition, prefix-sum the P-row offset table (the
     * only unpartitioned window runs over P = 8 rows), local row_number
     * + broadcast offset = global rank. Persisted per (application, SF
-    * dir): the Gini and the gains table both consume it.
+    * dir, fixture generation): the Gini and the gains table both
+    * consume it.
     */
-  private def ranked(spark: SparkSession, dir: String): DataFrame =
-    rankedCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}#$dir", { _ =>
-        import org.apache.spark.sql.expressions.Window
-        val s = spark.read.parquet(s"$dir/orders.parquet")
-          .select(col("o_custkey").as("c"),
-            expr("CAST(round(o_totalprice) AS BIGINT)").as("d"))
-          .groupBy("c").agg(sum(col("d")).as("x"))
-          .repartitionByRange(RankParts, col("x"), col("c"))
-          .withColumn("pid", spark_partition_id().cast("long"))
-          .persist()
-        val offsets = s.groupBy("pid").agg(count(lit(1)).as("cnt"))
-          .withColumn("offset", coalesce(
-            sum(col("cnt")).over(Window.orderBy("pid")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("pid"), col("offset"))
-        val tot = s.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-        val local = Window.partitionBy("pid").orderBy("x", "c")
-        s.withColumn("local", row_number().over(local).cast("long"))
-          .join(broadcast(offsets), "pid") // P rows — bounded by design
-          .crossJoin(broadcast(tot))       // 1 row — scalar attach
-          .select(col("c"), col("x"),
-            (col("offset") + col("local")).as("i"), col("n"), col("sx"))
-          .persist()
-      })
+  /** Frame-parameterized ranked core over a (c, x) per-key spend frame
+    * — exposed so MomentBoundsSpec can drive the rank/Gini algebra over
+    * boundary-straddling synthetic fixtures the SF corpus can't reach.
+    */
+  private[ops] def rankedOf(keyed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = keyed
+      .repartitionByRange(RankParts, col("x"), col("c"))
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .persist()
+    val offsets = s.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val tot = s.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val local = Window.partitionBy("pid").orderBy("x", "c")
+    // localCheckpoint (eager) severs the lineage onto `s`, so the
+    // intermediate range-partitioned frame can release its blocks
+    // immediately instead of staying pinned for the session.
+    val out = s.withColumn("local", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), "pid") // P rows — bounded by design
+      .crossJoin(broadcast(tot))       // 1 row — scalar attach
+      .select(col("c"), col("x"),
+        (col("offset") + col("local")).as("i"), col("n"), col("sx"))
+      .localCheckpoint()
+    s.unpersist()
+    out
+  }
+
+  private def ranked(spark: SparkSession, dir: String): DataFrame = {
+    val key = rankedKey(spark, dir)
+    val prefix = s"${spark.sparkContext.applicationId}#$dir@"
+    rankedCache.forEach { (k, v) =>
+      if (k != key && k.startsWith(prefix) && rankedCache.remove(k, v))
+        v.unpersist()
+    }
+    rankedCache.computeIfAbsent(key, _ =>
+      rankedOf(spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("c"),
+          expr("CAST(round(o_totalprice) AS BIGINT)").as("d"))
+        .groupBy("c").agg(sum(col("d")).as("x"))))
+  }
 
   // -------------------------------------------------------------------
   // ax_revenue_gini: the GINI COEFFICIENT of per-customer spend — the
@@ -68,23 +102,44 @@ object Concentration {
   //
   // num is non-negative by the rearrangement inequality (ranks
   // ascending with values), so gini_permille = 1000·num div den is
-  // truncation-portable. Exact int64 through sf0.1 (Σi·x ≤ n·Σx ≈
-  // 3×10¹⁵, ×1000 ≈ 3×10¹⁸ < 2^63); past that the two wide terms
-  // switch to DECIMAL(38,0) (ax_decimal_sum discipline), same plan.
+  // truncation-portable. The wide terms (Σi·x, num, den) run in
+  // DECIMAL(38,0) UNCONDITIONALLY (ax_decimal_sum discipline): int64
+  // is exact only through ~sf0.1 (Σi·x ≤ n·Σx ≈ 3×10¹⁵, ×1000 ≈
+  // 3×10¹⁸ < 2^63) and a data-dependent branch would change the
+  // output schema mid-scale; decimal128 partials are mergeable, the
+  // plan shape is identical, and num/den emit as STRINGS because
+  // 38-digit values exceed every native integer. gini_permille stays
+  // BIGINT — `div` on decimals is integral division into a long, and
+  // the quotient is ≤ 1000 by construction. The DuckDB twin widens to
+  // HUGEINT at the same points. MomentBoundsSpec pins int64/decimal
+  // agreement on a fixture that straddles the 2^63 boundary.
   //
   // Scale shape: the ranked substrate (one range exchange over the
   // per-customer AGGREGATE, never raw orders) + ONE map-side-combined
   // pass to a single row.
   // -------------------------------------------------------------------
-  private def revenueGini(spark: SparkSession, dir: String): DataFrame =
-    ranked(spark, dir)
+  /** Frame-parameterized Gini core over a ranked substrate — exposed
+    * for MomentBoundsSpec's boundary fixtures.
+    */
+  private[ops] def giniOf(ranked: DataFrame): DataFrame =
+    ranked
       .agg(min(col("n")).as("n"), min(col("sx")).as("sum_spend"),
-        sum(col("i") * col("x")).as("six"))
+        sum(col("i").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+          .as("six"))
       .select(col("n"), col("sum_spend"),
-        (lit(2L) * col("six") - (col("n") + 1L) * col("sum_spend"))
-          .as("num"),
-        (col("n") * col("sum_spend")).as("den"))
-      .withColumn("gini_permille", expr("(1000L * num) div den"))
+        (lit(2L).cast("decimal(38,0)") * col("six")
+          - (col("n") + 1L).cast("decimal(38,0)")
+            * col("sum_spend").cast("decimal(38,0)")).as("numd"),
+        (col("n").cast("decimal(38,0)")
+          * col("sum_spend").cast("decimal(38,0)")).as("dend"))
+      .select(col("n"), col("sum_spend"),
+        col("numd").cast("string").as("num"),
+        col("dend").cast("string").as("den"),
+        expr("(CAST(1000 AS DECIMAL(38,0)) * numd) div dend")
+          .as("gini_permille"))
+
+  private def revenueGini(spark: SparkSession, dir: String): DataFrame =
+    giniOf(ranked(spark, dir))
 
   private val revenueGiniSql =
     """WITH s AS (SELECT o_custkey AS c,
@@ -92,14 +147,16 @@ object Concentration {
       |  FROM orders GROUP BY 1),
       |r AS (SELECT c, x, ROW_NUMBER() OVER (ORDER BY x, c) AS i,
       |        COUNT(*) OVER () AS n, SUM(x) OVER () AS sx
-      |      FROM s)
-      |SELECT CAST(MIN(n) AS BIGINT) AS n, CAST(MIN(sx) AS BIGINT)
-      |    AS sum_spend,
-      |  CAST(2 * SUM(i * x) - (MIN(n) + 1) * MIN(sx) AS BIGINT) AS num,
-      |  CAST(MIN(n) * MIN(sx) AS BIGINT) AS den,
-      |  CAST(1000 * (2 * SUM(i * x) - (MIN(n) + 1) * MIN(sx))
-      |       // (MIN(n) * MIN(sx)) AS BIGINT) AS gini_permille
-      |FROM r""".stripMargin
+      |      FROM s),
+      |a AS (SELECT MIN(n) AS n, MIN(sx) AS sx,
+      |        SUM(CAST(i AS HUGEINT) * x) AS six
+      |      FROM r)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sum_spend,
+      |  CAST(2 * six - (CAST(n AS HUGEINT) + 1) * sx AS VARCHAR) AS num,
+      |  CAST(CAST(n AS HUGEINT) * sx AS VARCHAR) AS den,
+      |  CAST((1000 * (2 * six - (CAST(n AS HUGEINT) + 1) * sx))
+      |       // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_permille
+      |FROM a""".stripMargin
 
   // -------------------------------------------------------------------
   // ax_decile_gains: the GAINS TABLE over the same ranked substrate —

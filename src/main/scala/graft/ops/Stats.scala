@@ -67,19 +67,23 @@ object Stats {
   // across engines; these integers are bit-exact and sufficient to
   // reconstruct r = cov/√(varx·vary) downstream (r is invariant to
   // per-variable scaling, so coarse units lose nothing). x = quantity,
-  // y = price in HUNDRED-dollar units: with y ≤ ~1.1e3 the largest
-  // product n·Σy² stays < 2^56 at sf0.1 and inside int64 through sf1.
-  // (Whole-dollar y overflowed int64 at sf0.1 — Spark wraps silently
-  // while DuckDB widens to HUGEINT, so the engines diverge exactly
-  // when it matters.) Beyond sf1 the two big products switch to
-  // DECIMAL(38,0) — the aggregation shape (one partial-agg pass) is
-  // unchanged.
+  // y = price in HUNDRED-dollar units: with y ≤ ~1.1e3 the inner sums
+  // (Σxy, Σx², Σy²) stay int64-exact past sf100000 (Σy² ≤ n·1.2e6
+  // crosses 2^63 only past ~7×10¹² rows — MomentBoundsSpec pins the
+  // bound). The moment COMBINATIONS n·Σy² − (Σy)² are products of two
+  // data-proportional sums — the 2^63 class ax_cuped exposed at sf0.1
+  // — so they run in DECIMAL(38,0) UNCONDITIONALLY and emit as STRINGS
+  // (ax_decimal_sum discipline; a data-dependent switch would change
+  // the schema mid-scale). The aggregation shape (one partial-agg
+  // pass over BIGINT sums, decimal math only on the G-row result) is
+  // unchanged; the DuckDB twin widens to HUGEINT at the same points.
   // -------------------------------------------------------------------
-  private def corrSums(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_returnflag"),
-        col("l_quantity").cast("long").as("x"),
-        expr("CAST(round(l_extendedprice) AS BIGINT) div 100").as("y"))
+  /** Frame-parameterized moment core over an (l_returnflag, x, y)
+    * frame — exposed for MomentBoundsSpec's boundary fixtures.
+    */
+  private[ops] def corrSumsOf(keyed: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    keyed
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -87,10 +91,20 @@ object Stats {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
-        (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
+        (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+          .cast("string").as("cov_num"),
+        (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+          .cast("string").as("varx_num"),
+        (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy")))
+          .cast("string").as("vary_num"))
       .orderBy("l_returnflag")
+  }
+
+  private def corrSums(spark: SparkSession, dir: String): DataFrame =
+    corrSumsOf(spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(round(l_extendedprice) AS BIGINT) div 100").as("y")))
 
   // -------------------------------------------------------------------
   // ax_decimal_sum: the BEYOND-int64 aggregation path. Integer cents
@@ -134,9 +148,9 @@ object Stats {
       |  FROM t GROUP BY 1)
       |SELECT l_returnflag, n, CAST(sx AS BIGINT) AS sx,
       |  CAST(sy AS BIGINT) AS sy,
-      |  CAST(n*sxy - sx*sy AS BIGINT) AS cov_num,
-      |  CAST(n*sxx - sx*sx AS BIGINT) AS varx_num,
-      |  CAST(n*syy - sy*sy AS BIGINT) AS vary_num
+      |  CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS VARCHAR) AS cov_num,
+      |  CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS VARCHAR) AS varx_num,
+      |  CAST(CAST(n AS HUGEINT)*syy - sy*sy AS VARCHAR) AS vary_num
       |FROM a ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
@@ -416,10 +430,16 @@ object Stats {
   // a BIGINT product overflowed 2^63 at sf0.1 — caught by the full-
   // census sf0.1 oracle sweep; θ is a float step anyway, and the
   // identical IEEE op order in both engines keeps the floored outputs
-  // bit-equal). θ and the adjusted means are the only float steps,
-  // floored to milli-dollars. Scale shape: one per-customer aggregate
-  // (the only data-proportional stage), then a 1-row global moment
-  // aggregate crossed onto a 2-row group aggregate.
+  // bit-equal). The per-customer PRODUCT sums Σxy and Σx² accumulate
+  // in DECIMAL(38,0) — a per-customer x·y reaches ~10¹² dollars², so
+  // their BIGINT sums would cross 2^63 near sf100 (MomentBoundsSpec
+  // pins the bound); they are consumed only through CAST(· AS DOUBLE),
+  // so the widening is free, and DuckDB's SUM(BIGINT) is already
+  // HUGEINT on the oracle side. θ and the adjusted means are the only
+  // float steps, floored to milli-dollars. Scale shape: one
+  // per-customer aggregate (the only data-proportional stage), then a
+  // 1-row global moment aggregate crossed onto a 2-row group
+  // aggregate.
   // -------------------------------------------------------------------
   private def cuped(spark: SparkSession, dir: String): DataFrame = {
     val perCust = spark.read.parquet(s"$dir/orders.parquet")
@@ -433,8 +453,8 @@ object Stats {
       .withColumn("grp", pmod(col("o_custkey"), lit(2)))
     val global = perCust.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"))
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
     val groups = perCust.groupBy("grp")
       .agg(count(lit(1)).as("ng"),
         sum(col("x")).as("sxg"), sum(col("y")).as("syg"))
@@ -615,35 +635,65 @@ object Stats {
   // (TakeOrderedAndProject — m ≤ bucket occupancy, never a full
   // partition sort). k = ⌈q·n⌉ (the percentile_disc convention,
   // stated as exact integer arithmetic). Under pathological skew (one
-  // bucket holding ~everything) the refinement recurses on the bucket
-  // with a narrower width; one level suffices for any real value
-  // distribution. The oracle ranks the whole column and indexes it —
-  // affordable at oracle scale, the thing this operator avoids.
+  // bucket holding ~everything — occupancy above `recurseAbove`, where
+  // a bucket-sized top-m heap would stop being "bounded") the
+  // refinement recurses ONE level: a per-value histogram WITHIN the
+  // bucket (width 1 — the floor; ≤ PctBucket rows of metadata by
+  // construction) resolves the remaining rank from counts alone, no
+  // pass-2 row scan at all. One level suffices because the sub-width
+  // is already a single value. SelectionFuzzSpec forces both paths on
+  // degenerate distributions. The oracle ranks the whole column and
+  // indexes it — affordable at oracle scale, the thing this operator
+  // avoids.
   // -------------------------------------------------------------------
   private val PctBucket = 4096L
   private val PctTargetsPm = Seq(500L, 900L, 990L)
+  private val PctRecurseAbove = 100000L
 
-  private def exactPercentile(spark: SparkSession, dir: String): DataFrame = {
-    val c = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+  /** Frame-parameterized two-pass selection core over a one-column (v)
+    * frame — exposed so SelectionFuzzSpec can drive both the heap path
+    * and the skew-recursion path against in-memory order statistics.
+    */
+  private[ops] def exactPercentileOf(c: DataFrame, targetsPm: Seq[Long],
+      recurseAbove: Long): DataFrame = {
     val hist = c.groupBy(expr(s"v div $PctBucket").as("b"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val n = hist.map(_._2).sum
-    val parts = PctTargetsPm.map { q =>
+    val parts = targetsPm.map { q =>
       val k = (q * n + 999) / 1000
       var cum = 0L
       var bi = 0
       while (cum + hist(bi)._2 < k) { cum += hist(bi)._2; bi += 1 }
-      val (b, _) = hist(bi)
-      val m = (k - cum).toInt
-      c.filter(expr(s"v div $PctBucket") === b)
-        .orderBy(col("v").asc).limit(m)
-        .agg(max(col("v")).as("value"))
-        .select(lit(q).as("q_pm"), lit(k).as("k"), col("value"))
+      val (b, occ) = hist(bi)
+      val m = k - cum
+      if (occ > recurseAbove) {
+        // skew recursion: per-value histogram within the hot bucket
+        // (≤ PctBucket rows — KBs of metadata), rank resolved by a
+        // cumulative walk; the answer attaches as literals
+        val sub = c.filter(expr(s"v div $PctBucket") === b)
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        var cum2 = 0L
+        var vi = 0
+        while (cum2 + sub(vi)._2 < m) { cum2 += sub(vi)._2; vi += 1 }
+        c.sparkSession.range(1).select(lit(q).as("q_pm"), lit(k).as("k"),
+          lit(sub(vi)._1).as("value"))
+      } else {
+        c.filter(expr(s"v div $PctBucket") === b)
+          .orderBy(col("v").asc).limit(m.toInt)
+          .agg(max(col("v")).as("value"))
+          .select(lit(q).as("q_pm"), lit(k).as("k"), col("value"))
+      }
     }
     parts.reduce(_ unionAll _).orderBy("q_pm")
   }
+
+  private def exactPercentile(spark: SparkSession, dir: String): DataFrame =
+    exactPercentileOf(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v")),
+      PctTargetsPm, PctRecurseAbove)
 
   private val exactPercentileSql = {
     val ks = PctTargetsPm
@@ -749,10 +799,11 @@ object Stats {
   private val GrpPctBucket = 1024L
   private val GrpPctTargetsPm = Seq(500L, 950L)
 
-  private def groupPercentile(spark: SparkSession, dir: String): DataFrame = {
-    val c = graft.Tables.events(spark, dir)
-      .select(col("event_type"),
-        round(col("value") * 100).cast("long").as("v"))
+  /** Frame-parameterized grouped-selection core over an
+    * (event_type, v) frame — exposed for SelectionFuzzSpec's
+    * degenerate-skew coverage.
+    */
+  private[ops] def groupPercentileOf(c: DataFrame): DataFrame = {
     val hist = c.groupBy(col("event_type"),
         expr(s"v div $GrpPctBucket").as("b"))
       .agg(count(lit(1)).as("cnt"))
@@ -780,6 +831,11 @@ object Stats {
     }
     parts.reduce(_ unionAll _).orderBy("event_type", "q_pm")
   }
+
+  private def groupPercentile(spark: SparkSession, dir: String): DataFrame =
+    groupPercentileOf(graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v")))
 
   private val groupPercentileSql = {
     val ks = GrpPctTargetsPm
@@ -871,36 +927,50 @@ object Stats {
   // aggregate over the fact/dim join — the only shape that survives
   // 100 TB (per-group closed-form normal equations, the ax_corr_sums
   // discipline; the part side broadcasts). x = discount in exact
-  // permille (0..100 here), y = quantity in whole units; num/den ship
-  // as exact BIGINTs (int64-safe through ~sf1 at n²·Σ-scale,
-  // DECIMAL(38,0) beyond), and the quotient takes the cuped path —
-  // floor(10⁶·num/den) through IDENTICAL double ops in both engines
-  // (num, den < 2⁵³ here, so the doubles are exact).
+  // permille (0..100 here), y = quantity in whole units. num/den are
+  // products of two data-proportional sums — the 2^63 class — so they
+  // run in DECIMAL(38,0) UNCONDITIONALLY and ship as STRINGS
+  // (ax_decimal_sum discipline; int64 would die past ~sf100 at
+  // n·Σx²-scale); the quotient takes the cuped path — floor(10⁶·
+  // num/den) through IDENTICAL double ops in both engines (decimal→
+  // double and HUGEINT→double both round-to-nearest on equal values).
   // -------------------------------------------------------------------
-  private def discountElasticity(spark: SparkSession, dir: String): DataFrame = {
-    val part = spark.read.parquet(s"$dir/part.parquet")
-      .select(col("p_partkey"), col("p_brand"))
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_partkey"),
-        expr("CAST(round(l_discount * 1000) AS BIGINT)").as("x"),
-        col("l_quantity").cast("long").as("y"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+  /** Frame-parameterized grouped-OLS core over a (p_brand, x, y) frame
+    * — exposed for MomentBoundsSpec's boundary fixtures.
+    */
+  private[ops] def discountElasticityOf(keyed: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    keyed
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
-      .withColumn("slope_num", col("n") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("slope_den", col("n") * col("sxx") - col("sx") * col("sx"))
-      .filter(col("slope_den") > 0)
-      .select(col("p_brand"), col("n"), col("slope_num"), col("slope_den"),
-        expr("""CAST(floor(1000000.0 * CAST(slope_num AS DOUBLE)
-                / CAST(slope_den AS DOUBLE)) AS BIGINT)""")
+      .withColumn("numd",
+        dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+      .withColumn("dend",
+        dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+      .filter(col("dend") > 0)
+      .select(col("p_brand"), col("n"),
+        col("numd").cast("string").as("slope_num"),
+        col("dend").cast("string").as("slope_den"),
+        expr("""CAST(floor(1000000.0 * CAST(numd AS DOUBLE)
+                / CAST(dend AS DOUBLE)) AS BIGINT)""")
           .as("slope_micro"),
-        when(col("slope_num") > 0, "up")
-          .when(col("slope_num") < 0, "down").otherwise("flat")
+        when(col("numd") > 0, "up")
+          .when(col("numd") < 0, "down").otherwise("flat")
           .as("direction"))
       .orderBy("p_brand")
+  }
+
+  private def discountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"))
+    discountElasticityOf(spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_discount * 1000) AS BIGINT)").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey")))
   }
 
   private val discountElasticitySql =
@@ -912,15 +982,16 @@ object Stats {
       |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
       |  FROM f GROUP BY 1),
       |e AS (SELECT p_brand, n,
-      |    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-      |    CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+      |    CAST(n AS HUGEINT) * sxy - sx * sy AS numd,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS dend
       |  FROM s)
-      |SELECT p_brand, n, slope_num, slope_den,
-      |  CAST(floor(1000000.0 * CAST(slope_num AS DOUBLE)
-      |    / CAST(slope_den AS DOUBLE)) AS BIGINT) AS slope_micro,
-      |  CASE WHEN slope_num > 0 THEN 'up'
-      |       WHEN slope_num < 0 THEN 'down' ELSE 'flat' END AS direction
-      |FROM e WHERE slope_den > 0 ORDER BY 1""".stripMargin
+      |SELECT p_brand, n, CAST(numd AS VARCHAR) AS slope_num,
+      |  CAST(dend AS VARCHAR) AS slope_den,
+      |  CAST(floor(1000000.0 * CAST(numd AS DOUBLE)
+      |    / CAST(dend AS DOUBLE)) AS BIGINT) AS slope_micro,
+      |  CASE WHEN numd > 0 THEN 'up'
+      |       WHEN numd < 0 THEN 'down' ELSE 'flat' END AS direction
+      |FROM e WHERE dend > 0 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
   // ax_diff_in_diff: DIFFERENCE-IN-DIFFERENCES — the 2×2 causal

@@ -69,7 +69,8 @@ class AssociationFuzzSpec extends AnyFunSuite {
           .collect().head
         assert((row.getLong(0), row.getLong(1), row.getLong(2),
           row.getLong(3)) === ((nDir, sx, sxy, sxx)), s"seed=$seed")
-        val (rNum, rDen) = (row.getLong(4), row.getLong(5))
+        // r_num/r_den are DECIMAL(38,0)-rendered strings
+        val (rNum, rDen) = (row.getString(4).toLong, row.getString(5).toLong)
         assert(rNum === nDir * sxy - sx * sx, s"seed=$seed")
         assert(rDen === nDir * sxx - sx * sx, s"seed=$seed")
         assert(rDen >= 0 && math.abs(rNum) <= rDen, s"seed=$seed bounds")

@@ -91,7 +91,8 @@ class AssociationSpec extends AnyFunSuite {
     val row = q("ax_assortativity").collect().head
     assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
       === ((nDir, sx, sxy, sxx)))
-    val (rNum, rDen) = (row.getLong(4), row.getLong(5))
+    // r_num/r_den are DECIMAL(38,0)-rendered strings
+    val (rNum, rDen) = (row.getString(4).toLong, row.getString(5).toLong)
     assert(rNum === nDir * sxy - sx * sx)
     assert(rDen === nDir * sxx - sx * sx)
     assert(rDen >= 0L)            // variance numerator

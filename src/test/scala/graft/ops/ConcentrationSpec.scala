@@ -29,8 +29,11 @@ class ConcentrationSpec extends AnyFunSuite {
     val num = 2 * six - (n + 1) * sx
     val den = n * sx
     val row = q("ax_revenue_gini").collect().head
-    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
-      row.getLong(4)) === ((n, sx, num, den, 1000L * num / den)))
+    // num/den emit as DECIMAL(38,0)-rendered strings (the wide terms
+    // exceed int64 past ~sf0.1 — MomentBoundsSpec covers that side)
+    assert((row.getLong(0), row.getLong(1), row.getString(2),
+      row.getString(3), row.getLong(4)) ===
+      ((n, sx, num.toString, den.toString, 1000L * num / den)))
     // Gini lives in [0, 1); the rank formula's num is non-negative
     assert(num >= 0 && num < den)
   }

@@ -30,12 +30,14 @@ class RobustCausalSpec extends AnyFunSuite {
       val num = n * sxy - sx * sy
       val den = n * sxx - sx * sx
       if (den <= 0) None
-      else Some((b, n, num, den,
+      else Some((b, n, num.toString, den.toString,
         math.floor(1000000.0 * num.toDouble / den.toDouble).toLong,
         if (num > 0) "up" else if (num < 0) "down" else "flat"))
     }.sortBy(_._1)
+    // slope_num/slope_den emit as DECIMAL(38,0)-rendered strings (the
+    // 2^63 moment class — MomentBoundsSpec covers the wide side)
     val got = q("ax_discount_elasticity").collect().map(r =>
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
         r.getLong(4), r.getString(5))).toSeq
     assert(got === expected)
   }

@@ -39,6 +39,63 @@ class SelectionFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("two-pass selection matches in-memory ranks on both paths, " +
+      "including degenerate skew") {
+    val targets = Seq(500L, 900L, 990L)
+    for (seed <- 41 to 52) {
+      val rng = new scala.util.Random(seed)
+      // degenerate distribution: ≥99% of the mass collapses onto one
+      // hot value (single coarse bucket), the rest scatters — the
+      // pathological-skew shape the recursion guard exists for
+      val hot = rng.nextLong(1000000L)
+      val nHot = 300 + rng.nextInt(300)
+      val nTail = 1 + rng.nextInt(3)
+      val vals = Seq.fill(nHot)(hot) ++
+        Seq.fill(nTail)(rng.nextLong(1000000L))
+      val sorted = vals.sorted
+      val n = sorted.length.toLong
+      val expected = targets.map { q =>
+        val k = (q * n + 999) / 1000
+        (q, k, sorted((k - 1).toInt))
+      }
+      // recurseAbove=10 forces the per-value-histogram recursion on
+      // the hot bucket; Long.MaxValue forces the heap path — both must
+      // agree with the in-memory rank
+      for (recurseAbove <- Seq(10L, Long.MaxValue)) {
+        val got = Stats.exactPercentileOf(
+          vals.toDF("v"), targets, recurseAbove).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got === expected, s"seed=$seed recurseAbove=$recurseAbove")
+      }
+    }
+  }
+
+  test("grouped two-pass selection survives degenerate per-group skew") {
+    for (seed <- 61 to 66) {
+      val rng = new scala.util.Random(seed)
+      val rows = (0 until (1 + rng.nextInt(3))).flatMap { g =>
+        val hot = rng.nextLong(100000L)
+        val nHot = 100 + rng.nextInt(200)
+        val nTail = rng.nextInt(4)
+        (Seq.fill(nHot)(hot) ++ Seq.fill(nTail)(rng.nextLong(100000L)))
+          .map(v => (s"t$g", v))
+      }
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+        val sorted = rs.map(_._2).sorted
+        val n = sorted.length.toLong
+        Seq(500L, 950L).map { q =>
+          val k = (q * n + 999) / 1000
+          (t, q, k, sorted((k - 1).toInt))
+        }
+      }.sortBy(r => (r._1, r._2))
+      val got = Stats.groupPercentileOf(rows.toDF("event_type", "v"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("distributed prefix-sum ABC matches the in-memory cumulative walk") {
     for (seed <- 21 to 30) {
       val rng = new scala.util.Random(seed)
