@@ -593,13 +593,28 @@ object EventsOps {
   private def manifestBloom(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.Sketches
     val path = bucketedEventsLayout(spark, dir)
+    // Pass 0 sizes the blooms from the MEASURED per-file cardinality
+    // (one O(files)-row aggregate — the manifest-build path runs once
+    // per layout commit, so a second metadata-scale scan is free).
+    // estimatedNumItems sizes the hash-function count k ≈ m/n·ln2 and
+    // must reflect PER-FILE cardinality: a corpus-level estimate gave
+    // k=1 and two measured false positives at sf0.01, and a hardcoded
+    // 4096 would silently under-size if a fixture regeneration raised
+    // per-file event_id counts (k stays high while m/n collapses —
+    // near-certain FPs). Bits scale with the estimate (m/n ≥ 32 ⇒
+    // FP ≈ 2⁻²² per probe), so the zero-FP pin below holds by sizing,
+    // not by luck.
+    val estItems = math.max(1L,
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(max(col("cnt"))).collect().head.getLong(0))
+    val numBits = math.max(1L << 17, java.lang.Long.highestOneBit(
+      estItems * 32 - 1) << 1)
     val m = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
-        // estimatedNumItems sizes the hash-function count k ≈ m/n·ln2:
-        // it must reflect PER-FILE cardinality (a corpus-level estimate
-        // gave k=1 and two measured false positives at sf0.01)
-        Sketches.bloomFilterAgg(col("event_id"), 4096L, 1L << 17).as("bf"))
+        Sketches.bloomFilterAgg(col("event_id"), estItems, numBits).as("bf"))
       .collect() // O(files) KB-scale manifest rows
     val zonemap = m.count(r =>
       BloomProbes.exists(p => r.getLong(1) <= p && p <= r.getLong(2)))
