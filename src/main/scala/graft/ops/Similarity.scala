@@ -205,22 +205,30 @@ object Similarity {
         dotLong(col("q8"), col("pq8")).as("d8"),
         dotLong(col("q16"), col("pq16")).as("d16"),
         dotLong(col("q32"), col("pq32")).as("d32"))
-    def top10(scoreCol: String): DataFrame = scored
-      .groupBy("probe_id")
-      .agg(topk(col(scoreCol), col("vec_id")).as("nn"))
-      .select(col("probe_id"), explode(col("nn")).as("w"))
-      .select(col("probe_id"), col("w.id").as("vec_id"))
-    val full = top10("d64")
-    def recallAt(scoreCol: String, dims: Int): DataFrame =
-      full.join(top10(scoreCol), Seq("probe_id", "vec_id"))
-        .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
-        .join(probes.select("probe_id"), Seq("probe_id"), "right")
-        .na.fill(0L, Seq("n_overlap"))
-        .select(col("probe_id"), lit(dims.toLong).as("prefix_dims"),
-          col("n_overlap"),
-          expr("(n_overlap * 1000L) div 10").as("recall_pm"))
-    recallAt("d8", 8).unionAll(recallAt("d16", 16))
-      .unionAll(recallAt("d32", 32))
+    // ALL FOUR top-10 lists come out of ONE aggregate over ONE pass of
+    // the scored pairs (four bounded TopK buffers side by side), so
+    // the corpus is scanned exactly once. The former phrasing reused
+    // per-score DataFrames across union branches, and every branch
+    // re-planned the scan + broadcast join — six corpus passes for a
+    // 30-row answer. Overlap then reduces on the |probes|-row result:
+    // recall@10 = |ids(full) ∩ ids(prefix)| via array_intersect —
+    // plan-guarded single-scan in PlanShapeSpec.
+    val agg = scored.groupBy("probe_id")
+      .agg(topk(col("d64"), col("vec_id")).as("nn64"),
+        topk(col("d8"), col("vec_id")).as("nn8"),
+        topk(col("d16"), col("vec_id")).as("nn16"),
+        topk(col("d32"), col("vec_id")).as("nn32"))
+    def overlap(c: String) = expr(
+      s"CAST(size(array_intersect(transform(nn64, w -> w.id), " +
+        s"transform($c, w -> w.id))) AS BIGINT)")
+    agg.select(col("probe_id"), explode(array(
+        struct(lit(8L).as("prefix_dims"), overlap("nn8").as("n_overlap")),
+        struct(lit(16L).as("prefix_dims"), overlap("nn16").as("n_overlap")),
+        struct(lit(32L).as("prefix_dims"), overlap("nn32").as("n_overlap"))))
+        .as("o"))
+      .select(col("probe_id"), col("o.prefix_dims").as("prefix_dims"),
+        col("o.n_overlap").as("n_overlap"),
+        expr("(o.n_overlap * 1000L) div 10").as("recall_pm"))
       .orderBy("probe_id", "prefix_dims")
   }
 

@@ -1077,6 +1077,13 @@ object Stats {
   // -------------------------------------------------------------------
   private def winsorMean(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Thresholds attach as WINDOW aggregates over the same histogram
+    // partition instead of a self-join of the histogram frame: the
+    // join phrasing planned TWO full fact scans (exchange reuse does
+    // not fire across the analyzer's self-join dedup), which doubles
+    // the only corpus-proportional cost. One scan, one histogram
+    // aggregate, then every window runs over the KB-scale bounded-
+    // support histogram — PlanShapeSpec pins the single-scan shape.
     val h = spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
@@ -1084,16 +1091,13 @@ object Stats {
     val wCum = Window.partitionBy("event_type").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy("event_type")
-    val th = h
-      .withColumn("cum", sum(col("f")).over(wCum))
+    h.withColumn("cum", sum(col("f")).over(wCum))
       .withColumn("n", sum(col("f")).over(wTot))
-      .groupBy("event_type")
-      .agg(min(col("n")).as("n"),
-        min(when(expr("cum >= (n + 19) div 20"), col("cents")))
-          .as("p05_cents"),
+      .withColumn("p05_cents",
+        min(when(expr("cum >= (n + 19) div 20"), col("cents"))).over(wTot))
+      .withColumn("p95_cents",
         min(when(expr("cum >= (19 * n + 19) div 20"), col("cents")))
-          .as("p95_cents"))
-    h.join(th, Seq("event_type"))
+          .over(wTot))
       .groupBy("event_type")
       .agg(min(col("n")).as("n"),
         min(col("p05_cents")).as("p05_cents"),

@@ -662,6 +662,76 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("sq_range_frame_sql").contains("Window"))
   }
 
+  test("winsorized mean is one fact scan; windows run over the histogram") {
+    // the claimed shape: ONE corpus-proportional stage (the histogram
+    // aggregate), thresholds as window aggregates over the KB-scale
+    // bounded-support histogram — no self-join of the histogram frame
+    // (the round-7 phrasing planned TWO full fact scans)
+    val p = plan("ax_winsor_mean")
+    assert("events\\.parquet".r.findAllIn(p).length == 1,
+      s"exactly one events scan expected:\n$p")
+    assert(p.contains("Window"), "thresholds must be window aggregates")
+    assert(!p.contains("Join"), s"no histogram self-join expected:\n$p")
+  }
+
+  test("weekend lift is aggregates only: no window, no join") {
+    val p = plan("ax_weekend_lift")
+    assert("events\\.parquet".r.findAllIn(p).length == 1,
+      s"exactly one events scan expected:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"two map-side-combined aggregates only:\n$p")
+  }
+
+  test("order gaps lag over the high-cardinality customer key") {
+    // the inverse of the ntile trap: the lag window must partition on
+    // o_custkey (millions of short partitions), never on the segment
+    val p = plan("ax_order_gap_stats")
+    assert("windowspecdefinition\\(o_custkey".r.findAllIn(p).nonEmpty,
+      s"gap lag must partition by o_custkey:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the segment dim must broadcast onto the gaps")
+  }
+
+  test("event motifs window by user and emit via TakeOrderedAndProject") {
+    val p = plan("ax_event_motifs")
+    assert("windowspecdefinition\\(user_id".r.findAllIn(p).nonEmpty,
+      s"trigram leads must partition by user_id:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 motifs must be a bounded top-k, not a global sort")
+  }
+
+  test("bitmap intersect reuses the persisted words substrate") {
+    // four consumers (both join sides + both total attaches) must read
+    // the persisted bitmap-words aggregate, not re-scan the fact; the
+    // frame executes first so the assertion binds to the final plan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.SparkEntry.queries("ax_bitmap_intersect")(spark, dir)
+    df.count()
+    val p = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }).toString
+    // all four consumers read InMemoryTableScan (the cached relation's
+    // printed subtree still shows its one-time build scan — that's the
+    // substrate build, not a re-scan)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+      s"the words substrate must serve the pair join from memory:\n$p")
+  }
+
+  test("mrl recall is one corpus pass: four TopK buffers in one aggregate") {
+    // one corpus scan + one pushed-filtered probe-panel scan; the four
+    // top-10 lists come from one ObjectHashAggregate pair — the former
+    // union-of-reused-frames phrasing re-planned the scan six times
+    val p = plan("sim_mrl_recall")
+    assert("embeddings\\.parquet".r.findAllIn(p).length <= 2,
+      s"corpus must be scanned once (plus the 10-row panel):\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length == 2,
+      s"one partial+final TopK aggregate pair expected:\n$p")
+    assert(!p.contains("Window"), s"no corpus window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the probe panel must broadcast")
+  }
+
   test("rtbf purge prunes every level-1 table by broadcast semi join") {
     // the request set is a tiny key list — each table prune must be a
     // broadcast LeftSemi with zero fact shuffle
