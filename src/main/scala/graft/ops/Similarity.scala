@@ -1539,6 +1539,168 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // sim_ivf_delta: INCREMENTAL IVF MAINTENANCE measured — the ingest
+  // story the vector side was missing (dd_incremental_dup's economics
+  // applied to ANN): when a delta batch of vectors arrives, a
+  // production index does NOT retrain; it assigns each new vector to
+  // its nearest EXISTING cell (min squared-L2 against the frozen K
+  // centroids — the k-means cell rule; work ∝ |delta|·K through one
+  // broadcast, never corpus) and serves. The question that decides
+  // when to schedule a retrain is "what does serving the
+  // delta-maintained index cost vs a full retrain?" — answered as a
+  // measured row per variant (the sim_ivf_sweep / dd_lsh_recall
+  // discipline): recall@20 of an nprobe=2 search against the
+  // full-corpus brute-force truth for (a) the frozen index with the
+  // delta assigned in and (b) the retrained index (centroids
+  // recomputed over base+delta and EVERY vector reassigned — the
+  // full-corpus pass the maintenance path avoids; computed here only
+  // as the comparison twin). The "training" is the deterministic
+  // 3-plane hyperplane partition (8 geometric cells — the portable
+  // stand-in for Lloyd's, so both engines derive identical cells);
+  // centroids are per-cell integer means. n_moved counts delta
+  // vectors whose frozen-centroid cell differs from their
+  // retrained-centroid cell — the placement drift retraining would
+  // repair. All scoring stays in the exact integer algebra, so every
+  // figure is deterministic in both engines.
+  //
+  // Scale shape: the delta assignment is one scan of the DELTA only ×
+  // broadcast K centroids with a per-vec_id argmin window (millions
+  // of K-row partitions — the inverse of the ntile trap); the serving
+  // search scans only the 2 probed cells; steady-state work is
+  // ∝ delta, exactly the dd_incremental_dup asymmetry. The retrain
+  // twin's full-corpus reassignment is the measured cost being
+  // avoided, not part of the ingest path.
+  // -------------------------------------------------------------------
+  private def ivfDelta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.l2sqLong
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+      .withColumn("bkt", Hyperplanes.bucketCol(col("q"), 3))
+    val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val delta = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+    def centroids(src: DataFrame) = src.groupBy(col("bkt").as("cell"))
+      .agg(array((0 until 64).map(d =>
+        floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
+    val centBase = centroids(base)
+    val centFull = centroids(e)
+    // argmin-L2 cell assignment of a vector set against a frozen
+    // centroid table (broadcast K rows; window keyed on the
+    // high-cardinality vec_id)
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame = vecs
+      .select(col("vec_id"), col("q"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", l2sqLong(col("q"), col("centroid")))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cdist").asc, col("cell").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("cell"))
+    val asgDeltaFrozen = assign(delta, centBase)
+    val asgDeltaRetrain = assign(delta, centFull)
+    val moved = asgDeltaFrozen.select(col("vec_id"), col("cell").as("c1"))
+      .join(asgDeltaRetrain.select(col("vec_id"), col("cell").as("c2")),
+        "vec_id")
+      .agg(count(lit(1)).as("n_delta"),
+        sum(when(col("c1") =!= col("c2"), 1L).otherwise(0L)).as("n_moved"))
+    val idxDelta = assign(base, centBase).unionAll(asgDeltaFrozen)
+    val idxRetrain = assign(e, centFull)
+    val query = e.filter(col("vec_id") === 0).select(col("q").as("query_q"))
+    val brute = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .withColumn("dist", l2sqLong(col("q"), col("query_q")))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(20).select(col("vec_id"))
+    def serve(variant: String, cents: DataFrame, idx: DataFrame,
+        movedCol: org.apache.spark.sql.Column): DataFrame = {
+      val probes = cents.crossJoin(broadcast(query))
+        .withColumn("cdist", l2sqLong(col("centroid"), col("query_q")))
+        .orderBy(col("cdist").asc, col("cell").asc)
+        .limit(2).select(col("cell").as("probe_cell"), col("query_q"))
+      val cand = idx.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("cell") === col("probe_cell"))
+      val scanned = cand.agg(count(lit(1)).as("n_scanned"))
+      val hits = cand
+        .withColumn("dist", l2sqLong(col("q"), col("query_q")))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(20).select(col("vec_id"))
+        .join(brute, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      scanned.crossJoin(broadcast(hits)).crossJoin(broadcast(moved))
+        .select(lit(variant).as("variant"), col("n_delta"),
+          movedCol.as("n_moved"), col("n_scanned"), col("hits"),
+          expr("(1000 * hits) div 20").as("recall_pm"))
+    }
+    serve("delta_assign", centBase, idxDelta, col("n_moved"))
+      .unionAll(serve("retrain", centFull, idxRetrain, lit(0L)))
+      .orderBy("variant")
+  }
+
+  private val ivfDeltaSql: String = {
+    val centroid = (0 until 64)
+      .map(d => s"CAST(floor(avg(q[${d + 1}])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    def l2(a: String, b: String) =
+      s"(${PortableHash.dotSqlDuck(a, a)} - 2 * ${PortableHash.dotSqlDuck(a, b)}" +
+        s" + ${PortableHash.dotSqlDuck(b, b)})"
+    def asg(src: String, cents: String) =
+      s"""SELECT vec_id, q, cell FROM (
+         |    SELECT s.vec_id, s.q, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${l2("s.q", "c.centroid")} ASC, c.cell ASC) AS rn
+         |    FROM $src s, $cents c) t WHERE rn = 1""".stripMargin
+    def serve(variant: String, cents: String, idx: String,
+        movedExpr: String) =
+      s"""SELECT '$variant' AS variant,
+         |  (SELECT n_delta FROM mv) AS n_delta,
+         |  $movedExpr AS n_moved,
+         |  (SELECT COUNT(*) FROM $idx i
+         |   WHERE i.vec_id <> 0 AND i.cell IN
+         |     (SELECT cell FROM $cents c, qq
+         |      ORDER BY ${l2("c.centroid", "qq.q")} ASC, cell ASC
+         |      LIMIT 2)) AS n_scanned,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT i.vec_id FROM $idx i, qq
+         |     WHERE i.vec_id <> 0 AND i.cell IN
+         |       (SELECT cell FROM $cents c, qq
+         |        ORDER BY ${l2("c.centroid", "qq.q")} ASC, cell ASC
+         |        LIMIT 2)
+         |     ORDER BY ${l2("i.q", "qq.q")} ASC,
+         |       i.vec_id ASC LIMIT 20) s
+         |   WHERE s.vec_id IN (SELECT vec_id FROM brute)) AS hits""".stripMargin
+    s"""WITH q0 AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |qt AS (SELECT vec_id, q,
+       |    ${Hyperplanes.bucketSqlDuck("q", 3)} AS bkt FROM q0),
+       |b AS (SELECT * FROM qt WHERE vec_id % 10 <> 7),
+       |d AS (SELECT * FROM qt WHERE vec_id % 10 = 7),
+       |cb AS (SELECT bkt AS cell, $centroid AS centroid FROM b GROUP BY bkt),
+       |cf AS (SELECT bkt AS cell, $centroid AS centroid FROM qt GROUP BY bkt),
+       |qq AS (SELECT q FROM qt WHERE vec_id = 0),
+       |af AS (${asg("d", "cb")}),
+       |ar AS (${asg("d", "cf")}),
+       |ab AS (${asg("b", "cb")}),
+       |aa AS (${asg("qt", "cf")}),
+       |idx_delta AS (SELECT * FROM ab UNION ALL SELECT * FROM af),
+       |idx_full AS (SELECT * FROM aa),
+       |mv AS (SELECT COUNT(*) AS n_delta,
+       |    SUM(CASE WHEN af.cell <> ar.cell THEN 1 ELSE 0 END) AS n_moved
+       |  FROM af JOIN ar USING (vec_id)),
+       |brute AS (SELECT t.vec_id FROM qt t, qq WHERE t.vec_id <> 0
+       |  ORDER BY ${l2("t.q", "qq.q")} ASC,
+       |    t.vec_id ASC LIMIT 20)
+       |SELECT variant, CAST(n_delta AS BIGINT) AS n_delta,
+       |  CAST(n_moved AS BIGINT) AS n_moved,
+       |  CAST(n_scanned AS BIGINT) AS n_scanned,
+       |  CAST(hits AS BIGINT) AS hits,
+       |  CAST((1000 * hits) // 20 AS BIGINT) AS recall_pm
+       |FROM (
+       |${serve("delta_assign", "cb", "idx_delta",
+        "(SELECT n_moved FROM mv)")}
+       |UNION ALL
+       |${serve("retrain", "cf", "idx_full", "0")}
+       |) u ORDER BY variant""".stripMargin
+  }
+
+
+  // -------------------------------------------------------------------
   // sim_batch_ivf: BATCHED ANN SERVING through the IVF index — a panel
   // of queries (the id-residue sample) answered in one pass, the shape
   // of production retrieval (nightly re-embedding joins, RAG corpus
@@ -1971,6 +2133,7 @@ object Similarity {
     "sim_bucket_drift"   -> (bucketDrift _),
     "sim_batch_ivf"      -> (batchIvf _),
     "sim_ivf_sweep"      -> (ivfSweep _),
+    "sim_ivf_delta"      -> (ivfDelta _),
     "sim_hard_negatives" -> (hardNegatives _),
     "sim_mips_norm"      -> (mipsNorm _),
     "sim_pq_topk"        -> (pqTopk _),
@@ -1997,6 +2160,7 @@ object Similarity {
     "sim_inertia"        -> inertiaSql,
     "sim_batch_ivf"      -> batchIvfSql,
     "sim_ivf_sweep"      -> ivfSweepSql,
+    "sim_ivf_delta"      -> ivfDeltaSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_mips_norm"      -> mipsNormSql,
     "sim_pq_topk"        -> pqTopkSql,

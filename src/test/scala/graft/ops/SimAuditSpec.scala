@@ -65,6 +65,51 @@ class SimAuditSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0L))
   }
 
+  test("sim_ivf_delta: delta accounting and an in-memory drift replay") {
+    val rows = Extensions.queries("sim_ivf_delta")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows.map(_._1) === Seq("delta_assign", "retrain"))
+    val Seq(da, rt) = rows
+    // the delta split is exactly the vec_id % 10 == 7 residue class
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(v =>
+        math.round(v.toDouble * 10000)).toArray))
+    val nDelta = all.count(_._1 % 10 == 7).toLong
+    assert(da._2 === nDelta && rt._2 === nDelta)
+    assert(rt._3 === 0L, "retrain has no residual placement drift")
+    assert(da._3 >= 0L && da._3 <= nDelta)
+    // recall bookkeeping: hits of a 20-list against a 20-truth
+    for (r <- rows) {
+      assert(r._5 >= 0L && r._5 <= 20L)
+      assert(r._6 === r._5 * 1000L / 20L)
+      assert(r._4 >= r._5, "scanned candidates bound the hits")
+    }
+    // in-memory replay of n_moved: frozen vs retrained argmin-L2 cells
+    def bucket(q: Array[Long]): Long =
+      (0 until 3).map { p =>
+        val dot = q.indices.map(i => q(i) * Hyperplanes.signs(p)(i)).sum
+        if (dot >= 0) 1L << p else 0L
+      }.sum
+    def centroids(vs: Seq[(Long, Array[Long])]): Map[Long, Array[Long]] =
+      vs.groupBy(v => bucket(v._2)).map { case (c, g) =>
+        c -> Array.tabulate(64)(i =>
+          math.floor(g.map(_._2(i).toDouble).sum / g.size).toLong)
+      }
+    def argmin(q: Array[Long], cents: Map[Long, Array[Long]]): Long =
+      cents.toSeq.map { case (c, ct) =>
+        val d = q.indices.map(i => (q(i) - ct(i)) * (q(i) - ct(i))).sum
+        (d, c)
+      }.minBy(identity)._2
+    val base = all.filter(_._1 % 10 != 7).toSeq
+    val delta = all.filter(_._1 % 10 == 7).toSeq
+    val cb = centroids(base)
+    val cf = centroids(all.toSeq)
+    val moved = delta.count(v => argmin(v._2, cb) != argmin(v._2, cf))
+    assert(da._3 === moved.toLong)
+  }
+
   test("sim_bucket_drift cohort shares conserve; TV within ppm bounds") {
     val rows = Extensions.queries("sim_bucket_drift")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
