@@ -24,8 +24,11 @@ object BitmapIndex {
     * membership list, and every downstream set operation joins on the
     * tiny word index instead of user_id.
     */
-  private def bitmapWords(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+  /** Frame-parameterized packing core over an (event_type, user_id)
+    * frame — exposed for BitmapIndexSpec's negative-id fuzz.
+    */
+  private[ops] def bitmapWordsOf(membership: DataFrame): DataFrame =
+    membership
       .select(col("event_type"), col("user_id")).distinct()
       // FLOORING word decomposition: `(id - pmod(id,64)) div 64` is a
       // truncating div of an exact multiple of 64, i.e. floor division
@@ -39,6 +42,9 @@ object BitmapIndex {
         expr("shiftleft(1L, CAST(pmod(user_id, 64) AS INT))").as("bit"))
       .groupBy("event_type", "w")
       .agg(expr("bit_or(bit)").as("bits"))
+
+  private def bitmapWords(spark: SparkSession, dir: String): DataFrame =
+    bitmapWordsOf(spark.read.parquet(s"$dir/events.parquet"))
 
   // -------------------------------------------------------------------
   // ax_bitmap_intersect: AUDIENCE OVERLAP between every event-type

@@ -40,6 +40,35 @@ class BitmapIndexSpec extends AnyFunSuite {
     assert(byName === expected)
   }
 
+  test("word packing is flooring: negative ids round-trip exactly") {
+    // the round-7 ADVICE trap: truncating `div 64` maps -1 to
+    // (word 0, bit 63) — colliding with user 63. The flooring
+    // decomposition must keep every id in a unique (word, bit) slot,
+    // so per-type popcounts equal the distinct membership counts even
+    // with ids straddling zero.
+    import spark.implicits._
+    val rng = new scala.util.Random(8105)
+    val rows = (0 until 400).map { _ =>
+      (s"t${rng.nextInt(3)}", rng.nextLong(200L) - 100L)
+    }
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      val us = rs.map(_._2).toSet
+      val slots = us.map(u => (Math.floorDiv(u, 64L), Math.floorMod(u, 64L)))
+      assert(slots.size === us.size, "floor decomposition must be injective")
+      t -> us.size.toLong
+    }.toSeq.sortBy(_._1)
+    val words = BitmapIndex.bitmapWordsOf(rows.toDF("event_type", "user_id"))
+    val got = words.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr(
+          "CAST(bit_count(bits) AS BIGINT)")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    assert(got === expected)
+    // and the word index itself must agree with floor division
+    val w = words.selectExpr("min(w) AS mn").collect().head.getLong(0)
+    assert(w === Math.floorDiv(rows.map(_._2).min, 64L))
+  }
+
   test("ax_bitmap_density matches raw membership statistics") {
     val expected = members.toSeq.map { case (t, us) =>
       val words = us.map(u => Math.floorDiv(u, 64L))
