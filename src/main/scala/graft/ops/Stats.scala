@@ -726,8 +726,55 @@ object Stats {
   // diagnoses after the fact. Bucketing uses the portable hash so
   // both engines see identical collisions; truth = the real join
   // count (affordable at gate scale, the thing the estimate avoids).
+  //
+  // OVERFLOW DISCIPLINE: est_rows = Σ_b c1·c2 is a sum of PRODUCTS of
+  // two data-proportional counts — the 2^63 moment-product class
+  // (ax_cuped's failure mode). At the 100 TB profile (1.5e11 orders ×
+  // 1.5e10 customers over 1024 buckets) the sum sits ~2.2e18, within
+  // 5× of 2^63, and one hot bucket tips it; under ANSI mode that is a
+  // runtime throw. So the per-bucket product and the sums run in
+  // DECIMAL(38,0) UNCONDITIONALLY and emit as STRINGS (corrSumsOf
+  // discipline); the DuckDB twin widens to HUGEINT at the same points.
+  // Per-bucket stats (c/d) stay BIGINT — single-table counts,
+  // int64-safe to 9e18 rows. The one remaining int64 precondition is
+  // the `div` RESULT per bucket: the NDV-corrected term ≈ that
+  // bucket's true join contribution, bounded by the join output
+  // itself — MomentBoundsSpec pins the headroom.
   // -------------------------------------------------------------------
   private val JseBuckets = 1024L
+
+  /** Frame-parameterized estimator core over per-bucket statistics
+    * frames (b, c1, d1) and (b, c2, d2) plus a 1-row truth frame
+    * (true_rows) — exposed for MomentBoundsSpec's boundary fixtures.
+    */
+  private[ops] def joinSizeEstOf(o: DataFrame, c: DataFrame,
+      truth: DataFrame): DataFrame = {
+    def dec(x: Column) = x.cast("decimal(38,0)")
+    // count-only estimate (collision-inflated) next to the System-R
+    // NDV correction c1·c2/max(d1,d2) — per-bucket, which is why
+    // optimizers carry distinct counts in their statistics, measured.
+    // decimal×decimal product, decimal sum; `div` returns BIGINT (the
+    // pinned precondition), re-widened to decimal before its sum
+    val est = o.join(c, "b")
+      .agg(sum(dec(col("c1")) * dec(col("c2"))).as("est_d"),
+        sum(expr("CAST((CAST(c1 AS DECIMAL(38,0)) * CAST(c2 AS " +
+          "DECIMAL(38,0))) div greatest(d1, d2) AS DECIMAL(38,0))"))
+          .as("est_ndv_d"))
+    est.crossJoin(truth)
+      .select(col("est_d").cast("string").as("est_rows"),
+        col("est_ndv_d").cast("string").as("est_ndv_rows"),
+        col("true_rows"),
+        // est ≥ true always (collisions only inflate), so Spark-div
+        // truncation vs DuckDB-// flooring cannot diverge here
+        expr("(CAST(1000 AS DECIMAL(38,0)) * (est_d - " +
+          "CAST(true_rows AS DECIMAL(38,0)))) div " +
+          "CAST(true_rows AS DECIMAL(38,0))").as("bias_pm"),
+        // raw signed difference (the NDV correction can undershoot):
+        // decimal subtraction, string-emitted — negatives render
+        // identically ("-42") in both engines
+        (col("est_ndv_d") - col("true_rows").cast("decimal(38,0)"))
+          .cast("string").as("diff_ndv_rows"))
+  }
 
   private def joinSizeEst(spark: SparkSession, dir: String): DataFrame = {
     val bkt = (c: Column) => pmod(PortableHash.hashCol(c.cast("string")),
@@ -740,22 +787,11 @@ object Stats {
       .groupBy(bkt(col("c_custkey")).as("b"))
       .agg(count(lit(1)).as("c2"),
         countDistinct(col("c_custkey")).as("d2"))
-    // count-only estimate (collision-inflated) next to the System-R
-    // NDV correction c1·c2/max(d1,d2) — per-bucket, which is why
-    // optimizers carry distinct counts in their statistics, measured
-    val est = o.join(c, "b")
-      .agg(sum(col("c1") * col("c2")).as("est_rows"),
-        sum(expr("(c1 * c2) div greatest(d1, d2)")).as("est_ndv_rows"))
     val truth = spark.read.parquet(s"$dir/orders.parquet")
       .join(spark.read.parquet(s"$dir/customer.parquet"),
         col("o_custkey") === col("c_custkey"))
       .agg(count(lit(1)).as("true_rows"))
-    est.crossJoin(truth)
-      .select(col("est_rows"), col("est_ndv_rows"), col("true_rows"),
-        expr("(1000 * (est_rows - true_rows)) div true_rows").as("bias_pm"),
-        // raw signed difference: Spark div truncates toward zero while
-        // DuckDB // floors, so a possibly-negative ratio would diverge
-        (col("est_ndv_rows") - col("true_rows")).as("diff_ndv_rows"))
+    joinSizeEstOf(o, c, truth)
   }
 
   private val joinSizeEstSql = {
@@ -767,16 +803,18 @@ object Stats {
        |c AS (SELECT ${bkt("c_custkey")} AS b, COUNT(*) AS c2,
        |    COUNT(DISTINCT c_custkey) AS d2
        |  FROM customer GROUP BY 1),
-       |e AS (SELECT CAST(SUM(c1 * c2) AS BIGINT) AS est_rows,
-       |    CAST(SUM((c1 * c2) // greatest(d1, d2)) AS BIGINT)
-       |      AS est_ndv_rows
+       |e AS (SELECT SUM(CAST(c1 AS HUGEINT) * CAST(c2 AS HUGEINT))
+       |      AS est_h,
+       |    SUM((CAST(c1 AS HUGEINT) * CAST(c2 AS HUGEINT))
+       |      // greatest(d1, d2)) AS est_ndv_h
        |  FROM o JOIN c USING (b)),
        |t AS (SELECT COUNT(*) AS true_rows
        |  FROM orders JOIN customer ON o_custkey = c_custkey)
-       |SELECT est_rows, est_ndv_rows, true_rows,
-       |  CAST((1000 * (est_rows - true_rows)) // true_rows AS BIGINT)
+       |SELECT CAST(est_h AS VARCHAR) AS est_rows,
+       |  CAST(est_ndv_h AS VARCHAR) AS est_ndv_rows, true_rows,
+       |  CAST((1000 * (est_h - true_rows)) // true_rows AS BIGINT)
        |    AS bias_pm,
-       |  CAST(est_ndv_rows - true_rows AS BIGINT) AS diff_ndv_rows
+       |  CAST(est_ndv_h - true_rows AS VARCHAR) AS diff_ndv_rows
        |FROM e, t""".stripMargin
   }
 

@@ -173,9 +173,60 @@ class MomentBoundsSpec extends AnyFunSuite {
     assert(dirEdges * maxDeg < Two63)            // Σdx
   }
 
-  test("join-size estimate holds int64 at the 100 TB profile") {
-    // est_rows = Σ_b c1(b)·c2(b) ≈ n1·n2/B under the portable hash's
-    // uniform bucketing (B = 1024)
-    assert(Orders * Customers / 1024 < Two63)
+  test("joinSizeEstOf is exact past 2^63: a hot bucket tips the sum") {
+    // The profile that motivated the decimal switch: the uniform-bucket
+    // sum Σ c1·c2 ≈ n1·n2/B sits within 5× of 2^63 at 100 TB and ONE
+    // hot bucket crosses it. Here bucket 0 alone carries c1·c2 =
+    // 1.6e19 > 2^63 — both the per-term product and the sum would
+    // ANSI-throw in BIGINT.
+    val stats = Seq(
+      (0L, 4000000000L, 2000000000L, 4000000000L, 4000000000L), // hot
+      (1L, 1000000L, 900000L, 2000000L, 1900000L),
+      (2L, 37L, 37L, 41L, 40L))
+    val o = stats.map(s => (s._1, s._2, s._3)).toDF("b", "c1", "d1")
+    val c = stats.map(s => (s._1, s._4, s._5)).toDF("b", "c2", "d2")
+    val trueRows = 8000000000L
+    val truth = Seq(trueRows).toDF("true_rows")
+    val est = stats.map(s => BigInt(s._2) * BigInt(s._4)).sum
+    val estNdv = stats
+      .map(s => BigInt(s._2) * BigInt(s._4) / (s._3 max s._5)).sum
+    assert(est > Two63, "fixture must cross 2^63")
+    assert(stats.forall(s =>
+      BigInt(s._2) * BigInt(s._4) / (s._3 max s._5) < Two63),
+      "per-bucket div results must honor the pinned BIGINT precondition")
+    val row = Stats.joinSizeEstOf(o, c, truth).collect().head
+    assert(row.getString(0) === est.toString)
+    assert(row.getString(1) === estNdv.toString)
+    assert(row.getLong(2) === trueRows)
+    assert(row.getLong(3) ===
+      ((1000 * (est - trueRows)) / trueRows).toLong)
+    assert(row.getString(4) === (estNdv - trueRows).toString)
+  }
+
+  test("joinSizeEstOf agrees with int64 arithmetic below 2^63") {
+    val stats = Seq((0L, 12L, 5L, 30L, 7L), (1L, 8L, 8L, 4L, 4L),
+      (2L, 100L, 1L, 3L, 3L))
+    val o = stats.map(s => (s._1, s._2, s._3)).toDF("b", "c1", "d1")
+    val c = stats.map(s => (s._1, s._4, s._5)).toDF("b", "c2", "d2")
+    val truth = Seq(700L).toDF("true_rows")
+    val est = stats.map(s => s._2 * s._4).sum
+    val estNdv = stats.map(s => s._2 * s._4 / (s._3 max s._5)).sum
+    val row = Stats.joinSizeEstOf(o, c, truth).collect().head
+    assert(row.getString(0).toLong === est)
+    assert(row.getString(1).toLong === estNdv)
+    assert(row.getLong(3) === (1000 * (est - 700L)) / 700L)
+    // estNdv can undershoot truth — the signed string path
+    assert(row.getString(4).toLong === estNdv - 700L)
+  }
+
+  test("join-size div precondition holds int64 at the 100 TB profile") {
+    // the decimal switch leaves ONE int64 precondition: each bucket's
+    // NDV-corrected term c1·c2/max(d1,d2). With d2 = per-bucket
+    // customer NDV (= c2, keys unique), the term ≤ c1 ≤ |orders| —
+    // bounded by the larger side's bucket count, never the product
+    assert(Orders < Two63)
+    // and the raw product Σ c1·c2 that now runs decimal WOULD sit
+    // inside one hot bucket of 2^63 at the profile — the motivation
+    assert(Orders * Customers / 1024 * 5 > Two63)
   }
 }
