@@ -590,32 +590,60 @@ object EventsOps {
   // -------------------------------------------------------------------
   private val BloomProbes = Seq(7L, 431L, 876L, 987654321L)
 
+  /** The bloom manifest as a DISK fixture next to the layout, keyed on
+    * the same source stamp — built once per layout commit, read back
+    * as O(files) KB-scale rows on every probe (the economics of a
+    * table-format metadata layer: manifests are WRITTEN at commit
+    * time, never rebuilt per query).
+    *
+    * The build is TWO full scans of the layout, amortized per commit:
+    * pass 0 sizes the blooms from the MEASURED per-file row count
+    * (rows, not distinct event_id — an overestimate of cardinality,
+    * deliberately conservative: oversizing bits can only lower the FP
+    * rate). estimatedNumItems sizes the hash-function count
+    * k ≈ m/n·ln2 and must reflect PER-FILE cardinality: a corpus-level
+    * estimate gave k=1 and two measured false positives at sf0.01, and
+    * a hardcoded 4096 would silently under-size if a fixture
+    * regeneration raised per-file counts (k stays high while m/n
+    * collapses — near-certain FPs). Bits scale with the estimate
+    * (m/n ≥ 32 ⇒ FP ≈ 2⁻²² per probe), so the zero-FP pin holds by
+    * sizing, not by luck.
+    */
+  private def bloomManifest(spark: SparkSession, dir: String,
+      layoutPath: String): Array[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.graft.Sketches
+    val stamp =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "events.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val mDirF = FixtureCache.dir("events_bloom_manifest", dir,
+      "bucketWidth" -> 4, "minBits" -> 17, "src" -> stamp)
+    val mDir = mDirF.toString
+    val marker = new java.io.File(mDirF, "_GRAFT_SUCCESS")
+    if (!marker.exists()) {
+      val estItems = math.max(1L,
+        spark.read.parquet(layoutPath)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(max(col("cnt"))).collect().head.getLong(0))
+      val numBits = math.max(1L << 17, java.lang.Long.highestOneBit(
+        estItems * 32 - 1) << 1)
+      spark.read.parquet(layoutPath)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+          Sketches.bloomFilterAgg(col("event_id"), estItems, numBits)
+            .as("bf"))
+        .coalesce(1) // O(files) KB-scale manifest rows — one blob file
+        .write.mode("overwrite").parquet(mDir)
+      marker.createNewFile()
+    }
+    spark.read.parquet(mDir).collect() // O(files) manifest rows
+  }
+
   private def manifestBloom(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.Sketches
     val path = bucketedEventsLayout(spark, dir)
-    // Pass 0 sizes the blooms from the MEASURED per-file cardinality
-    // (one O(files)-row aggregate — the manifest-build path runs once
-    // per layout commit, so a second metadata-scale scan is free).
-    // estimatedNumItems sizes the hash-function count k ≈ m/n·ln2 and
-    // must reflect PER-FILE cardinality: a corpus-level estimate gave
-    // k=1 and two measured false positives at sf0.01, and a hardcoded
-    // 4096 would silently under-size if a fixture regeneration raised
-    // per-file event_id counts (k stays high while m/n collapses —
-    // near-certain FPs). Bits scale with the estimate (m/n ≥ 32 ⇒
-    // FP ≈ 2⁻²² per probe), so the zero-FP pin below holds by sizing,
-    // not by luck.
-    val estItems = math.max(1L,
-      spark.read.parquet(path)
-        .groupBy(input_file_name().as("file"))
-        .agg(count(lit(1)).as("cnt"))
-        .agg(max(col("cnt"))).collect().head.getLong(0))
-    val numBits = math.max(1L << 17, java.lang.Long.highestOneBit(
-      estItems * 32 - 1) << 1)
-    val m = spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
-        Sketches.bloomFilterAgg(col("event_id"), estItems, numBits).as("bf"))
-      .collect() // O(files) KB-scale manifest rows
+    val m = bloomManifest(spark, dir, path)
     val zonemap = m.count(r =>
       BloomProbes.exists(p => r.getLong(1) <= p && p <= r.getLong(2)))
     val selected = m.filter { r =>
