@@ -20,23 +20,14 @@ object Concentration {
 
   private val RankParts = 8
 
-  private val rankedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-
-  /** Substrate key: application × SF dir × fixture generation (orders
-    * mtime — the Graph/Similarity discipline). Before computing a new
-    * generation, every entry of the same (application, dir) under an
-    * older stamp is evicted and its blocks unpersisted, so a long-lived
-    * session that sees fixture regenerations doesn't accumulate stale
-    * checkpoint partitions (round-7 ADVICE).
+  /** Stale-generation-evicting substrate cache (orders mtime). The
+    * cached value is localCheckpoint()-ed, not persist()-ed, so
+    * eviction's unpersist() is a no-op for it — what eviction buys
+    * here is dropping the strong reference, which lets the
+    * ContextCleaner reclaim the superseded checkpoint blocks after GC
+    * (see [[SubstrateCache]]'s release-semantics note).
     */
-  private def rankedKey(spark: SparkSession, dir: String): String = {
-    val stamp =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "orders.parquet")).toMillis.toString
-      catch { case _: Exception => "absent" }
-    s"${spark.sparkContext.applicationId}#$dir@$stamp"
-  }
+  private val rankedCache = SubstrateCache.frame("orders.parquet")
 
   /** Per-customer spend (whole dollars, exact integers) with its global
     * ascending rank i under the total order (spend, custkey), plus the
@@ -78,19 +69,13 @@ object Concentration {
     out
   }
 
-  private def ranked(spark: SparkSession, dir: String): DataFrame = {
-    val key = rankedKey(spark, dir)
-    val prefix = s"${spark.sparkContext.applicationId}#$dir@"
-    rankedCache.forEach { (k, v) =>
-      if (k != key && k.startsWith(prefix) && rankedCache.remove(k, v))
-        v.unpersist()
-    }
-    rankedCache.computeIfAbsent(key, _ =>
+  private def ranked(spark: SparkSession, dir: String): DataFrame =
+    rankedCache.get(spark, dir) {
       rankedOf(spark.read.parquet(s"$dir/orders.parquet")
         .select(col("o_custkey").as("c"),
           expr("CAST(round(o_totalprice) AS BIGINT)").as("d"))
-        .groupBy("c").agg(sum(col("d")).as("x"))))
-  }
+        .groupBy("c").agg(sum(col("d")).as("x")))
+    }
 
   // -------------------------------------------------------------------
   // ax_revenue_gini: the GINI COEFFICIENT of per-customer spend — the

@@ -460,8 +460,7 @@ object Dedup {
     * the signature table, so the memory bound is the small end of the
     * pipeline.
     */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val pairsCache = SubstrateCache.frame("documents.parquet")
 
   /** Hashed shingle tokens + minhash signatures for the word-shingle
     * tokenizer, built once per (application, SF dir) and persisted —
@@ -470,38 +469,22 @@ object Dedup {
     * exactly once per session (the signature table is docs × 33 longs;
     * at 100 TB both live as bucket-partitioned tables on disk).
     */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
-
-  /** fixture-stamped cache key (documents.parquet mtime) — a mid-
-    * application testdata regeneration changes the key, so consumers
-    * recompute instead of serving substrates from the replaced data
-    * (same convention as Graph.cacheKey / Similarity.fixtureStamp)
-    */
-  private def cacheKey(spark: SparkSession, dir: String): String = {
-    val stamp =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis.toString
-      catch { case _: Exception => "absent" }
-    s"${spark.sparkContext.applicationId}#$dir@$stamp"
-  }
+  private val shingleCache = SubstrateCache.framePair("documents.parquet")
 
   private[ops] def shingleSubstrate(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    shingleCache.computeIfAbsent(cacheKey(spark, dir),
-      _ => {
-        val tokH = wordShingleTok(spark, dir)
-          .select(col("doc_id"), PortableHash.hashCol(col("feature")).as("h"))
-          .persist()
-        (tokH, MinHashLsh.signatures(tokH).persist())
-      })
+    shingleCache.get(spark, dir) {
+      val tokH = wordShingleTok(spark, dir)
+        .select(col("doc_id"), PortableHash.hashCol(col("feature")).as("h"))
+        .persist()
+      (tokH, MinHashLsh.signatures(tokH).persist())
+    }
 
   private[ops] def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent(cacheKey(spark, dir),
-      _ => {
-        val (tokH, sig) = shingleSubstrate(spark, dir)
-        MinHashLsh.verifiedPairsFrom(tokH, sig).persist()
-      })
+    pairsCache.get(spark, dir) {
+      val (tokH, sig) = shingleSubstrate(spark, dir)
+      MinHashLsh.verifiedPairsFrom(tokH, sig).persist()
+    }
 
   /** char-n-gram verified pairs, cached per (application, dir, fixture
     * generation) — same amortization as the word-shingle family: the
@@ -509,12 +492,12 @@ object Dedup {
     * its output ∝ true duplicates, and it is answer-stable within a
     * fixture generation
     */
-  private val ngramPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val ngramPairsCache = SubstrateCache.frame("documents.parquet")
 
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramPairsCache.computeIfAbsent(cacheKey(spark, dir),
-      _ => MinHashLsh.verifiedPairs(charNgramTok(spark, dir)))
+    ngramPairsCache.get(spark, dir) {
+      MinHashLsh.verifiedPairs(charNgramTok(spark, dir))
+    }
 
   // -------------------------------------------------------------------
   // dd_minhash_est: the MinHash ESTIMATOR measured, not hoped. LSH
@@ -531,12 +514,12 @@ object Dedup {
   // paying one broadcast-sized join against the cached signature
   // substrate (pairs ∝ true duplicates, not corpus).
   // -------------------------------------------------------------------
-  private val estCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val estCache = SubstrateCache.frame("documents.parquet")
 
   private def minhashEst(spark: SparkSession, dir: String): DataFrame =
-    estCache.computeIfAbsent(cacheKey(spark, dir),
-      _ => minhashEstBuild(spark, dir).localCheckpoint())
+    estCache.get(spark, dir) {
+      minhashEstBuild(spark, dir).localCheckpoint()
+    }
 
   /** The estimator audit is MATERIALIZED once per session (pairs-sized
     * rows, localCheckpoint) rather than replanned per consumer: its
@@ -791,12 +774,12 @@ object Dedup {
     * the 64-bit signature aggregate over the exploded corpus is the
     * expensive half; the output is the small near-dup pair list
     */
-  private val simhashPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val simhashPairsCache = SubstrateCache.frame("documents.parquet")
 
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsCache.computeIfAbsent(cacheKey(spark, dir),
-      _ => simhashPairsBuild(spark, dir).localCheckpoint())
+    simhashPairsCache.get(spark, dir) {
+      simhashPairsBuild(spark, dir).localCheckpoint()
+    }
 
   private def simhashPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     val s = simhashSig(spark, dir)
@@ -1412,11 +1395,10 @@ object Dedup {
     * independent big-star cross-check of this very result, and seeding
     * or sharing would make the cross-check circular.
     */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val clusterCache = SubstrateCache.frame("documents.parquet")
 
   private def clusterAssign(spark: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent(cacheKey(spark, dir), _ => {
+    clusterCache.get(spark, dir) {
       val pairs = minhashPairs(spark, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val comp = connectedComponents(pairs)
@@ -1425,7 +1407,7 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("label"), col("doc_id")).as("cluster"))
         .persist()
-    })
+    }
 
   private def dupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterAssign(spark, dir).orderBy("doc_id")

@@ -19,22 +19,9 @@ object Graph {
   // of two — and at 100 TB, one instead of two full fact-table
   // shuffles.
   // -------------------------------------------------------------------
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-
-  /** Substrate cache key: application × SF dir × fixture generation
-    * (lineitem mtime) — a mid-application testdata regeneration must
-    * invalidate the graph substrates instead of silently serving edges
-    * of the replaced data (same discipline as Similarity's k-means
-    * cache; the round-5 driver regenerated fixtures mid-run).
-    */
-  private def cacheKey(spark: SparkSession, dir: String): String = {
-    val stamp =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "lineitem.parquet")).toMillis.toString
-      catch { case _: Exception => "absent" }
-    s"${spark.sparkContext.applicationId}#$dir@$stamp"
-  }
+  // stale-generation-evicting substrate caches keyed on lineitem
+  // mtime — see [[SubstrateCache]] for the key/eviction discipline
+  private val pairCache = SubstrateCache.frame("lineitem.parquet")
 
   /** Canonical (a < b) co-purchase pair MULTIPLICITIES — the one
     * self-join that serves the whole family: `ax_copurchase` reads the
@@ -49,14 +36,14 @@ object Graph {
     * sides).
     */
   private[ops] def pairCounts(spark: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent(cacheKey(spark, dir),
-      _ => Stats.orderPartPairs(spark, dir)(_ < _)
+    pairCache.get(spark, dir) {
+      Stats.orderPartPairs(spark, dir)(_ < _)
         .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
         .select(col("pa").as("a"), col("pb").as("b"), col("n"))
-        .persist())
+        .persist()
+    }
 
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val edgeCache = SubstrateCache.frame("lineitem.parquet")
 
   /** Undirected canonical (a < b) co-purchase edge list — the key set
     * of [[pairCounts]] (distinct by construction), shared across the
@@ -64,8 +51,7 @@ object Graph {
     * return the identical plan over the persisted substrate.
     */
   private[ops] def undirectedEdges(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent(cacheKey(spark, dir),
-      _ => pairCounts(spark, dir).select("a", "b"))
+    edgeCache.get(spark, dir) { pairCounts(spark, dir).select("a", "b") }
 
   // -------------------------------------------------------------------
   // ax_pagerank_parts: PageRank over the co-purchase graph (parts are
@@ -252,8 +238,7 @@ object Graph {
     plan
   }
 
-  private val adjCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+  private val adjCache = SubstrateCache.framePair("lineitem.parquet")
 
   /** The ORIENTED ADJACENCY as a session substrate: (oriented edges
     * hash-placed on src, per-src sorted neighbor arrays), built and
@@ -271,7 +256,7 @@ object Graph {
     */
   private[ops] def orientedAdjacency(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) =
-    adjCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+    adjCache.get(spark, dir) {
       val und = undirectedEdges(spark, dir)
       val deg = degrees(und).persist()
       val n = spark.sessionState.conf.numShufflePartitions
@@ -282,7 +267,7 @@ object Graph {
       adj.count() // materialize oriented + adj before dropping deg
       deg.unpersist()
       (oriented, adj)
-    })
+    }
 
   private def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val und = undirectedEdges(spark, dir) // shared, persisted (see above)
@@ -915,8 +900,7 @@ object Graph {
       .limit(15)
   }
 
-  private val hitsEdgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val hitsEdgeCache = SubstrateCache.frame("lineitem.parquet")
 
   /** The distinct (customer, supplier) BIPARTITE edge set as a SESSION
     * substrate: the orders⋈lineitem co-shuffle (the honest fact-fact
@@ -927,7 +911,7 @@ object Graph {
     * with a per-call rebuild; warm reps are the true marginal cost.
     */
   private[ops] def hitsEdges(spark: SparkSession, dir: String): DataFrame =
-    hitsEdgeCache.computeIfAbsent(cacheKey(spark, dir), { _ =>
+    hitsEdgeCache.get(spark, dir) {
       val orders = spark.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"))
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -936,7 +920,7 @@ object Graph {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
         .persist()
-    })
+    }
 
   private def hitsBipartite(spark: SparkSession, dir: String): DataFrame =
     hitsChain(hitsEdges(spark, dir))

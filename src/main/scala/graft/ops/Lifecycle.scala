@@ -364,16 +364,16 @@ object Lifecycle {
     * (persist preserves the exchange's partitioning; the session-cache
     * discipline of [[Dedup.shingleSubstrate]]).
     */
-  private val rangedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val rangedCache = SubstrateCache.frame("documents.parquet")
 
   private def rangedDocs(spark: SparkSession, dir: String): DataFrame =
-    rangedCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
-      _ => spark.read.parquet(s"$dir/documents.parquet")
+    rangedCache.get(spark, dir) {
+      spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"))
         .repartitionByRange(IdParts, col("source"), col("doc_id"))
         .withColumn("pid", spark_partition_id().cast("long"))
-        .persist())
+        .persist()
+    }
 
   private def assignIds(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -218,10 +218,15 @@ object Similarity {
         topk(col("d8"), col("vec_id")).as("nn8"),
         topk(col("d16"), col("vec_id")).as("nn16"),
         topk(col("d32"), col("vec_id")).as("nn32"))
+    // left-join back onto the probe panel (the oracle's `grid` guard):
+    // a probe with ZERO scored candidates (degenerate corpus of size 1)
+    // must emit n_overlap=0 rows, not vanish from the aggregate
+    val guarded = probes.select(col("probe_id"))
+      .join(agg, Seq("probe_id"), "left")
     def overlap(c: String) = expr(
-      s"CAST(size(array_intersect(transform(nn64, w -> w.id), " +
-        s"transform($c, w -> w.id))) AS BIGINT)")
-    agg.select(col("probe_id"), explode(array(
+      s"CAST(coalesce(size(array_intersect(transform(nn64, w -> w.id), " +
+        s"transform($c, w -> w.id))), 0) AS BIGINT)")
+    guarded.select(col("probe_id"), explode(array(
         struct(lit(8L).as("prefix_dims"), overlap("nn8").as("n_overlap")),
         struct(lit(16L).as("prefix_dims"), overlap("nn16").as("n_overlap")),
         struct(lit(32L).as("prefix_dims"), overlap("nn32").as("n_overlap"))))
@@ -665,22 +670,7 @@ object Similarity {
     out
   }
 
-  private val kmAssignCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-
-  /** Fixture fingerprint for the substrate cache key: the source
-    * parquet's mtime. If the fixture directory is regenerated while an
-    * application is running (the round-5 driver did exactly this), the
-    * key changes and the next consumer recomputes instead of silently
-    * serving clusters derived from the replaced data. Entries for dead
-    * generations stay pinned until application exit — acceptable for
-    * bench/gate-length applications (one stale entry ≈ a few MB of
-    * checkpoint blocks); a long-lived service would add eviction.
-    */
-  private def fixtureStamp(dir: String): String =
-    try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(dir, "embeddings.parquet")).toMillis.toString
-    catch { case _: Exception => "absent" }
+  private val kmAssignCache = SubstrateCache.frame("embeddings.parquet")
 
   /** The final k-means assignment as a SESSION substrate: Lloyd's runs
     * once per (application, SF dir, fixture generation) and the
@@ -692,9 +682,7 @@ object Similarity {
     * operator.
     */
   private[ops] def kmeansAssigned(spark: SparkSession, dir: String): DataFrame =
-    kmAssignCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}#$dir@${fixtureStamp(dir)}",
-      _ => kmeansAssign(spark, dir))
+    kmAssignCache.get(spark, dir) { kmeansAssign(spark, dir) }
 
   /** Quantized embedding table (vec_id, q) — shared with Dedup's
     * cluster-local pair scoring so both sides quantize identically.
@@ -1171,8 +1159,7 @@ object Similarity {
     out
   }
 
-  private val pqCandCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val pqCandCache = SubstrateCache.frame("embeddings.parquet")
 
   /** The PqCand-deep ADC ranking as a SESSION substrate: codebook
     * training + corpus encoding + ranking run once per (application,
@@ -1183,14 +1170,13 @@ object Similarity {
     * Graph.pairCounts / Dedup.minhashPairs.
     */
   private[ops] def pqCandidates(spark: SparkSession, dir: String): DataFrame =
-    pqCandCache.computeIfAbsent(s"${spark.sparkContext.applicationId}#$dir",
-      _ => {
-        val e = emb(spark, dir).withColumn("q", expr(quantize))
-          .select("vec_id", "q").persist()
-        val out = pqAdc(spark, e, PqCand)
-        e.unpersist()
-        out
-      })
+    pqCandCache.get(spark, dir) {
+      val e = emb(spark, dir).withColumn("q", expr(quantize))
+        .select("vec_id", "q").persist()
+      val out = pqAdc(spark, e, PqCand)
+      e.unpersist()
+      out
+    }
 
   /** the ADC ranking's physical plan over a materialized scored table,
     * exposed for PlanShapeSpec: the LUT attach must broadcast (128

@@ -1082,17 +1082,7 @@ object TextAnalysis {
   // -------------------------------------------------------------------
   private val BpeRounds = 6
 
-  private val bpeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
-
-  /** documents fixture fingerprint — same staleness discipline as the
-    * graph / k-means substrate caches (a mid-application testdata
-    * regeneration must recompute, never serve the replaced corpus)
-    */
-  private def docStamp(dir: String): String =
-    try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(dir, "documents.parquet")).toMillis.toString
-    catch { case _: Exception => "absent" }
+  private val bpeCache = SubstrateCache.framePair("documents.parquet")
 
   /** The Sennrich training loop as a SESSION substrate: runs once per
     * (application, SF dir, fixture generation) and returns BOTH outputs
@@ -1104,8 +1094,7 @@ object TextAnalysis {
     * a production pipeline that trains once and applies everywhere.
     */
   private def bpeTrained(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    bpeCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}#$dir@${docStamp(dir)}", { _ =>
+    bpeCache.get(spark, dir) {
         import org.apache.spark.sql.expressions.Window
         val words = spark.read.parquet(s"$dir/documents.parquet")
           .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
@@ -1147,7 +1136,7 @@ object TextAnalysis {
             col("ls").as("left_sym"), col("rs").as("right_sym"), col("pair_n"))
         }
         (merges.reduce(_ unionAll _).localCheckpoint(), rows)
-      })
+      }
 
   private def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrained(spark, dir)._1.orderBy("round")

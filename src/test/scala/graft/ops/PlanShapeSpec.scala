@@ -723,8 +723,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // top-10 lists come from one ObjectHashAggregate pair — the former
     // union-of-reused-frames phrasing re-planned the scan six times
     val p = plan("sim_mrl_recall")
-    assert("embeddings\\.parquet".r.findAllIn(p).length <= 2,
-      s"corpus must be scanned once (plus the 10-row panel):\n$p")
+    // one corpus scan + the 10-row probe panel twice (cross-join side
+    // and the degenerate-probe left-join guard) — both panel scans are
+    // pushed-filter (vec_id < 10) row-group-prunable reads
+    assert("embeddings\\.parquet".r.findAllIn(p).length <= 3,
+      s"corpus must be scanned once (plus the 10-row panel twice):\n$p")
     assert("ObjectHashAggregate".r.findAllIn(p).length == 2,
       s"one partial+final TopK aggregate pair expected:\n$p")
     assert(!p.contains("Window"), s"no corpus window:\n$p")
