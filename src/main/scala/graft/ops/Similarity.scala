@@ -39,8 +39,8 @@ object Similarity {
     spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** integer micro-quantization: exact, portable arithmetic */
-  private val quantize = "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT))"
-  private val quantizeDuck =
+  private[ops] val quantize = "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT))"
+  private[ops] val quantizeDuck =
     "list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE)*10000) AS BIGINT))"
 
   /** hyperplane bucket over the quantized vector — shared formulation,

@@ -933,7 +933,120 @@ object StreamingGate {
         sum((col("op") === "D").cast("long")).as("n_deleted"))
   }
 
+  // -------------------------------------------------------------------
+  // st_ivf_assign: STREAMING ANN-INDEX INGEST — the streaming twin of
+  // sim_ivf_delta's cell-assignment rule, closing the batch/streaming
+  // asymmetry for the vector side the way the CDC family closed it for
+  // maintenance verbs. The IVF index is trained OFFLINE (base
+  // centroids over the non-delta corpus — a batch aggregate whose
+  // K-row result is collected and INLINED into the streaming plan as
+  // literals, K×64 ints of metadata); the stream is the delta
+  // arriving in three staged slices, and each vector's cell is chosen
+  // by a STATELESS map-side argmin over the literal centroid array —
+  // array_min over (distance, cell) structs, the same exact integer
+  // L2 algebra and (dist asc, cell asc) tie-break as the batch twin,
+  // no shuffle and no state until the occupancy aggregate. The one
+  // stateful operator is the per-cell occupancy count the index
+  // maintainer actually tracks (complete mode, K rows of state); the
+  // memory-sink table after the last trigger must equal the BATCH
+  // assignment of the whole delta — the oracle replays exactly that.
+  //
+  // Scale shape: assignment is scan-shaped (work ∝ delta × K, the
+  // sim_ivf_delta economics verbatim); state is K rows. At 100 TB the
+  // same plan serves a real ingest firehose: centroids broadcast,
+  // cells assigned in the map phase, occupancy as a tiny keyed agg.
+  // -------------------------------------------------------------------
+  private def ivfAssignStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.l2sqLong
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val stage = s"target/stream_ivf/stage_$tag"
+    val input = s"target/stream_ivf/input_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(stage, input).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("q", expr(Similarity.quantize))
+    // offline training pass: frozen base centroids (K = 8 geometric
+    // cells, the sim_ivf_delta formulation), K×64 ints collected
+    val cents = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      .withColumn("bkt", Hyperplanes.bucketCol(col("q"), 3))
+      .groupBy(col("bkt").as("cell"))
+      .agg(array((0 until 64).map(d =>
+        floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+
+    // the delta arrives as three staged slices with pinned mtimes —
+    // deterministic trigger order, one slice per micro-batch
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$stage/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName).head
+      val dst = new org.apache.hadoop.fs.Path(s"$input/$name.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, mtime, -1)
+    }
+    val delta = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select(col("vec_id"), col("embedding"))
+    val now = System.currentTimeMillis() - 600000L
+    Seq(7L, 17L, 27L).zipWithIndex.foreach { case (r, i) =>
+      writeOne(delta.filter(pmod(col("vec_id"), lit(30)) === r),
+        s"d$i", now + i * 60000L)
+    }
+
+    val sch = spark.read.parquet(input).schema
+    val distStructs = cents.map { case (cell, c) =>
+      struct(
+        l2sqLong(col("q"), expr(c.mkString("array(", ",", ")"))).as("d"),
+        lit(cell).as("cell"))
+    }
+    val assigned = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input)
+      .withColumn("q", expr(Similarity.quantize))
+      .withColumn("best", array_min(array(distStructs: _*)))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("vec_id")).as("vec_id_sum"))
+    runToTable(assigned, "st_ivf_assign_sink", "complete")(spark)
+      .orderBy("cell")
+  }
+
+  private val ivfAssignStreamedSql: String = {
+    val centroid = (0 until 64)
+      .map(d => s"CAST(floor(avg(q[${d + 1}])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val l2 = s"(${PortableHash.dotSqlDuck("d.q", "d.q")} - " +
+      s"2 * ${PortableHash.dotSqlDuck("d.q", "c.centroid")} + " +
+      s"${PortableHash.dotSqlDuck("c.centroid", "c.centroid")})"
+    s"""WITH q0 AS (SELECT vec_id, ${Similarity.quantizeDuck} AS q
+       |  FROM embeddings),
+       |qt AS (SELECT vec_id, q,
+       |    ${Hyperplanes.bucketSqlDuck("q", 3)} AS bkt FROM q0),
+       |b AS (SELECT * FROM qt WHERE vec_id % 10 <> 7),
+       |d AS (SELECT * FROM qt WHERE vec_id % 10 = 7),
+       |cb AS (SELECT bkt AS cell, $centroid AS centroid
+       |  FROM b GROUP BY bkt),
+       |a AS (SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |        ORDER BY $l2 ASC, c.cell ASC) AS rn
+       |    FROM d, cb c) t WHERE rn = 1)
+       |SELECT cell, COUNT(*) AS n_assigned,
+       |  CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum
+       |FROM a GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_ivf_assign"        -> (ivfAssignStreamed _),
     "st_cdc_sink"          -> (cdcSinkStreamed _),
     "st_late_drop"         -> (lateDropStreamed _),
     "st_union_sources"     -> (unionSourcesStreamed _),
@@ -960,6 +1073,7 @@ object StreamingGate {
 
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
+    "st_ivf_assign"        -> ivfAssignStreamedSql,
     "st_late_drop"         -> lateDropStreamedSql,
     "st_union_sources"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_timer_sessions"    -> sessionsStreamedSql,
