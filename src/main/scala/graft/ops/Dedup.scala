@@ -717,7 +717,17 @@ object Dedup {
     */
   private[ops] def spanPairs(spark: SparkSession, dir: String): DataFrame =
     spanCache.get(spark, dir) {
-      val nd = spanDocsNorm(spark, dir).repartition(col("doc_id"))
+      spanPairsOf(spanDocsNorm(spark, dir)).localCheckpoint()
+    }
+
+  /** The seed-and-extend pipeline over any (doc_id, norm) frame —
+    * exposed so SpanFuzzSpec can differential-test span recovery
+    * against a brute-force longest-common-substring reference on
+    * adversarial corpora (misaligned offsets, repeats, short docs).
+    */
+  private[ops] def spanPairsOf(docsNorm: DataFrame): DataFrame = {
+      val nd = docsNorm.filter(length(col("norm")) >= SpanSeedLen)
+        .repartition(col("doc_id"))
       val h8 = PortableHash.hashSparkSql(
         "substring(norm, CAST(i AS INT), 8)")
       // anchor positions selected INSIDE the array (no explode of
@@ -789,8 +799,7 @@ object Dedup {
         .agg(max((lit(SpanSeedLen) + col("lext") + col("rext"))
           .cast("long")).as("span_len"),
           count(lit(1)).as("n_seeds"))
-        .localCheckpoint()
-    }
+  }
 
   private def substringSpan(spark: SparkSession, dir: String): DataFrame =
     spanPairs(spark, dir)
