@@ -268,7 +268,10 @@ class Round7LateSemanticsSpec extends AnyFunSuite {
 
   test("join size estimate is an upper bound that collision-inflates") {
     val r = q("ax_join_size_est").collect()(0)
-    assert(r.getLong(0) >= r.getLong(1), "bucketed estimate must upper-bound")
+    // est_rows / est_ndv_rows are DECIMAL(38,0)-cast STRING columns
+    // (Stats.joinSizeEstOf — 2^63-class products); true_rows stays BIGINT
+    assert(BigInt(r.getString(0)) >= BigInt(r.getString(1)),
+      "bucketed estimate must upper-bound")
     assert(r.getLong(2) >= 0)
   }
 
