@@ -61,27 +61,39 @@ object Bench {
     // recorded in target/bench_full.json, so the cold cost stays
     // visible, while the headline measures the QUERY, not the noise.
     // A rep that errors/times out stops further reps for that query.
+    // Round-9 post-mortem: reps ran BACK-TO-BACK per query, so a
+    // sustained contention window inflated ALL THREE reps of whichever
+    // query it landed on and the median stopped protecting
+    // (ax_join_size_est r9: reps 7.65/7.85/16.63 vs 1.39 isolated).
+    // ROTATED loop: rep 1 of every query, then rep 2, then rep 3 — a
+    // window now lands in at most one rep per query and the median
+    // discards it. Per-query semantics unchanged: rep-1 pass still runs
+    // in family order (absorbing session-substrate builds exactly as
+    // before), an errored/timed-out rep still stops further reps for
+    // that query, and rep_times keep their per-query rep order.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var err: Option[String] = None
-      var lastSec = 0.0
-      var r = 0
-      while (r < reps && err.isEmpty) {
-        val (sec, e) = budget.run(name) { fn(spark, sfDir).count(); () }
-        lastSec = sec
-        System.err.println(f"[bench] $name%-42s rep${r + 1} $sec%8.2f s" +
-          e.fold("") { case (tag, detail) => s" ERR:$tag ($detail)" })
-        e match {
-          case Some((tag, _)) => err = Some(tag)
-          case None           => times += sec
-        }
-        r += 1
+    val ordered = selected.toSeq.sortBy(_._1)
+    val repTimes = scala.collection.mutable.LinkedHashMap(
+      ordered.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val qErr = scala.collection.mutable.Map.empty[String, String]
+    val lastSecs = scala.collection.mutable.Map.empty[String, Double]
+    for (r <- 0 until reps; (name, fn) <- ordered if !qErr.contains(name)) {
+      val (sec, e) = budget.run(name) { fn(spark, sfDir).count(); () }
+      lastSecs(name) = sec
+      System.err.println(f"[bench] $name%-42s rep${r + 1} $sec%8.2f s" +
+        e.fold("") { case (tag, detail) => s" ERR:$tag ($detail)" })
+      e match {
+        case Some((tag, _)) => qErr(name) = tag
+        case None           => repTimes(name) += sec
       }
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = repTimes(name)
       val med =
-        if (times.isEmpty) lastSec
+        if (times.isEmpty) lastSecs.getOrElse(name, 0.0)
         else times.sorted.apply((times.size - 1) / 2)
-      (name, med, times.toSeq, err)
+      (name, med, times.toSeq, qErr.get(name))
     }
     budget.shutdown()
 
