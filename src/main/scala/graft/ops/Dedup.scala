@@ -678,17 +678,24 @@ object Dedup {
   //      16 chars at the anchor; expected anchor density 1/8 chars.
   //   2. Candidate (doc_a, doc_b) anchor pairs collapse per DIAGONAL
   //      (pa − pb): every anchor inside one maximal shared span lies on
-  //      the same diagonal and extends to the same span, so one
-  //      extension per (pair, diagonal) suffices — exact, not a
-  //      heuristic. A per-seed occurrence cap (64, the MinHashLsh
-  //      MaxBucket discipline) bounds hot-boilerplate fan-out; its
-  //      recall cost is MEASURED by dd_span_guarantee, never assumed.
-  //   3. EXTENSION is verified in-row: the 16-char seed is re-checked
-  //      byte-for-byte (hash-collision guard) and the maximal match is
-  //      grown char-by-char in both directions with array HOFs over
-  //      the two norm strings — first-mismatch via array_min(filter).
-  //      Precision is therefore 1 BY CONSTRUCTION: every reported span
-  //      is a real shared substring of exactly the reported length.
+  //      the same diagonal, so the diagonal — not the anchor — is the
+  //      unit of verification. One row per (pair, diagonal) survives
+  //      (min(pa), used only for the collision guard). A per-seed
+  //      occurrence cap (64, the MinHashLsh MaxBucket discipline)
+  //      bounds hot-boilerplate fan-out; its recall cost is MEASURED
+  //      by dd_span_guarantee, never assumed.
+  //   3. VERIFICATION scans the WHOLE diagonal in-row: the 16-char
+  //      seed is re-checked byte-for-byte (hash-collision guard), then
+  //      the full overlap of the two norm strings along the diagonal
+  //      is compared once via zip_with over char arrays, mismatch
+  //      positions become run boundaries, and the row reports the
+  //      LONGEST all-match run. This is exact even when one diagonal
+  //      carries SEVERAL disjoint shared spans (the case a single
+  //      seed-flank extension under-reports: extending only min(pa)
+  //      misses a later, longer span on the same diagonal), at the
+  //      same O(overlap) cost the flank extension already paid.
+  //      Precision is 1 BY CONSTRUCTION: every reported span is a real
+  //      shared substring of exactly the reported length.
   //
   // Scale shape: anchors ∝ corpus/8 and only (doc, pos, seed-hash)
   // rows shuffle for the candidate join; document text moves ONLY for
@@ -762,42 +769,35 @@ object Dedup {
           Seq("da"))
         .join(nd.select(col("doc_id").as("db"), col("norm").as("norm_b")),
           Seq("db"))
-      // extension = common-prefix length of the flanking strings,
-      // found in ONE vectorized pass per side: truncate both flanks to
-      // the shared bound, explode to char arrays, zip_with equality,
-      // array_position of the first false (0 = all match). A per-char
-      // filter() lambda computes the same thing but runs interpreted
-      // per element with two substring allocations per step — measured
-      // 46 s vs 4 s on the sf0.1 candidate set for identical output.
+      // verification = ONE vectorized pass over the diagonal's whole
+      // overlap: truncate both strings to the overlap window, explode
+      // to char arrays, zip_with equality, mismatch indices become run
+      // boundaries, longest run = array_max of boundary gaps. A
+      // per-char filter() lambda computes the same thing but runs
+      // interpreted per element with two substring allocations per
+      // step — measured 46 s vs 4 s on the sf0.1 candidate set for
+      // identical output (the flank-extension ancestor of this scan;
+      // same O(overlap) work shape).
       val spans = withText
         .filter(expr(s"substring(norm_a, CAST(pa AS INT), $SpanSeedLen) = " +
           s"substring(norm_b, CAST(pb AS INT), $SpanSeedLen)"))
-        .withColumn("llen", expr("least(pa, pb) - 1"))
-        .withColumn("lpos", expr(
-          """array_position(zip_with(
-            |  split(reverse(substring(norm_a,
-            |    CAST(pa - llen AS INT), CAST(llen AS INT))), ''),
-            |  split(reverse(substring(norm_b,
-            |    CAST(pb - llen AS INT), CAST(llen AS INT))), ''),
-            |  (x, y) -> x = y), false)""".stripMargin))
-        .withColumn("lext",
-          expr("CASE WHEN lpos = 0 THEN llen ELSE lpos - 1 END"))
-        .withColumn("rlen", expr(
-          s"""least(length(norm_a) - pa - ${SpanSeedLen - 2},
-             |  length(norm_b) - pb - ${SpanSeedLen - 2}) - 1""".stripMargin))
-        .withColumn("rpos", expr(
-          s"""array_position(zip_with(
-             |  split(substring(norm_a,
-             |    CAST(pa + $SpanSeedLen AS INT), CAST(rlen AS INT)), ''),
-             |  split(substring(norm_b,
-             |    CAST(pb + $SpanSeedLen AS INT), CAST(rlen AS INT)), ''),
-             |  (x, y) -> x = y), false)""".stripMargin))
-        .withColumn("rext",
-          expr("CASE WHEN rpos = 0 THEN rlen ELSE rpos - 1 END"))
+        .withColumn("off_a", expr("greatest(pa - pb, 0) + 1"))
+        .withColumn("off_b", expr("greatest(pb - pa, 0) + 1"))
+        .withColumn("ol", expr(
+          "least(length(norm_a) - off_a, length(norm_b) - off_b) + 1"))
+        .withColumn("bnd", expr(
+          """concat(array(0),
+            |  filter(transform(zip_with(
+            |    split(substring(norm_a, CAST(off_a AS INT), CAST(ol AS INT)), ''),
+            |    split(substring(norm_b, CAST(off_b AS INT), CAST(ol AS INT)), ''),
+            |    (x, y) -> x = y), (x, i) -> IF(x, -1, i + 1)), v -> v > 0),
+            |  array(ol + 1))""".stripMargin))
+        .withColumn("max_run", expr(
+          """array_max(zip_with(slice(bnd, 2, size(bnd) - 1),
+            |  slice(bnd, 1, size(bnd) - 1), (x, y) -> x - y - 1))""".stripMargin))
       spans
         .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
-        .agg(max((lit(SpanSeedLen) + col("lext") + col("rext"))
-          .cast("long")).as("span_len"),
+        .agg(max(col("max_run").cast("long")).as("span_len"),
           count(lit(1)).as("n_seeds"))
   }
 
@@ -839,25 +839,32 @@ object Dedup {
        |  FROM cand c
        |  JOIN le na ON na.doc_id = c.da
        |  JOIN le nb ON nb.doc_id = c.db),
-       |spans AS (
+       |diagw AS (
        |  SELECT da, db,
-       |    coalesce(list_min(list_filter(range(1, least(pa, pb)),
-       |      j -> substring(norm_a, CAST(pa - j AS INT), 1) <>
-       |           substring(norm_b, CAST(pb - j AS INT), 1))),
-       |      least(pa, pb)) - 1 AS lext,
-       |    coalesce(list_min(list_filter(range(1,
-       |        least(length(norm_a) - pa - ${SpanSeedLen - 2},
-       |              length(norm_b) - pb - ${SpanSeedLen - 2})),
-       |      j -> substring(norm_a, CAST(pa + ${SpanSeedLen - 1} + j AS INT), 1) <>
-       |           substring(norm_b, CAST(pb + ${SpanSeedLen - 1} + j AS INT), 1))),
-       |      least(length(norm_a) - pa - ${SpanSeedLen - 2},
-       |            length(norm_b) - pb - ${SpanSeedLen - 2})) - 1 AS rext
+       |    greatest(pa - pb, 0) + 1 AS off_a,
+       |    greatest(pb - pa, 0) + 1 AS off_b,
+       |    least(length(norm_a) - (greatest(pa - pb, 0) + 1),
+       |          length(norm_b) - (greatest(pb - pa, 0) + 1)) + 1 AS ol,
+       |    norm_a, norm_b
        |  FROM ext
        |  WHERE substring(norm_a, CAST(pa AS INT), $SpanSeedLen) =
        |        substring(norm_b, CAST(pb AS INT), $SpanSeedLen)),
+       |bnds AS (
+       |  SELECT da, db, ol,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)],
+       |      list_filter(range(1, ol + 1),
+       |        j -> substring(norm_a, CAST(off_a + j - 1 AS INT), 1) <>
+       |             substring(norm_b, CAST(off_b + j - 1 AS INT), 1))),
+       |      [ol + 1]) AS bnd
+       |  FROM diagw),
+       |spans AS (
+       |  SELECT da, db,
+       |    list_max(list_transform(range(2, len(bnd) + 1),
+       |      k -> bnd[k] - bnd[k - 1] - 1)) AS max_run
+       |  FROM bnds),
        |best AS (
        |  SELECT da AS doc_a, db AS doc_b,
-       |    MAX($SpanSeedLen + lext + rext) AS span_len,
+       |    MAX(max_run) AS span_len,
        |    COUNT(*) AS n_seeds
        |  FROM spans GROUP BY 1, 2)""".stripMargin
   }

@@ -1,0 +1,239 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential tests for the seed-and-extend span core
+  * ([[Dedup.spanPairsOf]]) against an independent in-memory
+  * re-implementation of the same semantics, plus a brute-force
+  * longest-common-substring bound, on the adversarial corpora the
+  * documents fixture never produces:
+  *
+  *   - TWO DISJOINT SHARED SPANS ON ONE DIAGONAL — the case a single
+  *     min(pa) flank extension under-reports (it extends the first
+  *     span and never sees the later, longer one); the full-diagonal
+  *     run scan must report the longer run.
+  *   - misaligned offsets (same span at unrelated positions — the
+  *     content-defined anchor property fixed-stride windows lack);
+  *   - periodic repeats ("abab…", "aaaa…") where the per-seed cap
+  *     (64, ordered by doc_id then pos) deliberately starves
+  *     cross-doc candidates for hot seeds — the reference replays the
+  *     cap so the recall consequence is PINNED, not accidental;
+  *   - documents at and below the 16-char seed length, where the
+  *     content-defined anchor rule decides detection at the boundary.
+  *
+  * The reference re-implements: anchor selection (rolling 8-gram
+  * 60-bit md5-prefix hash ≡ 0 mod 8), the md5 seed key, the per-seed
+  * occurrence cap, per-(pair, diagonal) collapse to min(pa), the
+  * byte-for-byte seed verification, and the longest all-match run
+  * over the diagonal's full overlap. Every constant is pinned here
+  * independently of Dedup's (a drift in either is a failure).
+  */
+class SpanFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val SeedLen = 16
+  private val AnchorMod = 8
+  private val SeedCap = 64
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def pHash(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  /** In-memory reference: (doc_a, doc_b) -> (span_len, n_seeds). */
+  private def refSpans(docs: Seq[(Long, String)])
+      : Map[(Long, Long), (Long, Long)] = {
+    val le = docs.filter(_._2.length >= SeedLen)
+    val norms = le.toMap
+    val anchors0 = for {
+      (id, nm) <- le
+      i <- 1 to (nm.length - SeedLen + 1)
+      if pHash(nm.substring(i - 1, i + 7)) % AnchorMod == 0
+    } yield (id, i, md5Hex(nm.substring(i - 1, i - 1 + SeedLen)))
+    val anchors = anchors0.groupBy(_._3).values.toSeq
+      .flatMap(g => g.sortBy(a => (a._1, a._2)).take(SeedCap))
+    val cands = (for {
+      (_, as) <- anchors.groupBy(_._3).toSeq
+      a <- as; b <- as if a._1 < b._1
+    } yield ((a._1, b._1, a._2 - b._2), a._2))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }
+    val perPair =
+      scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for (((da, db, diag), pa) <- cands) {
+      val na = norms(da); val nb = norms(db)
+      val pb = pa - diag
+      if (na.substring(pa - 1, pa - 1 + SeedLen) ==
+          nb.substring(pb - 1, pb - 1 + SeedLen)) {
+        val offA = math.max(diag, 0) + 1
+        val offB = math.max(-diag, 0) + 1
+        val ol = math.min(na.length - offA, nb.length - offB) + 1
+        var maxRun = 0L; var run = 0L; var j = 0
+        while (j < ol) {
+          if (na.charAt(offA - 1 + j) == nb.charAt(offB - 1 + j)) {
+            run += 1; if (run > maxRun) maxRun = run
+          } else run = 0
+          j += 1
+        }
+        val cur = perPair.getOrElse((da, db), (0L, 0L))
+        perPair((da, db)) = (math.max(cur._1, maxRun), cur._2 + 1)
+      }
+    }
+    perPair.toMap
+  }
+
+  /** Brute-force longest common substring (O(n·m) DP). */
+  private def lcsLen(a: String, b: String): Int = {
+    var prev = new Array[Int](b.length + 1)
+    var cur = new Array[Int](b.length + 1)
+    var best = 0
+    var i = 1
+    while (i <= a.length) {
+      var j = 1
+      while (j <= b.length) {
+        cur(j) =
+          if (a.charAt(i - 1) == b.charAt(j - 1)) prev(j - 1) + 1 else 0
+        if (cur(j) > best) best = cur(j)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    best
+  }
+
+  private def engine(docs: Seq[(Long, String)])
+      : Map[(Long, Long), (Long, Long)] = {
+    import spark.implicits._
+    Dedup.spanPairsOf(docs.toDF("doc_id", "norm")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+  }
+
+  /** First-anchor position fully inside [lo, hi] (1-based, seed fits). */
+  private def anchorIn(nm: String, lo: Int, hi: Int): Option[Int] =
+    (lo to math.min(hi - SeedLen + 1, nm.length - SeedLen + 1))
+      .find(i => pHash(nm.substring(i - 1, i + 7)) % AnchorMod == 0)
+
+  private def randStr(rng: scala.util.Random, n: Int, alpha: String): String =
+    Array.fill(n)(alpha(rng.nextInt(alpha.length))).mkString
+
+  // ---- the advice case: two disjoint spans, SAME diagonal ----------
+
+  test("two disjoint spans on one diagonal: the later, longer run wins") {
+    val rng = new scala.util.Random(7)
+    // search deterministically for flanks that carry an anchor in BOTH
+    // segments, so the case genuinely exercises multi-span-per-diagonal
+    val (p, q) = Iterator.continually(
+      (randStr(rng, 60, "abcdefghijklmnopqrstuvwxyz"),
+       randStr(rng, 100, "abcdefghijklmnopqrstuvwxyz")))
+      .find { case (p, q) =>
+        anchorIn(p, 1, p.length).isDefined &&
+        anchorIn(q, 1, q.length).isDefined && lcsLen(p, q) < 50 }.get
+    val a = p + "1234" + q
+    val b = p + "5678" + q
+    // same diagonal (equal mid length); min(pa) lands in the p-span —
+    // a flank-only extension would report 60 and miss the 100
+    val got = engine(Seq(1L -> a, 2L -> b))
+    assert(got.contains((1L, 2L)))
+    assert(got((1L, 2L))._1 == 100L,
+      s"later span on the shared diagonal must win: ${got((1L, 2L))}")
+    assert(got == refSpans(Seq(1L -> a, 2L -> b)))
+  }
+
+  // ---- misaligned offsets ------------------------------------------
+
+  test("misaligned offsets: content-defined anchors find the span at any phase") {
+    val rng = new scala.util.Random(11)
+    val s = Iterator.continually(randStr(rng, 80, "abcdefghijklmnopqrstuvwxyz"))
+      .find(s => anchorIn(s, 1, s.length).isDefined).get
+    val a = randStr(rng, 37, "ABCDEFGH") + "<" + s + "!" +
+      randStr(rng, 50, "ABCDEFGH")
+    val b = randStr(rng, 11, "IJKLMNOP") + ">" + s + "?" +
+      randStr(rng, 23, "IJKLMNOP")
+    val got = engine(Seq(1L -> a, 2L -> b))
+    assert(got.get((1L, 2L)).map(_._1).contains(80L), s"got $got")
+    assert(got == refSpans(Seq(1L -> a, 2L -> b)))
+  }
+
+  // ---- periodic repeats: cap semantics pinned ----------------------
+
+  // a period whose repeated 8-gram actually anchors (≡ 0 mod 8) must
+  // be SEARCHED for — a fixed "ab" period anchors with P = 1/8 only
+  private lazy val period2: String = {
+    val ls = "abcdefghijklmnopqrstuvwxyz"
+    (for { x <- ls; y <- ls if x != y } yield s"$x$y")
+      .find(p => pHash(p * 4) % AnchorMod == 0).get
+  }
+  private lazy val uni: Char = "abcdefghijklmnopqrstuvwxyz"
+    .find(c => pHash(c.toString * 8) % AnchorMod == 0).get
+
+  test("small periodic repeat under the seed cap: full containment run") {
+    val docs = Seq(1L -> (period2 * 30), 2L -> (period2 * 20))
+    val got = engine(docs)
+    assert(got == refSpans(docs))
+    assert(got.get((1L, 2L)).map(_._1).contains(40L), s"got $got")
+  }
+
+  test("hot periodic seed over the cap: doc-ordered cap starves cross-doc pairs, reference replays it") {
+    val c = uni.toString
+    // doc 1's 185 uniform anchor occurrences fill the 64-cap before any
+    // doc-2 row; the pair is (deliberately) missed — the boilerplate
+    // discipline's priced recall cost, pinned by reference equality
+    val starved = Seq(1L -> (c * 200), 2L -> (c * 100))
+    assert(engine(starved) == refSpans(starved))
+    assert(engine(starved).isEmpty, "cap must starve the hot seed")
+    // break doc 1 into sub-cap runs: pairs survive, longest run wins
+    val brk = if (uni == 'z') "y" else "z"
+    val docs = Seq(1L -> (c * 50 + brk + c * 30), 2L -> (c * 100))
+    val got = engine(docs)
+    assert(got == refSpans(docs))
+    assert(got.get((1L, 2L)).map(_._1).contains(50L), s"got $got")
+  }
+
+  // ---- seed-length boundary ----------------------------------------
+
+  test("docs at and below the seed length: anchor rule decides at the boundary") {
+    // deterministic search: a 16-char string whose ONLY window is an
+    // anchor, and one whose only window is not
+    val rng = new scala.util.Random(13)
+    val anchored = Iterator.continually(
+      randStr(rng, SeedLen, "abcdefghijklmnopqrstuvwxyz"))
+      .find(s => pHash(s.substring(0, 8)) % AnchorMod == 0).get
+    val unanchored = Iterator.continually(
+      randStr(rng, SeedLen, "abcdefghijklmnopqrstuvwxyz"))
+      .find(s => pHash(s.substring(0, 8)) % AnchorMod != 0).get
+    val docs = Seq(1L -> anchored, 2L -> anchored,
+      3L -> unanchored, 4L -> unanchored,
+      5L -> anchored.substring(0, 15), 6L -> anchored.substring(0, 15))
+    val got = engine(docs)
+    assert(got == refSpans(docs))
+    assert(got.get((1L, 2L)).map(_._1).contains(SeedLen.toLong))
+    assert(!got.contains((3L, 4L)), "no anchor -> no detection (priced gap)")
+    assert(!got.contains((5L, 6L)), "below seed length -> filtered")
+  }
+
+  // ---- generative differential + LCS precision bound ---------------
+
+  test("fuzz: engine equals reference on a tiny-alphabet corpus; spans never exceed the true LCS") {
+    val rng = new scala.util.Random(42)
+    val docs = (1L to 24L).map { id =>
+      val n = rng.nextInt(200)
+      id -> randStr(rng, n, "abc")
+    }
+    val got = engine(docs)
+    val ref = refSpans(docs)
+    assert(got == ref,
+      s"engine/reference drift: only-engine=${(got.keySet -- ref.keySet).take(5)} " +
+        s"only-ref=${(ref.keySet -- got.keySet).take(5)} " +
+        s"diff=${got.keySet.intersect(ref.keySet).filter(k => got(k) != ref(k)).take(5).map(k => (k, got(k), ref(k)))}")
+    val norms = docs.toMap
+    for (((da, db), (len, _)) <- got)
+      assert(len <= lcsLen(norms(da), norms(db)),
+        s"($da,$db) reported $len > true LCS ${lcsLen(norms(da), norms(db))}")
+  }
+}
