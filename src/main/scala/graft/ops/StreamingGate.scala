@@ -77,6 +77,28 @@ object StreamingGate {
     spark.table(name)
   }
 
+  /** Stage a one-file parquet slice into a file-stream input dir with
+    * a pinned mtime (the file source processes oldest mtime first, so
+    * distinct mtimes pin micro-batch arrival order). Shared by every
+    * staged-slice gate query. An empty slice may legally produce ZERO
+    * part- files (AQE can elide the write entirely); it is skipped
+    * rather than crashed on — the remaining slices still carry the
+    * whole residue class.
+    */
+  private def stageSlice(fs: org.apache.hadoop.fs.FileSystem,
+      stage: String, input: String)(
+      df: DataFrame, name: String, mtime: Long): Unit = {
+    val tmp = s"$stage/$name"
+    df.coalesce(1).write.parquet(tmp)
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName).headOption.foreach { part =>
+        val dst = new org.apache.hadoop.fs.Path(s"$input/$name.parquet")
+        fs.rename(part, dst)
+        fs.setTimes(dst, mtime, -1)
+      }
+  }
+
   /** hourly tumbling-window counts, streamed end-to-end; batch twin =
     * ax_events_hourly (same oracle SQL)
     */
@@ -799,16 +821,7 @@ object StreamingGate {
       .withColumn("mid", !col("recent") &&
         col("ts") >= col("mt") - expr("INTERVAL 84 HOURS"))
 
-    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = s"$stage/$name"
-      df.coalesce(1).write.parquet(tmp)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
-        .map(_.getPath).filter(_.getName.startsWith("part-"))
-        .sortBy(_.getName).head
-      val dst = new org.apache.hadoop.fs.Path(s"$input/$name.parquet")
-      fs.rename(part, dst)
-      fs.setTimes(dst, mtime, -1)
-    }
+    val writeOne = stageSlice(fs, stage, input) _
     // distinct mtimes pin arrival order (file source processes oldest
     // modification time first): recent tail, then middle, then old head
     val base = System.currentTimeMillis() - 600000L
@@ -879,16 +892,7 @@ object StreamingGate {
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey").as("k"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = s"$stage/$name"
-      df.coalesce(1).write.parquet(tmp)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
-        .map(_.getPath).filter(_.getName.startsWith("part-"))
-        .sortBy(_.getName).head
-      val dst = new org.apache.hadoop.fs.Path(s"$input/$name.parquet")
-      fs.rename(part, dst)
-      fs.setTimes(dst, mtime, -1)
-    }
+    val writeOne = stageSlice(fs, stage, input) _
     val now = System.currentTimeMillis() - 600000L
     writeOne(o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
       col("cents")), "b0", now)
@@ -956,8 +960,29 @@ object StreamingGate {
   // same plan serves a real ingest firehose: centroids broadcast,
   // cells assigned in the map phase, occupancy as a tiny keyed agg.
   // -------------------------------------------------------------------
-  private def ivfAssignStreamed(spark: SparkSession, dir: String): DataFrame = {
+  /** Stateless cell argmin + per-cell occupancy over frozen centroids
+    * inlined as literals — ONE formulation shared by the gate query
+    * and IvfAssignStreamSpec's MemoryStream twin, so the spec pins
+    * exactly the plan the gate runs (same integer L2 algebra, same
+    * (dist asc, cell asc) tie-break via the struct ordering).
+    */
+  private[graft] def ivfCellOccupancy(vecs: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
     import graft.functions.GraftFunctions.l2sqLong
+    val distStructs = cents.map { case (cell, c) =>
+      struct(
+        l2sqLong(col("q"), expr(c.mkString("array(", ",", ")"))).as("d"),
+        lit(cell).as("cell"))
+    }
+    vecs.withColumn("q", expr(Similarity.quantize))
+      .withColumn("best", array_min(array(distStructs: _*)))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("vec_id")).as("vec_id_sum"))
+  }
+
+  private def ivfAssignStreamed(spark: SparkSession, dir: String): DataFrame = {
     val tag = new java.io.File(dir).getName.replace('.', '_')
     val stage = s"target/stream_ivf/stage_$tag"
     val input = s"target/stream_ivf/input_$tag"
@@ -982,16 +1007,7 @@ object StreamingGate {
 
     // the delta arrives as three staged slices with pinned mtimes —
     // deterministic trigger order, one slice per micro-batch
-    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = s"$stage/$name"
-      df.coalesce(1).write.parquet(tmp)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
-        .map(_.getPath).filter(_.getName.startsWith("part-"))
-        .sortBy(_.getName).head
-      val dst = new org.apache.hadoop.fs.Path(s"$input/$name.parquet")
-      fs.rename(part, dst)
-      fs.setTimes(dst, mtime, -1)
-    }
+    val writeOne = stageSlice(fs, stage, input) _
     val delta = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(pmod(col("vec_id"), lit(10)) === 7)
       .select(col("vec_id"), col("embedding"))
@@ -1002,20 +1018,11 @@ object StreamingGate {
     }
 
     val sch = spark.read.parquet(input).schema
-    val distStructs = cents.map { case (cell, c) =>
-      struct(
-        l2sqLong(col("q"), expr(c.mkString("array(", ",", ")"))).as("d"),
-        lit(cell).as("cell"))
-    }
-    val assigned = spark.readStream.schema(sch)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(input)
-      .withColumn("q", expr(Similarity.quantize))
-      .withColumn("best", array_min(array(distStructs: _*)))
-      .select(col("vec_id"), col("best.cell").as("cell"))
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n_assigned"),
-        sum(col("vec_id")).as("vec_id_sum"))
+    val assigned = ivfCellOccupancy(
+      spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input),
+      cents)
     runToTable(assigned, "st_ivf_assign_sink", "complete")(spark)
       .orderBy("cell")
   }
