@@ -620,7 +620,7 @@ object EventsOps {
       "bucketWidth" -> 4, "minBits" -> 17, "src" -> stamp)
     val mDir = mDirF.toString
     val marker = new java.io.File(mDirF, "_GRAFT_SUCCESS")
-    if (!marker.exists()) {
+    def build(): Unit = {
       val estItems = math.max(1L,
         spark.read.parquet(layoutPath)
           .groupBy(input_file_name().as("file"))
@@ -637,7 +637,24 @@ object EventsOps {
         .write.mode("overwrite").parquet(mDir)
       marker.createNewFile()
     }
-    spark.read.parquet(mDir).collect() // O(files) manifest rows
+    if (!marker.exists()) build()
+    var rows = spark.read.parquet(mDir).collect() // O(files) manifest rows
+    // the manifest references layout part files by ABSOLUTE path, and
+    // its own marker is independent of the layout's: a layout rebuilt
+    // under the same source stamp (fresh part-file UUIDs) would leave
+    // the cached manifest validating but pointing at dead files — so
+    // the read path checks liveness (O(files) stat calls, the same
+    // existence check a table-format coordinator performs) and
+    // rebuilds from the live layout on any miss.
+    def pathOf(r: org.apache.spark.sql.Row): String = {
+      val f = r.getString(0)
+      if (f.startsWith("file:")) new java.net.URI(f).getPath else f
+    }
+    if (rows.exists(r => !new java.io.File(pathOf(r)).exists())) {
+      build()
+      rows = spark.read.parquet(mDir).collect()
+    }
+    rows
   }
 
   private def manifestBloom(spark: SparkSession, dir: String): DataFrame = {
