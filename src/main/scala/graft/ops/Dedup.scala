@@ -718,21 +718,50 @@ object Dedup {
 
   private val spanCache = SubstrateCache.frame("documents.parquet")
 
+  /** Verified per-(pair, diagonal) boundary table (da, db, off_b, bnd)
+    * — the EXPENSIVE part of seed-and-extend (anchor join + text join
+    * + full-diagonal mismatch scan), session-cached once and consumed
+    * by three gate queries: the dd_substring_span pair aggregate, the
+    * dd_span_guarantee audit, and the tx_span_dedup corpus rewrite
+    * (which needs run INTERVALS, not just per-pair maxima — exactly
+    * what the boundary arrays carry).
+    */
+  private[ops] def spanDiagonals(spark: SparkSession, dir: String): DataFrame =
+    spanCache.get(spark, dir) {
+      spanDiagonalsOf(spanDocsNorm(spark, dir)).localCheckpoint()
+    }
+
   /** Per-pair maximal shared-span table (doc_a, doc_b, span_len,
-    * n_seeds) — the seed-and-extend result over the whole corpus,
-    * session-cached (pairs-sized; both gate queries read it).
+    * n_seeds) — a cheap aggregate over the cached diagonal substrate.
     */
   private[ops] def spanPairs(spark: SparkSession, dir: String): DataFrame =
-    spanCache.get(spark, dir) {
-      spanPairsOf(spanDocsNorm(spark, dir)).localCheckpoint()
-    }
+    pairsOfDiagonals(spanDiagonals(spark, dir))
+
+  /** Longest all-match run + per-pair rollup over the boundary table:
+    * run lengths are the gaps between consecutive boundaries.
+    */
+  private def pairsOfDiagonals(diags: DataFrame): DataFrame =
+    diags
+      .withColumn("max_run", expr(
+        """array_max(zip_with(slice(bnd, 2, size(bnd) - 1),
+          |  slice(bnd, 1, size(bnd) - 1), (x, y) -> x - y - 1))""".stripMargin))
+      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+      .agg(max(col("max_run").cast("long")).as("span_len"),
+        count(lit(1)).as("n_seeds"))
 
   /** The seed-and-extend pipeline over any (doc_id, norm) frame —
     * exposed so SpanFuzzSpec can differential-test span recovery
     * against a brute-force longest-common-substring reference on
     * adversarial corpora (misaligned offsets, repeats, short docs).
     */
-  private[ops] def spanPairsOf(docsNorm: DataFrame): DataFrame = {
+  private[ops] def spanPairsOf(docsNorm: DataFrame): DataFrame =
+    pairsOfDiagonals(spanDiagonalsOf(docsNorm))
+
+  /** Seeds → capped anchors → diagonal-collapsed candidates → in-row
+    * byte verification → mismatch-boundary arrays per (pair,
+    * diagonal). See the operator comment above for the algebra.
+    */
+  private[ops] def spanDiagonalsOf(docsNorm: DataFrame): DataFrame = {
       val nd = docsNorm.filter(length(col("norm")) >= SpanSeedLen)
         .repartition(col("doc_id"))
       val h8 = PortableHash.hashSparkSql(
@@ -778,27 +807,20 @@ object Dedup {
       // step — measured 46 s vs 4 s on the sf0.1 candidate set for
       // identical output (the flank-extension ancestor of this scan;
       // same O(overlap) work shape).
-      val spans = withText
+      withText
         .filter(expr(s"substring(norm_a, CAST(pa AS INT), $SpanSeedLen) = " +
           s"substring(norm_b, CAST(pb AS INT), $SpanSeedLen)"))
         .withColumn("off_a", expr("greatest(pa - pb, 0) + 1"))
         .withColumn("off_b", expr("greatest(pb - pa, 0) + 1"))
         .withColumn("ol", expr(
           "least(length(norm_a) - off_a, length(norm_b) - off_b) + 1"))
-        .withColumn("bnd", expr(
+        .select(col("da"), col("db"), col("off_b"), expr(
           """concat(array(0),
             |  filter(transform(zip_with(
             |    split(substring(norm_a, CAST(off_a AS INT), CAST(ol AS INT)), ''),
             |    split(substring(norm_b, CAST(off_b AS INT), CAST(ol AS INT)), ''),
             |    (x, y) -> x = y), (x, i) -> IF(x, -1, i + 1)), v -> v > 0),
-            |  array(ol + 1))""".stripMargin))
-        .withColumn("max_run", expr(
-          """array_max(zip_with(slice(bnd, 2, size(bnd) - 1),
-            |  slice(bnd, 1, size(bnd) - 1), (x, y) -> x - y - 1))""".stripMargin))
-      spans
-        .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
-        .agg(max(col("max_run").cast("long")).as("span_len"),
-          count(lit(1)).as("n_seeds"))
+            |  array(ol + 1))""".stripMargin).as("bnd"))
   }
 
   private def substringSpan(spark: SparkSession, dir: String): DataFrame =
@@ -850,7 +872,7 @@ object Dedup {
        |  WHERE substring(norm_a, CAST(pa AS INT), $SpanSeedLen) =
        |        substring(norm_b, CAST(pb AS INT), $SpanSeedLen)),
        |bnds AS (
-       |  SELECT da, db, ol,
+       |  SELECT da, db, ol, off_b,
        |    list_concat(list_concat([CAST(0 AS BIGINT)],
        |      list_filter(range(1, ol + 1),
        |        j -> substring(norm_a, CAST(off_a + j - 1 AS INT), 1) <>
@@ -957,6 +979,139 @@ object Dedup {
        |    ELSE (1000 * n_hit_pairs) // (SELECT COUNT(*) FROM exact)
        |  END AS BIGINT) AS recall_pm
        |FROM hit""".stripMargin
+
+  // -------------------------------------------------------------------
+  // tx_span_dedup: corpus REWRITE by long-shared-span removal — the
+  // ACTION Lee et al. actually take on what dd_substring_span only
+  // reports: every verified shared run ≥ 50 chars keeps its globally-
+  // first occurrence (the smallest doc_id — pairwise removal in the
+  // larger doc of each pair composes to exactly that) and is CUT from
+  // every later document; overlapping cuts merge before removal so no
+  // char is double-counted; every document is reassembled from its
+  // kept segments byte-faithfully and pinned by md5, the tx_para_dedup
+  // reassembly discipline at character granularity.
+  //
+  // Scale shape: run intervals explode from the session-cached
+  // diagonal substrate (rows ∝ true repeats — the expensive scan is
+  // already paid and shared with the two dd_ span queries); interval
+  // merge is one window keyed on doc_id; reassembly joins the text in
+  // ONCE by doc key and aggregates segments in-row. No all-pairs step
+  // anywhere; keys are doc ids — high-cardinality, no skew.
+  // -------------------------------------------------------------------
+  /** Frame-parameterized core — (doc_id, norm) corpus + its diagonal
+    * table in, one rewrite row per document out; exposed so
+    * SpanFuzzSpec can pin identity on span-free docs and byte-exact
+    * cuts on crafted corpora.
+    */
+  private[ops] def spanDedupOf(allNorm: DataFrame,
+      diags: DataFrame): DataFrame = {
+    val runs = diags
+      .select(col("db").as("doc_id"), col("off_b"), col("bnd"),
+        explode(expr("sequence(1, size(bnd) - 1)")).as("k"))
+      .select(col("doc_id"),
+        (col("off_b") + expr("element_at(bnd, CAST(k AS INT))")).as("s"),
+        (col("off_b") + expr("element_at(bnd, CAST(k + 1 AS INT))") - 2)
+          .as("e"))
+      .filter(col("e") - col("s") + 1 >= SpanMinLen)
+    // classic interval merge: a row starts a new group iff its start
+    // exceeds the running max end of everything before it
+    val wOrd = Window.partitionBy("doc_id").orderBy("s", "e")
+    val merged = runs
+      .withColumn("brk",
+        when(col("s") > coalesce(max(col("e")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)), 1L)
+          .otherwise(0L))
+      .withColumn("gid", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    // a sentinel "interval" past each doc's end closes the final kept
+    // segment; cut-free docs get exactly one segment = the whole doc
+    val sent = allNorm.select(col("doc_id"),
+      (length(col("norm")) + 1).cast("long").as("ms"),
+      length(col("norm")).cast("long").as("me"))
+    val wSeg = Window.partitionBy("doc_id").orderBy("ms")
+    val segs = merged.select("doc_id", "ms", "me").unionAll(sent)
+      .withColumn("ss", coalesce(lag(col("me"), 1).over(wSeg), lit(0L)) + 1)
+      .withColumn("se", col("ms") - 1)
+    val clean = segs.join(allNorm, Seq("doc_id"))
+      .select(col("doc_id"), expr(
+        """struct(ss, substring(norm, CAST(ss AS INT),
+          |  CAST(greatest(se - ss + 1, 0) AS INT)) AS seg)"""
+          .stripMargin).as("sg"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sg"))).as("cs"))
+      .select(col("doc_id"),
+        md5(array_join(expr("transform(cs, x -> x.seg)"), ""))
+          .as("clean_hash"))
+    val stats = merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cut_spans"),
+        sum(col("me") - col("ms") + 1).as("chars_removed"))
+    allNorm.join(stats, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        (length(col("norm")).cast("long") -
+          coalesce(col("chars_removed"), lit(0L))).as("clean_len"),
+        col("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private def spanDedupRewrite(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOf(
+      docs(spark, dir).select(col("doc_id"), TextAnalysis.normCol.as("norm")),
+      spanDiagonals(spark, dir))
+
+  private val spanDedupSql =
+    s"""WITH $spanPairsCte,
+       |cruns AS (
+       |  SELECT db AS doc_id,
+       |    off_b + bnd[k] AS s,
+       |    off_b + bnd[k + 1] - 2 AS e
+       |  FROM bnds, LATERAL unnest(range(1, len(bnd))) AS t(k)
+       |  WHERE bnd[k + 1] - bnd[k] - 1 >= $SpanMinLen),
+       |cg AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) THEN 1 ELSE 0 END AS brk
+       |  FROM cruns),
+       |cgi AS (
+       |  SELECT doc_id, s, e, SUM(brk) OVER (PARTITION BY doc_id
+       |    ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS gid
+       |  FROM cg),
+       |mi AS (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+       |  FROM cgi GROUP BY 1, 2),
+       |sent AS (
+       |  SELECT doc_id, CAST(length(norm) + 1 AS BIGINT) AS ms,
+       |    CAST(length(norm) AS BIGINT) AS me FROM nd
+       |  UNION ALL SELECT doc_id, ms, me FROM mi),
+       |segs AS (
+       |  SELECT doc_id,
+       |    COALESCE(LAG(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) + 1
+       |      AS ss,
+       |    ms - 1 AS se
+       |  FROM sent),
+       |cl AS (
+       |  SELECT s.doc_id,
+       |    md5(COALESCE(string_agg(substring(n.norm, CAST(ss AS INT),
+       |      CAST(greatest(se - ss + 1, 0) AS INT)), '' ORDER BY ss), ''))
+       |      AS clean_hash
+       |  FROM segs s JOIN nd n ON n.doc_id = s.doc_id GROUP BY 1),
+       |cstats AS (
+       |  SELECT doc_id, COUNT(*) AS n_cut_spans,
+       |    CAST(SUM(me - ms + 1) AS BIGINT) AS chars_removed
+       |  FROM mi GROUP BY 1)
+       |SELECT n.doc_id,
+       |  COALESCE(cs.n_cut_spans, 0) AS n_cut_spans,
+       |  COALESCE(cs.chars_removed, 0) AS chars_removed,
+       |  CAST(length(n.norm) - COALESCE(cs.chars_removed, 0) AS BIGINT)
+       |    AS clean_len,
+       |  cl.clean_hash
+       |FROM nd n LEFT JOIN cstats cs ON cs.doc_id = n.doc_id
+       |JOIN cl ON cl.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // dd_lsh_recall: RECALL AUDIT of the minhash pipeline — the
@@ -2652,6 +2807,7 @@ object Dedup {
     "dd_substring_dup"  -> (substringDup _),
     "dd_substring_span" -> (substringSpan _),
     "dd_span_guarantee" -> (spanGuarantee _),
+    "tx_span_dedup"     -> (spanDedupRewrite _),
     "dd_incremental_dup" -> (incrementalDup _),
     "dd_semdedup"       -> (semDedup _),
     "dd_semdedup_rep"   -> (semDedupRep _),
@@ -2691,6 +2847,7 @@ object Dedup {
     "dd_lsh_recall"     -> lshRecallSql,
     "dd_substring_dup"  -> substringDupSql,
     "dd_substring_span" -> substringSpanSql,
+    "tx_span_dedup"     -> spanDedupSql,
     "dd_span_guarantee" -> spanGuaranteeSql,
     "dd_semdedup"       -> semDedupSql,
     "dd_semdedup_rep"   -> semDedupRepSql,

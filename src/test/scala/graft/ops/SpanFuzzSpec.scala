@@ -217,6 +217,29 @@ class SpanFuzzSpec extends AnyFunSuite {
     assert(!got.contains((5L, 6L)), "below seed length -> filtered")
   }
 
+  // ---- the rewrite twin: byte-exact cut, identity elsewhere --------
+
+  test("span-dedup rewrite: later doc loses exactly the span, span-free docs are untouched") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val s = Iterator.continually(randStr(rng, 100, "abcdefghijklmnopqrstuvwxyz"))
+      .find(x => anchorIn(x, 1, x.length).isDefined).get
+    val j1 = randStr(rng, 40, "ABCDEFGH"); val j2 = randStr(rng, 40, "IJKLMN")
+    val j3 = randStr(rng, 40, "OPQRST");   val j4 = randStr(rng, 40, "UVWXYZ")
+    val free = randStr(rng, 120, "abcdefghijklmnopqrstuvwxyz")
+    val docs = Seq(1L -> (j1 + s + j2), 2L -> (j3 + s + j4), 3L -> free)
+    val df = docs.toDF("doc_id", "norm")
+    val got = Dedup.spanDedupOf(df, Dedup.spanDiagonalsOf(df)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def m(x: String) = md5Hex(x)
+    // doc 1 (globally first) and the span-free doc 3 are IDENTITY
+    assert(got(1L) == (0L, 0L, 180L, m(j1 + s + j2)), s"doc1 ${got(1L)}")
+    assert(got(3L) == (0L, 0L, 120L, m(free)), s"doc3 ${got(3L)}")
+    // doc 2 loses exactly the 100-char span, byte-faithfully
+    assert(got(2L) == (1L, 100L, 80L, m(j3 + j4)), s"doc2 ${got(2L)}")
+  }
+
   // ---- generative differential + LCS precision bound ---------------
 
   test("fuzz: engine equals reference on a tiny-alphabet corpus; spans never exceed the true LCS") {
