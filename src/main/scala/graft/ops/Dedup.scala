@@ -486,6 +486,13 @@ object Dedup {
       MinHashLsh.verifiedPairsFrom(tokH, sig).persist()
     }
 
+  /** the verified-pair pipeline's full oracle SQL as a subquery —
+    * exposed for cross-family audits composed in other files
+    * (mm_joint_dup's text tier)
+    */
+  private[ops] def minhashPairsOracleSql: String =
+    MinHashLsh.oracleSql(wordShingleTokCte)
+
   /** char-n-gram verified pairs, cached per (application, dir, fixture
     * generation) — same amortization as the word-shingle family: the
     * tokenize → sign → band → verify pipeline is the expensive half,

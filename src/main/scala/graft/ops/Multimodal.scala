@@ -785,12 +785,93 @@ object Multimodal {
       dir: String): org.apache.spark.sql.execution.SparkPlan =
     phashPairs(phashBandRows(spark, dir)).queryExecution.executedPlan
 
-  private def phashDup(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = phashBandRows(spark, dir).persist()
-    val out = phashPairs(hashes).localCheckpoint()
-    hashes.unpersist()
-    out
+  /** the verified phash pair set as a session substrate — built once
+    * (BMP encode → decode → resize → aHash → banded join → Hamming
+    * verify is the expensive half), served to mm_phash_dup and the
+    * cross-modal overlap audit
+    */
+  private val phashPairCache = SubstrateCache.frame("documents.parquet")
+
+  private def phashDupPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairCache.get(spark, dir) {
+      val hashes = phashBandRows(spark, dir).persist()
+      val out = phashPairs(hashes).localCheckpoint()
+      hashes.unpersist()
+      out
+    }
+
+  private def phashDup(spark: SparkSession, dir: String): DataFrame =
+    phashDupPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  // -------------------------------------------------------------------
+  // mm_joint_dup: CROSS-MODAL asset dedup overlap — the dd_method_compare
+  // shape applied across MODALITIES instead of across hash families:
+  // the same asset corpus runs three dedup tiers a multimodal pipeline
+  // would stack (exact payload bytes via content digest; perceptual
+  // image near-dup via the banded aHash; text/caption near-dup via
+  // verified MinHash), and this table reports every region of the
+  // three-set pair Venn — the evidence for which tier a pipeline can
+  // SKIP (a tier whose pairs are a subset of a cheaper tier's adds
+  // nothing) and which finds exclusive duplicates. Composed from the
+  // two session-cached pair substrates plus one digest self-join
+  // (payloads never move — 32-byte digests shuffle, computed map-side);
+  // the audit is output-bounded at any scale, never a recompute.
+  // -------------------------------------------------------------------
+  private def jointDup(spark: SparkSession, dir: String): DataFrame = {
+    val img = phashDupPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("i"))
+    val txt = Dedup.minhashPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("t"))
+    val dg = withPayload(spark, dir)
+      .select(col("doc_id"), sha2(col("payload"), 256).as("digest"))
+    val ex = dg.select(col("digest"), col("doc_id").as("a"))
+      .join(dg.select(col("digest"), col("doc_id").as("b")), Seq("digest"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(1L).as("x"))
+    img.join(txt, Seq("a", "b"), "full_outer")
+      .join(ex, Seq("a", "b"), "full_outer")
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("i").isNotNull.cast("long")).as("n_image"),
+        sum(col("t").isNotNull.cast("long")).as("n_text"),
+        sum(col("x").isNotNull.cast("long")).as("n_exact"),
+        sum((col("i").isNotNull && col("t").isNotNull).cast("long"))
+          .as("n_image_text"),
+        sum((col("i").isNotNull && col("x").isNotNull).cast("long"))
+          .as("n_image_exact"),
+        sum((col("t").isNotNull && col("x").isNotNull).cast("long"))
+          .as("n_text_exact"),
+        sum((col("i").isNotNull && col("t").isNotNull &&
+          col("x").isNotNull).cast("long")).as("n_all_three"))
   }
+
+  private def jointDupSql: String =
+    s"""WITH img AS (SELECT doc_a AS a, doc_b AS b, 1 AS i
+       |  FROM ($phashDupSql) p),
+       |txt AS (SELECT doc_a AS a, doc_b AS b, 1 AS t
+       |  FROM (${Dedup.minhashPairsOracleSql}) m),
+       |dgj AS (SELECT sha256(text) AS digest, doc_id FROM documents),
+       |ex AS (SELECT xx.doc_id AS a, yy.doc_id AS b, 1 AS x
+       |  FROM dgj xx JOIN dgj yy
+       |    ON xx.digest = yy.digest AND xx.doc_id < yy.doc_id),
+       |j AS (SELECT i, t, x
+       |  FROM img FULL OUTER JOIN txt USING (a, b)
+       |  FULL OUTER JOIN ex USING (a, b))
+       |SELECT COUNT(*) AS n_union,
+       |  CAST(SUM(CASE WHEN i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_image,
+       |  CAST(SUM(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_text,
+       |  CAST(SUM(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact,
+       |  CAST(SUM(CASE WHEN i IS NOT NULL AND t IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_image_text,
+       |  CAST(SUM(CASE WHEN i IS NOT NULL AND x IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_image_exact,
+       |  CAST(SUM(CASE WHEN t IS NOT NULL AND x IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_text_exact,
+       |  CAST(SUM(CASE WHEN i IS NOT NULL AND t IS NOT NULL
+       |    AND x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_all_three
+       |FROM j""".stripMargin
 
   private val phashDupSql =
     s"""WITH dims AS (
@@ -1253,6 +1334,7 @@ object Multimodal {
     "mm_audio_stats"  -> (audioStats _),
     "mm_silence_spans" -> (silenceSpans _),
     "mm_phash_dup"    -> (phashDup _),
+    "mm_joint_dup"    -> (jointDup _),
     "mm_quarantine"   -> (quarantine _),
     "mm_exact_dedup"  -> (exactDedup _),
     "mm_chunk_dedup"  -> (chunkDedup _)
@@ -1295,6 +1377,7 @@ object Multimodal {
     "mm_audio_stats"  -> audioStatsSql,
     "mm_silence_spans" -> silenceSpansSql,
     "mm_phash_dup"    -> phashDupSql,
+    "mm_joint_dup"    -> jointDupSql,
     "mm_quarantine"   -> quarantineSql,
     "mm_exact_dedup"  -> exactDedupSql,
     "mm_chunk_dedup"  -> chunkDedupSql
