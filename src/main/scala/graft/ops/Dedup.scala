@@ -244,6 +244,61 @@ private[ops] object MinHashLsh {
        |ORDER BY new_doc""".stripMargin
   }
 
+  /** DuckDB oracle for the STREAMED ingest probe (st_dedup_probe): the
+    * [[probedDelta]] chain in its distinct-hash formulation — per-doc
+    * DISTINCT 60-bit hashes are the unit everywhere (the streamed
+    * engine verifies via array_intersect of distinct-hash arrays, so
+    * the oracle counts the same sets), no candidate count, best-match
+    * tie-break (jaccard desc, b asc) identical.
+    */
+  def probeBestOracleSql(tokCte: String, newPred: String): String = {
+    val minCols = (0 until NumHashes)
+      .map(s => s"min((${coefA(s)} * (h % $P) + ${coefB(s)}) % $P) AS m$s")
+      .mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { bi =>
+      val slice = (0 until RowsPerBand)
+        .map(r => s"m${bi * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $bi AS band, ${PortableHash.hashSql(s"concat_ws(',', $slice)")} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $tokCte,
+       |hashed AS (SELECT DISTINCT doc_id, ${PortableHash.hashSql("feature")} AS h
+       |  FROM tok),
+       |sig AS (SELECT doc_id,
+       |    $minCols,
+       |    count(*) AS n
+       |  FROM hashed GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects),
+       |idx AS (SELECT band, bh, doc_id AS b FROM (
+       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bucket_n
+       |    FROM banded WHERE NOT ($newPred)) c
+       |  WHERE bucket_n <= $MaxBucket),
+       |delta AS (SELECT band, bh, doc_id AS a FROM banded WHERE $newPred),
+       |cand AS (SELECT DISTINCT d.a, i.b
+       |  FROM delta d JOIN idx i ON d.band = i.band AND d.bh = i.bh),
+       |inter AS (SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN hashed ta ON ta.doc_id = c.a
+       |  JOIN hashed tb ON tb.doc_id = c.b AND tb.h = ta.h
+       |  GROUP BY c.a, c.b),
+       |scored AS (SELECT i.a, i.b,
+       |    CAST(floor(i.inter * 1000.0 / (sa.n + sb.n - i.inter)) AS BIGINT)
+       |      AS jaccard_pm
+       |  FROM inter i
+       |  JOIN sig sa ON sa.doc_id = i.a
+       |  JOIN sig sb ON sb.doc_id = i.b),
+       |ranked AS (SELECT a, b, jaccard_pm,
+       |    ROW_NUMBER() OVER (PARTITION BY a ORDER BY jaccard_pm DESC, b ASC) AS rn
+       |  FROM scored)
+       |SELECT s.doc_id AS new_doc,
+       |  CAST(COALESCE(r.b, -1) AS BIGINT) AS best_match,
+       |  CAST(COALESCE(r.jaccard_pm, 0) AS BIGINT) AS best_jaccard_pm,
+       |  CAST(COALESCE(r.jaccard_pm, 0) >= $ThresholdPm AS BIGINT) AS is_dup
+       |FROM (SELECT DISTINCT doc_id FROM sig WHERE $newPred) s
+       |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.a = s.doc_id
+       |ORDER BY new_doc""".stripMargin
+  }
+
   /** DuckDB oracle for [[verifiedPairs]]; `tokCte` must define
     * `tok(doc_id, feature)` with per-doc-distinct features.
     */
@@ -492,6 +547,12 @@ object Dedup {
     */
   private[ops] def minhashPairsOracleSql: String =
     MinHashLsh.oracleSql(wordShingleTokCte)
+
+  /** the streamed ingest probe's oracle (st_dedup_probe) — the same
+    * delta residue class as dd_incremental_dup/dd_bloom_para
+    */
+  private[ops] def streamProbeOracleSql: String =
+    MinHashLsh.probeBestOracleSql(wordShingleTokCte, NewDocPredSql)
 
   /** char-n-gram verified pairs, cached per (application, dir, fixture
     * generation) — same amortization as the word-shingle family: the

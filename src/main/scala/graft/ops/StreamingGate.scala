@@ -1052,7 +1052,124 @@ object StreamingGate {
        |FROM a GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // st_dedup_probe: STREAMING INGEST-TIME NEAR-DUP GATE — the text twin
+  // of st_ivf_assign, closing the batch/streaming asymmetry for the
+  // dedup side the way st_ivf_assign closed it for vectors. The banded
+  // MinHash INDEX is frozen offline (the session's capped bucket table
+  // + per-doc distinct-hash arrays over the non-delta corpus — at
+  // 100 TB: the persisted, (band, bh)-partitioned index every ingest
+  // probes); the delta documents arrive in three staged slices, and
+  // each document's ENTIRE feature pipeline runs STATELESSLY in-row —
+  // shingle → 60-bit hash → 32 affine mins → 8 band hashes, all array
+  // HOFs over the one text value, no shuffle before the index probe.
+  // Candidates come from a stream-static equi-join against the frozen
+  // buckets; exact Jaccard verification is ALSO in-row
+  // (array_intersect of the delta's hash array with the index doc's
+  // array — no second aggregate over token rows); the one stateful
+  // operator is the per-new-doc argmax (complete mode, delta-bounded
+  // state). The sink then right-joins the full delta so rejected and
+  // candidate-less documents both surface, exactly like the batch
+  // ingest gate (dd_incremental_dup): best match, best Jaccard
+  // (permille), accept/reject flag.
+  //
+  // Scale shape: work ∝ delta × bucket occupancy (the index is capped
+  // at MaxBucket, so the join fan-out is bounded); index text never
+  // moves — only hash arrays of matched candidates attach. The oracle
+  // replays the identical distinct-hash formulation in DuckDB.
+  // -------------------------------------------------------------------
+  private def dedupProbeStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import MinHashLsh.{NumHashes, Bands, RowsPerBand, MaxBucket, ThresholdPm, P, coefA, coefB}
+    import org.apache.spark.sql.expressions.Window
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val stage = s"target/stream_dedup/stage_$tag"
+    val input = s"target/stream_dedup/input_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(stage, input).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+
+    def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(10)) === 9
+
+    // frozen index from the session substrate: capped banded buckets +
+    // per-doc distinct-hash arrays, both materialized BEFORE the stream
+    // starts (a stream-static join re-evaluates an unmaterialized
+    // static side every micro-batch)
+    val (tokH, sig) = Dedup.shingleSubstrate(spark, dir)
+    val idx = MinHashLsh.bandedOf(sig)
+      .filter(!isNew(col("doc_id")))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= MaxBucket)
+      .select(col("band"), col("bh"), col("doc_id").as("b"))
+      .localCheckpoint()
+    val docArrs = tokH.filter(!isNew(col("doc_id")))
+      .groupBy(col("doc_id").as("b"))
+      .agg(collect_set(col("h")).as("hb"))
+      .withColumn("nb", size(col("hb")).cast("long"))
+      .localCheckpoint()
+
+    val writeOne = stageSlice(fs, stage, input) _
+    val delta = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(isNew(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+    val now = System.currentTimeMillis() - 600000L
+    Seq(9L, 19L, 29L).zipWithIndex.foreach { case (r, i) =>
+      writeOne(delta.filter(pmod(col("doc_id"), lit(30)) === r),
+        s"d$i", now + i * 60000L)
+    }
+
+    val minExprs = (0 until NumHashes).map(s => expr(
+      s"array_min(transform(ha, h -> (${coefA(s)} * (h % $P) + ${coefB(s)}) % $P))")
+      .as(s"m$s"))
+    val bandCols = (0 until Bands).map { bi =>
+      val slice = (0 until RowsPerBand)
+        .map(r => s"m${bi * RowsPerBand + r}").mkString(", ")
+      expr(PortableHash.hashSparkSql(s"concat_ws(',', $slice)"))
+    }
+    val sch = spark.read.parquet(input).schema
+    val scored = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input)
+      .withColumn("ws", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("feats", expr(
+        """array_distinct(CASE WHEN size(ws) >= 3
+          |  THEN transform(sequence(0, size(ws) - 3),
+          |    i -> concat_ws(' ', slice(ws, i + 1, 3)))
+          |  ELSE array(concat_ws(' ', ws)) END)""".stripMargin))
+      .withColumn("ha", expr(
+        s"array_distinct(transform(feats, f -> ${PortableHash.hashSparkSql("f")}))"))
+      .withColumn("na", size(col("ha")).cast("long"))
+      .select(Seq(col("doc_id").as("a"), col("ha"), col("na")) ++ minExprs: _*)
+      .select(col("a"), col("ha"), col("na"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      .join(idx, Seq("band", "bh"))
+      .join(docArrs, Seq("b"))
+      .withColumn("inter",
+        size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jaccard_pm",
+        floor(col("inter") * lit(1000.0) /
+          (col("na") + col("nb") - col("inter"))).cast("long"))
+      .groupBy(col("a"))
+      .agg(max(struct(col("jaccard_pm").as("j"), (-col("b")).as("negb")))
+        .as("best"))
+    val sunk = runToTable(scored, "st_dedup_probe_sink", "complete")(spark)
+    val best = sunk.select(col("a").as("new_doc"),
+      (-col("best.negb")).as("best_match"),
+      col("best.j").as("best_jaccard_pm"))
+    delta.select(col("doc_id").as("new_doc"))
+      .join(best, Seq("new_doc"), "left")
+      .select(col("new_doc"),
+        coalesce(col("best_match"), lit(-1L)).as("best_match"),
+        coalesce(col("best_jaccard_pm"), lit(0L)).as("best_jaccard_pm"))
+      .withColumn("is_dup",
+        (col("best_jaccard_pm") >= ThresholdPm).cast("long"))
+      .orderBy("new_doc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_dedup_probe"       -> (dedupProbeStreamed _),
     "st_ivf_assign"        -> (ivfAssignStreamed _),
     "st_cdc_sink"          -> (cdcSinkStreamed _),
     "st_late_drop"         -> (lateDropStreamed _),
@@ -1081,6 +1198,7 @@ object StreamingGate {
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
     "st_ivf_assign"        -> ivfAssignStreamedSql,
+    "st_dedup_probe"       -> Dedup.streamProbeOracleSql,
     "st_late_drop"         -> lateDropStreamedSql,
     "st_union_sources"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_timer_sessions"    -> sessionsStreamedSql,
