@@ -1081,6 +1081,14 @@ object Dedup {
         (col("off_b") + expr("element_at(bnd, CAST(k + 1 AS INT))") - 2)
           .as("e"))
       .filter(col("e") - col("s") + 1 >= SpanMinLen)
+      // distinct BEFORE the merge windows: the same interval reached
+      // via two pairs/diagonals would otherwise be a duplicate (s, e)
+      // row, and the brk and gid windows — two separate sorts on the
+      // same (s, e) key — may interleave tied rows differently,
+      // nondeterministically splitting one merged interval into two
+      // groups (observed in the DuckDB twin on sf0.001 doc 120).
+      // After distinct, (s, e) is unique per doc and the order total.
+      .distinct()
     // classic interval merge: a row starts a new group iff its start
     // exceeds the running max end of everything before it
     val wOrd = Window.partitionBy("doc_id").orderBy("s", "e")
@@ -1134,7 +1142,7 @@ object Dedup {
   private val spanDedupSql =
     s"""WITH $spanPairsCte,
        |cruns AS (
-       |  SELECT db AS doc_id,
+       |  SELECT DISTINCT db AS doc_id,
        |    off_b + bnd[k] AS s,
        |    off_b + bnd[k + 1] - 2 AS e
        |  FROM bnds, LATERAL unnest(range(1, len(bnd))) AS t(k)
