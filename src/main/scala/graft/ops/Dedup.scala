@@ -193,6 +193,38 @@ private[ops] object MinHashLsh {
     out
   }
 
+  private val frozenIdxCache = SubstrateCache.framePair("documents.parquet")
+
+  /** The FROZEN ingest-gate index for the standing mod-10 ≡ 9 delta
+    * split, as a session substrate: (capped banded buckets of the
+    * non-delta corpus, per-doc distinct-hash arrays for the in-row
+    * exact-Jaccard verify), both checkpointed. At 100 TB this is the
+    * persisted (band, bh)-partitioned index every ingest batch probes —
+    * built once per index commit, not per query — so the batch gate and
+    * the streaming gate (st_dedup_probe) must read the SAME image, not
+    * each rebuild their own. A stream-static join also re-evaluates an
+    * unmaterialized static side every micro-batch, so the checkpoint is
+    * load-bearing for the streaming twin.
+    */
+  def frozenIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    frozenIdxCache.get(spark, dir) {
+      val (tokH, sig) = Dedup.shingleSubstrate(spark, dir)
+      val isNew = pmod(col("doc_id"), lit(10)) === 9
+      val idx = bandedOf(sig)
+        .filter(!isNew)
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy("band", "bh")))
+        .filter(col("bucket_n") <= MaxBucket)
+        .select(col("band"), col("bh"), col("doc_id").as("b"))
+        .localCheckpoint()
+      val docArrs = tokH.filter(!isNew)
+        .groupBy(col("doc_id").as("b"))
+        .agg(collect_set(col("h")).as("hb"))
+        .withColumn("nb", size(col("hb")).cast("long"))
+        .localCheckpoint()
+      (idx, docArrs)
+    }
+
   /** DuckDB oracle for [[probedDelta]]; `newPred` is the SQL predicate
     * over `doc_id` that marks the delta (must match the Spark side).
     */

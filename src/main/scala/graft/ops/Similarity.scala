@@ -284,6 +284,102 @@ object Similarity {
        |ORDER BY probe_id, prefix_dims""".stripMargin
 
   // -------------------------------------------------------------------
+  // sim_rp_recall: RANDOM-PROJECTION (Johnson–Lindenstrauss) recall
+  // curve — sim_mrl_recall's DATA-INDEPENDENT twin. MRL prefixes only
+  // work when the embedding model was trained coarse-to-fine; when it
+  // wasn't, the classic dimensionality cut is a fixed ±1 sign
+  // projection (Achlioptas '01): proj[j] = Σ_i sign(j,i)·q[i], using
+  // the SAME 16-plane sign matrix the LSH tier already ships
+  // ([[Hyperplanes]]) — so this ALSO measures "rank by the LSH sketch
+  // directly" instead of bucketing by its sign bits (sim_ann_lsh).
+  // Recall@10 of ranking by the 8- and 16-dim projected dot against
+  // the full 64-dim ground truth, per probe — the number that decides
+  // whether a 4–8× narrower vector (and proportionally narrower
+  // shuffle) is safe for the first-pass retrieval tier.
+  //
+  // Scale shape: identical to sim_mrl_recall — ONE corpus scan, the
+  // 16 projection dots are codegen'd integer expressions per row (the
+  // sign matrix inlines as literals, nothing joins), probe panel
+  // broadcast, all three top-10 lists from ONE bounded-TopK aggregate
+  // pass. Projection magnitudes: |q_i| ≤ 10^4+ε ⇒ |proj_j| ≤ ~6.4·10^5
+  // ⇒ a 16-term projected dot ≤ ~6.6·10^12 — exact in BIGINT on both
+  // engines.
+  // -------------------------------------------------------------------
+  private def rpRecall(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK.TopKByScore(10))
+    val proj = array((0 until Hyperplanes.Planes).map(p =>
+      dotLong(col("q"), expr(Hyperplanes.sparkArray(p)))): _*)
+    val base = emb(spark, dir).withColumn("q", expr(quantize))
+      .select(col("vec_id"), col("q"), proj.as("pj"))
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("pj").as("ppj"))
+    val scored = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        dotLong(col("q"), col("pq")).as("d64"),
+        dotLong(expr("slice(pj, 1, 8)"), expr("slice(ppj, 1, 8)")).as("dp8"),
+        dotLong(col("pj"), col("ppj")).as("dp16"))
+    val agg = scored.groupBy("probe_id")
+      .agg(topk(col("d64"), col("vec_id")).as("nn64"),
+        topk(col("dp8"), col("vec_id")).as("nn8"),
+        topk(col("dp16"), col("vec_id")).as("nn16"))
+    val guarded = probes.select(col("probe_id"))
+      .join(agg, Seq("probe_id"), "left")
+    def overlap(c: String) = expr(
+      s"CAST(coalesce(size(array_intersect(transform(nn64, w -> w.id), " +
+        s"transform($c, w -> w.id))), 0) AS BIGINT)")
+    guarded.select(col("probe_id"), explode(array(
+        struct(lit(8L).as("proj_dims"), overlap("nn8").as("n_overlap")),
+        struct(lit(16L).as("proj_dims"), overlap("nn16").as("n_overlap"))))
+        .as("o"))
+      .select(col("probe_id"), col("o.proj_dims").as("proj_dims"),
+        col("o.n_overlap").as("n_overlap"),
+        expr("(o.n_overlap * 1000L) div 10").as("recall_pm"))
+      .orderBy("probe_id", "proj_dims")
+  }
+
+  private val rpRecallSql = {
+    val projList = (0 until Hyperplanes.Planes)
+      .map(p => PortableHash.dotSqlDuck("q", Hyperplanes.duckArray(p)))
+      .mkString("[", ",\n      ", "]")
+    s"""WITH qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |pt AS (SELECT vec_id, q, $projList AS pj FROM qt),
+       |probes AS (SELECT vec_id AS probe_id, q AS pq, pj AS ppj FROM pt
+       |           WHERE vec_id < 10),
+       |pairs AS (SELECT p.probe_id, t.vec_id,
+       |    ${PortableHash.dotSqlDuck("t.q", "p.pq")} AS d64,
+       |    ${PortableHash.dotSqlDuck(
+                "list_slice(t.pj, 1, 8)", "list_slice(p.ppj, 1, 8)")} AS dp8,
+       |    ${PortableHash.dotSqlDuck("t.pj", "p.ppj")} AS dp16
+       |  FROM pt t, probes p WHERE t.vec_id <> p.probe_id),
+       |rf AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY d64 DESC, vec_id) AS r
+       |  FROM pairs),
+       |r8 AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY dp8 DESC, vec_id) AS r
+       |  FROM pairs),
+       |r16 AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY dp16 DESC, vec_id) AS r
+       |  FROM pairs),
+       |grid AS (SELECT probe_id, d AS proj_dims
+       |  FROM probes, (SELECT unnest([8, 16]) AS d) g),
+       |ov AS (
+       |  SELECT rf.probe_id, 8 AS proj_dims, COUNT(*) AS n_overlap
+       |  FROM rf JOIN r8 USING (probe_id, vec_id)
+       |  WHERE rf.r <= 10 AND r8.r <= 10 GROUP BY 1
+       |  UNION ALL
+       |  SELECT rf.probe_id, 16, COUNT(*)
+       |  FROM rf JOIN r16 USING (probe_id, vec_id)
+       |  WHERE rf.r <= 10 AND r16.r <= 10 GROUP BY 1)
+       |SELECT g.probe_id, CAST(g.proj_dims AS BIGINT) AS proj_dims,
+       |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(ov.n_overlap, 0) * 1000 // 10 AS BIGINT) AS recall_pm
+       |FROM grid g LEFT JOIN ov USING (probe_id, proj_dims)
+       |ORDER BY probe_id, proj_dims""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // sim_bucket_drift: EMBEDDING-DISTRIBUTION drift — the vector-side
   // twin of tx_source_tv: split the corpus into two cohorts (even/odd
   // vec_id, standing in for old/new ingest batches), histogram each
@@ -1333,6 +1429,128 @@ object Similarity {
        |  sum_exact_d, sum_adc_d FROM ha, hr, se, sp""".stripMargin
 
   // -------------------------------------------------------------------
+  // sim_ivfpq_recall: IVFADC — the billion-scale ANN architecture
+  // (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  // TPAMI 2011, §IV) composed from the two tiers this file already
+  // measures separately: IVF cell pruning (sim_ivf_sweep) decides WHICH
+  // rows are scanned, PQ/ADC (sim_pq_topk) decides what each scanned
+  // row COSTS — 8 LUT additions over 8-byte codes instead of a 64-dim
+  // exact product over raw floats. For nprobe ∈ {1, 2, 4}: rank cells
+  // by centroid squared-L2 to the query, restrict the PRE-ENCODED code
+  // table to those cells, rank candidates by ADC, and report the scan
+  // volume plus TWO recalls@20 — against the exact L2 top-20 (the
+  // end-to-end loss a user experiences) and against the full-corpus
+  // ADC top-20 (isolating the cell-pruning term from the quantization
+  // term; their gap is what re-ranking cannot recover without raising
+  // nprobe). This is the operating-point table that sizes a 100 TB
+  // vector index: memory = n × 8 code bytes, query cost = nprobe/K of
+  // the corpus × one LUT add per subspace.
+  // Scale shape: codebook + LUT + probed-cell list (≤4 rows) broadcast;
+  // the only n-proportional state is the (vec_id, adc_dist, label) code
+  // table, built ONCE per call and reused across all three probe
+  // points; every top-20 is a TakeOrdered heap, never a global sort.
+  // All arithmetic is exact integer micro-units, so both engines agree
+  // bit-for-bit.
+  // -------------------------------------------------------------------
+  private def ivfpqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+      .select("vec_id", "label", "q").persist()
+    // ADC distance of EVERY corpus vector, tagged with its IVF cell —
+    // the persisted index image (codes are 8 bytes/row at scale; the
+    // raw vectors are never read again after this block)
+    val scored = pqScore(pqSub(e), pqCodebook(spark, e)).persist()
+    val lut = scored.filter(col("vec_id") === 0)
+      .select(col("s").as("ls"), col("j").as("lj"), col("d"))
+    val adcAll = pqAssign(scored).filter(col("vec_id") =!= 0)
+      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lj"))
+      .groupBy("vec_id")
+      .agg(sum(col("d")).as("adc_dist"))
+      .join(e.select("vec_id", "label"), "vec_id")
+      .persist()
+    adcAll.count() // materialize before dropping the scored table
+    scored.unpersist()
+    val query = e.filter(col("vec_id") === 0).select(col("q").as("qq"))
+    val exact = exactL2Topk(spark, e).select("vec_id")
+    val adcFull20 = adcAll.orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(20).select("vec_id")
+    // cell ranking: centroid = per-dimension floor(avg) over the cell
+    // (the sim_ivf_sweep construction), ranked by squared L2 ascending
+    val cent = e.groupBy("label")
+      .agg(array((0 until 64).map(d =>
+        floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
+    val ranked = cent.crossJoin(broadcast(query))
+      .withColumn("cd",
+        dotLong(col("centroid"), col("centroid")) -
+          lit(2) * dotLong(col("centroid"), col("qq")) +
+          dotLong(col("qq"), col("qq")))
+    val out = IvfProbes.map { np =>
+      val probed = ranked.orderBy(col("cd").asc, col("label").asc)
+        .limit(np).select(col("label").as("probe_label"))
+      val cand = adcAll.join(broadcast(probed), col("label") === col("probe_label"))
+      val top = cand.orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(20).select("vec_id")
+      val scanned = cand.agg(count(lit(1)).as("n_scanned"))
+      val hitsExact = top.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_exact"))
+      val hitsAdc = top.join(adcFull20, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_vs_adc"))
+      scanned.crossJoin(broadcast(hitsExact)).crossJoin(broadcast(hitsAdc))
+        .select(lit(np.toLong).as("nprobe"), col("n_scanned"),
+          col("hits_exact"),
+          expr("(1000 * hits_exact) div 20").as("recall_pm"),
+          col("hits_vs_adc"))
+    }.reduce(_ unionAll _).orderBy("nprobe").localCheckpoint()
+    adcAll.unpersist(); e.unpersist()
+    out
+  }
+
+  // lazy: references IvfProbes, declared further down with sim_ivf_sweep
+  private lazy val ivfpqRecallSql: String = {
+    def sq(x: String, c: String) =
+      s"""${PortableHash.dotSqlDuck(x, x)}
+         |    - 2 * ${PortableHash.dotSqlDuck(x, c)}
+         |    + ${PortableHash.dotSqlDuck(c, c)}""".stripMargin
+    val centroid = (0 until 64)
+      .map(d => s"CAST(floor(avg(qt.q[${d + 1}])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val blocks = IvfProbes.map { np =>
+      val probed =
+        s"(SELECT label FROM ranked ORDER BY cd ASC, label ASC LIMIT $np)"
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  (SELECT COUNT(*) FROM adcall WHERE label IN $probed) AS n_scanned,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT vec_id FROM adcall WHERE label IN $probed
+         |     ORDER BY adc_dist, vec_id LIMIT 20) t
+         |   WHERE t.vec_id IN (SELECT vec_id FROM exact20)) AS hits_exact,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT vec_id FROM adcall WHERE label IN $probed
+         |     ORDER BY adc_dist, vec_id LIMIT 20) t
+         |   WHERE t.vec_id IN (SELECT vec_id FROM adcfull20)) AS hits_vs_adc""".stripMargin
+    }
+    val union = blocks.mkString("\nUNION ALL\n")
+    s"""WITH $pqCtes,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |adcall AS (SELECT c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist,
+       |    MIN(lb.label) AS label
+       |  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.j
+       |  JOIN lab lb ON lb.vec_id = c.vec_id
+       |  WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+       |qq2 AS (SELECT q FROM qt WHERE vec_id = 0),
+       |cent AS (SELECT lb.label, $centroid AS centroid
+       |  FROM qt JOIN lab lb USING (vec_id) GROUP BY lb.label),
+       |ranked AS (SELECT c.label, ${sq("c.centroid", "qq2.q")} AS cd
+       |  FROM cent c, qq2),
+       |exact20 AS (SELECT t.vec_id FROM qt t, qq2 WHERE t.vec_id <> 0
+       |  ORDER BY ${sq("t.q", "qq2.q")} ASC, t.vec_id ASC LIMIT 20),
+       |adcfull20 AS (SELECT vec_id FROM adcall
+       |  ORDER BY adc_dist, vec_id LIMIT 20)
+       |SELECT nprobe, n_scanned, hits_exact,
+       |  CAST((1000 * hits_exact) // 20 AS BIGINT) AS recall_pm,
+       |  hits_vs_adc
+       |FROM ($union) s ORDER BY nprobe""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // sim_mips_norm: MAX-INNER-PRODUCT search via the norm-augmentation
   // reduction (Bachrach et al. '14 / Shrivastava-Li asymmetric LSH).
   // MIPS — "highest raw dot product", the scoring rule when embedding
@@ -2116,6 +2334,7 @@ object Similarity {
     "sim_dim_variance"   -> (dimVariance _),
     "sim_prune_recall"   -> (pruneRecall _),
     "sim_mrl_recall"     -> (mrlRecall _),
+    "sim_rp_recall"      -> (rpRecall _),
     "sim_bucket_drift"   -> (bucketDrift _),
     "sim_batch_ivf"      -> (batchIvf _),
     "sim_ivf_sweep"      -> (ivfSweep _),
@@ -2124,6 +2343,7 @@ object Similarity {
     "sim_mips_norm"      -> (mipsNorm _),
     "sim_pq_topk"        -> (pqTopk _),
     "sim_pq_recall"      -> (pqRecall _),
+    "sim_ivfpq_recall"   -> (ivfpqRecall _),
     "sim_quantize_audit" -> (quantizeAudit _),
     "sim_knn_batch"      -> (knnBatch _),
     "sim_silhouette"     -> (silhouette _),
@@ -2151,10 +2371,12 @@ object Similarity {
     "sim_mips_norm"      -> mipsNormSql,
     "sim_pq_topk"        -> pqTopkSql,
     "sim_pq_recall"      -> pqRecallSql,
+    "sim_ivfpq_recall"   -> ivfpqRecallSql,
     "sim_quantize_audit" -> quantizeAuditSql,
     "sim_dim_variance"   -> dimVarianceSql,
     "sim_prune_recall"   -> pruneRecallSql,
     "sim_mrl_recall"     -> mrlRecallSql,
+    "sim_rp_recall"      -> rpRecallSql,
     "sim_bucket_drift"   -> bucketDriftSql,
     "sim_knn_batch"      -> knnBatchSql,
     "sim_silhouette"     -> silhouetteSql,

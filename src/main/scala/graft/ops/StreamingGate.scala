@@ -1079,8 +1079,7 @@ object StreamingGate {
   // replays the identical distinct-hash formulation in DuckDB.
   // -------------------------------------------------------------------
   private def dedupProbeStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import MinHashLsh.{NumHashes, Bands, RowsPerBand, MaxBucket, ThresholdPm, P, coefA, coefB}
-    import org.apache.spark.sql.expressions.Window
+    import MinHashLsh.{NumHashes, Bands, RowsPerBand, ThresholdPm, P, coefA, coefB}
     val tag = new java.io.File(dir).getName.replace('.', '_')
     val stage = s"target/stream_dedup/stage_$tag"
     val input = s"target/stream_dedup/input_$tag"
@@ -1092,23 +1091,12 @@ object StreamingGate {
 
     def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(10)) === 9
 
-    // frozen index from the session substrate: capped banded buckets +
-    // per-doc distinct-hash arrays, both materialized BEFORE the stream
-    // starts (a stream-static join re-evaluates an unmaterialized
-    // static side every micro-batch)
-    val (tokH, sig) = Dedup.shingleSubstrate(spark, dir)
-    val idx = MinHashLsh.bandedOf(sig)
-      .filter(!isNew(col("doc_id")))
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= MaxBucket)
-      .select(col("band"), col("bh"), col("doc_id").as("b"))
-      .localCheckpoint()
-    val docArrs = tokH.filter(!isNew(col("doc_id")))
-      .groupBy(col("doc_id").as("b"))
-      .agg(collect_set(col("h")).as("hb"))
-      .withColumn("nb", size(col("hb")).cast("long"))
-      .localCheckpoint()
+    // frozen index from the session substrate (shared with the batch
+    // ingest gate — see MinHashLsh.frozenIndex): capped banded buckets
+    // + per-doc distinct-hash arrays, both materialized BEFORE the
+    // stream starts (a stream-static join re-evaluates an
+    // unmaterialized static side every micro-batch)
+    val (idx, docArrs) = MinHashLsh.frozenIndex(spark, dir)
 
     val writeOne = stageSlice(fs, stage, input) _
     val delta = spark.read.parquet(s"$dir/documents.parquet")

@@ -735,6 +735,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "the probe panel must broadcast")
   }
 
+  test("rp recall is one corpus pass: three TopK buffers in one aggregate") {
+    // sim_mrl_recall's shape replayed for the JL projection: the 16
+    // projection dots are inlined-literal expressions (no join attaches
+    // the sign matrix), so the plan must look identical — one corpus
+    // scan plus the pushed-filter probe panel, one TopK aggregate pair
+    val p = plan("sim_rp_recall")
+    assert("embeddings\\.parquet".r.findAllIn(p).length <= 3,
+      s"corpus must be scanned once (plus the 10-row panel twice):\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length == 2,
+      s"one partial+final TopK aggregate pair expected:\n$p")
+    assert(!p.contains("Window"), s"no corpus window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the probe panel must broadcast")
+  }
+
   test("rtbf purge prunes every level-1 table by broadcast semi join") {
     // the request set is a tiny key list — each table prune must be a
     // broadcast LeftSemi with zero fact shuffle
