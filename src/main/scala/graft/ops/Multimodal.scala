@@ -1089,6 +1089,106 @@ object Multimodal {
        |GROUP BY d.doc_id, d.n ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // mm_audio_fp: PERCEPTUAL AUDIO DEDUP — the audio tier of the
+  // near-dup matrix that mm_phash_dup provides for images. Shazam-class
+  // fingerprinting reduces a waveform to a compact spectral signature
+  // and groups assets by signature; this is that shape in exact integer
+  // arithmetic: the decoded PCM correlates against 5 square waves
+  // (Walsh-style ±1 patterns, half-periods 2/4/8/16/32 — a crude but
+  // deterministic filter bank; square-wave correlation IS the Hadamard
+  // coefficient, no floats, no FFT), each coefficient floor-quantized
+  // by 8192 (the perceptual tolerance — nearby waveforms land in the
+  // same cell), and the 5-tuple is the fingerprint. Output is the dedup
+  // audit: the top-20 fingerprint buckets holding ≥ 2 assets (count +
+  // first doc), the audio analog of dd_substring_dup's span audit.
+  // Same differential contract as mm_audio_stats: Spark renders and
+  // REALLY decodes the WAV (chunk walk past the spliced junk LIST
+  // chunk); the oracle replays the closed-form sample generator.
+  //
+  // Scale shape: one mapPartitions decode pass, PCM never shuffles —
+  // per asset only the ≤60-byte fingerprint row moves into one
+  // hash aggregate; top-20 is a TakeOrdered heap. At 100 TB the
+  // fingerprint table is the persisted index; this audit is one
+  // aggregate over it.
+  // -------------------------------------------------------------------
+  /** half-periods of the ±1 square-wave filter bank */
+  private final val FpBands = Seq(2, 4, 8, 16, 32)
+  /** fingerprint quantizer: the perceptual tolerance per coefficient */
+  private final val FpQuant = 8192L
+
+  /** per-asset fingerprint row of the decode/correlate pass */
+  final case class AudioFpRow(doc_id: Long, fp: String)
+
+  private def audioFp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val len = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val n = (64 + len % AudioNMod).toInt
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((17L * i + 31L * id) % AudioAmp) - 2000L).toShort)
+          val stream0 = AudioWav.wav(rate, samples)
+          val stream = if (id % 3 == 0) {
+            val junk = "LIST".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+              Array[Byte](6, 0, 0, 0) ++ Array[Byte](73, 78, 70, 79, 1, 2)
+            stream0.take(12) ++ junk ++ stream0.drop(12)
+          } else stream0
+          val pcm = AudioWav.decode(stream)
+          val c = new Array[Long](FpBands.length)
+          var i = 0
+          while (i < pcm.nSamples) {
+            val s = pcm.sample(i).toLong
+            var b = 0
+            while (b < FpBands.length) {
+              c(b) += (if ((i / FpBands(b)) % 2 == 0) s else -s)
+              b += 1
+            }
+            i += 1
+          }
+          // truncating division (Scala /) — the twin of DuckDB's // on
+          // BIGINT, which truncates toward zero, NOT floor
+          AudioFpRow(id, c.map(_ / FpQuant).mkString(","))
+        }
+      }
+      .toDF()
+    fps.groupBy("fp")
+      .agg(count(lit(1)).as("n_assets"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_assets") >= 2)
+      .orderBy(col("n_assets").desc, col("fp").asc)
+      .limit(20)
+  }
+
+  private val audioFpSql = {
+    val corr = FpBands.map(p =>
+      s"SUM(v * (CASE WHEN (i // $p) % 2 = 0 THEN 1 ELSE -1 END)) AS c$p")
+      .mkString(",\n    ")
+    val comps = FpBands.map(p => s"CAST(c$p // $FpQuant AS BIGINT)")
+      .mkString(", ")
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    64 + CAST(octet_length(encode(text)) AS BIGINT) % $AudioNMod AS n
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, unnest(range(0, n)) AS i FROM dims),
+       |s AS (
+       |  SELECT doc_id, i,
+       |    ((17 * i + 31 * doc_id) % $AudioAmp) - 2000 AS v
+       |  FROM idx),
+       |corr AS (
+       |  SELECT doc_id,
+       |    $corr
+       |  FROM s GROUP BY doc_id),
+       |fp AS (SELECT doc_id, concat_ws(',', $comps) AS fp FROM corr)
+       |SELECT fp, COUNT(*) AS n_assets, MIN(doc_id) AS first_doc
+       |FROM fp GROUP BY fp HAVING COUNT(*) >= 2
+       |ORDER BY n_assets DESC, fp ASC LIMIT 20""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // mm_quarantine: CORRUPT-PAYLOAD quarantine for the decode path —
   // the ingest property real pipelines live or die by: a malformed
   // blob must become a categorized quarantine row, never a task
@@ -1332,6 +1432,7 @@ object Multimodal {
     "mm_audio_resample" -> (audioResample _),
     "mm_scene_cuts"   -> (sceneCuts _),
     "mm_audio_stats"  -> (audioStats _),
+    "mm_audio_fp"     -> (audioFp _),
     "mm_silence_spans" -> (silenceSpans _),
     "mm_phash_dup"    -> (phashDup _),
     "mm_joint_dup"    -> (jointDup _),
@@ -1375,6 +1476,7 @@ object Multimodal {
     "mm_audio_resample" -> audioResampleSql,
     "mm_scene_cuts"   -> sceneCutsSql,
     "mm_audio_stats"  -> audioStatsSql,
+    "mm_audio_fp"     -> audioFpSql,
     "mm_silence_spans" -> silenceSpansSql,
     "mm_phash_dup"    -> phashDupSql,
     "mm_joint_dup"    -> jointDupSql,
