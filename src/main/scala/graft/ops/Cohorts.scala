@@ -581,7 +581,82 @@ object Cohorts {
       |FROM fc LEFT JOIN med ON fc.segment = med.segment
       |GROUP BY 1, med.med_order_k ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_decile_lift: the GAINS/LIFT table — per engagement-decile share
+  // of purchase value vs share of users, the chart every
+  // targeting/curation decision reads ("does the top activity decile
+  // carry outsized value"). The textbook phrasing is ntile(10) OVER
+  // (ORDER BY score) — a GLOBAL SORT into one ordering, the classic
+  // scale-killer this repo's window discipline bans. The scalable
+  // phrasing used here: deciles are exact ORDER STATISTICS read off the
+  // per-SCORE histogram — decile(u) = (10 · |users with smaller score|)
+  // div n — so the only window runs over the DISTINCT-SCORE histogram
+  // (bounded by score cardinality, not user count), ties share a decile
+  // deterministically, and users attach their decile by an equi-join on
+  // score. All arithmetic exact integers (cents, ppm shares,
+  // truncating div on both engines).
+  //
+  // Scale shape: one events scan → per-user aggregate (the one
+  // user-keyed exchange) → distinct-score histogram (tiny) + 1-row
+  // totals, both broadcast back → 10-row final aggregate. No ntile, no
+  // global sort, nothing data-proportional after the first aggregate.
+  // -------------------------------------------------------------------
+  private def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    val u = graft.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+          .as("score"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("cents"))
+    val totals = u.agg(count(lit(1)).as("nu"), sum(col("cents")).as("tot"))
+    val hist = u.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("below",
+        coalesce(sum(col("c")).over(
+          Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("score"), col("below"))
+    u.join(broadcast(hist), "score")
+      .crossJoin(broadcast(totals))
+      .withColumn("decile", expr("(10 * below) div nu"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("value_cents"),
+        max(col("tot")).as("tot"), max(col("nu")).as("nu"))
+      .select(col("decile"), col("n_users"), col("value_cents"),
+        expr("(1000000 * value_cents) div tot").as("value_share_ppm"),
+        expr("(((1000000 * value_cents) div tot) * nu) div n_users")
+          .as("lift_ppm"))
+      .orderBy("decile")
+  }
+
+  private val decileLiftSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS score,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS cents
+      |  FROM events GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS nu, SUM(cents) AS tot FROM u),
+      |h AS (SELECT score, COUNT(*) AS c FROM u GROUP BY 1),
+      |hh AS (SELECT score,
+      |    COALESCE(SUM(c) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM h),
+      |d AS (SELECT u.user_id, u.cents,
+      |    CAST((10 * hh.below) // n.nu AS BIGINT) AS decile
+      |  FROM u JOIN hh USING (score), n)
+      |SELECT decile, COUNT(*) AS n_users,
+      |  CAST(SUM(cents) AS BIGINT) AS value_cents,
+      |  CAST((1000000 * SUM(cents)) // MIN(n.tot) AS BIGINT)
+      |    AS value_share_ppm,
+      |  CAST((((1000000 * SUM(cents)) // MIN(n.tot)) * MIN(n.nu)) // COUNT(*)
+      |    AS BIGINT) AS lift_ppm
+      |FROM d, n GROUP BY decile ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_decile_lift"      -> (decileLift _),
     "ax_activity_streaks" -> (activityStreaks _),
     "ax_budget_pacing"    -> (budgetPacing _),
     "ax_cohort_ltv"        -> (cohortLtv _),
@@ -595,6 +670,7 @@ object Cohorts {
     "ax_forward_fill"      -> (forwardFill _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_decile_lift"      -> decileLiftSql,
     "ax_activity_streaks" -> activityStreaksSql,
     "ax_budget_pacing"    -> budgetPacingSql,
     "ax_cohort_ltv"        -> cohortLtvSql,
