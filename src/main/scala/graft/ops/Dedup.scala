@@ -2038,6 +2038,85 @@ object Dedup {
        |FROM m WHERE rn = 1 AND n_members >= 2 ORDER BY cluster""".stripMargin
 
   // -------------------------------------------------------------------
+  // dd_dup_aware_sampling: DUPLICATE-AWARE SAMPLING measured against
+  // uniform — the "dedup then diversify" practice (SemDeDup /
+  // D4-style): when the training budget is a FRACTION of the corpus,
+  // sampling uniformly re-imports the duplicate skew that dedup
+  // charts; penalizing each doc's deterministic priority by its
+  // duplicate-cluster size spreads the budget across clusters instead.
+  // Both samples draw the same k = n/10 docs by smallest priority:
+  // uniform uses the portable 60-bit hash alone; dup-aware uses
+  // (h mod 1e9+7) · cluster_size — one integer multiply, no rejection
+  // loop, fully deterministic. The output is the measured comparison
+  // (the dd_method_compare genre): per method, docs drawn, distinct
+  // clusters covered, duplicate-cluster docs admitted, and cluster
+  // coverage in ppm — the table that justifies (or kills) the
+  // reweighting before a 100 TB sampling pass is launched.
+  //
+  // Scale shape: the cluster assignment is the session substrate; size
+  // attach is one keyed join; priorities are per-row expressions. The
+  // top-k here is a TakeOrdered heap (k = n/10 at gate scale); at
+  // 100 TB the identical result comes from a threshold selection —
+  // histogram the priority column, pick the k-th order statistic
+  // (ax_group_percentile's two-pass core), keep pri below it — so
+  // nothing ever globally sorts.
+  // -------------------------------------------------------------------
+  private def dupAwareSampling(spark: SparkSession, dir: String): DataFrame = {
+    val ca = clusterAssign(spark, dir)
+    val sz = ca.groupBy("cluster").agg(count(lit(1)).as("s"))
+    val d = ca.join(sz, "cluster")
+      .withColumn("h",
+        expr(PortableHash.hashSparkSql("CAST(doc_id AS STRING)")))
+      .persist()
+    val k = (d.count() / 10L).toInt
+    val totalClusters = sz.count()
+    val uniform = d.orderBy(col("h").asc, col("doc_id").asc).limit(k)
+    val aware = d
+      .withColumn("pri", (col("h") % 1000000007L) * col("s"))
+      .orderBy(col("pri").asc, col("doc_id").asc).limit(k)
+    def audit(name: String, sample: DataFrame): DataFrame =
+      sample.agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(when(col("s") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+        .select(lit(name).as("method"), col("n_sampled"),
+          col("n_clusters"), col("dup_docs"),
+          expr(s"(n_clusters * 1000000) div $totalClusters")
+            .as("coverage_ppm"))
+    val out = audit("dup_aware", aware).unionAll(audit("uniform", uniform))
+      .orderBy("method").localCheckpoint()
+    d.unpersist()
+    out
+  }
+
+  private val dupAwareSamplingSql: String = {
+    val h = PortableHash.hashSql("CAST(c.doc_id AS VARCHAR)")
+    s"""$clustersCteSql,
+       |sz AS (SELECT cluster, COUNT(*) AS s FROM clusters GROUP BY 1),
+       |d AS (SELECT c.doc_id, c.cluster, sz.s, $h AS h
+       |  FROM clusters c JOIN sz USING (cluster)),
+       |kk AS (SELECT COUNT(*) // 10 AS k,
+       |    COUNT(DISTINCT cluster) AS tc FROM d),
+       |uni AS (SELECT r.* FROM (SELECT *, ROW_NUMBER() OVER
+       |    (ORDER BY h, doc_id) AS rn FROM d) r, kk WHERE r.rn <= kk.k),
+       |aw AS (SELECT r.* FROM (SELECT *, ROW_NUMBER() OVER
+       |    (ORDER BY (h % 1000000007) * s, doc_id) AS rn FROM d) r, kk
+       |  WHERE r.rn <= kk.k),
+       |a AS (
+       |  SELECT 'dup_aware' AS method, COUNT(*) AS n_sampled,
+       |    COUNT(DISTINCT cluster) AS n_clusters,
+       |    SUM(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS dup_docs FROM aw
+       |  UNION ALL
+       |  SELECT 'uniform', COUNT(*), COUNT(DISTINCT cluster),
+       |    SUM(CASE WHEN s >= 2 THEN 1 ELSE 0 END) FROM uni)
+       |SELECT method, CAST(n_sampled AS BIGINT) AS n_sampled,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters,
+       |  CAST(dup_docs AS BIGINT) AS dup_docs,
+       |  CAST((n_clusters * 1000000) // (SELECT tc FROM kk) AS BIGINT)
+       |    AS coverage_ppm
+       |FROM a ORDER BY method""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // dd_cluster_sizes: the duplicate-cluster SIZE SPECTRUM — how many
   // clusters of each size the near-dup graph produced (singletons
   // included: a healthy corpus is overwhelmingly size-1). This is the
@@ -2899,6 +2978,7 @@ object Dedup {
     "dd_dup_clusters"   -> (dupClusters _),
     "dd_cc_bigstar"     -> (ccBigStar _),
     "dd_cluster_retain" -> (clusterRetain _),
+    "dd_dup_aware_sampling" -> (dupAwareSampling _),
     "dd_cluster_sizes"  -> (clusterSizes _),
     "dd_source_flow"    -> (sourceFlow _),
     "dd_bucket_skew"    -> (bucketSkew _),
@@ -2939,6 +3019,7 @@ object Dedup {
     "dd_dup_clusters"   -> dupClustersSql,
     "dd_cc_bigstar"     -> dupClustersSql,
     "dd_cluster_retain" -> clusterRetainSql,
+    "dd_dup_aware_sampling" -> dupAwareSamplingSql,
     "dd_cluster_sizes"  -> clusterSizesSql,
     "dd_source_flow"    -> sourceFlowSql,
     "dd_bucket_skew"    -> bucketSkewSql,
