@@ -107,6 +107,56 @@ object StreamingGate {
       "st_events_hourly_sink", "complete")(spark)
       .orderBy("hour", "event_type")
 
+  /** st_quantile_monitor: STREAMING PERCENTILE MONITORING — the
+    * per-hour p50/p99 readout every SLO dashboard runs. Percentiles do
+    * not merge across triggers, so the streamed state is the thing
+    * that DOES merge: the bounded per-(hour, bucket) histogram
+    * (EventsStream.hourlyValueHist); the exact-from-histogram
+    * resolution — smallest bucket whose cumulative count reaches 1/2
+    * resp. 99/100 of the hour's mass — runs on the sink table. This is
+    * the DDSketch/t-digest architecture in exact-integer form: the
+    * answer is a bucket LOWER BOUND (cents), deterministic in both
+    * engines, and the batch oracle replays histogram + resolution
+    * directly on events.
+    */
+  private def quantileMonitorStreamed(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sunk = runToTable(
+      EventsStream.hourlyValueHist(eventsStream(spark, dir)),
+      "st_quantile_monitor_sink", "complete")(spark)
+    val w = Window.partitionBy("hour").orderBy("bucket")
+    sunk
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("hour")))
+      .groupBy(col("hour"))
+      .agg(max(col("tot")).as("n_events"),
+        min(when(col("cum") * 2 >= col("tot"), col("bucket"))).as("p50b"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("bucket")))
+          .as("p99b"))
+      .select(col("hour"), col("n_events"),
+        (col("p50b") * 2000).as("p50_cents_lo"),
+        (col("p99b") * 2000).as("p99_cents_lo"))
+      .orderBy("hour")
+  }
+
+  private val quantileMonitorSql =
+    """WITH h AS (SELECT
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    CAST(round(value * 100) AS BIGINT) // 2000 AS bucket
+      |  FROM events),
+      |g AS (SELECT hour, bucket, COUNT(*) AS n FROM h GROUP BY 1, 2),
+      |c AS (SELECT hour, bucket, n,
+      |    SUM(n) OVER (PARTITION BY hour ORDER BY bucket) AS cum,
+      |    SUM(n) OVER (PARTITION BY hour) AS tot
+      |  FROM g)
+      |SELECT hour, CAST(MAX(tot) AS BIGINT) AS n_events,
+      |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN bucket END) * 2000
+      |    AS BIGINT) AS p50_cents_lo,
+      |  CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN bucket END) * 2000
+      |    AS BIGINT) AS p99_cents_lo
+      |FROM c GROUP BY hour ORDER BY hour""".stripMargin
+
   /** streaming exactly-once dedup on event_id; batch twin = DISTINCT */
   private def dedupStreamed(spark: SparkSession, dir: String): DataFrame =
     runToTable(EventsStream.dedupEvents(eventsStream(spark, dir)),
@@ -1178,6 +1228,7 @@ object StreamingGate {
     "st_join_agg"          -> (joinAggStreamed _),
     "st_sliding_counts"    -> (slidingStreamed _),
     "st_events_hourly"     -> (hourlyStreamed _),
+    "st_quantile_monitor"  -> (quantileMonitorStreamed _),
     "st_dedup_events"      -> (dedupStreamed _),
     "st_semi_join"         -> (semiJoinStreamed _),
     "st_purchase_streaks"  -> (streaksStreamed _)
@@ -1206,6 +1257,7 @@ object StreamingGate {
     "st_join_agg"          -> joinAggStreamedSql,
     "st_sliding_counts"    -> slidingStreamedSql,
     "st_events_hourly"     -> Analytics.oracleSql("ax_events_hourly"),
+    "st_quantile_monitor"  -> quantileMonitorSql,
     "st_new_returning"     -> TemporalStats.oracleSql("ax_new_returning"),
     "st_dedup_events"      -> dedupStreamedSql,
     "st_semi_join"         -> semiJoinStreamedSql,

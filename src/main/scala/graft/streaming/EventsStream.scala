@@ -45,6 +45,24 @@ object EventsStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("cnt"), col("sum_value_cents"))
 
+  /** Per-(hour, value-bucket) histogram counts — the streaming quantile
+    * monitor's state. Quantiles are NOT incrementally mergeable across
+    * triggers; the bounded histogram IS, so that is what streams
+    * (state O(hours × buckets), never O(events)); the sink readout
+    * resolves exact-from-histogram percentiles. Bucket = integer cents
+    * div 2000 — bounded by the value domain, not the event volume.
+    */
+  def hourlyValueHist(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("bucket",
+        expr("CAST(round(value * 100) AS BIGINT) div 2000"))
+      .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("bucket"), col("n"))
+
   /** 2-hour windows sliding every hour — each event contributes to two
     * overlapping windows (Spark plans this as an Expand of the window
     * assignments before the stateful aggregate, so state is O(active
