@@ -546,4 +546,49 @@ class EventsStreamSpec extends AnyFunSuite {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("streaming value histogram accumulates across triggers and resolves p50/p99") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val t0 = new Timestamp(0L)
+    val mem = MemoryStream[(Timestamp, Double)]
+    val events = mem.toDF().toDF("ts", "value")
+    val q = EventsStream.hourlyValueHist(events)
+      .writeStream.format("memory").queryName("vhist_test")
+      .outputMode("complete").start()
+    try {
+      // one hour's distribution fed across THREE triggers: 100 values
+      // in bucket 0 ($1.00) and 2 outliers in bucket 27 ($550.00) —
+      // the histogram must accumulate cross-trigger, not reset
+      mem.addData(Seq.fill(50)((t0, 1.0)): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(50)((t0, 1.0)) :+ ((t0, 550.0)): _*)
+      q.processAllAvailable()
+      mem.addData((t0, 550.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sink = spark.table("vhist_test")
+    assert(sink.select("hour").distinct().count() === 1L)
+    val hist = sink.select("bucket", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hist === Set((0L, 100L), (27L, 2L)),
+      "per-bucket counts must converge to the whole-stream histogram")
+    // the gate readout on this histogram: with 102 events, bucket 0
+    // holds the median (cum 100·2 ≥ 102) but NOT the p99 (cum 100·100 =
+    // 10000 < 99·102 = 10098) — the two outliers move p99 to bucket 27
+    val sorted = hist.toSeq.sortBy(_._1)
+    val tot = sorted.map(_._2).sum
+    def q99(mult: Long, frac: Long): Long = {
+      var cum = 0L
+      sorted.collectFirst {
+        case (b, n) if { cum += n; cum * mult >= tot * frac } => b
+      }.get
+    }
+    assert(q99(2, 1) === 0L, "p50 bucket")
+    assert(q99(100, 99) === 27L, "p99 bucket")
+  }
 }
