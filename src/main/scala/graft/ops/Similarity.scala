@@ -1245,33 +1245,47 @@ object Similarity {
       .limit(k)
   }
 
-  /** ADC ranking: encode the corpus, build the query's LUT, rank by
-    * summed lookup distances, keep the top `k`
-    */
-  private def pqAdc(spark: SparkSession, e: DataFrame, k: Int): DataFrame = {
-    val scored = pqScore(pqSub(e), pqCodebook(spark, e)).persist()
-    val out = pqAdcFrame(scored, k).localCheckpoint()
-    scored.unpersist()
-    out
-  }
-
   private val pqCandCache = SubstrateCache.frame("embeddings.parquet")
+  private val adcAllCache = SubstrateCache.frame("embeddings.parquet")
 
-  /** The PqCand-deep ADC ranking as a SESSION substrate: codebook
-    * training + corpus encoding + ranking run once per (application,
-    * SF dir) and both PQ queries read from it — sim_pq_topk is its
-    * 20-row head, sim_pq_recall re-ranks its full depth. The
-    * checkpointed result is 100 ordered rows, so sharing it retires a
-    * whole training/encoding pass per run — the same discipline as
-    * Graph.pairCounts / Dedup.minhashPairs.
+  /** The COMPLETE ADC index image — (vec_id, adc_dist, label) for every
+    * corpus vector — as a SESSION substrate: codebook training + corpus
+    * encoding + LUT ranking run once per (application, SF dir). This is
+    * what a deployed IVFADC index persists (8 code bytes + cell id per
+    * vector); sim_ivfpq_recall reads it per probe point and
+    * [[pqCandidates]] takes its PqCand-deep head, so no PQ consumer
+    * ever retrains per call — the same discipline as Graph.pairCounts /
+    * Dedup.minhashPairs / MinHashLsh.frozenIndex.
+    */
+  private[ops] def adcAllOf(spark: SparkSession, dir: String): DataFrame =
+    adcAllCache.get(spark, dir) {
+      val e = emb(spark, dir).withColumn("q", expr(quantize))
+        .select("vec_id", "label", "q").persist()
+      val scored = pqScore(pqSub(e), pqCodebook(spark, e)).persist()
+      val lut = scored.filter(col("vec_id") === 0)
+        .select(col("s").as("ls"), col("j").as("lj"), col("d"))
+      val out = pqAssign(scored).filter(col("vec_id") =!= 0)
+        .join(broadcast(lut),
+          col("s") === col("ls") && col("code") === col("lj"))
+        .groupBy("vec_id")
+        .agg(sum(col("d")).as("adc_dist"))
+        .join(e.select("vec_id", "label"), "vec_id")
+        .localCheckpoint()
+      scored.unpersist(); e.unpersist()
+      out
+    }
+
+  /** The PqCand-deep ADC ranking as a SESSION substrate — the ordered
+    * head of [[adcAllOf]]; sim_pq_topk is its 20-row head, sim_pq_recall
+    * re-ranks its full depth.
     */
   private[ops] def pqCandidates(spark: SparkSession, dir: String): DataFrame =
     pqCandCache.get(spark, dir) {
-      val e = emb(spark, dir).withColumn("q", expr(quantize))
-        .select("vec_id", "q").persist()
-      val out = pqAdc(spark, e, PqCand)
-      e.unpersist()
-      out
+      adcAllOf(spark, dir)
+        .select(col("vec_id"), col("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(PqCand)
+        .localCheckpoint()
     }
 
   /** the ADC ranking's physical plan over a materialized scored table,
@@ -1456,19 +1470,10 @@ object Similarity {
     val e = emb(spark, dir).withColumn("q", expr(quantize))
       .select("vec_id", "label", "q").persist()
     // ADC distance of EVERY corpus vector, tagged with its IVF cell —
-    // the persisted index image (codes are 8 bytes/row at scale; the
-    // raw vectors are never read again after this block)
-    val scored = pqScore(pqSub(e), pqCodebook(spark, e)).persist()
-    val lut = scored.filter(col("vec_id") === 0)
-      .select(col("s").as("ls"), col("j").as("lj"), col("d"))
-    val adcAll = pqAssign(scored).filter(col("vec_id") =!= 0)
-      .join(broadcast(lut), col("s") === col("ls") && col("code") === col("lj"))
-      .groupBy("vec_id")
-      .agg(sum(col("d")).as("adc_dist"))
-      .join(e.select("vec_id", "label"), "vec_id")
-      .persist()
-    adcAll.count() // materialize before dropping the scored table
-    scored.unpersist()
+    // the persisted index image (8 code bytes/row at scale; raw vectors
+    // are read only by the exact ground truth below), built ONCE per
+    // session by the adcAllOf substrate
+    val adcAll = adcAllOf(spark, dir)
     val query = e.filter(col("vec_id") === 0).select(col("q").as("qq"))
     val exact = exactL2Topk(spark, e).select("vec_id")
     val adcFull20 = adcAll.orderBy(col("adc_dist").asc, col("vec_id").asc)
@@ -1500,7 +1505,7 @@ object Similarity {
           expr("(1000 * hits_exact) div 20").as("recall_pm"),
           col("hits_vs_adc"))
     }.reduce(_ unionAll _).orderBy("nprobe").localCheckpoint()
-    adcAll.unpersist(); e.unpersist()
+    e.unpersist() // adcAll is the session substrate — never released here
     out
   }
 
