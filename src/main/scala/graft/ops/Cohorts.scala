@@ -601,16 +601,16 @@ object Cohorts {
   // totals, both broadcast back → 10-row final aggregate. No ntile, no
   // global sort, nothing data-proportional after the first aggregate.
   // -------------------------------------------------------------------
-  private def decileLift(spark: SparkSession, dir: String): DataFrame = {
-    val u = graft.Tables.events(spark, dir)
-      .groupBy("user_id")
-      .agg(
-        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
-          .as("score"),
-        sum(when(col("event_type") === "purchase",
-          round(col("value") * 100).cast("long")).otherwise(0L))
-          .as("cents"))
-    val totals = u.agg(count(lit(1)).as("nu"), sum(col("cents")).as("tot"))
+  /** Decile by order statistics off the distinct-score histogram —
+    * decile(row) = (10 · |rows with strictly smaller score|) div n, so
+    * ties share a decile deterministically and the only window is over
+    * score CARDINALITY, never row count. Input must carry a `score`
+    * column; all other columns pass through, plus `decile` and the
+    * broadcast totals (`nu` rows, for the lift denominator). Exposed
+    * for the fuzz differential (SelectionFuzzSpec).
+    */
+  private[ops] def decileAssign(u: DataFrame): DataFrame = {
+    val totals = u.agg(count(lit(1)).as("nu"))
     val hist = u.groupBy("score").agg(count(lit(1)).as("c"))
       .withColumn("below",
         coalesce(sum(col("c")).over(
@@ -620,6 +620,21 @@ object Cohorts {
     u.join(broadcast(hist), "score")
       .crossJoin(broadcast(totals))
       .withColumn("decile", expr("(10 * below) div nu"))
+      .drop("below")
+  }
+
+  private def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    val u = graft.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+          .as("score"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("cents"))
+    val tot = u.agg(sum(col("cents")).as("tot"))
+    decileAssign(u)
+      .crossJoin(broadcast(tot))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"),
         sum(col("cents")).as("value_cents"),

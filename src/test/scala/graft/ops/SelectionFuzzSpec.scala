@@ -124,4 +124,34 @@ class SelectionFuzzSpec extends AnyFunSuite {
       assert(got.map(_._3).sum === total, s"seed=$seed")
     }
   }
+
+  test("order-statistic deciles match the in-memory strictly-below rank rule") {
+    // ax_decile_lift's core: decile = (10 · |strictly smaller|) div n —
+    // heavy ties (few distinct scores), n = 1, and all-equal inputs are
+    // the boundary cases the histogram formulation must share with a
+    // plain sorted-rank reference
+    for (seed <- 71 to 82) {
+      val rng = new scala.util.Random(seed)
+      val n = 1 + rng.nextInt(60)
+      val distinct = 1 + rng.nextInt(6) // heavy ties by construction
+      val rows = (0 until n).map(i =>
+        (i.toLong, rng.nextInt(distinct).toLong))
+      val below = rows.map(_._2).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val expected = rows.map { case (id, s) =>
+        val b = below.filter(_._1 < s).values.sum
+        (id, (10L * b) / n)
+      }.sortBy(_._1)
+      val got = Cohorts.decileAssign(rows.toDF("id", "score"))
+        .select("id", "decile").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got === expected, s"seed=$seed")
+      // deciles are monotone in score: a strictly larger score can
+      // never land in a strictly smaller decile
+      val byScore = rows.zip(expected).map { case ((_, s), (_, d)) => (s, d) }
+      for (Seq((s1, d1), (s2, d2)) <- byScore.sortBy(_._1).sliding(2)
+          if s1 < s2)
+        assert(d1 <= d2, s"seed=$seed: monotonicity violated")
+    }
+  }
 }
