@@ -1087,7 +1087,77 @@ object Analytics {
       |FROM per_cust GROUP BY 1
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_target_encode: LEAKAGE-SAFE TARGET ENCODING — the tabular-ML
+  // feature every training pipeline computes and most compute WRONG:
+  // replacing a category with the mean of its target leaks each row's
+  // own label into its feature (a rare category memorizes itself), so
+  // the deployable form is OUT-OF-FOLD — row r's encoding comes only
+  // from folds other than r's. The distributed form needs NO per-row
+  // second pass: aggregate (category, fold) partials once, roll them up
+  // to category totals, and the OOF encoding for fold f is the totals
+  // MINUS f's own partial — (Σ_c − Σ_cf) smoothed toward the global
+  // prior with m = 20 pseudo-counts. Folds hash from user_id (the
+  // leakage unit: rows of one user share a fold). All arithmetic exact
+  // integer milli-cents with truncating division on both engines; the
+  // emitted leak_delta_milli per (category, fold) is the measured
+  // memorization the OOF form removes.
+  //
+  // Scale shape: one scan → one (category × fold)-keyed partial
+  // aggregate (≤ types·folds rows) → the rollup and the subtraction run
+  // on that aggregate; the 1-row global prior broadcasts. Nothing after
+  // the first aggregate is data-proportional; applying the encoding to
+  // rows at train time is a broadcast map-side join of this ≤ 25-row
+  // table.
+  // -------------------------------------------------------------------
+  private val TeSmooth = 20L
+
+  private def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        pmod(col("user_id"), lit(5L)).as("fold"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cf = ev.groupBy("event_type", "fold")
+      .agg(sum(col("cents")).as("sum_cf"), count(lit(1)).as("cnt_cf"))
+    val c = cf.groupBy("event_type")
+      .agg(sum(col("sum_cf")).as("sum_c"), sum(col("cnt_cf")).as("cnt_c"))
+    val g = cf.agg(sum(col("sum_cf")).as("gsum"), sum(col("cnt_cf")).as("gcnt"))
+      .select(expr("(1000 * gsum) div gcnt").as("prior_milli"))
+    cf.join(broadcast(c), "event_type")
+      .crossJoin(broadcast(g))
+      .select(col("event_type"), col("fold"), col("cnt_cf").as("n_rows"),
+        expr(s"(1000 * (sum_c - sum_cf) + $TeSmooth * prior_milli) div " +
+          s"(cnt_c - cnt_cf + $TeSmooth)").as("enc_oof_milli"),
+        expr(s"(1000 * sum_c + $TeSmooth * prior_milli) div " +
+          s"(cnt_c + $TeSmooth)").as("enc_full_milli"))
+      .withColumn("leak_delta_milli",
+        col("enc_full_milli") - col("enc_oof_milli"))
+      .orderBy("event_type", "fold")
+  }
+
+  private val targetEncodeSql =
+    s"""WITH ev AS (SELECT event_type, user_id % 5 AS fold,
+       |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |cf AS (SELECT event_type, fold, SUM(cents) AS sum_cf,
+       |    COUNT(*) AS cnt_cf FROM ev GROUP BY 1, 2),
+       |c AS (SELECT event_type, SUM(sum_cf) AS sum_c, SUM(cnt_cf) AS cnt_c
+       |  FROM cf GROUP BY 1),
+       |g AS (SELECT CAST((1000 * SUM(sum_cf)) // SUM(cnt_cf) AS BIGINT)
+       |    AS prior_milli FROM cf)
+       |SELECT cf.event_type, cf.fold, cf.cnt_cf AS n_rows,
+       |  CAST((1000 * (c.sum_c - cf.sum_cf) + $TeSmooth * g.prior_milli) //
+       |    (c.cnt_c - cf.cnt_cf + $TeSmooth) AS BIGINT) AS enc_oof_milli,
+       |  CAST((1000 * c.sum_c + $TeSmooth * g.prior_milli) //
+       |    (c.cnt_c + $TeSmooth) AS BIGINT) AS enc_full_milli,
+       |  CAST((1000 * c.sum_c + $TeSmooth * g.prior_milli) //
+       |    (c.cnt_c + $TeSmooth)
+       |    - (1000 * (c.sum_c - cf.sum_cf) + $TeSmooth * g.prior_milli) //
+       |    (c.cnt_c - cf.cnt_cf + $TeSmooth) AS BIGINT) AS leak_delta_milli
+       |FROM cf JOIN c USING (event_type), g
+       |ORDER BY event_type, fold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_target_encode"     -> (targetEncode _),
     "ax_order_count_dist"  -> (orderCountDist _),
     "ax_join_explosion"    -> (joinExplosion _),
     "ax_small_quantity"    -> (smallQuantity _),
@@ -1123,6 +1193,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ax_target_encode"     -> targetEncodeSql,
     "ax_order_count_dist"  -> orderCountDistSql,
     "ax_join_explosion"    -> joinExplosionSql,
     "ax_small_quantity"    -> smallQuantitySql,
