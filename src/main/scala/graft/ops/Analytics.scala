@@ -1088,7 +1088,8 @@ object Analytics {
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
   // -------------------------------------------------------------------
-  // ax_target_encode: LEAKAGE-SAFE TARGET ENCODING — the tabular-ML
+  // ax_target_oof: LEAKAGE-SAFE (out-of-fold) TARGET ENCODING — the
+  // deployable form of ax_target_encode (Stats.scala): the tabular-ML
   // feature every training pipeline computes and most compute WRONG:
   // replacing a category with the mean of its target leaks each row's
   // own label into its feature (a rare category memorizes itself), so
@@ -1112,7 +1113,7 @@ object Analytics {
   // -------------------------------------------------------------------
   private val TeSmooth = 20L
 
-  private def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+  private def targetOof(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_type"),
         pmod(col("user_id"), lit(5L)).as("fold"),
@@ -1135,7 +1136,7 @@ object Analytics {
       .orderBy("event_type", "fold")
   }
 
-  private val targetEncodeSql =
+  private val targetOofSql =
     s"""WITH ev AS (SELECT event_type, user_id % 5 AS fold,
        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
        |cf AS (SELECT event_type, fold, SUM(cents) AS sum_cf,
@@ -1157,7 +1158,7 @@ object Analytics {
        |ORDER BY event_type, fold""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ax_target_encode"     -> (targetEncode _),
+    "ax_target_oof"        -> (targetOof _),
     "ax_order_count_dist"  -> (orderCountDist _),
     "ax_join_explosion"    -> (joinExplosion _),
     "ax_small_quantity"    -> (smallQuantity _),
@@ -1193,7 +1194,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
-    "ax_target_encode"     -> targetEncodeSql,
+    "ax_target_oof"        -> targetOofSql,
     "ax_order_count_dist"  -> orderCountDistSql,
     "ax_join_explosion"    -> joinExplosionSql,
     "ax_small_quantity"    -> smallQuantitySql,
