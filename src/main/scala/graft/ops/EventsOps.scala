@@ -430,6 +430,89 @@ object EventsOps {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_rle_advisor: WITHIN-PARTITION SORT-KEY ADVISOR — the measurement
+  // that DECIDES between ax_sorted_layout / ax_zorder_layout orderings
+  // before a 100 TB rewrite is committed. Columnar formats pay for
+  // value CHANGES, not values: parquet RLE/dictionary run length —
+  // and min/max-stat pruning tightness — are both functions of how
+  // many runs each column decomposes into under the chosen
+  // within-partition order. For each candidate sort key (arrival,
+  // event_type, user_id, value) this computes the EXACT total run
+  // count of the three payload columns inside each day partition
+  // (run starts = first row of a partition or value ≠ previous), and
+  // the argmin row is the advised key — measured on the data, not
+  // guessed. The trade surfaces honestly: sorting by user collapses
+  // user runs but re-randomizes type runs, and near-unique columns
+  // (cents) stay ≈ n runs under every foreign order.
+  //
+  // Scale shape: windows partition by DAY (the physical partition
+  // unit — thousands of keys, bounded rows each), so each partition
+  // sorts independently and in parallel; at 100 TB the advisor runs
+  // on a SAMPLE of partitions (it is a planning query; runs-per-row
+  // is translation-invariant across similar partitions) and emits
+  // |candidates| rows either way.
+  // -------------------------------------------------------------------
+  private def rleAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("event_id"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def runsOf(name: String, ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val w = Window.partitionBy("d").orderBy(ord: _*)
+      def starts(c: String) =
+        when(lag(col(c), 1).over(w).isNull ||
+          col(c) =!= lag(col(c), 1).over(w), 1L).otherwise(0L)
+      ev.select(starts("event_type").as("se"), starts("user_id").as("su"),
+          starts("cents").as("sc"))
+        .agg(sum(col("se")).as("runs_event_type"),
+          sum(col("su")).as("runs_user_id"),
+          sum(col("sc")).as("runs_cents"))
+        .select(lit(name).as("sort_key"), col("runs_event_type"),
+          col("runs_user_id"), col("runs_cents"),
+          (col("runs_event_type") + col("runs_user_id") + col("runs_cents"))
+            .as("total_runs"))
+    }
+    Seq(
+      runsOf("arrival", Seq(col("event_id"))),
+      runsOf("type", Seq(col("event_type"), col("event_id"))),
+      runsOf("user", Seq(col("user_id"), col("event_id"))),
+      runsOf("value", Seq(col("cents"), col("event_id"))))
+      .reduce(_ unionAll _)
+      .orderBy("sort_key")
+  }
+
+  private val rleAdvisorSql = {
+    def block(name: String, ord: String) =
+      s"""SELECT '$name' AS sort_key,
+         |  SUM(CASE WHEN pe IS NULL OR pe <> event_type THEN 1 ELSE 0 END)
+         |    AS runs_event_type,
+         |  SUM(CASE WHEN pu IS NULL OR pu <> user_id THEN 1 ELSE 0 END)
+         |    AS runs_user_id,
+         |  SUM(CASE WHEN pc IS NULL OR pc <> cents THEN 1 ELSE 0 END)
+         |    AS runs_cents
+         |FROM (SELECT event_type, user_id, cents,
+         |    LAG(event_type) OVER (PARTITION BY d ORDER BY $ord) AS pe,
+         |    LAG(user_id) OVER (PARTITION BY d ORDER BY $ord) AS pu,
+         |    LAG(cents) OVER (PARTITION BY d ORDER BY $ord) AS pc
+         |  FROM ev) t""".stripMargin
+    val blocks = Seq(
+      block("arrival", "event_id"),
+      block("type", "event_type, event_id"),
+      block("user", "user_id, event_id"),
+      block("value", "cents, event_id")).mkString("\nUNION ALL\n")
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_id, user_id,
+       |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events)
+       |SELECT sort_key, CAST(runs_event_type AS BIGINT) AS runs_event_type,
+       |  CAST(runs_user_id AS BIGINT) AS runs_user_id,
+       |  CAST(runs_cents AS BIGINT) AS runs_cents,
+       |  CAST(runs_event_type + runs_user_id + runs_cents AS BIGINT)
+       |    AS total_runs
+       |FROM ($blocks) u ORDER BY sort_key""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ax_zorder_layout: multi-dimensional clustering — the Z-ORDER
   // technique (interleave the bits of two filter columns into one
   // Morton key, range-partition + sort by it) that lets ONE physical
@@ -1019,6 +1102,7 @@ object EventsOps {
     "ax_schema_evolution" -> (schemaEvolution _),
     "ax_zorder_layout"   -> (zorderLayout _),
     "ax_sorted_layout"   -> (sortedLayout _),
+    "ax_rle_advisor"     -> (rleAdvisor _),
     "ax_partitioned_write" -> (partitionedWrite _),
     "ax_user_journey"    -> (userJourney _),
     "ax_markov_events"   -> (markovEvents _),
@@ -1042,6 +1126,7 @@ object EventsOps {
     "ax_schema_evolution" -> schemaEvolutionSql,
     "ax_zorder_layout"   -> zorderLayoutSql,
     "ax_sorted_layout"   -> sortedLayoutSql,
+    "ax_rle_advisor"     -> rleAdvisorSql,
     "ax_partitioned_write" -> partitionedWriteSql,
     "ax_user_journey"    -> userJourneySql,
     "ax_markov_events"   -> markovEventsSql,
