@@ -452,32 +452,40 @@ object EventsOps {
   // is translation-invariant across similar partitions) and emits
   // |candidates| rows either way.
   // -------------------------------------------------------------------
-  private def rleAdvisor(spark: SparkSession, dir: String): DataFrame = {
+  /** Run-start counts of the three payload columns under `ord` within
+    * `d` partitions, over a (d, event_id, user_id, event_type, cents)
+    * frame — the advisor's core, exposed for the fuzz differential
+    * (SelectionFuzzSpec checks it against an in-memory sorted-sequence
+    * run counter on random heavy-tie inputs).
+    */
+  private[ops] def runCountsOf(ev: DataFrame, name: String,
+      ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("d").orderBy(ord: _*)
+    def starts(c: String) =
+      when(lag(col(c), 1).over(w).isNull ||
+        col(c) =!= lag(col(c), 1).over(w), 1L).otherwise(0L)
+    ev.select(starts("event_type").as("se"), starts("user_id").as("su"),
+        starts("cents").as("sc"))
+      .agg(sum(col("se")).as("runs_event_type"),
+        sum(col("su")).as("runs_user_id"),
+        sum(col("sc")).as("runs_cents"))
+      .select(lit(name).as("sort_key"), col("runs_event_type"),
+        col("runs_user_id"), col("runs_cents"),
+        (col("runs_event_type") + col("runs_user_id") + col("runs_cents"))
+          .as("total_runs"))
+  }
+
+  private def rleAdvisor(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
       .select(to_date(col("ts")).as("d"), col("event_id"),
         col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
-    def runsOf(name: String, ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val w = Window.partitionBy("d").orderBy(ord: _*)
-      def starts(c: String) =
-        when(lag(col(c), 1).over(w).isNull ||
-          col(c) =!= lag(col(c), 1).over(w), 1L).otherwise(0L)
-      ev.select(starts("event_type").as("se"), starts("user_id").as("su"),
-          starts("cents").as("sc"))
-        .agg(sum(col("se")).as("runs_event_type"),
-          sum(col("su")).as("runs_user_id"),
-          sum(col("sc")).as("runs_cents"))
-        .select(lit(name).as("sort_key"), col("runs_event_type"),
-          col("runs_user_id"), col("runs_cents"),
-          (col("runs_event_type") + col("runs_user_id") + col("runs_cents"))
-            .as("total_runs"))
-    }
     Seq(
-      runsOf("arrival", Seq(col("event_id"))),
-      runsOf("type", Seq(col("event_type"), col("event_id"))),
-      runsOf("user", Seq(col("user_id"), col("event_id"))),
-      runsOf("value", Seq(col("cents"), col("event_id"))))
+      runCountsOf(ev, "arrival", Seq(col("event_id"))),
+      runCountsOf(ev, "type", Seq(col("event_type"), col("event_id"))),
+      runCountsOf(ev, "user", Seq(col("user_id"), col("event_id"))),
+      runCountsOf(ev, "value", Seq(col("cents"), col("event_id"))))
       .reduce(_ unionAll _)
       .orderBy("sort_key")
   }

@@ -154,4 +154,41 @@ class SelectionFuzzSpec extends AnyFunSuite {
         assert(d1 <= d2, s"seed=$seed: monotonicity violated")
     }
   }
+
+  test("within-partition run counts match an in-memory sorted-sequence counter") {
+    import org.apache.spark.sql.functions.col
+    // ax_rle_advisor's core: run starts per payload column under a
+    // candidate within-partition order — heavy ties, 1-row partitions,
+    // all-equal columns are the boundary cases
+    for (seed <- 91 to 100) {
+      val rng = new scala.util.Random(seed)
+      val rows = (0 until (1 + rng.nextInt(80))).map { i =>
+        (rng.nextInt(3).toLong, i.toLong, rng.nextInt(4).toLong,
+          s"t${rng.nextInt(3)}", rng.nextInt(5).toLong)
+      } // (d, event_id, user_id, event_type, cents)
+      def refRuns(key: ((Long, Long, Long, String, Long)) => (String, Long))
+          : (Long, Long, Long) = {
+        val sortedByPart = rows.groupBy(_._1).values.map(_.sortBy(key))
+        def runs(f: ((Long, Long, Long, String, Long)) => Any): Long =
+          sortedByPart.map { part =>
+            1L + part.sliding(2).count {
+              case Seq(a, b) => f(a) != f(b)
+              case _         => false
+            }
+          }.sum
+        (runs(_._4), runs(_._3), runs(_._5))
+      }
+      val ev = rows.toDF("d", "event_id", "user_id", "event_type", "cents")
+      def got(name: String, ord: Seq[org.apache.spark.sql.Column]) = {
+        val r = EventsOps.runCountsOf(ev, name, ord).head()
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      assert(got("arrival", Seq(col("event_id"))) ===
+        refRuns(r => ("", r._2)), s"seed=$seed arrival")
+      assert(got("type", Seq(col("event_type"), col("event_id"))) ===
+        refRuns(r => (r._4, r._2)), s"seed=$seed type")
+      assert(got("user", Seq(col("user_id"), col("event_id"))) ===
+        refRuns(r => (f"${r._3}%019d", r._2)), s"seed=$seed user")
+    }
+  }
 }
