@@ -1012,35 +1012,59 @@ object Dedup {
   // priced; the anchor-gap probability ((7/8)^27 ≈ 2.7% per span) and
   // the seed cap are the two effects the number folds in.
   // -------------------------------------------------------------------
-  private def spanGuarantee(spark: SparkSession, dir: String): DataFrame = {
-    val nd = spanDocsNorm(spark, dir)
-      .filter(length(col("norm")) >= SpanMinLen)
+  /** Per-window occupancy cap on the stride-1 truth side: a window
+    * shared by c documents produces c² join rows before the pair-level
+    * distinct — the exact Σc² blowup the LSH path caps with MaxBucket
+    * and the wedge path caps at degree 64 (round-10 verdict item 1: at
+    * 100 TB one viral boilerplate header would make the AUDIT the
+    * outage). Windows above the cap are DROPPED from the truth join
+    * (mirrored in the oracle) and COUNTED — n_windows_capped makes the
+    * truncation visible in the audit output rather than silent.
+    */
+  private val SpanWinOccCap = 64L
+
+  /** Frame-parameterized guarantee core — (doc_id, norm) corpus +
+    * found-pair frame in, one audit row out; exposed so SpanFuzzSpec
+    * can force the occupancy cap with a >cap shared-window corpus.
+    */
+  private[ops] def spanGuaranteeOf(nd: DataFrame,
+      found: DataFrame): DataFrame = {
     // raw 50-char substring as the join key: string equality is
     // definitionally exact (no hash at all) and cheaper than 1.2M md5
-    // computations. The window table is CHECKPOINTED so the self-join
-    // consumes one materialization with known stats — without it each
-    // join side replans the explode pipeline and the optimizer's
+    // computations. (doc, window) pairs are DISTINCT'd first — the
+    // occupancy count must be a document count, and within-doc
+    // repeated windows would inflate it. The distinct window table is
+    // CHECKPOINTED so the occupancy aggregate and both self-join sides
+    // consume one materialization with known stats — without it each
+    // consumer replans the explode pipeline and the optimizer's
     // pre-explode size estimate broadcast-hashes a ~90 MB relation
-    // (measured 11.3 s vs 4.5 s). No distinct here: the pair set is
-    // deduped after the join, and within-doc repeated windows are rare
-    // (the join is equi-keyed either way — never a cross product).
+    // (measured 11.3 s vs 4.5 s). The join stays equi-keyed — never a
+    // cross product — and post-cap its fan-out is ≤ cap² per window.
     val wins = nd
       .select(col("doc_id"), explode(expr(
         s"sequence(1, length(norm) - ${SpanMinLen - 1})")).as("i"),
         col("norm"))
       .select(col("doc_id"),
         expr(s"substring(norm, CAST(i AS INT), $SpanMinLen)").as("w"))
+      .distinct()
       .localCheckpoint()
-    val exactPairs = wins.select(col("doc_id").as("da"), col("w"))
-      .join(wins.select(col("doc_id").as("db"), col("w")), Seq("w"))
+    // occupancy = per-window distinct-doc count (map-side-combined
+    // groupBy — constant state per key, skew-safe); derived twice from
+    // the checkpointed wins (kept-filter + capped-count) so the
+    // exchange is reused, not re-materialized
+    val occ = wins.groupBy(col("w")).agg(count(lit(1)).as("occ"))
+    val kept = wins.join(occ.filter(col("occ") <= SpanWinOccCap)
+      .select(col("w")), Seq("w"))
+    val nCapped = occ.filter(col("occ") > SpanWinOccCap)
+      .agg(count(lit(1)).as("n_windows_capped"))
+    val exactPairs = kept.select(col("doc_id").as("da"), col("w"))
+      .join(kept.select(col("doc_id").as("db"), col("w")), Seq("w"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    val found = spanPairs(spark, dir)
-      .filter(col("span_len") >= SpanMinLen)
-      .select(col("doc_a").as("da"), col("doc_b").as("db"))
     // ONE full-outer join + one aggregate: the expensive stride-1
     // truth pipeline appears exactly once in the plan (three separate
-    // count branches would each replan it — measured 12.3 s vs ~3 s)
+    // count branches would each replan it — measured 12.3 s vs ~3 s);
+    // the capped-window count attaches as a broadcast 1-row cross join
     exactPairs.withColumn("e", lit(1L))
       .join(found.withColumn("f", lit(1L)), Seq("da", "db"), "full")
       .agg(coalesce(sum(coalesce(col("e"), lit(0L))), lit(0L))
@@ -1049,12 +1073,21 @@ object Dedup {
           .as("n_found_pairs"),
         coalesce(sum(coalesce(col("e"), lit(0L)) *
           coalesce(col("f"), lit(0L))), lit(0L)).as("n_hit_pairs"))
+      .crossJoin(broadcast(nCapped))
       .select(col("n_exact_pairs"), col("n_found_pairs"),
         col("n_hit_pairs"),
         when(col("n_exact_pairs") === 0, lit(1000L))
           .otherwise(expr("(1000 * n_hit_pairs) div n_exact_pairs"))
-          .as("recall_pm"))
+          .as("recall_pm"),
+        col("n_windows_capped"))
   }
+
+  private def spanGuarantee(spark: SparkSession, dir: String): DataFrame =
+    spanGuaranteeOf(
+      spanDocsNorm(spark, dir).filter(length(col("norm")) >= SpanMinLen),
+      spanPairs(spark, dir)
+        .filter(col("span_len") >= SpanMinLen)
+        .select(col("doc_a").as("da"), col("doc_b").as("db")))
 
   private val spanGuaranteeSql =
     s"""WITH $spanPairsCte,
@@ -1065,8 +1098,11 @@ object Dedup {
        |    substring(norm, CAST(i AS INT), $SpanMinLen) AS w
        |  FROM leg, LATERAL unnest(range(1,
        |    greatest(length(norm) - ${SpanMinLen - 1}, 0) + 1)) AS t(i)),
+       |occ AS (SELECT w, COUNT(*) AS occ FROM wins GROUP BY w),
+       |kept AS (SELECT doc_id, w FROM wins
+       |  JOIN occ USING (w) WHERE occ <= $SpanWinOccCap),
        |exact AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id),
+       |  FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id),
        |found AS (SELECT doc_a AS da, doc_b AS db FROM best
        |  WHERE span_len >= $SpanMinLen),
        |hit AS (SELECT COUNT(*) AS n_hit_pairs
@@ -1077,7 +1113,9 @@ object Dedup {
        |  n_hit_pairs,
        |  CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1000
        |    ELSE (1000 * n_hit_pairs) // (SELECT COUNT(*) FROM exact)
-       |  END AS BIGINT) AS recall_pm
+       |  END AS BIGINT) AS recall_pm,
+       |  (SELECT COUNT(*) FROM occ WHERE occ > $SpanWinOccCap)
+       |    AS n_windows_capped
        |FROM hit""".stripMargin
 
   // -------------------------------------------------------------------

@@ -70,6 +70,85 @@ class SelectionFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("width recursion keeps every driver histogram ≤ PctBucket rows on a 2^40-spread domain") {
+    val targets = Seq(500L, 900L, 990L)
+    for (seed <- 131 to 136) {
+      val rng = new scala.util.Random(seed)
+      val spread = 1L << 40
+      // values scattered over ±2^40 — under the old `v div 4096`
+      // bucketing the coarse histogram would be up to 2^29 rows; the
+      // width recursion must keep every single collect ≤ 4096 rows
+      val vals = Seq(-spread, spread) ++
+        Seq.fill(300 + rng.nextInt(200))(rng.nextLong() % spread)
+      val sorted = vals.sorted
+      val n = sorted.length.toLong
+      val expected = targets.map { q =>
+        val k = (q * n + 999) / 1000
+        (q, k, sorted((k - 1).toInt))
+      }
+      // recurseAbove=1 forces recursion to divisor-1 depth every level;
+      // MaxValue stops at the first-level heap — both must agree AND
+      // stay constant-bounded on the driver
+      for (recurseAbove <- Seq(1L, Long.MaxValue)) {
+        val got = Stats.exactPercentileOf(
+          vals.toDF("v"), targets, recurseAbove).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got === expected, s"seed=$seed recurseAbove=$recurseAbove")
+        val maxRows = Stats.histCollectProbe.get
+        assert(maxRows <= 4096L,
+          s"seed=$seed recurseAbove=$recurseAbove: a driver histogram " +
+            s"collected $maxRows rows (> PctBucket)")
+      }
+    }
+  }
+
+  test("full-64-bit span (v - lo would overflow) resolves via the range split") {
+    val targets = Seq(500L, 990L)
+    val vals = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue - 1, Long.MaxValue) ++
+      (1 to 40).map(i => i * 1000003L - 20 * 1000003L)
+    val sorted = vals.sorted
+    val n = sorted.length.toLong
+    val expected = targets.map { q =>
+      val k = (q * n + 999) / 1000
+      (q, k, sorted((k - 1).toInt))
+    }
+    for (recurseAbove <- Seq(1L, Long.MaxValue)) {
+      val got = Stats.exactPercentileOf(
+        vals.toDF("v"), targets, recurseAbove).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === expected, s"recurseAbove=$recurseAbove")
+      assert(Stats.histCollectProbe.get <= 4096L)
+    }
+  }
+
+  test("grouped selection bounds per-group histogram width on wide domains") {
+    val rng = new scala.util.Random(141)
+    val spread = 1L << 40
+    val groups = 3
+    val rows = (0 until groups).flatMap { g =>
+      (0 until (50 + rng.nextInt(100))).map(_ =>
+        (s"w$g", rng.nextLong() % spread))
+    } ++ Seq(("wide", Long.MinValue), ("wide", -7L), ("wide", 0L),
+      ("wide", 5L), ("wide", Long.MaxValue)) // full-span group -> split path
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length.toLong
+      Seq(500L, 950L).map { q =>
+        val k = (q * n + 999) / 1000
+        (t, q, k, sorted((k - 1).toInt))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Stats.groupPercentileOf(rows.toDF("event_type", "v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+    // joint grouped histogram: ≤ GrpPctBucket(1024) + 1 rows PER GROUP
+    assert(Stats.histCollectProbe.get <= (groups + 1) * 1025L,
+      s"grouped histogram collected ${Stats.histCollectProbe.get} rows")
+  }
+
   test("grouped two-pass selection survives degenerate per-group skew") {
     for (seed <- 61 to 66) {
       val rng = new scala.util.Random(seed)

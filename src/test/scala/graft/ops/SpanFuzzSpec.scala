@@ -240,6 +240,56 @@ class SpanFuzzSpec extends AnyFunSuite {
     assert(got(2L) == (1L, 100L, 80L, m(j3 + j4)), s"doc2 ${got(2L)}")
   }
 
+  // ---- the guarantee audit's truth-side occupancy cap --------------
+
+  test("span-guarantee truth join drops viral windows above the occupancy cap and counts them") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    // B: 60-char boilerplate shared by 70 docs (> the 64 cap) — its 11
+    // fully-interior 50-char windows are the Σc² hazard the cap exists
+    // for; each doc's 20-DIGIT prefix makes every boundary-crossing
+    // window unique by construction (digits never appear in B or S)
+    val B = randStr(rng, 60, "abcdefghijklmnopqrstuvwxyz")
+    // S: 55-char span shared by exactly TWO docs, with an anchor inside
+    // so the seed pipeline provably finds the pair (hit == exact == 1)
+    val S = Iterator.continually(
+        randStr(rng, 55, "abcdefghijklmnopqrstuvwxyz"))
+      .find(s => anchorIn(s, 1, s.length).isDefined && lcsLen(s, B) < 50)
+      .get
+    // per-doc prefix = 20 copies of a char UNIQUE to the doc and
+    // absent from B/S's alphabet: every boundary-crossing window
+    // contains ≥1 prefix char, so crossing windows are doc-unique by
+    // construction (a shared-suffix prefix scheme fails here — the
+    // window starting at the last prefix position sees only ONE
+    // prefix char, and docs sharing that char collide)
+    def pfx(i: Int) = (160 + i).toChar.toString * 20
+    def corpus(nBoiler: Int) =
+      (1 to nBoiler).map(i => i.toLong -> (pfx(i) + B)) ++
+        Seq(101L -> (pfx(101) + S), 102L -> (pfx(102) + S))
+    def audit(docs: Seq[(Long, String)]): (Long, Long, Long, Long, Long) = {
+      val df = docs.toDF("doc_id", "norm")
+      val found = Dedup.spanPairsOf(df)
+        .filter(org.apache.spark.sql.functions.col("span_len") >= 50)
+        .selectExpr("doc_a AS da", "doc_b AS db")
+      val r = Dedup.spanGuaranteeOf(df, found).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    }
+    // 70 docs > cap: B's 11 interior windows are dropped AND counted;
+    // the only surviving truth pair is the under-cap S pair, which the
+    // seed pipeline finds -> recall 1000 on the capped truth
+    val (nExact, nFound, nHit, recallPm, nCapped) = audit(corpus(70))
+    assert(nCapped == 11L, s"expected 11 capped windows, got $nCapped")
+    assert(nExact == 1L, s"capped truth must keep only the S pair: $nExact")
+    assert(nHit == 1L && recallPm == 1000L, s"hit=$nHit recall=$recallPm")
+    assert(nFound >= 1L)
+    // exactly AT the cap: nothing dropped, all C(64,2) boilerplate
+    // pairs (plus the S pair) stay in the truth — the boundary is ≤
+    val (nExact64, _, _, _, nCapped64) = audit(corpus(64))
+    assert(nCapped64 == 0L, s"at-cap windows must be kept: $nCapped64")
+    assert(nExact64 == 64L * 63 / 2 + 1, s"got $nExact64")
+  }
+
   // ---- generative differential + LCS precision bound ---------------
 
   test("fuzz: engine equals reference on a tiny-alphabet corpus; spans never exceed the true LCS") {
