@@ -103,15 +103,27 @@ private[ops] object MinHashLsh {
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
   }
 
+  /** [[MaxBucket]]-capped band rows (doc_id, band, bh) — THE index
+    * image. Every LSH bucket join (the bootstrap self-join, the batch
+    * ingest probe [[probedDelta]], and the frozen streaming index
+    * [[frozenIndex]] behind st_dedup_probe) builds through this one
+    * function, so the banding/capping discipline is structurally
+    * shared — a one-sided change (e.g. to the cap) cannot silently
+    * desync batch vs streaming. `keep` filters BEFORE occupancy is
+    * counted, so a probe index's cap reflects index-side rows only.
+    */
+  def cappedBandsOf(sig: DataFrame, keep: Column = lit(true)): DataFrame =
+    bandedOf(sig).filter(keep)
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= MaxBucket)
+      .select("doc_id", "band", "bh")
+
   /** [[verifiedPairs]] over an already-built (and caller-persisted)
     * hashed-token + signature substrate — the shape session caches use.
     */
   def verifiedPairsFrom(tokH: DataFrame, sig: DataFrame): DataFrame = {
-    val banded = bandedOf(sig)
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= MaxBucket)
-      .select("doc_id", "band", "bh")
+    val capped = cappedBandsOf(sig)
 
     val a = capped.select(col("band"), col("bh"), col("doc_id").as("a"))
     val b = capped.select(col("band"), col("bh"), col("doc_id").as("b"))
@@ -156,12 +168,9 @@ private[ops] object MinHashLsh {
     */
   def probedDelta(tokH: DataFrame, sig: DataFrame,
       isNew: org.apache.spark.sql.Column): DataFrame = {
-    val banded = bandedOf(sig)
-    val idx = banded.filter(!isNew)
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= MaxBucket)
+    val idx = cappedBandsOf(sig, !isNew)
       .select(col("band"), col("bh"), col("doc_id").as("b"))
-    val delta = banded.filter(isNew)
+    val delta = bandedOf(sig).filter(isNew)
       .select(col("band"), col("bh"), col("doc_id").as("a"))
     val cand = delta.join(idx, Seq("band", "bh")).select("a", "b").distinct()
     val inter = cand
@@ -210,11 +219,7 @@ private[ops] object MinHashLsh {
     frozenIdxCache.get(spark, dir) {
       val (tokH, sig) = Dedup.shingleSubstrate(spark, dir)
       val isNew = pmod(col("doc_id"), lit(10)) === 9
-      val idx = bandedOf(sig)
-        .filter(!isNew)
-        .withColumn("bucket_n",
-          count(lit(1)).over(Window.partitionBy("band", "bh")))
-        .filter(col("bucket_n") <= MaxBucket)
+      val idx = cappedBandsOf(sig, !isNew)
         .select(col("band"), col("bh"), col("doc_id").as("b"))
         .localCheckpoint()
       val docArrs = tokH.filter(!isNew)
@@ -832,7 +837,7 @@ object Dedup {
     }
 
   /** Per-pair maximal shared-span table (doc_a, doc_b, span_len,
-    * n_seeds) — a cheap aggregate over the cached diagonal substrate.
+    * n_diagonals) — a cheap aggregate over the cached diagonal substrate.
     */
   private[ops] def spanPairs(spark: SparkSession, dir: String): DataFrame =
     pairsOfDiagonals(spanDiagonals(spark, dir))
@@ -847,7 +852,7 @@ object Dedup {
           |  slice(bnd, 1, size(bnd) - 1), (x, y) -> x - y - 1))""".stripMargin))
       .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
       .agg(max(col("max_run").cast("long")).as("span_len"),
-        count(lit(1)).as("n_seeds"))
+        count(lit(1)).as("n_diagonals"))
 
   /** The seed-and-extend pipeline over any (doc_id, norm) frame —
     * exposed so SpanFuzzSpec can differential-test span recovery
@@ -930,7 +935,7 @@ object Dedup {
       .limit(20)
 
   /** shared DuckDB replay of the seed-and-extend pipeline, ending in a
-    * `best(doc_a, doc_b, span_len, n_seeds)` CTE
+    * `best(doc_a, doc_b, span_len, n_diagonals)` CTE
     */
   private val spanPairsCte: String = {
     val h8 = PortableHash.hashSql("substring(norm, CAST(i AS INT), 8)")
@@ -987,14 +992,14 @@ object Dedup {
        |best AS (
        |  SELECT da AS doc_a, db AS doc_b,
        |    MAX(max_run) AS span_len,
-       |    COUNT(*) AS n_seeds
+       |    COUNT(*) AS n_diagonals
        |  FROM spans GROUP BY 1, 2)""".stripMargin
   }
 
   private val substringSpanSql =
     s"""WITH $spanPairsCte
        |SELECT doc_a, doc_b, CAST(span_len AS BIGINT) AS span_len,
-       |  n_seeds
+       |  n_diagonals
        |FROM best WHERE span_len >= $SpanMinLen
        |ORDER BY span_len DESC, doc_a, doc_b LIMIT 20""".stripMargin
 

@@ -99,6 +99,20 @@ object StreamingGate {
       }
   }
 
+  /** Schema of a staged input dir, failing FAST with an explicit
+    * message when every staged slice was empty — `spark.read.parquet`
+    * on an empty dir otherwise surfaces later as an unrelated
+    * schema-inference error far from the staging code.
+    */
+  private def stagedSchema(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, input: String)
+      : org.apache.spark.sql.types.StructType = {
+    require(fs.listStatus(new org.apache.hadoop.fs.Path(input)).nonEmpty,
+      s"stageSlice: no staged slice produced a part file under $input " +
+        "— every slice of this staged query was empty")
+    spark.read.parquet(input).schema
+  }
+
   /** hourly tumbling-window counts, streamed end-to-end; batch twin =
     * ax_events_hourly (same oracle SQL)
     */
@@ -881,7 +895,7 @@ object StreamingGate {
     writeOne(tagged.filter(!col("recent") && !col("mid")).select(col("ts")),
       "b2", base + 120000L)
 
-    val sch = spark.read.parquet(input).schema
+    val sch = stagedSchema(spark, fs, input)
     val agg = spark.readStream
       .schema(sch)
       .option("maxFilesPerTrigger", "1")
@@ -955,7 +969,7 @@ object StreamingGate {
             lit(0L).as("cents"))),
       "b1", now + 60000L)
 
-    val sch = spark.read.parquet(input).schema
+    val sch = stagedSchema(spark, fs, input)
     val mergeBatch: (DataFrame, Long) => Unit = { (batch, id) =>
       val all = committedVersionBefore(fs, base, id) match {
         case None => batch
@@ -1067,7 +1081,7 @@ object StreamingGate {
         s"d$i", now + i * 60000L)
     }
 
-    val sch = spark.read.parquet(input).schema
+    val sch = stagedSchema(spark, fs, input)
     val assigned = ivfCellOccupancy(
       spark.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1")
@@ -1166,7 +1180,7 @@ object StreamingGate {
         .map(r => s"m${bi * RowsPerBand + r}").mkString(", ")
       expr(PortableHash.hashSparkSql(s"concat_ws(',', $slice)"))
     }
-    val sch = spark.read.parquet(input).schema
+    val sch = stagedSchema(spark, fs, input)
     val scored = spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", "1")
       .parquet(input)

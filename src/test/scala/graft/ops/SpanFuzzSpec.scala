@@ -44,7 +44,7 @@ class SpanFuzzSpec extends AnyFunSuite {
   private def pHash(s: String): Long =
     java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
 
-  /** In-memory reference: (doc_a, doc_b) -> (span_len, n_seeds). */
+  /** In-memory reference: (doc_a, doc_b) -> (span_len, n_diagonals). */
   private def refSpans(docs: Seq[(Long, String)])
       : Map[(Long, Long), (Long, Long)] = {
     val le = docs.filter(_._2.length >= SeedLen)
