@@ -272,6 +272,49 @@ object SqlSurface {
         |ORDER BY custkey""".stripMargin)
   }
 
+  /** The five-function window suite through the SQL front door with a
+    * named WINDOW clause — what users actually type for dashboard
+    * window stacks. Must plan ONE shared Window node over one sort,
+    * node-identical to the DataFrame twin (ax_window_suite);
+    * PlanShapeSpec pins the identity.
+    */
+  private def windowSuiteViaSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/orders.parquet")
+      .createOrReplaceTempView("graft_sql_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq,
+        |  CAST(datediff(o_orderdate, lag(o_orderdate, 1) OVER w)
+        |    AS BIGINT) AS gap_days,
+        |  CAST(round(lead(o_totalprice, 1) OVER w * 100) AS BIGINT)
+        |    AS next_price_cents,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6
+        |FROM graft_sql_orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** UNPIVOT through the SQL front door — the wide→long melt surface
+    * in SQL text, planning the same Expand over the small upstream
+    * aggregate as the DataFrame `.unpivot` twin (ax_unpivot_metrics).
+    */
+  private def unpivotViaSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS sum_price_cents,
+        |    COUNT(*) AS n_rows
+        |  FROM graft_sql_lineitem GROUP BY l_returnflag)
+        |UNPIVOT (value FOR metric IN (sum_qty, sum_price_cents, n_rows))
+        |ORDER BY l_returnflag, metric""".stripMargin)
+  }
+
   private val exceptOracle =
     """SELECT c_custkey AS custkey FROM customer
       |EXCEPT SELECT o_custkey FROM orders
@@ -288,7 +331,9 @@ object SqlSurface {
     "sq_ship_priority_sql" -> (shipPriorityViaSql _),
     "sq_corr_brand_max"    -> (brandMaxViaSql _),
     "sq_lateral_topk"      -> (lateralTopkViaSql _),
-    "sq_recursive_reach"   -> (recursiveReachViaSql _))
+    "sq_recursive_reach"   -> (recursiveReachViaSql _),
+    "sq_window_suite_sql"  -> (windowSuiteViaSql _),
+    "sq_unpivot_sql"       -> (unpivotViaSql _))
 
   val oracleSql: Map[String, String] = Map(
     "sq_except_sql"        -> exceptOracle,
@@ -303,5 +348,8 @@ object SqlSurface {
     "sq_corr_brand_max"    -> brandMaxOracle,
     // literally the same text the Spark surface runs, on the raw tables
     "sq_lateral_topk"      -> lateralTemplate("part"),
-    "sq_recursive_reach"   -> recursiveTemplate("orders"))
+    "sq_recursive_reach"   -> recursiveTemplate("orders"),
+    // the DataFrame twins' oracles, verbatim — one definition, two surfaces
+    "sq_window_suite_sql"  -> Analytics.oracleSql("ax_window_suite"),
+    "sq_unpivot_sql"       -> Reshape.oracleSql("ax_unpivot_metrics"))
 }

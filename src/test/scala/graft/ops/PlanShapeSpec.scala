@@ -662,6 +662,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("sq_range_frame_sql").contains("Window"))
   }
 
+  test("SQL-text window suite and UNPIVOT plan identically to the DataFrame twins") {
+    def nodes(name: String): Seq[String] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.collect { case n => n.nodeName }
+    assert(nodes("sq_window_suite_sql") == nodes("ax_window_suite"),
+      "WINDOW-clause SQL must plan the same single shared Window node")
+    assert(nodes("sq_unpivot_sql") == nodes("ax_unpivot_metrics"),
+      "UNPIVOT SQL must plan the same Expand over the aggregate")
+    // the suite's five functions share ONE Window operator (one sort)
+    val p = plan("sq_window_suite_sql")
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      s"five window functions must share one Window node:\n$p")
+    assert(plan("sq_unpivot_sql").contains("Expand"))
+  }
+
   test("winsorized mean is one fact scan; windows run over the histogram") {
     // the claimed shape: ONE corpus-proportional stage (the histogram
     // aggregate), thresholds as window aggregates over the KB-scale
