@@ -79,6 +79,21 @@ class SubstrateCacheSpec extends AnyFunSuite {
     assert(a.collect().map(_.getInt(0)).toSeq === Seq(1))
   }
 
+  test("the three span queries share ONE diagonal-substrate build per session") {
+    // tx_span_dedup, dd_substring_span and dd_span_guarantee all
+    // consume Dedup.spanDiagonals — the expensive seed-and-extend scan
+    // must be built once per (session, dir) and REUSED, not rebuilt per
+    // query (round-10 verdict item 6)
+    val dir = "/root/testdata/sf0.001"
+    val d1 = Dedup.spanDiagonals(spark, dir)
+    assert(Dedup.spanDiagonals(spark, dir) eq d1,
+      "second lookup must return the identical cached frame")
+    for (q <- Seq("dd_substring_span", "dd_span_guarantee", "tx_span_dedup"))
+      graft.SparkEntry.queries(q)(spark, dir).collect()
+    assert(Dedup.spanDiagonals(spark, dir) eq d1,
+      "running the three span consumers must not rebuild the substrate")
+  }
+
   test("framePair releases both members on eviction") {
     import spark.implicits._
     val dir = tempFixtureDir()
