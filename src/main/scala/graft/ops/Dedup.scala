@@ -1028,6 +1028,9 @@ object Dedup {
     */
   private val SpanWinOccCap = 64L
 
+  /** Salt fan-out for the capped-window anti join (see spanGuaranteeOf). */
+  private val SpanAntiSalt = 32L
+
   /** Frame-parameterized guarantee core — (doc_id, norm) corpus +
     * found-pair frame in, one audit row out; exposed so SpanFuzzSpec
     * can force the occupancy cap with a >cap shared-window corpus.
@@ -1054,14 +1057,30 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     // occupancy = per-window distinct-doc count (map-side-combined
-    // groupBy — constant state per key, skew-safe); derived twice from
-    // the checkpointed wins (kept-filter + capped-count) so the
-    // exchange is reused, not re-materialized
-    val occ = wins.groupBy(col("w")).agg(count(lit(1)).as("occ"))
-    val kept = wins.join(occ.filter(col("occ") <= SpanWinOccCap)
-      .select(col("w")), Seq("w"))
-    val nCapped = occ.filter(col("occ") > SpanWinOccCap)
-      .agg(count(lit(1)).as("n_windows_capped"))
+    // groupBy over the distinct'd wins — constant state per key,
+    // skew-safe). Only the >cap windows are kept and MATERIALIZED:
+    // that set is tiny (boilerplate windows only), so the main plan
+    // never contains the occupancy aggregate — the cap costs one
+    // side job, not a per-join-side replan (measured 12.1 s → with
+    // the inner-join formulation occ's merge join ran once per
+    // self-join side over the full window table)
+    val cappedW = wins.groupBy(col("w"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > SpanWinOccCap)
+      .select(col("w")).localCheckpoint()
+    val nCapped = cappedW.agg(count(lit(1)).as("n_windows_capped"))
+    // drop capped windows with a SALTED left-anti join: AQE broadcasts
+    // the tiny capped set (kept is then a narrow filter over the
+    // checkpoint — no extra shuffle); if the capped set ever outgrows
+    // the broadcast threshold, the salt spreads a viral window's
+    // doomed rows over SpanAntiSalt reducers instead of concentrating
+    // them on one before they're discarded
+    val kept = wins
+      .withColumn("sb", pmod(xxhash64(col("doc_id")), lit(SpanAntiSalt)))
+      .join(cappedW.select(col("w"),
+        explode(expr(s"sequence(0L, ${SpanAntiSalt - 1}L)")).as("sb")),
+        Seq("w", "sb"), "left_anti")
+      .drop("sb")
     val exactPairs = kept.select(col("doc_id").as("da"), col("w"))
       .join(kept.select(col("doc_id").as("db"), col("w")), Seq("w"))
       .filter(col("da") < col("db"))
@@ -1103,7 +1122,8 @@ object Dedup {
        |    substring(norm, CAST(i AS INT), $SpanMinLen) AS w
        |  FROM leg, LATERAL unnest(range(1,
        |    greatest(length(norm) - ${SpanMinLen - 1}, 0) + 1)) AS t(i)),
-       |occ AS (SELECT w, COUNT(*) AS occ FROM wins GROUP BY w),
+       |occ AS (SELECT w, COUNT(DISTINCT doc_id) AS occ FROM wins
+       |  GROUP BY w),
        |kept AS (SELECT doc_id, w FROM wins
        |  JOIN occ USING (w) WHERE occ <= $SpanWinOccCap),
        |exact AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
