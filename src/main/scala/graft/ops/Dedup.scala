@@ -1048,7 +1048,13 @@ object Dedup {
     // pre-explode size estimate broadcast-hashes a ~90 MB relation
     // (measured 11.3 s vs 4.5 s). The join stays equi-keyed — never a
     // cross product — and post-cap its fan-out is ≤ cap² per window.
-    val wins = nd
+    // repartition BEFORE the explode (the spanDiagonalsOf discipline):
+    // the doc corpus reads as O(file-size / maxPartitionBytes) input
+    // splits — a handful even at sf1 — and without the barrier the
+    // whole stride-1 explode+hash pipeline runs on those few tasks
+    // (measured: the sf1 rehearsal timed out at 300 s parallelism-
+    // starved; volumes were linear — 12.4M windows, Σocc² 35M)
+    val wins = nd.repartition(col("doc_id"))
       .select(col("doc_id"), explode(expr(
         s"sequence(1, length(norm) - ${SpanMinLen - 1})")).as("i"),
         col("norm"))
