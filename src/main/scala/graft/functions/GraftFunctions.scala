@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineFloorScaled, DotProductLong, Interop, L2SquaredLong}
+import org.apache.spark.sql.graft.{CosineFloorScaled, DotProductLong, Interop, L2SquaredLong, Md5Hash60}
 
 import graft.polarify.Program
 
@@ -32,6 +32,13 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
         require(exprs.length == 2, s"dot_long expects 2 arguments, got ${exprs.length}")
         org.apache.spark.sql.graft.DotProductLong(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.Md5Hash60].getName, "graft_hash60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"graft_hash60 expects 1 argument, got ${exprs.length}")
+        org.apache.spark.sql.graft.Md5Hash60(exprs.head)
+      }))
   }
 }
 
@@ -51,6 +58,13 @@ object GraftFunctions {
   def l2sqLong(a: Column, b: Column): Column =
     Interop.column(
       L2SquaredLong(Interop.expression(a), Interop.expression(b)))
+
+  /** native 60-bit portable hash of a string column — bit-identical to
+    * `conv(substring(md5(c),1,15),16,10)` (see [[Md5Hash60]]); usable
+    * inside Column-API lambdas (`transform(a, x => hash60(x))`).
+    */
+  def hash60(c: Column): Column =
+    Interop.column(Md5Hash60(Interop.expression(c)))
 
   /** Register `dot_long` for SQL use in this session. Idempotent. */
   def register(spark: SparkSession): Unit =

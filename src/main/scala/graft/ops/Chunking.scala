@@ -320,13 +320,13 @@ object Chunking {
     * on adversarial short/repetitive strings.
     */
   private[graft] def cdcFrame(docsNorm: DataFrame): DataFrame = {
-    val phash = graft.ops.PortableHash.hashSparkSql("substring(norm, i, 8)")
     val chunkTbl = docsNorm
       .filter(length(col("norm")) > 0)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), col("norm"), expr(
-        s"""transform(sequence(1, greatest(length(norm) - 7, 1)),
-           |  i -> $phash)""".stripMargin).as("hs"))
+      .select(col("doc_id"), col("norm"), transform(
+        sequence(lit(1), greatest(length(col("norm")) - 7, lit(1))),
+        i => graft.ops.PortableHash.hashCol(
+          col("norm").substr(i, lit(8)))).as("hs"))
       .select(col("doc_id"), col("norm"), expr(
         s"""concat(array(CAST(1 AS BIGINT)),
            |  filter(sequence(1, size(hs)),

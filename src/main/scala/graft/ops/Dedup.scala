@@ -869,14 +869,14 @@ object Dedup {
   private[ops] def spanDiagonalsOf(docsNorm: DataFrame): DataFrame = {
       val nd = docsNorm.filter(length(col("norm")) >= SpanSeedLen)
         .repartition(col("doc_id"))
-      val h8 = PortableHash.hashSparkSql(
-        "substring(norm, CAST(i AS INT), 8)")
       // anchor positions selected INSIDE the array (no explode of
       // non-anchor positions — the cdcFrame discipline)
       val anchors0 = nd
-        .select(col("doc_id"), col("norm"), explode(expr(
-          s"""filter(sequence(1, length(norm) - ${SpanSeedLen - 1}),
-             |  i -> $h8 % $SpanAnchorMod = 0)""".stripMargin)).as("pos"))
+        .select(col("doc_id"), col("norm"), explode(filter(
+          sequence(lit(1), length(col("norm")) - (SpanSeedLen - 1)),
+          i => PortableHash.hashCol(
+            col("norm").substr(i.cast("int"), lit(8)))
+            % SpanAnchorMod === 0)).as("pos"))
         .select(col("doc_id"), col("pos"),
           md5(expr(s"substring(norm, CAST(pos AS INT), $SpanSeedLen)"))
             .as("seed"))
@@ -2135,7 +2135,7 @@ object Dedup {
     val sz = ca.groupBy("cluster").agg(count(lit(1)).as("s"))
     val d = ca.join(sz, "cluster")
       .withColumn("h",
-        expr(PortableHash.hashSparkSql("CAST(doc_id AS STRING)")))
+        PortableHash.hashCol(col("doc_id").cast("string")))
       .persist()
     val k = (d.count() / 10L).toInt
     val totalClusters = sz.count()

@@ -18,17 +18,22 @@ import org.apache.spark.sql.functions._
   * swap is one line.
   */
 object PortableHash {
-  /** 60-bit portable hash of a string column (Spark side). */
-  def hashCol(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
-  /** [[hashCol]] as Spark SQL text, for use inside lambda bodies
-    * (`transform(..., x -> ...)`) where only SQL text can reference the
-    * lambda variable. Single source of truth with [[hashCol]]: both
-    * must stay the md5-hex-prefix formula or the oracle drifts.
+  /** 60-bit portable hash of a string column (Spark side): the native
+    * [[org.apache.spark.sql.graft.Md5Hash60]] expression — bit-identical
+    * to `conv(substring(md5(c),1,15),16,10)` (= [[hashColMd5Text]], which
+    * Hash60Spec pins against this) but one digest + shift instead of a
+    * hex encode, string slice, and two string parses per value. Works
+    * inside Column-API lambdas, so the 8-gram fingerprint pipelines use
+    * it per gram position.
     */
-  def hashSparkSql(s: String): String =
-    s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
+  def hashCol(c: Column): Column = graft.functions.GraftFunctions.hash60(c)
+
+  /** The original built-in-composed formula. The contract [[hashCol]]
+    * must keep honoring (and the shape the DuckDB oracle mirrors, see
+    * [[hashSql]]) — kept as the differential-test reference.
+    */
+  def hashColMd5Text(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Same hash as DuckDB SQL text. */
   def hashSql(s: String): String =

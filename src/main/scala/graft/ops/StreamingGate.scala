@@ -1177,8 +1177,8 @@ object StreamingGate {
       .as(s"m$s"))
     val bandCols = (0 until Bands).map { bi =>
       val slice = (0 until RowsPerBand)
-        .map(r => s"m${bi * RowsPerBand + r}").mkString(", ")
-      expr(PortableHash.hashSparkSql(s"concat_ws(',', $slice)"))
+        .map(r => col(s"m${bi * RowsPerBand + r}"))
+      PortableHash.hashCol(concat_ws(",", slice: _*))
     }
     val sch = stagedSchema(spark, fs, input)
     val scored = spark.readStream.schema(sch)
@@ -1190,8 +1190,8 @@ object StreamingGate {
           |  THEN transform(sequence(0, size(ws) - 3),
           |    i -> concat_ws(' ', slice(ws, i + 1, 3)))
           |  ELSE array(concat_ws(' ', ws)) END)""".stripMargin))
-      .withColumn("ha", expr(
-        s"array_distinct(transform(feats, f -> ${PortableHash.hashSparkSql("f")}))"))
+      .withColumn("ha", array_distinct(
+        transform(col("feats"), f => PortableHash.hashCol(f))))
       .withColumn("na", size(col("ha")).cast("long"))
       .select(Seq(col("doc_id").as("a"), col("ha"), col("na")) ++ minExprs: _*)
       .select(col("a"), col("ha"), col("na"),

@@ -261,11 +261,10 @@ object TextAnalysis {
     docs(spark, dir)
       .select(col("doc_id"), normCol.as("norm"))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(
-        s"""array_min(transform(
-           |  sequence(1, greatest(length(norm) - 7, 1)),
-           |  i -> ${PortableHash.hashSparkSql("substring(norm, i, 8)")}))"""
-          .stripMargin).as("rolling_fp"))
+      .select(col("doc_id"), array_min(transform(
+        sequence(lit(1), greatest(length(col("norm")) - 7, lit(1))),
+        i => PortableHash.hashCol(col("norm").substr(i, lit(8)))))
+        .as("rolling_fp"))
       .orderBy("doc_id")
 
   private val rollingFpSql =
@@ -313,10 +312,9 @@ object TextAnalysis {
     val w = WinnowW
     docsNorm
       .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(1, greatest(length(norm) - 7, 1)),
-           |  i -> ${PortableHash.hashSparkSql("substring(norm, i, 8)")})"""
-          .stripMargin).as("hs"))
+      .select(col("doc_id"), transform(
+        sequence(lit(1), greatest(length(col("norm")) - 7, lit(1))),
+        i => PortableHash.hashCol(col("norm").substr(i, lit(8)))).as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
         expr(
           s"""filter(sequence(1, size(hs)), p ->
