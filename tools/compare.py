@@ -31,7 +31,9 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(p)[:-len(".parquet")]
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # Spark-style directory datasets (e.g. the ScaleUp sf1 replica)
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for q, sql in sorted(oracles.items()):
