@@ -59,6 +59,13 @@ object GraftFunctions {
     Interop.column(
       L2SquaredLong(Interop.expression(a), Interop.expression(b)))
 
+  /** distinct-intersection count over two SORTED array<bigint> columns —
+    * `size(array_intersect(a,b))` as an allocation-free two-pointer merge
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Interop.column(org.apache.spark.sql.graft.SortedIntersectCount(
+      Interop.expression(a), Interop.expression(b)))
+
   /** native 60-bit portable hash of a string column — bit-identical to
     * `conv(substring(md5(c),1,15),16,10)` (see [[Md5Hash60]]); usable
     * inside Column-API lambdas (`transform(a, x => hash60(x))`).

@@ -807,14 +807,25 @@ object Dedup {
   // candidate pairs (∝ true repeats), joined by doc key. The per-pair
   // result is a session substrate (pairs-sized) shared with the
   // guarantee audit. The probabilistic gap this trades away — a ≥50
-  // span with no anchor inside, P ≈ (7/8)^27 ≈ 2.7% per span — is
-  // exactly what dd_span_guarantee prices against the exact stride-1
-  // ground truth.
+  // span with no anchor inside, P ≈ (7/8)^19 ≈ 7.9% per span, far
+  // lower per PAIR (real duplicate runs are much longer than 50 and
+  // carry many anchor positions) — is exactly what dd_span_guarantee
+  // prices against the exact stride-1 ground truth.
+  //
+  // SEED LENGTH IS AN ENTROPY KNOB, set to ~2/3 of SpanMinLen. The
+  // round-11 sf1 rehearsal measured recall 21‰ with 16-char seeds:
+  // on a low-entropy corpus (small vocabulary, boilerplate phrases)
+  // a 16-char seed ≈ 2–3 words is shared by thousands of documents
+  // while the 50-char windows of the ground truth stay under the
+  // occupancy cap — every seed inside a hot window blew the per-seed
+  // cap and the pair was unfindable. 32-char seeds carry enough
+  // entropy that seed occupancy tracks window occupancy, and a
+  // 32-seed still fits a 50-window at 19 distinct starts.
   // -------------------------------------------------------------------
-  private val SpanSeedLen = 16
+  private val SpanSeedLen = 32
   private val SpanAnchorMod = 8
   private val SpanMinLen = 50
-  private val SpanSeedCap = 64
+  private val SpanSeedCap = 192
 
   private def spanDocsNorm(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -880,9 +891,21 @@ object Dedup {
         .select(col("doc_id"), col("pos"),
           md5(expr(s"substring(norm, CAST(pos AS INT), $SpanSeedLen)"))
             .as("seed"))
+      // DOC-FAIR seed budget: rank positions within (seed, doc) first
+      // and admit rows round-robin across docs (all first-per-doc
+      // occurrences before any second occurrence). The previous
+      // (doc_id, pos) order let ONE repetitive document burn the whole
+      // per-seed budget with its own positions — the round-11 sf1
+      // rehearsal measured the consequence: recall 21‰ against the
+      // stride-1 truth on the scramble-identical replica docs, because
+      // cross-doc pairs never got an anchor. Identical/repetitive docs
+      // put their FIRST occurrence of a seed at the same offset, so
+      // per-doc rank 1 rows already carry the correct diagonal.
       val anchors = anchors0
+        .withColumn("rd", row_number().over(
+          Window.partitionBy("seed", "doc_id").orderBy("pos")))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("seed").orderBy("doc_id", "pos")))
+          Window.partitionBy("seed").orderBy("rd", "doc_id", "pos")))
         .filter(col("rn") <= SpanSeedCap)
         .select("doc_id", "pos", "seed")
         .localCheckpoint() // anchor rows ∝ corpus/8 — computed once,
@@ -951,9 +974,13 @@ object Dedup {
        |anchors AS (
        |  SELECT doc_id, pos, seed FROM (
        |    SELECT doc_id, pos, seed,
-       |      ROW_NUMBER() OVER (PARTITION BY seed ORDER BY doc_id, pos)
+       |      ROW_NUMBER() OVER (PARTITION BY seed ORDER BY rd, doc_id, pos)
        |        AS rn
-       |    FROM anchors0) x WHERE rn <= $SpanSeedCap),
+       |    FROM (
+       |      SELECT doc_id, pos, seed,
+       |        ROW_NUMBER() OVER (PARTITION BY seed, doc_id ORDER BY pos)
+       |          AS rd
+       |      FROM anchors0) y) x WHERE rn <= $SpanSeedCap),
        |cand AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos - b.pos AS diag,
        |    MIN(a.pos) AS pa
@@ -2930,8 +2957,8 @@ object Dedup {
         col("sz").as("sza")), "a")
       .join(sets.select(col("doc_id").as("b"), col("ts").as("tb"),
         col("sz").as("szb")), "b")
-      .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("inter", graft.functions.GraftFunctions
+        .sortedIntersectCount(col("ta"), col("tb")))
       .withColumn("u", col("sza") + col("szb") - col("inter"))
       .filter(col("inter") * 2 >= col("u"))
       .select(col("a"), col("b"), col("inter"), col("u"),
@@ -2995,8 +3022,8 @@ object Dedup {
       .join(sets.select(col("doc_id").as("a"), col("ts").as("ta"),
         col("sz").as("sza")), "a")
       .join(sets.select(col("doc_id").as("b"), col("ts").as("tb")), "b")
-      .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("inter", graft.functions.GraftFunctions
+        .sortedIntersectCount(col("ta"), col("tb")))
       .filter(col("inter") * 4 >= col("sza") * 3)
       .select(col("a"), col("b"), col("inter"), col("sza"),
         expr("(1000 * inter) div sza").as("cont_pm"))

@@ -285,7 +285,8 @@ object Graph {
         col("src") === col("v1"))
       .join(adj.select(col("src").as("v2"), col("nbrs").as("n2")),
         col("dst") === col("v2"))
-      .select(size(array_intersect(col("n1"), col("n2"))).cast("long").as("c"))
+      .select(graft.functions.GraftFunctions
+        .sortedIntersectCount(col("n1"), col("n2")).as("c"))
       .agg(sum(col("c")).as("n_triangles"))
     val nodes = degrees(und).agg(count(lit(1)).as("n_nodes"))
     val edges = und.agg(count(lit(1)).as("n_edges"))
@@ -592,7 +593,8 @@ object Graph {
       .join(adj.select(col("src").as("b"), col("nbrs").as("nb"),
         col("deg").as("db")), "b")
       .select(col("a"), col("b"),
-        size(array_intersect(col("na"), col("nb"))).cast("long").as("common"),
+        graft.functions.GraftFunctions
+          .sortedIntersectCount(col("na"), col("nb")).as("common"),
         (col("da") + col("db")).as("dsum"))
       .select(col("a"), col("b"), col("common"),
         (col("dsum") - col("common")).as("union_sz"),

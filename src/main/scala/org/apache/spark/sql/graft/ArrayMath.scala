@@ -246,3 +246,140 @@ case class L2SquaredLong(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): L2SquaredLong =
     copy(left = newLeft, right = newRight)
 }
+
+/** Distinct-intersection COUNT over two SORTED arrays — the value of
+  * `size(array_intersect(a, b))`, computed by a two-pointer merge with
+  * no per-row hash set and no intermediate array. Element types:
+  * `array<bigint>` or `array<string>` (both sides the same).
+  *
+  * Contract: both inputs ascending-sorted (Spark `sort_array` order:
+  * nulls first; strings in UTF8String binary order — exactly what
+  * sort_array emits). Every call site feeds arrays built as
+  * `sort_array(collect_list(...))` — the adjacency/token-set substrates —
+  * so the order is structural, not assumed. Duplicate values count once
+  * (array_intersect's distinct semantics: both pointers skip the matched
+  * run); a null present in BOTH arrays counts once, matching
+  * array_intersect treating null as an element. Null array → null.
+  *
+  * Why native: the intersect runs once per candidate PAIR (oriented
+  * edge × adjacency, set-join verification) — the pair count is the
+  * dominant term at scale, and `array_intersect` pays an OpenHashSet
+  * build plus a materialized result array per call, only for `size` to
+  * throw the elements away. The merge is branch-cheap, allocation-free,
+  * and stays inside whole-stage codegen.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.StringType
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(s1: StringType, _), ArrayType(s2: StringType, _))
+          if s1 == s2 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> or two array<string> " +
+            s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    if (i > 0 && j > 0) cnt += 1L
+    if (elemType == LongType) {
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x < y) i += 1
+        else if (x > y) j += 1
+        else {
+          cnt += 1L
+          while (i < na && a.getLong(i) == x) i += 1
+          while (j < nb && b.getLong(j) == x) j += 1
+        }
+      }
+    } else {
+      while (i < na && j < nb) {
+        val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+        val c = x.compareTo(y)
+        if (c < 0) i += 1
+        else if (c > 0) j += 1
+        else {
+          cnt += 1L
+          while (i < na && a.getUTF8String(i).equals(x)) i += 1
+          while (j < nb && b.getUTF8String(j).equals(x)) j += 1
+        }
+      }
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val merge =
+        if (elemType == LongType)
+          s"""
+             |while ($i < $na && $j < $nb) {
+             |  final long $x = $a.getLong($i);
+             |  final long $y = $b.getLong($j);
+             |  if ($x < $y) { $i++; }
+             |  else if ($x > $y) { $j++; }
+             |  else {
+             |    $cnt += 1L;
+             |    while ($i < $na && $a.getLong($i) == $x) $i++;
+             |    while ($j < $nb && $b.getLong($j) == $x) $j++;
+             |  }
+             |}
+           """.stripMargin
+        else {
+          val c = ctx.freshName("c")
+          s"""
+             |while ($i < $na && $j < $nb) {
+             |  final org.apache.spark.unsafe.types.UTF8String $x = $a.getUTF8String($i);
+             |  final org.apache.spark.unsafe.types.UTF8String $y = $b.getUTF8String($j);
+             |  final int $c = $x.compareTo($y);
+             |  if ($c < 0) { $i++; }
+             |  else if ($c > 0) { $j++; }
+             |  else {
+             |    $cnt += 1L;
+             |    while ($i < $na && $a.getUTF8String($i).equals($x)) $i++;
+             |    while ($j < $nb && $b.getUTF8String($j).equals($x)) $j++;
+             |  }
+             |}
+           """.stripMargin
+        }
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $na && $a.isNullAt($i)) $i++;
+         |while ($j < $nb && $b.isNullAt($j)) $j++;
+         |if ($i > 0 && $j > 0) $cnt += 1L;
+         |$merge
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
