@@ -23,12 +23,23 @@ object StreamingGate {
 
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    graft.Tables.normalizeEventsTs(
-      spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir))
+    // The events table comes in two layouts: the testdata SFs store a
+    // single FILE named events.parquet (a file stream source needs its
+    // parent dir + a glob — handing it the file path fails with
+    // "basePath must be a directory"), while any Spark-written table
+    // (e.g. the ScaleUp sf1 replica) is a DIRECTORY of part files —
+    // there the glob over the parent matches ZERO files and the
+    // round-11 sf1 rehearsal's file-sink query silently streamed
+    // nothing. Branch on what is actually on disk.
+    val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+    val src =
+      if (fs.getFileStatus(path).isDirectory) reader.parquet(path.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.Tables.normalizeEventsTs(src)
   }
 
   /** A stateful streaming op instantiates one state store PER shuffle
@@ -355,6 +366,12 @@ object StreamingGate {
       try q.processAllAvailable()
       finally q.stop()
     }
+    // loud failure over a cryptic schema-infer error if the source
+    // matched no files / the watermark finalized nothing
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$out/*.parquet"))
+    require(parts != null && parts.nonEmpty,
+      s"st_file_sink: streaming sink committed no files under $out — " +
+        "did the source match any input files?")
     spark.read.parquet(out).orderBy("hour", "event_type")
   }
 
