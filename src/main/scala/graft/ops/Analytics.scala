@@ -758,6 +758,14 @@ object Analytics {
       .join(broadcast(t(spark, dir, "nation")
         .select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
+      // the contract aggregates per supplier NAME (the SQL's GROUP BY
+      // s_name, n_name) — keys and names are 1:1 in clean TPC-H data,
+      // but the grain is the name, so re-aggregate the (already tiny)
+      // qualifying rows after the dim join; the round-11 sf1 replica
+      // (key-shifted copies sharing names) caught the finer-grain drift
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(sum(col("dominated_parts")).as("dominated_parts"),
+        sum(col("dominated_qty")).as("dominated_qty"))
       .select(col("s_name"), col("n_name").as("nation"),
         col("dominated_parts"), col("dominated_qty"))
       .orderBy(col("dominated_parts").desc, col("s_name").asc)
@@ -860,7 +868,10 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"))
     perOrder.groupBy("late_supp").agg(count(lit(1)).as("numwait"))
       .join(broadcast(supp), col("late_supp") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
+      // per-NAME grain, as the SQL's GROUP BY s.s_name declares (see
+      // excessShippers — same sf1-replica-caught drift): re-aggregate
+      // the per-key counts over the handful of blamed suppliers
+      .groupBy("s_name").agg(sum(col("numwait")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(100)
   }

@@ -15,27 +15,29 @@ import org.scalatest.funsuite.AnyFunSuite
   *     run scan must report the longer run.
   *   - misaligned offsets (same span at unrelated positions — the
   *     content-defined anchor property fixed-stride windows lack);
-  *   - periodic repeats ("abab…", "aaaa…") where the per-seed cap
-  *     (64, ordered by doc_id then pos) deliberately starves
-  *     cross-doc candidates for hot seeds — the reference replays the
-  *     cap so the recall consequence is PINNED, not accidental;
-  *   - documents at and below the 16-char seed length, where the
+  *   - periodic repeats ("abab…", "aaaa…") where the per-seed budget
+  *     (192 rows, admitted round-robin by within-doc rank — the
+  *     round-11 doc-fair fix) must now SURVIVE a hot seed for small
+  *     doc counts, and still starves docs beyond the budget — the
+  *     reference replays the budget so both consequences are PINNED;
+  *   - documents at and below the 32-char seed length, where the
   *     content-defined anchor rule decides detection at the boundary.
   *
   * The reference re-implements: anchor selection (rolling 8-gram
-  * 60-bit md5-prefix hash ≡ 0 mod 8), the md5 seed key, the per-seed
-  * occurrence cap, per-(pair, diagonal) collapse to min(pa), the
-  * byte-for-byte seed verification, and the longest all-match run
-  * over the diagonal's full overlap. Every constant is pinned here
-  * independently of Dedup's (a drift in either is a failure).
+  * 60-bit md5-prefix hash ≡ 0 mod 8), the md5 seed key over 32-char
+  * seeds, the doc-fair per-seed budget, per-(pair, diagonal) collapse
+  * to min(pa), the byte-for-byte seed verification, and the longest
+  * all-match run over the diagonal's full overlap. Every constant is
+  * pinned here independently of Dedup's (a drift in either is a
+  * failure).
   */
 class SpanFuzzSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
-  private val SeedLen = 16
+  private val SeedLen = 32
   private val AnchorMod = 8
-  private val SeedCap = 64
+  private val SeedCap = 192
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -55,7 +57,13 @@ class SpanFuzzSpec extends AnyFunSuite {
       if pHash(nm.substring(i - 1, i + 7)) % AnchorMod == 0
     } yield (id, i, md5Hex(nm.substring(i - 1, i - 1 + SeedLen)))
     val anchors = anchors0.groupBy(_._3).values.toSeq
-      .flatMap(g => g.sortBy(a => (a._1, a._2)).take(SeedCap))
+      .flatMap { g =>
+        // doc-fair budget: within-doc rank first, then (doc, pos)
+        g.groupBy(_._1).values
+          .flatMap(ds => ds.sortBy(_._2).zipWithIndex.map(_.swap))
+          .toSeq.sortBy { case (rd, a) => (rd, a._1, a._2) }
+          .map(_._2).take(SeedCap)
+      }
     val cands = (for {
       (_, as) <- anchors.groupBy(_._3).toSeq
       a <- as; b <- as if a._1 < b._1
@@ -179,20 +187,32 @@ class SpanFuzzSpec extends AnyFunSuite {
     assert(got.get((1L, 2L)).map(_._1).contains(40L), s"got $got")
   }
 
-  test("hot periodic seed over the cap: doc-ordered cap starves cross-doc pairs, reference replays it") {
+  test("hot periodic seed: doc-fair budget finds the pair one doc-ordered cap starved") {
     val c = uni.toString
-    // doc 1's 185 uniform anchor occurrences fill the 64-cap before any
-    // doc-2 row; the pair is (deliberately) missed — the boilerplate
-    // discipline's priced recall cost, pinned by reference equality
-    val starved = Seq(1L -> (c * 200), 2L -> (c * 100))
-    assert(engine(starved) == refSpans(starved))
-    assert(engine(starved).isEmpty, "cap must starve the hot seed")
-    // break doc 1 into sub-cap runs: pairs survive, longest run wins
-    val brk = if (uni == 'z') "y" else "z"
-    val docs = Seq(1L -> (c * 50 + brk + c * 30), 2L -> (c * 100))
+    // doc 1 alone carries 169 occurrences of the one hot seed — more
+    // than a doc-ordered 64-cap ever admitted from doc 2 (the round-10
+    // starvation this round fixed). Round-robin admits rank-1 rows of
+    // BOTH docs first, so the pair must now be found at its full
+    // containment length, and the reference must replay that.
+    val docs = Seq(1L -> (c * 200), 2L -> (c * 100))
     val got = engine(docs)
     assert(got == refSpans(docs))
-    assert(got.get((1L, 2L)).map(_._1).contains(50L), s"got $got")
+    assert(got.get((1L, 2L)).map(_._1).contains(100L), s"got $got")
+  }
+
+  test("hot seed beyond the doc-fair budget: docs past the 192-row budget still starve, reference replays it") {
+    val c = uni.toString
+    // 200 docs × 1 occurrence each (doc text = exactly one seed window)
+    // → rank-1 rows alone exceed the budget; docs 193..200 never get an
+    // anchor in, so pairs touching ONLY them are missed. Pinned by
+    // reference equality — the priced recall cost at the budget edge.
+    val docs = (1L to 200L).map(id => id -> (c * SeedLen))
+    val got = engine(docs)
+    val ref = refSpans(docs)
+    assert(got == ref)
+    assert(got.contains((1L, 2L)), "in-budget docs must pair")
+    assert(!got.exists { case ((a, b), _) => a > 192L || b > 192L },
+      "beyond-budget docs must be absent from every pair")
   }
 
   // ---- seed-length boundary ----------------------------------------
@@ -209,7 +229,8 @@ class SpanFuzzSpec extends AnyFunSuite {
       .find(s => pHash(s.substring(0, 8)) % AnchorMod != 0).get
     val docs = Seq(1L -> anchored, 2L -> anchored,
       3L -> unanchored, 4L -> unanchored,
-      5L -> anchored.substring(0, 15), 6L -> anchored.substring(0, 15))
+      5L -> anchored.substring(0, SeedLen - 1),
+      6L -> anchored.substring(0, SeedLen - 1))
     val got = engine(docs)
     assert(got == refSpans(docs))
     assert(got.get((1L, 2L)).map(_._1).contains(SeedLen.toLong))
