@@ -73,6 +73,14 @@ object GraftFunctions {
   def hash60(c: Column): Column =
     Interop.column(Md5Hash60(Interop.expression(c)))
 
+  /** one-pass mismatch-boundary scan of a shared-substring diagonal —
+    * the seed-and-extend verification kernel (see [[org.apache.spark.sql.graft.DiagonalBoundaries]])
+    */
+  def diagonalBoundaries(a: Column, b: Column, pa: Column, pb: Column): Column =
+    Interop.column(org.apache.spark.sql.graft.DiagonalBoundaries(
+      Interop.expression(a), Interop.expression(b),
+      Interop.expression(pa), Interop.expression(pb)))
+
   /** Register `dot_long` for SQL use in this session. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -822,12 +822,12 @@ object Dedup {
   // entropy that seed occupancy tracks window occupancy, and a
   // 32-seed still fits a 50-window at 19 distinct starts.
   // -------------------------------------------------------------------
-  private val SpanSeedLen = 32
-  private val SpanAnchorMod = 8
-  private val SpanMinLen = 50
-  private val SpanSeedCap = 192
+  private[ops] val SpanSeedLen = 32
+  private[ops] val SpanAnchorMod = 8
+  private[ops] val SpanMinLen = 50
+  private[ops] val SpanSeedCap = 192
 
-  private def spanDocsNorm(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def spanDocsNorm(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), TextAnalysis.normCol.as("norm"))
       .filter(length(col("norm")) >= SpanSeedLen)
@@ -844,7 +844,16 @@ object Dedup {
     */
   private[ops] def spanDiagonals(spark: SparkSession, dir: String): DataFrame =
     spanCache.get(spark, dir) {
-      spanDiagonalsOf(spanDocsNorm(spark, dir)).localCheckpoint()
+      // DISK_ONLY: on an adversarial corpus (the sf1 scramble replica)
+      // this table is the session's largest resident — ~10 GB of
+      // boundary arrays — and MEMORY_AND_DISK blocks pinned it against
+      // the truth pipeline's aggregates (AGGREGATE_OUT_OF_MEMORY at
+      // 24g, round-11 rehearsal). Bulk intermediates belong on disk;
+      // its consumers are sequential scans that stream fine from disk,
+      // and at cluster scale this substrate is a persisted table anyway.
+      spanDiagonalsOf(spanDocsNorm(spark, dir))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
 
   /** Per-pair maximal shared-span table (doc_a, doc_b, span_len,
@@ -877,39 +886,53 @@ object Dedup {
     * byte verification → mismatch-boundary arrays per (pair,
     * diagonal). See the operator comment above for the algebra.
     */
+  /** Content-defined anchor rows (doc_id, pos, seed) of a (doc_id,
+    * norm) frame — positions whose rolling 8-gram hash ≡ 0 (mod 8),
+    * seed = md5 of the 32 chars at the anchor, selected INSIDE the
+    * array (no explode of non-anchor positions — the cdcFrame
+    * discipline). Shared by the batch pipeline and the streaming
+    * ingest probe's in-row delta featurization.
+    */
+  private[ops] def spanAnchorsOf(docsNorm: DataFrame): DataFrame =
+    docsNorm
+      .select(col("doc_id"), col("norm"), explode(filter(
+        sequence(lit(1), length(col("norm")) - (SpanSeedLen - 1)),
+        i => PortableHash.hashCol(
+          col("norm").substr(i.cast("int"), lit(8)))
+          % SpanAnchorMod === 0)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(norm, CAST(pos AS INT), $SpanSeedLen)"))
+          .as("seed"))
+
+  /** DOC-FAIR seed budget over the raw anchors: rank positions within
+    * (seed, doc) first and admit rows round-robin across docs (all
+    * first-per-doc occurrences before any second occurrence). The
+    * previous (doc_id, pos) order let ONE repetitive document burn the
+    * whole per-seed budget with its own positions — the round-11 sf1
+    * rehearsal measured the consequence: recall 21‰ against the
+    * stride-1 truth on the scramble-identical replica docs, because
+    * cross-doc pairs never got an anchor. Identical/repetitive docs
+    * put their FIRST occurrence of a seed at the same offset, so
+    * per-doc rank 1 rows already carry the correct diagonal.
+    */
+  private[ops] def spanCappedAnchorsOf(docsNorm: DataFrame): DataFrame =
+    spanAnchorsOf(docsNorm)
+      .withColumn("rd", row_number().over(
+        Window.partitionBy("seed", "doc_id").orderBy("pos")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("seed").orderBy("rd", "doc_id", "pos")))
+      .filter(col("rn") <= SpanSeedCap)
+      .select("doc_id", "pos", "seed")
+
   private[ops] def spanDiagonalsOf(docsNorm: DataFrame): DataFrame = {
       val nd = docsNorm.filter(length(col("norm")) >= SpanSeedLen)
         .repartition(col("doc_id"))
-      // anchor positions selected INSIDE the array (no explode of
-      // non-anchor positions — the cdcFrame discipline)
-      val anchors0 = nd
-        .select(col("doc_id"), col("norm"), explode(filter(
-          sequence(lit(1), length(col("norm")) - (SpanSeedLen - 1)),
-          i => PortableHash.hashCol(
-            col("norm").substr(i.cast("int"), lit(8)))
-            % SpanAnchorMod === 0)).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          md5(expr(s"substring(norm, CAST(pos AS INT), $SpanSeedLen)"))
-            .as("seed"))
-      // DOC-FAIR seed budget: rank positions within (seed, doc) first
-      // and admit rows round-robin across docs (all first-per-doc
-      // occurrences before any second occurrence). The previous
-      // (doc_id, pos) order let ONE repetitive document burn the whole
-      // per-seed budget with its own positions — the round-11 sf1
-      // rehearsal measured the consequence: recall 21‰ against the
-      // stride-1 truth on the scramble-identical replica docs, because
-      // cross-doc pairs never got an anchor. Identical/repetitive docs
-      // put their FIRST occurrence of a seed at the same offset, so
-      // per-doc rank 1 rows already carry the correct diagonal.
-      val anchors = anchors0
-        .withColumn("rd", row_number().over(
-          Window.partitionBy("seed", "doc_id").orderBy("pos")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("seed").orderBy("rd", "doc_id", "pos")))
-        .filter(col("rn") <= SpanSeedCap)
-        .select("doc_id", "pos", "seed")
-        .localCheckpoint() // anchor rows ∝ corpus/8 — computed once,
-                           // consumed by both sides of the self-join
+      val anchors = spanCappedAnchorsOf(nd)
+        // anchor rows ∝ corpus/8 — computed once, consumed by both
+        // sides of the self-join; DISK_ONLY for the same pool-pressure
+        // reason as the diagonal substrate (GB-scale at sf1)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val cand = anchors
         .select(col("doc_id").as("da"), col("pos").as("pa"), col("seed"))
         .join(anchors
@@ -926,29 +949,26 @@ object Dedup {
           Seq("da"))
         .join(nd.select(col("doc_id").as("db"), col("norm").as("norm_b")),
           Seq("db"))
-      // verification = ONE vectorized pass over the diagonal's whole
-      // overlap: truncate both strings to the overlap window, explode
-      // to char arrays, zip_with equality, mismatch indices become run
-      // boundaries, longest run = array_max of boundary gaps. A
-      // per-char filter() lambda computes the same thing but runs
-      // interpreted per element with two substring allocations per
-      // step — measured 46 s vs 4 s on the sf0.1 candidate set for
-      // identical output (the flank-extension ancestor of this scan;
-      // same O(overlap) work shape).
+      // verification = ONE pass over the diagonal's whole overlap via
+      // the native DiagonalBoundaries kernel: both strings' bytes are
+      // walked once inside whole-stage codegen, mismatch positions
+      // become run boundaries, longest run = array_max of boundary
+      // gaps. The evolution of this scan, each step measured on the
+      // sf0.1 candidate set for identical output: per-char filter()
+      // lambda (interpreted, two substring allocations per step) 46 s →
+      // composable split/zip_with/transform chain (vectorized but
+      // interpreted HOFs, four overlap-sized arrays per row) 4 s →
+      // native byte-walk (no per-element allocation, whole-stage
+      // codegen) — see DiagonalScanSpec's equivalence pin and the
+      // BASELINE.md round-11 entry for the measured build-time delta.
       withText
         .filter(expr(s"substring(norm_a, CAST(pa AS INT), $SpanSeedLen) = " +
           s"substring(norm_b, CAST(pb AS INT), $SpanSeedLen)"))
-        .withColumn("off_a", expr("greatest(pa - pb, 0) + 1"))
-        .withColumn("off_b", expr("greatest(pb - pa, 0) + 1"))
-        .withColumn("ol", expr(
-          "least(length(norm_a) - off_a, length(norm_b) - off_b) + 1"))
-        .select(col("da"), col("db"), col("off_b"), expr(
-          """concat(array(0),
-            |  filter(transform(zip_with(
-            |    split(substring(norm_a, CAST(off_a AS INT), CAST(ol AS INT)), ''),
-            |    split(substring(norm_b, CAST(off_b AS INT), CAST(ol AS INT)), ''),
-            |    (x, y) -> x = y), (x, i) -> IF(x, -1, i + 1)), v -> v > 0),
-            |  array(ol + 1))""".stripMargin).as("bnd"))
+        .select(col("da"), col("db"),
+          expr("greatest(pb - pa, 0) + 1").as("off_b"),
+          graft.functions.GraftFunctions.diagonalBoundaries(
+            col("norm_a"), col("norm_b"),
+            col("pa").cast("int"), col("pb").cast("int")).as("bnd"))
   }
 
   private def substringSpan(spark: SparkSession, dir: String): DataFrame =
@@ -1030,6 +1050,110 @@ object Dedup {
        |FROM best WHERE span_len >= $SpanMinLen
        |ORDER BY span_len DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
+  /** Frozen span-anchor INDEX for the streaming ingest probe
+    * (st_span_probe, StreamingGate): doc-fair capped anchors + norm
+    * strings of the NON-delta corpus, both materialized BEFORE the
+    * stream starts (a stream-static join re-evaluates an
+    * unmaterialized static side every micro-batch). Session-cached —
+    * at 100 TB this is the persisted, seed-partitioned anchor table
+    * every ingest batch probes, rebuilt only when the corpus version
+    * advances.
+    */
+  private val spanIndexCache = SubstrateCache.framePair("documents.parquet")
+
+  private[ops] def spanFrozenIndex(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    spanIndexCache.get(spark, dir) {
+      val corpus = spanDocsNorm(spark, dir)
+        .filter(!expr(NewDocPredSql))
+        .repartition(col("doc_id"))
+        .localCheckpoint()
+      (spanCappedAnchorsOf(corpus).localCheckpoint(), corpus)
+    }
+
+  /** The streamed span-ingest probe's oracle (st_span_probe): the
+    * delta-vs-frozen-corpus seed-and-extend replayed batch-wise in
+    * DuckDB — corpus anchors doc-fair-capped exactly like the frozen
+    * index, delta anchors uncapped (each delta anchor's fan-out is
+    * bounded by the INDEX side's per-seed cap), per-delta-doc best
+    * match by maximal verified span.
+    */
+  private[ops] def spanProbeOracleSql: String = {
+    val h8 = PortableHash.hashSql("substring(norm, CAST(i AS INT), 8)")
+    s"""WITH nd AS (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |  FROM documents),
+       |le AS (SELECT * FROM nd WHERE length(norm) >= $SpanSeedLen),
+       |canchors0 AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(substring(norm, CAST(i AS INT), $SpanSeedLen)) AS seed
+       |  FROM le, LATERAL unnest(range(1,
+       |    greatest(length(norm) - ${SpanSeedLen - 1}, 0) + 1)) AS t(i)
+       |  WHERE $h8 % $SpanAnchorMod = 0 AND NOT ($NewDocPredSql)),
+       |canchors AS (
+       |  SELECT doc_id, pos, seed FROM (
+       |    SELECT doc_id, pos, seed,
+       |      ROW_NUMBER() OVER (PARTITION BY seed ORDER BY rd, doc_id, pos)
+       |        AS rn
+       |    FROM (
+       |      SELECT doc_id, pos, seed,
+       |        ROW_NUMBER() OVER (PARTITION BY seed, doc_id ORDER BY pos)
+       |          AS rd
+       |      FROM canchors0) y) x WHERE rn <= $SpanSeedCap),
+       |danchors AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(substring(norm, CAST(i AS INT), $SpanSeedLen)) AS seed
+       |  FROM le, LATERAL unnest(range(1,
+       |    greatest(length(norm) - ${SpanSeedLen - 1}, 0) + 1)) AS t(i)
+       |  WHERE $h8 % $SpanAnchorMod = 0 AND ($NewDocPredSql)),
+       |cand AS (
+       |  SELECT d.doc_id AS a, c.doc_id AS b, d.pos - c.pos AS diag,
+       |    MIN(d.pos) AS pa
+       |  FROM danchors d JOIN canchors c ON d.seed = c.seed
+       |  GROUP BY 1, 2, 3),
+       |ext AS (
+       |  SELECT c.a, c.b, c.pa, c.pa - c.diag AS pb,
+       |    na.norm AS norm_a, nb.norm AS norm_b
+       |  FROM cand c
+       |  JOIN le na ON na.doc_id = c.a
+       |  JOIN le nb ON nb.doc_id = c.b),
+       |diagw AS (
+       |  SELECT a, b,
+       |    greatest(pa - pb, 0) + 1 AS off_a,
+       |    greatest(pb - pa, 0) + 1 AS off_b,
+       |    least(length(norm_a) - (greatest(pa - pb, 0) + 1),
+       |          length(norm_b) - (greatest(pb - pa, 0) + 1)) + 1 AS ol,
+       |    norm_a, norm_b
+       |  FROM ext
+       |  WHERE substring(norm_a, CAST(pa AS INT), $SpanSeedLen) =
+       |        substring(norm_b, CAST(pb AS INT), $SpanSeedLen)),
+       |bnds AS (
+       |  SELECT a, b, ol,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)],
+       |      list_filter(range(1, ol + 1),
+       |        j -> substring(norm_a, CAST(off_a + j - 1 AS INT), 1) <>
+       |             substring(norm_b, CAST(off_b + j - 1 AS INT), 1))),
+       |      [ol + 1]) AS bnd
+       |  FROM diagw),
+       |spans AS (
+       |  SELECT a, b,
+       |    list_max(list_transform(range(2, len(bnd) + 1),
+       |      k -> bnd[k] - bnd[k - 1] - 1)) AS max_run
+       |  FROM bnds),
+       |best AS (SELECT a, b, MAX(max_run) AS span_len
+       |  FROM spans GROUP BY 1, 2),
+       |ranked AS (SELECT a, b, span_len,
+       |    ROW_NUMBER() OVER (PARTITION BY a
+       |      ORDER BY span_len DESC, b ASC) AS rn
+       |  FROM best)
+       |SELECT s.doc_id AS new_doc,
+       |  CAST(COALESCE(r.b, -1) AS BIGINT) AS best_match,
+       |  CAST(COALESCE(r.span_len, 0) AS BIGINT) AS best_span_len,
+       |  CAST(COALESCE(r.span_len, 0) >= $SpanMinLen AS BIGINT) AS is_dup
+       |FROM (SELECT doc_id FROM documents WHERE $NewDocPredSql) s
+       |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.a = s.doc_id
+       |ORDER BY new_doc""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // dd_span_guarantee: the seed scheme's recall MEASURED against the
   // exact ground truth — the dd_lsh_recall discipline applied to
@@ -1058,6 +1182,13 @@ object Dedup {
   /** Salt fan-out for the capped-window anti join (see spanGuaranteeOf). */
   private val SpanAntiSalt = 32L
 
+  /** Partition count for the stride-1 truth table's dedup exchange —
+    * sized so per-task aggregation state stays tens of MB at sf1
+    * (124M windows / 256 ≈ 500k rows ≈ 35 MB per task). At cluster
+    * scale this is the one knob that tracks corpus bytes.
+    */
+  private val SpanTruthParts = 256
+
   /** Frame-parameterized guarantee core — (doc_id, norm) corpus +
     * found-pair frame in, one audit row out; exposed so SpanFuzzSpec
     * can force the occupancy cap with a >cap shared-window corpus.
@@ -1081,14 +1212,29 @@ object Dedup {
     // whole stride-1 explode+hash pipeline runs on those few tasks
     // (measured: the sf1 rehearsal timed out at 300 s parallelism-
     // starved; volumes were linear — 12.4M windows, Σocc² 35M)
+    // pre-shuffle the exploded windows on the DISTINCT's own grouping
+    // key BEFORE aggregating: without it the partial aggregate runs on
+    // the explode stage's 32 fat input partitions with per-task hash
+    // state ∝ windows/32 (~4M 50-char rows each at sf1) — the round-11
+    // sf1 rehearsal hit AGGREGATE_OUT_OF_MEMORY exactly there. The
+    // explicit hash exchange on (doc_id, w) satisfies the aggregate's
+    // clustering requirement, so BOTH aggregate phases run after it on
+    // SpanTruthParts-way splits with bounded per-task state; window
+    // duplicates within a doc are rare, so the forfeited map-side
+    // combine saves almost nothing anyway. AQE coalesces the small SFs
+    // back down, so the extra exchange is noise there.
     val wins = nd.repartition(col("doc_id"))
       .select(col("doc_id"), explode(expr(
         s"sequence(1, length(norm) - ${SpanMinLen - 1})")).as("i"),
         col("norm"))
       .select(col("doc_id"),
         expr(s"substring(norm, CAST(i AS INT), $SpanMinLen)").as("w"))
+      .repartition(SpanTruthParts, col("doc_id"), col("w"))
       .distinct()
-      .localCheckpoint()
+      // DISK_ONLY: ~9 GB of 50-char windows at sf1; three sequential
+      // consumers (occupancy, both self-join sides) stream it back
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // occupancy = per-window distinct-doc count (map-side-combined
     // groupBy over the distinct'd wins — constant state per key,
     // skew-safe). Only the >cap windows are kept and MATERIALIZED:
@@ -1097,7 +1243,13 @@ object Dedup {
     // side job, not a per-join-side replan (measured 12.1 s → with
     // the inner-join formulation occ's merge join ran once per
     // self-join side over the full window table)
-    val cappedW = wins.groupBy(col("w"))
+    // same SpanTruthParts discipline for the occupancy rollup: its
+    // FINAL aggregate keys on the distinct windows themselves, so at
+    // the session's 32 shuffle partitions each reducer would hold
+    // ~4M 50-char keys — the other aggregate that must stay bounded
+    // when the window table stops fitting a task
+    val cappedW = wins.repartition(SpanTruthParts, col("w"))
+      .groupBy(col("w"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > SpanWinOccCap)
       .select(col("w")).localCheckpoint()

@@ -1237,7 +1237,115 @@ object StreamingGate {
       .orderBy("new_doc")
   }
 
+  // -------------------------------------------------------------------
+  // st_span_probe: STREAMING INGEST-TIME LONG-SPAN GATE — the Lee-et-al
+  // substring semantic (verbatim shared spans ≥ 50 chars, the
+  // dd_substring_span family) as an ingest probe, closing the
+  // batch/streaming asymmetry for SPAN dedup the way st_dedup_probe
+  // closed it for near-dup MinHash. The span-anchor INDEX is frozen
+  // offline (Dedup.spanFrozenIndex: doc-fair capped (seed, doc, pos)
+  // anchors + norms of the non-delta corpus — at 100 TB: the
+  // persisted, seed-partitioned table every ingest batch probes); the
+  // delta documents arrive in three staged slices, and each document's
+  // anchor featurization runs STATELESSLY in-row (normalize →
+  // content-defined 8-gram anchor positions selected inside the array
+  // → 32-char md5 seeds), no shuffle before the index probe.
+  // Candidates come from a stream-static equi-join on the seed; the
+  // one stateful operator is the diagonal collapse (min anchor per
+  // (new_doc, corpus_doc, diagonal) — complete mode, delta-bounded
+  // state). Exact verification runs batch-side over the sunk diagonal
+  // table: seed byte re-check, then the native DiagonalBoundaries
+  // kernel scans each diagonal's whole overlap once; best match per
+  // new doc by maximal verified span.
+  //
+  // Scale shape: work ∝ delta anchors × frozen per-seed occupancy
+  // (the index is capped at SpanSeedCap, so each delta anchor's
+  // fan-out is bounded); corpus text moves only for verified
+  // candidates. The delta side is uncapped by design — its fan-out
+  // bound comes from the index cap. The oracle replays the identical
+  // asymmetric pipeline in DuckDB.
+  // -------------------------------------------------------------------
+  private def spanProbeStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val stage = s"target/stream_span/stage_$tag"
+    val input = s"target/stream_span/input_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(stage, input).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+
+    def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(10)) === 9
+
+    val (idx, corpusNorms) = Dedup.spanFrozenIndex(spark, dir)
+    val idxSide = idx.select(
+      col("seed"), col("doc_id").as("b"), col("pos").as("pb"))
+
+    val writeOne = stageSlice(fs, stage, input) _
+    val delta = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(isNew(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+    val now = System.currentTimeMillis() - 600000L
+    Seq(9L, 19L, 29L).zipWithIndex.foreach { case (r, i) =>
+      writeOne(delta.filter(pmod(col("doc_id"), lit(30)) === r),
+        s"d$i", now + i * 60000L)
+    }
+
+    val sch = stagedSchema(spark, fs, input)
+    val diag = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input)
+      .withColumn("norm", TextAnalysis.normCol)
+      .filter(length(col("norm")) >= Dedup.SpanSeedLen)
+      .select(col("doc_id").as("a"), col("norm"), explode(filter(
+        sequence(lit(1), length(col("norm")) - (Dedup.SpanSeedLen - 1)),
+        i => PortableHash.hashCol(
+          col("norm").substr(i.cast("int"), lit(8)))
+          % Dedup.SpanAnchorMod === 0)).as("pa"))
+      .select(col("a"), col("pa"),
+        md5(expr(s"substring(norm, CAST(pa AS INT), ${Dedup.SpanSeedLen})"))
+          .as("seed"))
+      .join(idxSide, Seq("seed"))
+      .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("diag"))
+      .agg(min(col("pa")).as("pa"))
+    val sunk = runToTable(diag, "st_span_probe_sink", "complete")(spark)
+
+    val deltaNorms = delta
+      .select(col("doc_id").as("a"), TextAnalysis.normCol.as("norm_a"))
+      .filter(length(col("norm_a")) >= Dedup.SpanSeedLen)
+    val best = sunk
+      .withColumn("pb", col("pa") - col("diag"))
+      .join(deltaNorms, Seq("a"))
+      .join(corpusNorms.select(col("doc_id").as("b"),
+        col("norm").as("norm_b")), Seq("b"))
+      .filter(expr(
+        s"substring(norm_a, CAST(pa AS INT), ${Dedup.SpanSeedLen}) = " +
+          s"substring(norm_b, CAST(pb AS INT), ${Dedup.SpanSeedLen})"))
+      .withColumn("bnd", graft.functions.GraftFunctions.diagonalBoundaries(
+        col("norm_a"), col("norm_b"),
+        col("pa").cast("int"), col("pb").cast("int")))
+      .withColumn("max_run", expr(
+        """array_max(zip_with(slice(bnd, 2, size(bnd) - 1),
+          |  slice(bnd, 1, size(bnd) - 1), (x, y) -> x - y - 1))""".stripMargin))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("max_run").cast("long")).as("span_len"))
+      .groupBy(col("a"))
+      .agg(max(struct(col("span_len"), (-col("b")).as("negb"))).as("best"))
+      .select(col("a").as("new_doc"),
+        (-col("best.negb")).as("best_match"),
+        col("best.span_len").as("best_span_len"))
+    delta.select(col("doc_id").as("new_doc"))
+      .join(best, Seq("new_doc"), "left")
+      .select(col("new_doc"),
+        coalesce(col("best_match"), lit(-1L)).as("best_match"),
+        coalesce(col("best_span_len"), lit(0L)).as("best_span_len"))
+      .withColumn("is_dup",
+        (col("best_span_len") >= Dedup.SpanMinLen).cast("long"))
+      .orderBy("new_doc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_span_probe"        -> (spanProbeStreamed _),
     "st_dedup_probe"       -> (dedupProbeStreamed _),
     "st_ivf_assign"        -> (ivfAssignStreamed _),
     "st_cdc_sink"          -> (cdcSinkStreamed _),
@@ -1269,6 +1377,7 @@ object StreamingGate {
     // identical oracle as the batch twin — generated once in Analytics
     "st_ivf_assign"        -> ivfAssignStreamedSql,
     "st_dedup_probe"       -> Dedup.streamProbeOracleSql,
+    "st_span_probe"        -> Dedup.spanProbeOracleSql,
     "st_late_drop"         -> lateDropStreamedSql,
     "st_union_sources"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_timer_sessions"    -> sessionsStreamedSql,
