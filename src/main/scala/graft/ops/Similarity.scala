@@ -1748,6 +1748,88 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // sim_ivf_persist: the PERSISTED-INDEX roundtrip — the deployment
+  // step every other sim_ query stops short of. A production ANN
+  // index is not a session object; it is TABLES on storage (FAISS's
+  // inverted lists ≙ a postings table partitioned by cell; the coarse
+  // quantizer ≙ a centroid table), built by one job and served by
+  // many later ones that never see the training pipeline. This gate
+  // builds the index from the session's k-means substrate, WRITES it
+  // as two parquet tables — postings partitioned by cell (so a probe
+  // that selects nprobe cells prunes at the partition/file level, the
+  // layout that matters at 100 TB) and the per-cell centroids — then
+  // serves the query vector STRICTLY from fresh reads of the
+  // persisted tables: rank read-back centroids (broadcast, K rows),
+  // probe the top-2 cells, exact integer dot over only those cells'
+  // postings, top-10. The oracle recomputes the same answer from the
+  // raw embeddings in DuckDB, so the gate proves the roundtrip loses
+  // nothing: persisted-index serving ≡ fresh computation.
+  //
+  // Scale shape: index build is the k-means substrate + one join +
+  // one partitioned write; serving reads K centroid rows + the probed
+  // cells' partitions only. Partition values round-trip through path
+  // strings, so the cell id is re-cast to long on read.
+  // -------------------------------------------------------------------
+  private val IvfPersistProbes = 2
+
+  private def ivfPersist(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val ixDir = s"target/ivf_index/$tag"
+    val lists = kmeansAssigned(spark, dir).select("vec_id", "cluster")
+      .join(quantized(spark, dir), "vec_id")
+    lists.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$ixDir/postings.parquet")
+    lists.groupBy("cluster")
+      .agg(array((0 until 64).map(d =>
+        floor(avg(col("q").getItem(d))).cast("long")): _*).as("cvec"))
+      .write.mode("overwrite").parquet(s"$ixDir/centroids.parquet")
+
+    // serving path: persisted tables only
+    val post = spark.read.parquet(s"$ixDir/postings.parquet")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("q"))
+    val cents = spark.read.parquet(s"$ixDir/centroids.parquet")
+    val query = quantized(spark, dir).filter(col("vec_id") === 0)
+      .select(col("q").as("qq"))
+    val probed = cents.crossJoin(broadcast(query))
+      .withColumn("cdot", dotLong(col("cvec"), col("qq")))
+      .orderBy(col("cdot").desc, col("cluster").asc)
+      .limit(IvfPersistProbes)
+      .select(col("cluster").cast("long").as("cluster"), col("qq"))
+    post.filter(col("vec_id") =!= 0)
+      .join(broadcast(probed), Seq("cluster"))
+      .withColumn("dot", dotLong(col("q"), col("qq")))
+      .select(col("vec_id"), col("cluster"), col("dot"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  private val ivfPersistSql: String = {
+    val centroid = (0 until 64)
+      .map(d => s"CAST(floor(avg(q[${d + 1}])) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    s"""WITH asg AS (SELECT vec_id, cluster
+       |  FROM (${kmeansAssignSql}) ka),
+       |qt AS (SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |post AS (SELECT a.vec_id, a.cluster, t.q
+       |  FROM asg a JOIN qt t USING (vec_id)),
+       |cents AS (SELECT cluster, $centroid AS cvec
+       |  FROM post GROUP BY cluster),
+       |qq AS (SELECT q FROM qt WHERE vec_id = 0),
+       |probed AS (SELECT cluster FROM (
+       |    SELECT c.cluster,
+       |      ${PortableHash.dotSqlDuck("c.cvec", "qq.q")} AS cdot
+       |    FROM cents c, qq) r
+       |  ORDER BY cdot DESC, cluster ASC LIMIT $IvfPersistProbes)
+       |SELECT p.vec_id, CAST(p.cluster AS BIGINT) AS cluster,
+       |  ${PortableHash.dotSqlDuck("p.q", "qq.q")} AS dot
+       |FROM post p, qq
+       |WHERE p.vec_id <> 0
+       |  AND p.cluster IN (SELECT cluster FROM probed)
+       |ORDER BY dot DESC, p.vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // sim_ivf_delta: INCREMENTAL IVF MAINTENANCE measured — the ingest
   // story the vector side was missing (dd_incremental_dup's economics
   // applied to ANN): when a delta batch of vectors arrives, a
@@ -2343,6 +2425,7 @@ object Similarity {
     "sim_bucket_drift"   -> (bucketDrift _),
     "sim_batch_ivf"      -> (batchIvf _),
     "sim_ivf_sweep"      -> (ivfSweep _),
+    "sim_ivf_persist"    -> (ivfPersist _),
     "sim_ivf_delta"      -> (ivfDelta _),
     "sim_hard_negatives" -> (hardNegatives _),
     "sim_mips_norm"      -> (mipsNorm _),
@@ -2371,6 +2454,7 @@ object Similarity {
     "sim_inertia"        -> inertiaSql,
     "sim_batch_ivf"      -> batchIvfSql,
     "sim_ivf_sweep"      -> ivfSweepSql,
+    "sim_ivf_persist"    -> ivfPersistSql,
     "sim_ivf_delta"      -> ivfDeltaSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_mips_norm"      -> mipsNormSql,
