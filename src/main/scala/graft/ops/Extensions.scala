@@ -18,7 +18,8 @@ object Extensions {
       Reshape.queries ++ Stats.queries ++ Graph.queries ++
       Chunking.queries ++ Maintenance.queries ++ Curation.queries ++
       ScanPruning.queries ++ Lifecycle.queries ++ Selection.queries ++
-      TpchShapes.queries ++ Association.queries ++ Governance.queries ++
+      TpchShapes.queries ++ TpchShapes2.queries ++
+      Association.queries ++ Governance.queries ++
       DriftAudit.queries ++ TemporalStats.queries ++ Concentration.queries ++
       BitmapIndex.queries
   def oracleSql: Map[String, String] =
@@ -29,7 +30,8 @@ object Extensions {
       Reshape.oracleSql ++ Stats.oracleSql ++ Graph.oracleSql ++
       Chunking.oracleSql ++ Maintenance.oracleSql ++ Curation.oracleSql ++
       ScanPruning.oracleSql ++ Lifecycle.oracleSql ++ Selection.oracleSql ++
-      TpchShapes.oracleSql ++ Association.oracleSql ++ Governance.oracleSql ++
+      TpchShapes.oracleSql ++ TpchShapes2.oracleSql ++
+      Association.oracleSql ++ Governance.oracleSql ++
       DriftAudit.oracleSql ++ TemporalStats.oracleSql ++
       Concentration.oracleSql ++ BitmapIndex.oracleSql
 }
