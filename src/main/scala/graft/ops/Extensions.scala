@@ -18,7 +18,7 @@ object Extensions {
       Reshape.queries ++ Stats.queries ++ Graph.queries ++
       Chunking.queries ++ Maintenance.queries ++ Curation.queries ++
       ScanPruning.queries ++ Lifecycle.queries ++ Selection.queries ++
-      TpchShapes.queries ++ TpchShapes2.queries ++
+      TpchShapes.queries ++ TpchShapes2.queries ++ MatViews.queries ++
       Association.queries ++ Governance.queries ++
       DriftAudit.queries ++ TemporalStats.queries ++ Concentration.queries ++
       BitmapIndex.queries
@@ -30,7 +30,7 @@ object Extensions {
       Reshape.oracleSql ++ Stats.oracleSql ++ Graph.oracleSql ++
       Chunking.oracleSql ++ Maintenance.oracleSql ++ Curation.oracleSql ++
       ScanPruning.oracleSql ++ Lifecycle.oracleSql ++ Selection.oracleSql ++
-      TpchShapes.oracleSql ++ TpchShapes2.oracleSql ++
+      TpchShapes.oracleSql ++ TpchShapes2.oracleSql ++ MatViews.oracleSql ++
       Association.oracleSql ++ Governance.oracleSql ++
       DriftAudit.oracleSql ++ TemporalStats.oracleSql ++
       Concentration.oracleSql ++ BitmapIndex.oracleSql

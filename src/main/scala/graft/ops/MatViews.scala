@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvRewrite
+
+/** Materialized-view serving over the lineitem fact (SURVEY.md §2b
+  * maintenance/storage tier + the plans/MvRewrite optimizer rule).
+  *
+  * The rollup is built ONCE per SF as a disk fixture (write-once
+  * marker, mtime-keyed) at the (l_returnflag, l_linestatus) grain with
+  * two pre-summed measures and the row count; the gate query then asks
+  * the RAW table the coarser l_returnflag question, and the installed
+  * rewrite rule serves it from the rollup — MvRewriteSpec pins that the
+  * executed plan reads the MV fixture and never touches
+  * lineitem.parquet. The DuckDB oracle computes the same answer from
+  * the raw table, so the gate proves the rewrite is exact, not just
+  * plan-shaped.
+  */
+object MatViews {
+
+  /** The measure expressions, shared verbatim by the MV builder, the
+    * rewrite registration, and the gate query — the rule matches by
+    * canonical expression equality, so all three must be one source of
+    * truth.
+    */
+  private def qtyLong(c: Column): Column = c.cast("long")
+  private def discCents(price: Column, disc: Column): Column =
+    round(price * (lit(1.0) - disc) * 100).cast("long")
+
+  /** Write-once (l_returnflag, l_linestatus) rollup fixture. */
+  private def mvLineitemPath(spark: SparkSession, dir: String): String = {
+    val stamp =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "lineitem.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val pathF = FixtureCache.dir("mv_lineitem", dir,
+      "grain" -> "rf_ls", "v" -> 1, "src" -> stamp)
+    val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
+    if (!marker.exists()) {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qtyLong(col("l_quantity"))).as("mv_sum_qty"),
+          sum(discCents(col("l_extendedprice"), col("l_discount")))
+            .as("mv_disc_cents"),
+          count(lit(1)).as("mv_n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(pathF.toString)
+      marker.createNewFile()
+    }
+    pathF.toString
+  }
+
+  /** The name-normalized OPTIMIZED form of a measure Column over the
+    * base table — exactly what the rule will see under `sum(...)` in a
+    * user plan (constant folding and implicit casts already applied),
+    * with attribute identity erased by name (MvRewrite.normalize).
+    */
+  private def measureTemplate(
+      spark: SparkSession, base: String, c: Column): Expression = {
+    val plan = spark.read.parquet(base).select(c.as("m"))
+      .queryExecution.optimizedPlan
+    val raw = plan.collectFirst {
+      case Project(Seq(Alias(child, _)), _) => child
+    }.getOrElse(sys.error(s"measure template did not optimize to a " +
+      s"single-alias Project:\n$plan"))
+    MvRewrite.normalize(raw)
+  }
+
+  /** Build + register the MV for this dir and install the rule. */
+  private def serveFromMv(spark: SparkSession, dir: String): Unit = {
+    val mvPath = mvLineitemPath(spark, dir)
+    val base = s"$dir/lineitem.parquet"
+    MvRewrite.register(
+      MvRewrite.keyFor(spark, base),
+      MvRewrite.MvDef(
+        dims = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq(
+          "mv_sum_qty" ->
+            measureTemplate(spark, base, qtyLong(col("l_quantity"))),
+          "mv_disc_cents" ->
+            measureTemplate(spark, base,
+              discCents(col("l_extendedprice"), col("l_discount")))),
+        countCol = "mv_n_rows",
+        mvPath = mvPath))
+    MvRewrite.install(spark)
+  }
+
+  // -------------------------------------------------------------------
+  // ax_mv_rewrite: the user asks the RAW fact table a question the MV
+  // grain subsumes (group by l_returnflag alone — coarser than the
+  // rollup's two-dimension grain, so the MV re-aggregates). At 100 TB
+  // the difference is a full fact scan vs a few-hundred-row summary
+  // read; the oracle answers from the raw table, proving exactness.
+  // -------------------------------------------------------------------
+  private def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    serveFromMv(spark, dir)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(qtyLong(col("l_quantity"))).as("sum_qty"),
+        sum(discCents(col("l_extendedprice"), col("l_discount")))
+          .as("disc_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  private val mvRewriteSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS disc_cents,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_mv_rewrite" -> (mvRewrite _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ax_mv_rewrite" -> mvRewriteSql
+  )
+}

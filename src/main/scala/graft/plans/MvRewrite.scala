@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, AttributeReference, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+
+/** Materialized-view aggregate rewrite — the 100 TB cube-serving path.
+  *
+  * A registered MV is an exact rollup of a base parquet table at some
+  * dimension grain, with one pre-summed column per supported measure
+  * and a row-count column. [[RewriteAggToMv]] (installed per session via
+  * `spark.experimental.extraOptimizations`) matches logical
+  * `Aggregate(G, aggs, scan(base))` where
+  *
+  *   - every grouping expression is a bare base column with name ∈ the
+  *     MV's dims (any SUBSET — coarser grains re-aggregate);
+  *   - every aggregate is `sum(e)` with `e` matching one of the MV's
+  *     registered measure templates under name-normalized
+  *     canonicalization (templates are produced by running the SAME
+  *     Column code through the optimizer, so constant folding and
+  *     implicit casts line up on both sides), or `count(*)`/`count(1)`;
+  *   - nothing sits between the aggregate and the scan but a pure
+  *     column-pruning Project (no Filter — a filtered query is not
+  *     served by this grain),
+  *
+  * and replaces the base scan with the MV relation, mapping `sum(e)` →
+  * `sum(mv_sum_col)` and `count(*)` → `sum(mv_count_col)`. Output
+  * attribute ids are preserved via aliases, so parents (sorts, joins)
+  * resolve unchanged. At cluster scale this turns a full fact scan into
+  * a read of a few-thousand-row rollup; on this harness it is the
+  * plan-visible witness that the optimizer tier can retarget a query at
+  * a maintained summary without the user rewriting anything.
+  *
+  * The reference (/root/reference/polarify/main.py) has no optimizer
+  * tier at all — this is north-star extension surface, same family as
+  * [[TopNPerGroup]].
+  */
+object MvRewrite {
+
+  /** One registered materialized view over a base parquet path.
+    *
+    * @param dims      rollup dimension column names (base = MV names)
+    * @param measures  mv sum-column name → name-normalized canonical
+    *                  measure template (see [[normalize]])
+    * @param countCol  mv column holding the per-group base row count
+    * @param mvPath    parquet path of the rollup
+    */
+  final case class MvDef(
+      dims: Seq[String],
+      measures: Seq[(String, Expression)],
+      countCol: String,
+      mvPath: String)
+
+  /** Identity-erased form for cross-plan expression comparison: every
+    * attribute reference is re-keyed by COLUMN NAME (exprId derived
+    * from the lowercase name), then canonicalized. Two expressions over
+    * different scans of the same table compare equal iff they are the
+    * same computation over the same-named columns.
+    */
+  def normalize(e: Expression): Expression =
+    e.transformUp {
+      case a: AttributeReference =>
+        AttributeReference(a.name.toLowerCase, a.dataType, nullable = true)(
+          exprId = ExprId(a.name.toLowerCase.hashCode.toLong & 0x7fffffffL))
+    }.canonicalized
+
+  /** Base-path → MV registry, session-agnostic (paths are absolute). */
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  /** The canonical root-path key Spark reports for a parquet scan. */
+  def keyFor(spark: SparkSession, rawPath: String): String = {
+    val plan = spark.read.parquet(rawPath).queryExecution.analyzed
+    plan.collectFirst {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toString).sorted.mkString(",")
+      }
+    }.getOrElse(rawPath)
+  }
+
+  def register(baseKey: String, mv: MvDef): Unit = catalog.put(baseKey, mv)
+  def clear(): Unit = catalog.clear()
+
+  /** Idempotently install the rewrite rule on a session. */
+  def install(spark: SparkSession): Unit = synchronized {
+    val already = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[RewriteAggToMv])
+    if (!already)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteAggToMv(spark)
+  }
+
+  /** The scan under an aggregate, if it is a registered base reached
+    * through at most a pure column-pruning Project.
+    */
+  private def matchBase(plan: LogicalPlan): Option[MvDef] = plan match {
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation =>
+        val key = fs.location.rootPaths.map(_.toString).sorted.mkString(",")
+        Option(catalog.get(key))
+      case _ => None
+    }
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      matchBase(child)
+    case _ => None
+  }
+
+  final case class RewriteAggToMv(spark: SparkSession)
+      extends Rule[LogicalPlan] {
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case agg @ Aggregate(groupingExprs, resultExprs, child, None) =>
+        matchBase(child) match {
+          case Some(mv) =>
+            tryRewrite(groupingExprs, resultExprs, mv).getOrElse(agg)
+          case None => agg
+        }
+    }
+
+    private def tryRewrite(
+        groupingExprs: Seq[Expression],
+        resultExprs: Seq[NamedExpression],
+        mv: MvDef): Option[LogicalPlan] = {
+
+      // every grouping key must be a bare MV dimension column
+      val groupOk = groupingExprs.nonEmpty && groupingExprs.forall {
+        case a: AttributeReference => mv.dims.contains(a.name)
+        case _ => false
+      }
+      if (!groupOk) return None
+
+      val measureByNorm: Map[Expression, String] =
+        mv.measures.map { case (mvCol, templ) => templ -> mvCol }.toMap
+
+      val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+      val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+      // a stale registration (missing column) must fail the match, not throw
+      if (!mv.dims.forall(mvAttr.contains) || !mvAttr.contains(mv.countCol) ||
+        !mv.measures.forall(m => mvAttr.contains(m._1))) return None
+
+      def sumOf(name: String): AggregateExpression =
+        AggregateExpression(Sum(mvAttr(name)), Complete, isDistinct = false)
+
+      // rewrite every result expression or give up
+      val rewritten: Seq[Option[NamedExpression]] = resultExprs.map {
+        case a: AttributeReference if mv.dims.contains(a.name) =>
+          Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+        case al @ Alias(
+            AggregateExpression(Sum(e, _), Complete, false, None, _), name) =>
+          measureByNorm.get(normalize(e)).map { mvCol =>
+            Alias(sumOf(mvCol), name)(exprId = al.exprId)
+          }
+        case al @ Alias(
+            AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
+              None, _), name) =>
+          Some(Alias(sumOf(mv.countCol), name)(exprId = al.exprId))
+        case _ => None
+      }
+      if (rewritten.exists(_.isEmpty)) return None
+
+      val newGrouping = groupingExprs.map {
+        case a: AttributeReference => mvAttr(a.name)
+      }
+      Some(Aggregate(newGrouping, rewritten.map(_.get), mvPlan, None))
+    }
+  }
+}

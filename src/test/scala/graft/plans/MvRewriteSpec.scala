@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.SparkTestSession
+import graft.ops.Extensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MV rewrite must fire exactly when it is allowed to — and NEVER
+  * otherwise. Positive pins: the gate query's executed plan reads the
+  * rollup fixture and touches the raw fact zero times, at both the
+  * coarser and the exact grain. Negative pins: a filter, an unsupported
+  * aggregate, or a non-dimension grouping key each force the raw scan.
+  * Exactness: the served answer equals a raw recompute taken with the
+  * catalog cleared.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def gate() = Extensions.queries("ax_mv_rewrite")(spark, dir)
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("gate query is served from the MV, raw fact never scanned") {
+    val p = planOf(gate())
+    assert(p.contains("mv_lineitem"), s"MV fixture not in plan:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"raw fact scan survived the rewrite:\n$p")
+  }
+
+  test("exact-grain query (both dims) also rewrites, with count(*)") {
+    gate() // registers the MV + installs the rule
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        count(lit(1)).as("n"))
+    val p = planOf(df)
+    assert(p.contains("mv_lineitem") && !p.contains("lineitem.parquet"))
+  }
+
+  test("served answer equals a raw recompute (catalog cleared)") {
+    val served = gate().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    MvRewrite.clear()
+    try {
+      val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("disc_cents"),
+          count(lit(1)).as("n_lines"))
+      assert(!planOf(raw).contains("mv_lineitem"),
+        "cleared catalog must not rewrite")
+      val expect = raw.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(served.sameElements(expect))
+    } finally gate() // re-register for any later suite
+  }
+
+  test("a filter between aggregate and scan blocks the rewrite") {
+    gate()
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_lineitem"),
+      "a filtered query must not be served by the unfiltered grain")
+  }
+
+  test("an unsupported aggregate blocks the rewrite") {
+    gate()
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("a"))
+    assert(!planOf(df).contains("mv_lineitem"),
+      "avg is not derivable from the registered measures")
+  }
+
+  test("a non-dimension grouping key blocks the rewrite") {
+    gate()
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_shipdate"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_lineitem"),
+      "l_shipdate is not in the rollup grain")
+  }
+
+  test("a measure the MV does not carry blocks the rewrite") {
+    gate()
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_tax").cast("long")).as("t"))
+    assert(!planOf(df).contains("mv_lineitem"),
+      "sum(l_tax) has no pre-summed MV column")
+  }
+}
