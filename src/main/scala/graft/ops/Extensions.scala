@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Extensions {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Similarity.queries ++ Multimodal.queries ++ StreamingGate.queries ++
+      Similarity.queries ++ GraphAnn.queries ++
+      Multimodal.queries ++ StreamingGate.queries ++
       AsOf.queries ++ SqlSurface.queries ++ Bucketing.queries ++
       EventsOps.queries ++ Cohorts.queries ++ DataQuality.queries ++
       Reshape.queries ++ Stats.queries ++ Graph.queries ++
@@ -24,7 +25,8 @@ object Extensions {
       BitmapIndex.queries
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++
-      Similarity.oracleSql ++ Multimodal.oracleSql ++ StreamingGate.oracleSql ++
+      Similarity.oracleSql ++ GraphAnn.oracleSql ++
+      Multimodal.oracleSql ++ StreamingGate.oracleSql ++
       AsOf.oracleSql ++ SqlSurface.oracleSql ++ Bucketing.oracleSql ++
       EventsOps.oracleSql ++ Cohorts.oracleSql ++ DataQuality.oracleSql ++
       Reshape.oracleSql ++ Stats.oracleSql ++ Graph.oracleSql ++

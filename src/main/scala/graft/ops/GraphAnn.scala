@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.cosineFloor
+
+/** Graph-based ANN — the NN-descent tier of the similarity family
+  * (SURVEY.md §2b similarity search; the construction HNSW/NSG build
+  * from, expressed as Spark relational rounds instead of a pointer
+  * structure).
+  *
+  * NN-descent's invariant: a node's true neighbors are likely
+  * neighbors of its current neighbors, so one round refines a cheap
+  * initial k-NN graph by scoring the neighbors-of-neighbors candidate
+  * set — work per round is Θ(n·k²) keyed equi-joins, NEVER an
+  * all-pairs scan, which is why the construction holds at 10⁹ vectors
+  * where brute force (Θ(n²)) cannot. The init graph must be CONNECTED
+  * for descent to move (a pure LSH-bucket init is a disjoint union of
+  * bucket cliques — candidate expansion can never leave a bucket, the
+  * measured round-11 failure mode), so the seed graph is the union of
+  * within-bucket exact k-NN (locality) and k deterministic stride
+  * edges per node (the portable stand-in for NN-descent's random init;
+  * connectivity).
+  *
+  * Scoring is the family's exact portable cosine (micro-quantized
+  * integer vectors, fused `cosine_floor` micro-units, total order
+  * (score desc, id asc)); the DuckDB oracle replays the identical
+  * construction — init, expansion, refinement, and the measured
+  * recall@k of both generations against exact ground truth on a
+  * deterministic probe panel. Because the candidate set contains every
+  * current edge and truth is the global top-k under the same order,
+  * per-probe recall is provably monotone across the round (pinned in
+  * GraphAnnSpec).
+  */
+object GraphAnn {
+
+  private val K = 8            // neighbor-list width
+  private val InitPlanes = 6   // 2^6 = 64 LSH buckets seed locality
+  private val SeedStride = 997L // deterministic connectivity edges
+  private val ProbeMod = 29L   // deterministic probe panel
+
+  private def qt(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr(Similarity.quantize).as("q"))
+
+  // -------------------------------------------------------------------
+  // sim_nnd_round: one NN-descent refinement round, recall-audited.
+  //   init   — within-bucket exact k-NN (equi-join on the 6-plane
+  //            bucket id) ∪ k stride edges per node, scored, top-k;
+  //   expand — undirected current graph B = N0 ∪ reverse(N0), candidate
+  //            set C = B ∪ (B ⋈ B) (neighbors-of-neighbors), dedup —
+  //            |C(u)| ≤ (2k)² regardless of n;
+  //   refine — exact rescoring of C, per-node top-k → N1;
+  //   audit  — recall@k of N0 and N1 against exact truth on the probe
+  //            panel (brute force ONLY for the ~n/29 probes, a
+  //            broadcast panel × corpus scan).
+  // At cluster scale: every join is keyed on vec ids or the bucket id
+  // (12-byte edge rows); vectors attach to candidate pairs by two
+  // equi-joins against the quantized table, and per-node state is the
+  // k-bounded TopK buffer — map-side partials, no global sort.
+  // -------------------------------------------------------------------
+  private def nndRound(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK.TopKByScore(K))
+    val base = qt(spark, dir)
+
+    /** exact-cosine score (micro-units) for an edge list (u, v) */
+    def scored(edges: DataFrame): DataFrame = edges
+      .join(base.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
+      .join(base.select(col("vec_id").as("v"), col("q").as("qv")), Seq("v"))
+      .select(col("u"), col("v"),
+        cosineFloor(col("qu"), col("qv"), 1000000.0).as("s"))
+      .filter(col("s").isNotNull)
+
+    def topkOf(pairs: DataFrame): DataFrame = pairs
+      .groupBy("u").agg(topk(col("s"), col("v")).as("nn"))
+      .select(col("u"), explode(col("nn")).as("w"))
+      .select(col("u"), col("w.id").as("v"))
+
+    // init: within-bucket pairs ∪ k stride edges (graph connectivity)
+    val m = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val b = base.withColumn("b", Hyperplanes.bucketCol(col("q"), InitPlanes))
+    val bucketPairs = b.as("a").join(b.as("c"),
+        col("a.b") === col("c.b") && col("a.vec_id") =!= col("c.vec_id"))
+      .select(col("a.vec_id").as("u"), col("c.vec_id").as("v"))
+    val seedPairs = base.select(col("vec_id").as("u"),
+        explode(array((1 to K).map(j =>
+          (col("vec_id") + lit(j * SeedStride)) % m): _*)).as("v"))
+      .filter(col("u") =!= col("v"))
+    val n0 = topkOf(scored(bucketPairs.union(seedPairs).distinct()))
+
+    // expand: undirected edges, then neighbors-of-neighbors
+    val und = n0.union(n0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val nn2 = und.as("x").join(und.as("y"),
+        col("x.v") === col("y.u") && col("x.u") =!= col("y.v"))
+      .select(col("x.u").as("u"), col("y.v").as("v"))
+    val n1 = topkOf(scored(und.union(nn2).distinct()))
+
+    // audit: exact truth for the probe panel only
+    val probes = base.filter(col("vec_id") % ProbeMod === 0L)
+      .select(col("vec_id").as("pu"), col("q").as("pq"))
+    val truth = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pu"))
+      .select(col("pu").as("u"), col("vec_id").as("v"),
+        cosineFloor(col("q"), col("pq"), 1000000.0).as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy("u").agg(topk(col("s"), col("v")).as("nn"))
+      .select(col("u"), explode(col("nn")).as("w"))
+      .select(col("u"), col("w.id").as("v"))
+
+    def hits(n: DataFrame): DataFrame = truth
+      .join(n, Seq("u", "v"))
+      .groupBy("u").agg(count(lit(1)).as("c"))
+
+    probes.select(col("pu").as("probe_id"))
+      .join(hits(n0).withColumnRenamed("u", "probe_id")
+        .withColumnRenamed("c", "h0"), Seq("probe_id"), "left")
+      .join(hits(n1).withColumnRenamed("u", "probe_id")
+        .withColumnRenamed("c", "h1"), Seq("probe_id"), "left")
+      .na.fill(0L, Seq("h0", "h1"))
+      .select(col("probe_id"), lit(K.toLong).as("k"),
+        col("h0").as("hits_init"), col("h1").as("hits_refined"),
+        expr(s"(h0 * 1000) div $K").as("recall_init_milli"),
+        expr(s"(h1 * 1000) div $K").as("recall_refined_milli"))
+      .orderBy("probe_id")
+  }
+
+  /** floor(1e6·cos) in micro-units over quantized lists a, b (DuckDB) */
+  private def cosE6(a: String, b: String): String = {
+    val dot = PortableHash.dotSqlDuck(a, b)
+    val na = PortableHash.dotSqlDuck(a, a)
+    val nb = PortableHash.dotSqlDuck(b, b)
+    s"CASE WHEN $na > 0 AND $nb > 0 THEN " +
+      s"CAST(floor(1000000.0 * CAST($dot AS DOUBLE) / " +
+      s"sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))) AS BIGINT) END"
+  }
+
+  private def nndRoundSql: String =
+    s"""WITH qt AS (SELECT vec_id, ${Similarity.quantizeDuck} AS q
+       |            FROM embeddings),
+       |mm AS (SELECT MAX(vec_id) + 1 AS m FROM qt),
+       |b AS (SELECT vec_id, q,
+       |        ${Hyperplanes.bucketSqlDuck("q", InitPlanes)} AS b FROM qt),
+       |bp AS (SELECT a.vec_id AS u, c.vec_id AS v
+       |       FROM b a JOIN b c ON a.b = c.b AND a.vec_id <> c.vec_id),
+       |seeds AS (SELECT vec_id AS u,
+       |    (vec_id + j.j * $SeedStride) % mm.m AS v
+       |  FROM qt, mm, (SELECT unnest(range(1, ${K + 1})) AS j) j
+       |  WHERE (vec_id + j.j * $SeedStride) % mm.m <> vec_id),
+       |ic AS (SELECT u, v FROM bp UNION SELECT u, v FROM seeds),
+       |p0 AS (SELECT ic.u, ic.v, ${cosE6("qu.q", "qv.q")} AS s
+       |       FROM ic JOIN qt qu ON ic.u = qu.vec_id
+       |               JOIN qt qv ON ic.v = qv.vec_id),
+       |n0 AS (SELECT u, v FROM (
+       |    SELECT u, v, ROW_NUMBER() OVER
+       |      (PARTITION BY u ORDER BY s DESC, v) AS r
+       |    FROM p0 WHERE s IS NOT NULL)
+       |  WHERE r <= $K),
+       |und AS (SELECT u, v FROM n0 UNION SELECT v, u FROM n0),
+       |cand AS (SELECT u, v FROM und
+       |  UNION
+       |  SELECT x.u, y.v FROM und x JOIN und y
+       |    ON x.v = y.u AND x.u <> y.v),
+       |sc AS (SELECT cand.u, cand.v, ${cosE6("qu.q", "qv.q")} AS s
+       |       FROM cand JOIN qt qu ON cand.u = qu.vec_id
+       |                 JOIN qt qv ON cand.v = qv.vec_id),
+       |n1 AS (SELECT u, v FROM (
+       |    SELECT u, v, ROW_NUMBER() OVER
+       |      (PARTITION BY u ORDER BY s DESC, v) AS r
+       |    FROM sc WHERE s IS NOT NULL)
+       |  WHERE r <= $K),
+       |probes AS (SELECT vec_id AS pu, q AS pq FROM qt
+       |           WHERE vec_id % $ProbeMod = 0),
+       |tp AS (SELECT p.pu AS u, t.vec_id AS v,
+       |    ${cosE6("t.q", "p.pq")} AS s
+       |  FROM qt t, probes p WHERE t.vec_id <> p.pu),
+       |truth AS (SELECT u, v FROM (
+       |    SELECT u, v, ROW_NUMBER() OVER
+       |      (PARTITION BY u ORDER BY s DESC, v) AS r
+       |    FROM tp WHERE s IS NOT NULL)
+       |  WHERE r <= $K),
+       |h0 AS (SELECT t.u, COUNT(*) AS c FROM truth t
+       |       JOIN n0 ON t.u = n0.u AND t.v = n0.v GROUP BY 1),
+       |h1 AS (SELECT t.u, COUNT(*) AS c FROM truth t
+       |       JOIN n1 ON t.u = n1.u AND t.v = n1.v GROUP BY 1)
+       |SELECT p.pu AS probe_id, CAST($K AS BIGINT) AS k,
+       |  CAST(COALESCE(h0.c, 0) AS BIGINT) AS hits_init,
+       |  CAST(COALESCE(h1.c, 0) AS BIGINT) AS hits_refined,
+       |  CAST(COALESCE(h0.c, 0) * 1000 // $K AS BIGINT)
+       |    AS recall_init_milli,
+       |  CAST(COALESCE(h1.c, 0) * 1000 // $K AS BIGINT)
+       |    AS recall_refined_milli
+       |FROM probes p
+       |LEFT JOIN h0 ON p.pu = h0.u
+       |LEFT JOIN h1 ON p.pu = h1.u
+       |ORDER BY probe_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_nnd_round" -> (nndRound _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_nnd_round" -> nndRoundSql
+  )
+}
