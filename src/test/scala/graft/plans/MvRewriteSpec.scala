@@ -90,6 +90,15 @@ class MvRewriteSpec extends AnyFunSuite {
       "l_shipdate is not in the rollup grain")
   }
 
+  test("incremental upkeep reads the stored rollup and only the delta slice") {
+    val df = Extensions.queries("ax_mv_delta")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("mv_lineitem_pre"), s"stored rollup not read:\n$p")
+    // the fact scan must carry the pushed post-cut shipdate predicate
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"delta slice filter not pushed to the fact scan:\n$p")
+  }
+
   test("a measure the MV does not carry blocks the rewrite") {
     gate()
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
