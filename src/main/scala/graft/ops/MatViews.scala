@@ -129,9 +129,9 @@ object MatViews {
   // computes the full-table rollup directly, proving the incremental
   // path lands on EXACTLY the batch answer.
   // -------------------------------------------------------------------
-  private val DeltaCut = "2001-06-01"
+  private[ops] val DeltaCut = "2001-06-01"
 
-  private def mvPreCutPath(spark: SparkSession, dir: String): String = {
+  private[ops] def mvPreCutPath(spark: SparkSession, dir: String): String = {
     val stamp =
       try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(dir, "lineitem.parquet")).toMillis
@@ -150,7 +150,7 @@ object MatViews {
   }
 
   /** the (l_returnflag, l_linestatus) rollup of a lineitem slice */
-  private def rollup(li: DataFrame): DataFrame = li
+  private[ops] def rollup(li: DataFrame): DataFrame = li
     .groupBy(col("l_returnflag"), col("l_linestatus"))
     .agg(
       sum(qtyLong(col("l_quantity"))).as("mv_sum_qty"),

@@ -1344,7 +1344,109 @@ object StreamingGate {
       .orderBy("new_doc")
   }
 
+  /** st_mv_upkeep: the STREAMING leg of the materialized-view story
+    * (build: MatViews fixture / serve: plans.MvRewrite / maintain:
+    * this). The post-cut lineitem slice arrives as three mtime-pinned
+    * source files (month residues — three triggers); an update-mode
+    * aggregation at the MV grain emits each trigger's changed groups
+    * with their CUMULATIVE stream totals, and the foreachBatch body
+    * keeps a versioned stream-totals store (latest value per key wins,
+    * previous version read from the filesystem — the st_upsert_sink
+    * exactly-once discipline). The readout adds the final stream
+    * totals onto the STORED pre-cut rollup; oracle = the full-table
+    * batch rollup, so the streamed MV must converge to exactly the
+    * batch answer. At 100 TB the upkeep job touches only arriving
+    * files and a |MV|-sized store — never the fact history.
+    */
+  private def mvUpkeepStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val stage = s"target/stream_mv/stage_$tag"
+    val input = s"target/stream_mv/input_$tag"
+    val base = s"target/stream_mv/store_$tag"
+    val chk = s"target/stream_mv/chk_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(stage, input, base, chk).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+
+    val delta = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit(MatViews.DeltaCut))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"),
+        month(col("l_shipdate")).as("mth"))
+    val writeOne = stageSlice(fs, stage, input) _
+    val now = System.currentTimeMillis() - 600000L
+    (0 until 3).foreach { r =>
+      writeOne(delta.filter(pmod(col("mth"), lit(3)) === r).drop("mth"),
+        s"b$r", now + r * 60000L)
+    }
+
+    val sch = stagedSchema(spark, fs, input)
+    val agg = MatViews.rollup(spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input))
+    val mergeBatch: (DataFrame, Long) => Unit = { (batch, id) =>
+      val merged = committedVersionBefore(fs, base, id) match {
+        case None => batch
+        case Some(prev) =>
+          val old = spark.read.parquet(prev)
+            .select(col("l_returnflag").as("orf"),
+              col("l_linestatus").as("ols"),
+              col("mv_sum_qty").as("oq"), col("mv_disc_cents").as("oc"),
+              col("mv_n_rows").as("on"))
+          batch.join(old,
+              col("l_returnflag") === col("orf") &&
+                col("l_linestatus") === col("ols"), "full_outer")
+            .select(
+              coalesce(col("l_returnflag"), col("orf")).as("l_returnflag"),
+              coalesce(col("l_linestatus"), col("ols")).as("l_linestatus"),
+              coalesce(col("mv_sum_qty"), col("oq")).as("mv_sum_qty"),
+              coalesce(col("mv_disc_cents"), col("oc")).as("mv_disc_cents"),
+              coalesce(col("mv_n_rows"), col("on")).as("mv_n_rows"))
+      }
+      merged.write.mode("overwrite").parquet(s"$base/v$id")
+    }
+    withGateShuffle(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch(mergeBatch)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
+    val streamTot = spark.read.parquet(latestVersion(spark, base))
+      .select(col("l_returnflag").as("srf"), col("l_linestatus").as("sls"),
+        col("mv_sum_qty").as("sq"), col("mv_disc_cents").as("sc"),
+        col("mv_n_rows").as("sn"))
+    spark.read.parquet(MatViews.mvPreCutPath(spark, dir))
+      .join(streamTot,
+        col("l_returnflag") === col("srf") &&
+          col("l_linestatus") === col("sls"), "full_outer")
+      .select(
+        coalesce(col("l_returnflag"), col("srf")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), col("sls")).as("l_linestatus"),
+        (coalesce(col("mv_sum_qty"), lit(0L)) + coalesce(col("sq"), lit(0L)))
+          .as("mv_sum_qty"),
+        (coalesce(col("mv_disc_cents"), lit(0L)) +
+          coalesce(col("sc"), lit(0L))).as("mv_disc_cents"),
+        (coalesce(col("mv_n_rows"), lit(0L)) + coalesce(col("sn"), lit(0L)))
+          .as("mv_n_rows"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+
+  private val mvUpkeepStreamedSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mv_sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS mv_disc_cents,
+      |  COUNT(*) AS mv_n_rows
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_mv_upkeep"         -> (mvUpkeepStreamed _),
     "st_span_probe"        -> (spanProbeStreamed _),
     "st_dedup_probe"       -> (dedupProbeStreamed _),
     "st_ivf_assign"        -> (ivfAssignStreamed _),
@@ -1375,6 +1477,7 @@ object StreamingGate {
 
   val oracleSql: Map[String, String] = Map(
     // identical oracle as the batch twin — generated once in Analytics
+    "st_mv_upkeep"         -> mvUpkeepStreamedSql,
     "st_ivf_assign"        -> ivfAssignStreamedSql,
     "st_dedup_probe"       -> Dedup.streamProbeOracleSql,
     "st_span_probe"        -> Dedup.spanProbeOracleSql,
