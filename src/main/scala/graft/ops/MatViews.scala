@@ -72,7 +72,7 @@ object MatViews {
   }
 
   /** Build + register the MV for this dir and install the rule. */
-  private def serveFromMv(spark: SparkSession, dir: String): Unit = {
+  private[ops] def serveFromMv(spark: SparkSession, dir: String): Unit = {
     val mvPath = mvLineitemPath(spark, dir)
     val base = s"$dir/lineitem.parquet"
     MvRewrite.register(

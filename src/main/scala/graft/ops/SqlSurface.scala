@@ -321,7 +321,29 @@ object SqlSurface {
       |WHERE o_orderdate < TIMESTAMP '1996-01-01'
       |ORDER BY custkey""".stripMargin
 
+  /** The MV rewrite rule through the SQL front door: the user types the
+    * raw-table rollup in SQL TEXT, and plans/MvRewrite serves it from
+    * the maintained rollup fixture — the temp view resolves to the same
+    * parquet LogicalRelation the rule matches, so surface choice does
+    * not decide whether the summary is used. Plan pinned (reads the MV,
+    * zero fact bytes) by MvRewriteSpec's SQL-twin test.
+    */
+  private def mvServeViaSql(spark: SparkSession, dir: String): DataFrame = {
+    MatViews.serveFromMv(spark, dir)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
+        |    AS disc_cents,
+        |  COUNT(*) AS n_lines
+        |FROM graft_sql_lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq_mv_serve_sql"      -> (mvServeViaSql _),
     "sq_except_sql"        -> (exceptViaSql _),
     "sq_rollup_sql"        -> (rollupViaSql _),
     "sq_range_frame_sql"   -> (rangeFrameViaSql _),
@@ -336,6 +358,8 @@ object SqlSurface {
     "sq_unpivot_sql"       -> (unpivotViaSql _))
 
   val oracleSql: Map[String, String] = Map(
+    // the DataFrame twin's oracle, verbatim — one definition, two surfaces
+    "sq_mv_serve_sql"      -> MatViews.oracleSql("ax_mv_rewrite"),
     "sq_except_sql"        -> exceptOracle,
     // the DataFrame twins' oracles, verbatim — one definition, two surfaces
     "sq_rollup_sql"        -> Analytics.oracleSql("ax_rollup_lineitem"),

@@ -90,6 +90,13 @@ class MvRewriteSpec extends AnyFunSuite {
       "l_shipdate is not in the rollup grain")
   }
 
+  test("the SQL front door is served from the MV too") {
+    val p = planOf(Extensions.queries("sq_mv_serve_sql")(spark, dir))
+    assert(p.contains("mv_lineitem"), s"SQL text not served from MV:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"raw fact scan survived the SQL-side rewrite:\n$p")
+  }
+
   test("incremental upkeep reads the stored rollup and only the delta slice") {
     val df = Extensions.queries("ax_mv_delta")(spark, dir)
     val p = planOf(df)
