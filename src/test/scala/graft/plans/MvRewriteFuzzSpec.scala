@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.SparkTestSession
+import graft.ops.Extensions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized hardening of the MV matcher. The rule participates in
+  * EVERY query's optimization once installed, so a matcher bug would
+  * corrupt answers far from the MV gate; this spec sweeps the lattice
+  * of legal aggregate shapes (grain subsets × measure subsets × count,
+  * random aliases, random result order) and asserts each one (a) fires
+  * the rewrite and (b) equals the catalog-cleared raw recompute — and
+  * sweeps a set of near-miss shapes that must all be left alone.
+  */
+class MvRewriteFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def install(): Unit =
+    Extensions.queries("ax_mv_rewrite")(spark, dir).collect()
+
+  private def raw: DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+
+  private val qty = () => sum(col("l_quantity").cast("long"))
+  private val dc = () => sum(round(col("l_extendedprice") *
+    (lit(1.0) - col("l_discount")) * 100).cast("long"))
+  private val cnt = () => count(lit(1))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def collectSorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  test("every legal grain x measure combination rewrites and is exact") {
+    install()
+    val rnd = new scala.util.Random(41)
+    val grains = Seq(Seq("l_returnflag"), Seq("l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"))
+    val measurePool = Seq("q" -> qty, "d" -> dc, "n" -> cnt)
+    for (grain <- grains; take <- 1 to 3) {
+      val ms = rnd.shuffle(measurePool).take(take)
+      val aggs = ms.map { case (tag, m) =>
+        m().as(s"m_${tag}_${rnd.nextInt(100)}")
+      }
+      val df = raw.groupBy(grain.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      val p = planOf(df)
+      assert(p.contains("mv_lineitem") && !p.contains("lineitem.parquet"),
+        s"no rewrite for grain=$grain measures=${ms.map(_._1)}:\n$p")
+      val served = collectSorted(df)
+      MvRewrite.clear()
+      try {
+        val again = raw.groupBy(grain.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        assert(!planOf(again).contains("mv_lineitem"))
+        assert(served == collectSorted(again),
+          s"served != raw for grain=$grain measures=${ms.map(_._1)}")
+      } finally install()
+    }
+  }
+
+  test("near-miss shapes are all left alone") {
+    install()
+    val blocked = Seq[DataFrame](
+      // distinct aggregate
+      raw.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_linestatus")).as("x")),
+      // measure with a different constant (not the registered template)
+      raw.groupBy(col("l_returnflag"))
+        .agg(sum(round(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 1000).cast("long")).as("x")),
+      // grouping expression, not a bare column
+      raw.groupBy(upper(col("l_returnflag")).as("g"))
+        .agg(qty().as("x")),
+      // global aggregate (no grouping keys)
+      raw.agg(qty().as("x")),
+      // aggregate over a self-union (not a bare scan)
+      raw.unionByName(raw).groupBy(col("l_returnflag")).agg(qty().as("x")))
+    blocked.zipWithIndex.foreach { case (df, i) =>
+      assert(!planOf(df).contains("mv_lineitem"),
+        s"near-miss #$i was wrongly rewritten:\n${planOf(df)}")
+    }
+  }
+}
