@@ -118,6 +118,31 @@ object MatViews {
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_mv_filter: a DIM-FILTERED raw-table question served by the same
+  // rollup — the predicate selects whole MV groups (l_linestatus is a
+  // grain column), so the rule maps it onto the rollup verbatim and
+  // re-aggregates the coarser key. At 100 TB: a predicate + group-by
+  // the user writes against the fact costs a summary read.
+  // -------------------------------------------------------------------
+  private def mvFilter(spark: SparkSession, dir: String): DataFrame = {
+    serveFromMv(spark, dir)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(qtyLong(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  private val mvFilterSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem WHERE l_linestatus = 'F'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_mv_delta: INCREMENTAL maintenance of the same rollup — the third
   // leg of the MV story (build once / serve via the rewrite rule /
   // maintain from the delta). The stored rollup holds everything
@@ -181,11 +206,13 @@ object MatViews {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_mv_rewrite" -> (mvRewrite _),
+    "ax_mv_filter"  -> (mvFilter _),
     "ax_mv_delta"   -> (mvDelta _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "ax_mv_rewrite" -> mvRewriteSql,
+    "ax_mv_filter"  -> mvFilterSql,
     "ax_mv_delta"   -> mvDeltaSql
   )
 }

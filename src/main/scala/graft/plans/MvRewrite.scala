@@ -26,9 +26,11 @@ import org.apache.spark.sql.execution.datasources.{
   *     canonicalization (templates are produced by running the SAME
   *     Column code through the optimizer, so constant folding and
   *     implicit casts line up on both sides), or `count(*)`/`count(1)`;
-  *   - nothing sits between the aggregate and the scan but a pure
-  *     column-pruning Project (no Filter — a filtered query is not
-  *     served by this grain),
+  *   - nothing sits between the aggregate and the scan but pure
+  *     column-pruning Projects and DIMENSION-ONLY Filters (a predicate
+  *     over grain columns selects whole MV groups and maps onto the
+  *     rollup verbatim; a predicate touching any other column kills
+  *     the match),
   *
   * and replaces the base scan with the MV relation, mapping `sum(e)` →
   * `sum(mv_sum_col)` and `count(*)` → `sum(mv_count_col)`. Output
@@ -99,18 +101,27 @@ object MvRewrite {
   }
 
   /** The scan under an aggregate, if it is a registered base reached
-    * through at most a pure column-pruning Project.
+    * through pure column-pruning Projects and dimension-only Filters
+    * (a predicate over grain columns selects whole MV groups, so it
+    * maps onto the rollup verbatim; any other predicate kills the
+    * match). Returns the MV and the collected dim predicates.
     */
-  private def matchBase(plan: LogicalPlan): Option[MvDef] = plan match {
+  private def matchBase(
+      plan: LogicalPlan): Option[(MvDef, Seq[Expression])] = plan match {
     case l: LogicalRelation => l.relation match {
       case fs: HadoopFsRelation =>
         val key = fs.location.rootPaths.map(_.toString).sorted.mkString(",")
-        Option(catalog.get(key))
+        Option(catalog.get(key)).map(mv => (mv, Nil))
       case _ => None
     }
     case Project(projList, child)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
       matchBase(child)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+      matchBase(child).flatMap { case (mv, conds) =>
+        val dimOnly = cond.references.forall(a => mv.dims.contains(a.name))
+        if (dimOnly) Some((mv, cond +: conds)) else None
+      }
     case _ => None
   }
 
@@ -120,8 +131,9 @@ object MvRewrite {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case agg @ Aggregate(groupingExprs, resultExprs, child, None) =>
         matchBase(child) match {
-          case Some(mv) =>
-            tryRewrite(groupingExprs, resultExprs, mv).getOrElse(agg)
+          case Some((mv, dimFilters)) =>
+            tryRewrite(groupingExprs, resultExprs, mv, dimFilters)
+              .getOrElse(agg)
           case None => agg
         }
     }
@@ -129,7 +141,8 @@ object MvRewrite {
     private def tryRewrite(
         groupingExprs: Seq[Expression],
         resultExprs: Seq[NamedExpression],
-        mv: MvDef): Option[LogicalPlan] = {
+        mv: MvDef,
+        dimFilters: Seq[Expression]): Option[LogicalPlan] = {
 
       // every grouping key must be a bare MV dimension column
       val groupOk = groupingExprs.nonEmpty && groupingExprs.forall {
@@ -170,7 +183,15 @@ object MvRewrite {
       val newGrouping = groupingExprs.map {
         case a: AttributeReference => mvAttr(a.name)
       }
-      Some(Aggregate(newGrouping, rewritten.map(_.get), mvPlan, None))
+      // dim-only base predicates select whole MV groups: re-key each
+      // attribute reference onto the MV relation's columns by name
+      val newChild = dimFilters.foldLeft(mvPlan) { (child, cond) =>
+        org.apache.spark.sql.catalyst.plans.logical.Filter(
+          cond.transformUp {
+            case a: AttributeReference => mvAttr(a.name)
+          }, child)
+      }
+      Some(Aggregate(newGrouping, rewritten.map(_.get), newChild, None))
     }
   }
 }

@@ -62,14 +62,21 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally gate() // re-register for any later suite
   }
 
-  test("a filter between aggregate and scan blocks the rewrite") {
+  test("a measure-column filter blocks the rewrite") {
     gate()
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_quantity") > 10)
       .groupBy(col("l_returnflag"))
       .agg(sum(col("l_quantity").cast("long")).as("q"))
     assert(!planOf(df).contains("mv_lineitem"),
-      "a filtered query must not be served by the unfiltered grain")
+      "a measure-filtered query must not be served by the unfiltered grain")
+  }
+
+  test("a dimension-only filter is served from the MV (ax_mv_filter)") {
+    val df = Extensions.queries("ax_mv_filter")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("mv_lineitem") && !p.contains("lineitem.parquet"),
+      s"dim-filtered query not served from the rollup:\n$p")
   }
 
   test("an unsupported aggregate blocks the rewrite") {
