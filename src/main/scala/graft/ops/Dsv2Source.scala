@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the custom DataSource V2 connector
+  * (graft.sources.GraftLines) — the source must not merely parse, it
+  * must PRUNE and PUSH: the gate reads the documents-metadata TSV
+  * fixture through the full connector stack with a filter and a
+  * two-column projection, and the oracle computes the same answer from
+  * the original parquet — so a parsing, pruning, pushdown, or
+  * partitioning bug lands as a value mismatch, and Dsv2SourceSpec pins
+  * the plan-visible contracts (pushed filters in the scan description,
+  * pruned ReadSchema, one partition per part file).
+  */
+object Dsv2Source {
+
+  /** documents metadata as multi-file TSV, written once per SF */
+  private[ops] def tsvFixturePath(spark: SparkSession, dir: String): String = {
+    val stamp =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val pathF = FixtureCache.dir("dsv2_lines", dir, "v" -> 1, "src" -> stamp)
+    val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
+    if (!marker.exists()) {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(concat_ws("\t",
+          col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(pathF.toString)
+      marker.createNewFile()
+    }
+    pathF.toString
+  }
+
+  def linesRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format(classOf[graft.sources.GraftLines].getName)
+      .option("path", tsvFixturePath(spark, dir))
+      .load()
+
+  // -------------------------------------------------------------------
+  // ax_dsv2_pushdown: filtered, projected aggregate through the
+  // connector. The lang equality and the n_chars band are pushed into
+  // the partition readers (rows die before materialization), the
+  // projection prunes to the three referenced columns, and the four
+  // part files scan as four input partitions. Oracle = the same
+  // aggregate over the original parquet table.
+  // -------------------------------------------------------------------
+  private def dsv2Pushdown(spark: SparkSession, dir: String): DataFrame =
+    linesRead(spark, dir)
+      .filter(col("lang") === "en" && col("n_chars") >= 200L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source").asc)
+
+  private val dsv2PushdownSql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE lang = 'en' AND n_chars >= 200
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_dsv2_pushdown" -> (dsv2Pushdown _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ax_dsv2_pushdown" -> dsv2PushdownSql
+  )
+}

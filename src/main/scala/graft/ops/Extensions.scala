@@ -20,6 +20,7 @@ object Extensions {
       Chunking.queries ++ Maintenance.queries ++ Curation.queries ++
       ScanPruning.queries ++ Lifecycle.queries ++ Selection.queries ++
       TpchShapes.queries ++ TpchShapes2.queries ++ MatViews.queries ++
+      Dsv2Source.queries ++
       Association.queries ++ Governance.queries ++
       DriftAudit.queries ++ TemporalStats.queries ++ Concentration.queries ++
       BitmapIndex.queries
@@ -33,6 +34,7 @@ object Extensions {
       Chunking.oracleSql ++ Maintenance.oracleSql ++ Curation.oracleSql ++
       ScanPruning.oracleSql ++ Lifecycle.oracleSql ++ Selection.oracleSql ++
       TpchShapes.oracleSql ++ TpchShapes2.oracleSql ++ MatViews.oracleSql ++
+      Dsv2Source.oracleSql ++
       Association.oracleSql ++ Governance.oracleSql ++
       DriftAudit.oracleSql ++ TemporalStats.oracleSql ++
       Concentration.oracleSql ++ BitmapIndex.oracleSql

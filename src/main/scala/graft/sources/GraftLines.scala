@@ -1,0 +1,228 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan,
+  LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A DataSource V2 connector for a tab-separated document-metadata
+  * format — the custom-source tier of the engine (SURVEY.md §2b
+  * scans/sources/sinks): not another built-in format roundtrip, but
+  * the full `TableProvider → Table → ScanBuilder → Batch → reader`
+  * stack with REAL column pruning and filter pushdown, the two
+  * contracts that decide whether a source is usable at 100 TB.
+  *
+  * - **Column pruning** (`SupportsPushDownRequiredColumns`): the reader
+  *   materializes only the requested fields — `.explain` shows the
+  *   pruned ReadSchema, and a projection of two columns never pays for
+  *   four.
+  * - **Filter pushdown** (`SupportsPushDownFilters`): comparison and
+  *   equality predicates on any column are accepted, evaluated inside
+  *   the partition reader BEFORE a row is built, and reported back so
+  *   Catalyst drops its residual — the scan's description carries the
+  *   pushed set for plan pins.
+  * - **Parallelism**: one InputPartition per data file (the fixture is
+  *   written as multiple part files), so the scan distributes exactly
+  *   like any file source.
+  *
+  * Rows are `doc_id BIGINT \t lang \t source \t n_chars BIGINT`; the
+  * format forbids tabs/newlines in field values by construction (the
+  * fixture projects scalar metadata only). Fully handled pushdown is
+  * only claimed for predicates this reader evaluates EXACTLY; the
+  * fixture carries no nulls and `IsNotNull` is therefore trivially
+  * true.
+  */
+class GraftLines extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLines.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftLinesTable(properties.get("path"))
+}
+
+object GraftLines {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  private[sources] val FieldIndex: Map[String, Int] =
+    Schema.fieldNames.zipWithIndex.toMap
+}
+
+final class GraftLinesTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graftlines requires option(\"path\", ...)")
+
+  override def name(): String = s"graftlines($path)"
+  override def schema(): StructType = GraftLines.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLinesScanBuilder(path)
+}
+
+final class GraftLinesScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = GraftLines.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** accept exactly the predicates the reader evaluates; everything
+    * else stays with Catalyst as a residual
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo(a, _) => GraftLines.FieldIndex.contains(a)
+      case GreaterThan(a, _) => GraftLines.FieldIndex.contains(a)
+      case GreaterThanOrEqual(a, _) => GraftLines.FieldIndex.contains(a)
+      case LessThan(a, _) => GraftLines.FieldIndex.contains(a)
+      case LessThanOrEqual(a, _) => GraftLines.FieldIndex.contains(a)
+      case IsNotNull(a) => GraftLines.FieldIndex.contains(a)
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GraftLinesScan(path, required, pushed)
+}
+
+/** Hadoop `Configuration` is not Java-serializable; this 12-line
+  * envelope ships it driver → executor the way every file connector
+  * must (readers NEVER touch SparkContext — it does not exist on an
+  * executor; the first cut did, which only works in local mode).
+  */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends java.io.Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+final class GraftLinesScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftLines path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  // driver side: SparkContext is available here, and only here
+  private def driverConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, driverConf)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+      .map(s => GraftLinesPartition(s.getPath.toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLinesReaderFactory(required, pushed,
+      new SerializableHadoopConf(driverConf))
+}
+
+final case class GraftLinesPartition(file: String) extends InputPartition
+
+final class GraftLinesReaderFactory(required: StructType,
+    pushed: Array[Filter], conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftLinesReader(
+      partition.asInstanceOf[GraftLinesPartition].file, required, pushed,
+      conf)
+}
+
+final class GraftLinesReader(file: String, required: StructType,
+    pushed: Array[Filter], conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val p = new Path(file)
+  private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+    FileSystem.get(p.toUri, conf.value).open(p), "UTF-8"))
+
+  private val outIdx: Array[Int] =
+    required.fieldNames.map(GraftLines.FieldIndex)
+  private var row: InternalRow = _
+
+  /** evaluate one pushed predicate against the parsed full-width line */
+  private def keep(f: Array[String]): Boolean = pushed.forall {
+    case EqualTo(a, v) => cmp(f, a, v) == 0
+    case GreaterThan(a, v) => cmp(f, a, v) > 0
+    case GreaterThanOrEqual(a, v) => cmp(f, a, v) >= 0
+    case LessThan(a, v) => cmp(f, a, v) < 0
+    case LessThanOrEqual(a, v) => cmp(f, a, v) <= 0
+    case IsNotNull(_) => true
+    case other => sys.error(s"unpushable filter leaked in: $other")
+  }
+
+  private def cmp(f: Array[String], attr: String, v: Any): Int =
+    GraftLines.Schema(attr).dataType match {
+      case LongType =>
+        java.lang.Long.compare(f(GraftLines.FieldIndex(attr)).toLong,
+          v.asInstanceOf[Number].longValue())
+      case _ =>
+        f(GraftLines.FieldIndex(attr)).compareTo(v.toString)
+    }
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      val f = line.split("\t", -1)
+      if (f.length == GraftLines.Schema.size && keep(f)) {
+        val values: Array[Any] = outIdx.map { i =>
+          GraftLines.Schema(i).dataType match {
+            case LongType => f(i).toLong
+            case _ => UTF8String.fromString(f(i)): Any
+          }
+        }
+        row = InternalRow.fromSeq(values.toIndexedSeq)
+        return true
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.ops.{Dsv2Source, Extensions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-visible contracts of the GraftLines DSv2 connector: predicates
+  * must reach the readers, projections must prune the read schema,
+  * partitioning must follow the part files, residual (unpushable)
+  * predicates must stay with Catalyst, and the full read must agree
+  * with the parquet original row for row.
+  */
+class Dsv2SourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters are pushed and the read schema is pruned") {
+    val p = planOf(Extensions.queries("ax_dsv2_pushdown")(spark, dir))
+    assert(p.contains("PushedFilters: [EqualTo(lang,en), " +
+      "GreaterThanOrEqual(n_chars,200)]"), s"filters not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+      s"projection not pruned to the referenced columns:\n$p")
+  }
+
+  test("one input partition per part file") {
+    val df = Dsv2Source.linesRead(spark, dir)
+    assert(df.rdd.getNumPartitions == 4,
+      "the 4-file fixture must scan as 4 partitions")
+  }
+
+  test("an unpushable predicate stays with Catalyst as a residual") {
+    val df = Dsv2Source.linesRead(spark, dir)
+      .filter(col("lang").startsWith("e")) // StringStartsWith: not accepted
+    val p = planOf(df)
+    assert(p.contains("PushedFilters: []") ||
+      !p.contains("StringStartsWith"),
+      s"StartsWith must not be claimed as pushed:\n$p")
+    assert(p.contains("Filter"), s"residual filter node expected:\n$p")
+  }
+
+  test("the connector read equals the parquet original exactly") {
+    val viaConnector = Dsv2Source.linesRead(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val viaParquet = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(viaConnector.length == viaParquet.length)
+    assert(viaConnector.sameElements(viaParquet))
+  }
+
+  test("pushed predicates filter inside the reader, not just the plan") {
+    val n = Dsv2Source.linesRead(spark, dir)
+      .filter(col("n_chars") < 200L).count()
+    val expect = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars") < 200L).count()
+    assert(n == expect)
+  }
+}
