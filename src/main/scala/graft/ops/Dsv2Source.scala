@@ -62,11 +62,46 @@ object Dsv2Source {
       |WHERE lang = 'en' AND n_chars >= 200
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_dsv2_roundtrip: the connector's WRITE side — documents metadata
+  // written through the two-phase-commit sink (tasks stage hidden
+  // files; only the driver's commit renames them visible, so failed or
+  // speculative tasks can never surface a partial file), then read
+  // back through the connector's scan and aggregated. The write runs
+  // EVERY execution (overwrite = SupportsTruncate), so a commit-
+  // protocol regression lands as a gate failure, not a stale fixture.
+  // Oracle = the same aggregate over the original parquet.
+  // -------------------------------------------------------------------
+  private def dsv2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val out = new java.io.File(s"target/dsv2_write/$tag").getAbsolutePath
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartition(4)
+      .write.format(classOf[graft.sources.GraftLines].getName)
+      .option("path", out)
+      .mode("overwrite")
+      .save()
+    spark.read.format(classOf[graft.sources.GraftLines].getName)
+      .option("path", out)
+      .load()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc)
+  }
+
+  private val dsv2RoundtripSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ax_dsv2_pushdown" -> (dsv2Pushdown _)
+    "ax_dsv2_pushdown"  -> (dsv2Pushdown _),
+    "ax_dsv2_roundtrip" -> (dsv2Roundtrip _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "ax_dsv2_pushdown" -> dsv2PushdownSql
+    "ax_dsv2_pushdown"  -> dsv2PushdownSql,
+    "ax_dsv2_roundtrip" -> dsv2RoundtripSql
   )
 }

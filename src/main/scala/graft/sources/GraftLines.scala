@@ -67,17 +67,25 @@ object GraftLines {
     Schema.fieldNames.zipWithIndex.toMap
 }
 
-final class GraftLinesTable(path: String) extends Table with SupportsRead {
+final class GraftLinesTable(path: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graftlines requires option(\"path\", ...)")
 
   override def name(): String = s"graftlines($path)"
   override def schema(): StructType = GraftLines.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLinesScanBuilder(path)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftLinesWriteBuilder(path, info.schema())
 }
 
 final class GraftLinesScanBuilder(path: String) extends ScanBuilder
@@ -225,4 +233,120 @@ final class GraftLinesReader(file: String, required: StructType,
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------------
+// Write side — the sink contract with a real TWO-PHASE COMMIT: each
+// task writes its rows to a hidden staging file and reports the path in
+// its commit message; only the DRIVER's commit() renames staged files
+// into place (and, for truncate mode, clears previous data first), so a
+// failed or speculative task can never leave a visible partial file —
+// abort() deletes the stage. This is the same protocol every production
+// file sink implements, demonstrated end to end on the TSV format.
+// ---------------------------------------------------------------------
+
+final class GraftLinesWriteBuilder(path: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var truncateMode = false
+
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateMode = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite = {
+        require(schema.fieldNames.sameElements(
+          GraftLines.Schema.fieldNames),
+          s"graftlines writes exactly ${GraftLines.Schema.fieldNames
+            .mkString("(", ", ", ")")}; got ${schema.fieldNames
+            .mkString("(", ", ", ")")}")
+        val conf = new SerializableHadoopConf(
+          org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+        new GraftLinesBatchWrite(path, truncateMode, conf)
+      }
+    }
+}
+
+final case class GraftLinesCommit(staged: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class GraftLinesBatchWrite(path: String, truncate: Boolean,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val stageDir = s"$path/_staging"
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new GraftLinesWriterFactory(stageDir, conf)
+
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, conf.value)
+    if (truncate) {
+      // clear previous VISIBLE data only after all tasks staged cleanly
+      if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+        if (s.isFile && !s.getPath.getName.startsWith("_"))
+          fs.delete(s.getPath, false)
+      }
+    }
+    messages.foreach { case GraftLinesCommit(staged) =>
+      val src = new Path(staged)
+      fs.rename(src, new Path(root, src.getName.stripSuffix(".tmp")))
+    }
+    fs.delete(new Path(stageDir), true)
+  }
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new Path(path).toUri, conf.value)
+    fs.delete(new Path(stageDir), true)
+  }
+}
+
+final class GraftLinesWriterFactory(stageDir: String,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftLinesWriter(stageDir, partitionId, taskId, conf)
+}
+
+final class GraftLinesWriter(stageDir: String, partitionId: Int,
+    taskId: Long, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val staged =
+    new Path(s"$stageDir/part-$partitionId-$taskId.tsv.tmp")
+  private val fs = FileSystem.get(staged.toUri, conf.value)
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(staged, true), "UTF-8"))
+
+  override def write(r: InternalRow): Unit = {
+    out.write(s"${r.getLong(0)}\t${r.getUTF8String(1)}\t" +
+      s"${r.getUTF8String(2)}\t${r.getLong(3)}")
+    out.newLine()
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    GraftLinesCommit(staged.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(staged, false)
+  }
+
+  override def close(): Unit = ()
 }

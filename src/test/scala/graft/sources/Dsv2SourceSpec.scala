@@ -53,6 +53,23 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(viaConnector.sameElements(viaParquet))
   }
 
+  test("the write commit leaves no staging residue and overwrite truncates") {
+    // run the roundtrip twice: the second overwrite must fully replace
+    // the first (no doubled rows) and no _staging/.tmp files survive
+    Extensions.queries("ax_dsv2_roundtrip")(spark, dir).collect()
+    val rows = Extensions.queries("ax_dsv2_roundtrip")(spark, dir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val expect = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == expect, s"overwrite doubled or lost rows: $total")
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val out = new java.io.File(s"target/dsv2_write/$tag")
+    assert(!new java.io.File(out, "_staging").exists(),
+      "staging dir must be cleaned by the driver commit")
+    val stray = Option(out.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tmp"))
+    assert(stray.isEmpty, s"uncommitted temp files visible: ${stray.toSeq}")
+  }
+
   test("pushed predicates filter inside the reader, not just the plan") {
     val n = Dsv2Source.linesRead(spark, dir)
       .filter(col("n_chars") < 200L).count()
