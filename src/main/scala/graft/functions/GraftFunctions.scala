@@ -39,6 +39,13 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
         require(exprs.length == 1, s"graft_hash60 expects 1 argument, got ${exprs.length}")
         org.apache.spark.sql.graft.Md5Hash60(exprs.head)
       }))
+    // the optimizer tier, cluster-wide: the same rules/strategy the gate
+    // installs per session through spark.experimental (TopNPerGroup.install,
+    // MvRewrite.install) ride spark.sql.extensions here, so a SQL gateway
+    // gets top-k-per-group planning and MV serving with zero call-site code
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTopNPerGroup)
+    ext.injectOptimizerRule(spark => graft.plans.MvRewrite.RewriteAggToMv(spark))
+    ext.injectPlannerStrategy(_ => graft.plans.TopNPerGroupStrategy)
   }
 }
 

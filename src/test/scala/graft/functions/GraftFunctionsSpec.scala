@@ -74,6 +74,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(fn.eval(null) === 23L)
   }
 
+  test("GraftSparkExtensions applies cleanly with the optimizer-tier injections") {
+    // a broken injection (wrong arity, missing class) throws at apply
+    // time — exactly when spark.sql.extensions would fail a real session
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftSparkExtensions().apply(ext)
+  }
+
   test("registered polarify program plans the same CaseWhen as the DataFrame path") {
     import graft.polarify.dsl._
     val x = "x".ref
