@@ -196,11 +196,148 @@ object GraphAnn {
        |LEFT JOIN h1 ON p.pu = h1.u
        |ORDER BY probe_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sim_nnd_converge: the CONVERGENCE CURVE — the same construction run
+  // for TWO descent rounds, reported as one row per graph generation
+  // (round 0 = init, 1, 2) with the probe-panel recall@k in exact
+  // milli-units. Each round's candidate set contains every current
+  // edge, so the curve is monotone by construction (pinned in
+  // GraphAnnSpec); the curve flattening is the measured stopping
+  // criterion a production build would use. Work per round stays
+  // Θ(n·k²) — running more rounds never changes the per-round shape.
+  // -------------------------------------------------------------------
+  private def nndConverge(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK.TopKByScore(K))
+    val base = qt(spark, dir)
+
+    def scored(edges: DataFrame): DataFrame = edges
+      .join(base.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
+      .join(base.select(col("vec_id").as("v"), col("q").as("qv")), Seq("v"))
+      .select(col("u"), col("v"),
+        cosineFloor(col("qu"), col("qv"), 1000000.0).as("s"))
+      .filter(col("s").isNotNull)
+
+    def topkOf(pairs: DataFrame): DataFrame = pairs
+      .groupBy("u").agg(topk(col("s"), col("v")).as("nn"))
+      .select(col("u"), explode(col("nn")).as("w"))
+      .select(col("u"), col("w.id").as("v"))
+
+    def descentRound(n: DataFrame): DataFrame = {
+      val und = n.union(n.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      val nn2 = und.as("x").join(und.as("y"),
+          col("x.v") === col("y.u") && col("x.u") =!= col("y.v"))
+        .select(col("x.u").as("u"), col("y.v").as("v"))
+      topkOf(scored(und.union(nn2).distinct()))
+    }
+
+    val m = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val b = base.withColumn("b", Hyperplanes.bucketCol(col("q"), InitPlanes))
+    val bucketPairs = b.as("a").join(b.as("c"),
+        col("a.b") === col("c.b") && col("a.vec_id") =!= col("c.vec_id"))
+      .select(col("a.vec_id").as("u"), col("c.vec_id").as("v"))
+    val seedPairs = base.select(col("vec_id").as("u"),
+        explode(array((1 to K).map(j =>
+          (col("vec_id") + lit(j * SeedStride)) % m): _*)).as("v"))
+      .filter(col("u") =!= col("v"))
+    val n0 = topkOf(scored(bucketPairs.union(seedPairs).distinct()))
+    val n1 = descentRound(n0)
+    val n2 = descentRound(n1)
+
+    val probes = base.filter(col("vec_id") % ProbeMod === 0L)
+      .select(col("vec_id").as("pu"), col("q").as("pq"))
+    val truth = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pu"))
+      .select(col("pu").as("u"), col("vec_id").as("v"),
+        cosineFloor(col("q"), col("pq"), 1000000.0).as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy("u").agg(topk(col("s"), col("v")).as("nn"))
+      .select(col("u"), explode(col("nn")).as("w"))
+      .select(col("u"), col("w.id").as("v"))
+
+    val nProbes = probes.count()
+    def curveRow(n: DataFrame, r: Int): DataFrame = truth
+      .join(n, Seq("u", "v"))
+      .agg(count(lit(1)).as("sum_hits"))
+      .select(lit(r.toLong).as("round"), col("sum_hits"),
+        lit(nProbes).as("n_probes"),
+        expr(s"(sum_hits * 1000) div (${K.toLong} * $nProbes)")
+          .as("recall_milli"))
+
+    curveRow(n0, 0).union(curveRow(n1, 1)).union(curveRow(n2, 2))
+      .orderBy("round")
+  }
+
+  private def nndConvergeSql: String = {
+    def roundCtes(i: Int): String =
+      s"""und$i AS (SELECT u, v FROM n${i - 1}
+         |  UNION SELECT v, u FROM n${i - 1}),
+         |cand$i AS (SELECT u, v FROM und$i
+         |  UNION
+         |  SELECT x.u, y.v FROM und$i x JOIN und$i y
+         |    ON x.v = y.u AND x.u <> y.v),
+         |sc$i AS (SELECT cand$i.u, cand$i.v, ${cosE6("qu.q", "qv.q")} AS s
+         |       FROM cand$i JOIN qt qu ON cand$i.u = qu.vec_id
+         |                   JOIN qt qv ON cand$i.v = qv.vec_id),
+         |n$i AS (SELECT u, v FROM (
+         |    SELECT u, v, ROW_NUMBER() OVER
+         |      (PARTITION BY u ORDER BY s DESC, v) AS r
+         |    FROM sc$i WHERE s IS NOT NULL)
+         |  WHERE r <= $K)""".stripMargin
+    def hitsCte(i: Int): String =
+      s"""h$i AS (SELECT CAST($i AS BIGINT) AS round, COUNT(*) AS sum_hits
+         |  FROM truth t JOIN n$i ON t.u = n$i.u AND t.v = n$i.v)"""
+        .stripMargin
+    s"""WITH qt AS (SELECT vec_id, ${Similarity.quantizeDuck} AS q
+       |            FROM embeddings),
+       |mm AS (SELECT MAX(vec_id) + 1 AS m FROM qt),
+       |b AS (SELECT vec_id, q,
+       |        ${Hyperplanes.bucketSqlDuck("q", InitPlanes)} AS b FROM qt),
+       |bp AS (SELECT a.vec_id AS u, c.vec_id AS v
+       |       FROM b a JOIN b c ON a.b = c.b AND a.vec_id <> c.vec_id),
+       |seeds AS (SELECT vec_id AS u,
+       |    (vec_id + j.j * $SeedStride) % mm.m AS v
+       |  FROM qt, mm, (SELECT unnest(range(1, ${K + 1})) AS j) j
+       |  WHERE (vec_id + j.j * $SeedStride) % mm.m <> vec_id),
+       |ic AS (SELECT u, v FROM bp UNION SELECT u, v FROM seeds),
+       |p0 AS (SELECT ic.u, ic.v, ${cosE6("qu.q", "qv.q")} AS s
+       |       FROM ic JOIN qt qu ON ic.u = qu.vec_id
+       |               JOIN qt qv ON ic.v = qv.vec_id),
+       |n0 AS (SELECT u, v FROM (
+       |    SELECT u, v, ROW_NUMBER() OVER
+       |      (PARTITION BY u ORDER BY s DESC, v) AS r
+       |    FROM p0 WHERE s IS NOT NULL)
+       |  WHERE r <= $K),
+       |${roundCtes(1)},
+       |${roundCtes(2)},
+       |probes AS (SELECT vec_id AS pu, q AS pq FROM qt
+       |           WHERE vec_id % $ProbeMod = 0),
+       |np AS (SELECT COUNT(*) AS n FROM probes),
+       |tp AS (SELECT p.pu AS u, t.vec_id AS v,
+       |    ${cosE6("t.q", "p.pq")} AS s
+       |  FROM qt t, probes p WHERE t.vec_id <> p.pu),
+       |truth AS (SELECT u, v FROM (
+       |    SELECT u, v, ROW_NUMBER() OVER
+       |      (PARTITION BY u ORDER BY s DESC, v) AS r
+       |    FROM tp WHERE s IS NOT NULL)
+       |  WHERE r <= $K),
+       |${hitsCte(0)},
+       |${hitsCte(1)},
+       |${hitsCte(2)},
+       |curve AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+       |          UNION ALL SELECT * FROM h2)
+       |SELECT round, sum_hits, CAST(np.n AS BIGINT) AS n_probes,
+       |  CAST(sum_hits * 1000 // ($K * np.n) AS BIGINT) AS recall_milli
+       |FROM curve, np ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_nnd_round" -> (nndRound _)
+    "sim_nnd_round"    -> (nndRound _),
+    "sim_nnd_converge" -> (nndConverge _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "sim_nnd_round" -> nndRoundSql
+    "sim_nnd_round"    -> nndRoundSql,
+    "sim_nnd_converge" -> nndConvergeSql
   )
 }

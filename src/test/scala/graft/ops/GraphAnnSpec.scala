@@ -43,6 +43,20 @@ class GraphAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("the convergence curve is monotone and round 1 matches nnd_round") {
+    val curve = Extensions.queries("sim_nnd_converge")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(curve.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val recalls = curve.map(_.getLong(3))
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"curve must be monotone: ${recalls.toSeq}")
+    assert(recalls(2) > recalls(0), "two rounds must strictly improve")
+    // generation 1 of the curve is the same graph nnd_round refines to
+    val k = curve(0).getLong(2) * rows.head.getLong(1)
+    assert(curve(1).getLong(1) == rows.map(_.getLong(3)).sum,
+      "curve round-1 hits must equal nnd_round's refined hits")
+  }
+
   test("only the probe-panel broadcast is a non-keyed join") {
     val p = Extensions.queries("sim_nnd_round")(spark, dir)
       .queryExecution.executedPlan.toString
