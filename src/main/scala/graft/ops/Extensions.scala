@@ -20,7 +20,7 @@ object Extensions {
       Chunking.queries ++ Maintenance.queries ++ Curation.queries ++
       ScanPruning.queries ++ Lifecycle.queries ++ Selection.queries ++
       TpchShapes.queries ++ TpchShapes2.queries ++ MatViews.queries ++
-      Dsv2Source.queries ++
+      Dsv2Source.queries ++ Lineage.queries ++
       Association.queries ++ Governance.queries ++
       DriftAudit.queries ++ TemporalStats.queries ++ Concentration.queries ++
       BitmapIndex.queries
@@ -34,7 +34,7 @@ object Extensions {
       Chunking.oracleSql ++ Maintenance.oracleSql ++ Curation.oracleSql ++
       ScanPruning.oracleSql ++ Lifecycle.oracleSql ++ Selection.oracleSql ++
       TpchShapes.oracleSql ++ TpchShapes2.oracleSql ++ MatViews.oracleSql ++
-      Dsv2Source.oracleSql ++
+      Dsv2Source.oracleSql ++ Lineage.oracleSql ++
       Association.oracleSql ++ Governance.oracleSql ++
       DriftAudit.oracleSql ++ TemporalStats.oracleSql ++
       Concentration.oracleSql ++ BitmapIndex.oracleSql
