@@ -38,7 +38,7 @@ object MatViews {
         java.nio.file.Paths.get(dir, "lineitem.parquet")).toMillis
       catch { case _: Exception => 0L }
     val pathF = FixtureCache.dir("mv_lineitem", dir,
-      "grain" -> "rf_ls", "v" -> 1, "src" -> stamp)
+      "grain" -> "rf_ls", "v" -> 2, "src" -> stamp)
     val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
     if (!marker.exists()) {
       spark.read.parquet(s"$dir/lineitem.parquet")
@@ -47,6 +47,8 @@ object MatViews {
           sum(qtyLong(col("l_quantity"))).as("mv_sum_qty"),
           sum(discCents(col("l_extendedprice"), col("l_discount")))
             .as("mv_disc_cents"),
+          max(qtyLong(col("l_quantity"))).as("mv_max_qty"),
+          min(qtyLong(col("l_quantity"))).as("mv_min_qty"),
           count(lit(1)).as("mv_n_rows"))
         .coalesce(1)
         .write.mode("overwrite").parquet(pathF.toString)
@@ -86,7 +88,11 @@ object MatViews {
             measureTemplate(spark, base,
               discCents(col("l_extendedprice"), col("l_discount")))),
         countCol = "mv_n_rows",
-        mvPath = mvPath))
+        mvPath = mvPath,
+        maxes = Seq("mv_max_qty" ->
+          measureTemplate(spark, base, qtyLong(col("l_quantity")))),
+        mins = Seq("mv_min_qty" ->
+          measureTemplate(spark, base, qtyLong(col("l_quantity"))))))
     MvRewrite.install(spark)
   }
 
@@ -204,15 +210,42 @@ object MatViews {
       |  COUNT(*) AS mv_n_rows
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_mv_minmax: the full distributive-aggregate algebra served from
+  // one rollup — max and min re-aggregate exactly like sum and count
+  // (max of partial maxes), so the same grain answers range questions.
+  // -------------------------------------------------------------------
+  private def mvMinMax(spark: SparkSession, dir: String): DataFrame = {
+    serveFromMv(spark, dir)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        max(qtyLong(col("l_quantity"))).as("max_qty"),
+        min(qtyLong(col("l_quantity"))).as("min_qty"),
+        sum(qtyLong(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_linestatus").asc)
+  }
+
+  private val mvMinMaxSql =
+    """SELECT l_linestatus,
+      |  CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+      |  CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_mv_rewrite" -> (mvRewrite _),
     "ax_mv_filter"  -> (mvFilter _),
+    "ax_mv_minmax"  -> (mvMinMax _),
     "ax_mv_delta"   -> (mvDelta _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "ax_mv_rewrite" -> mvRewriteSql,
     "ax_mv_filter"  -> mvFilterSql,
+    "ax_mv_minmax"  -> mvMinMaxSql,
     "ax_mv_delta"   -> mvDeltaSql
   )
 }

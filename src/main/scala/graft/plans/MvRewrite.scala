@@ -54,11 +54,18 @@ object MvRewrite {
     * @param countCol  mv column holding the per-group base row count
     * @param mvPath    parquet path of the rollup
     */
+  /** `measures` serve `sum(e)` (sum of partial sums), `maxes`/`mins`
+    * serve `max(e)`/`min(e)` (max of partial maxes / min of partial
+    * mins — max, min, sum and count are the distributive aggregates a
+    * grain rollup can re-aggregate exactly).
+    */
   final case class MvDef(
       dims: Seq[String],
       measures: Seq[(String, Expression)],
       countCol: String,
-      mvPath: String)
+      mvPath: String,
+      maxes: Seq[(String, Expression)] = Nil,
+      mins: Seq[(String, Expression)] = Nil)
 
   /** Identity-erased form for cross-plan expression comparison: every
     * attribute reference is re-keyed by COLUMN NAME (exprId derived
@@ -153,15 +160,22 @@ object MvRewrite {
 
       val measureByNorm: Map[Expression, String] =
         mv.measures.map { case (mvCol, templ) => templ -> mvCol }.toMap
+      val maxByNorm: Map[Expression, String] =
+        mv.maxes.map { case (mvCol, templ) => templ -> mvCol }.toMap
+      val minByNorm: Map[Expression, String] =
+        mv.mins.map { case (mvCol, templ) => templ -> mvCol }.toMap
 
       val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
       val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
       // a stale registration (missing column) must fail the match, not throw
       if (!mv.dims.forall(mvAttr.contains) || !mvAttr.contains(mv.countCol) ||
-        !mv.measures.forall(m => mvAttr.contains(m._1))) return None
+        !(mv.measures ++ mv.maxes ++ mv.mins)
+          .forall(m => mvAttr.contains(m._1))) return None
 
-      def sumOf(name: String): AggregateExpression =
-        AggregateExpression(Sum(mvAttr(name)), Complete, isDistinct = false)
+      def aggOf(f: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateFunction): AggregateExpression =
+        AggregateExpression(f, Complete, isDistinct = false)
+      def sumOf(name: String): AggregateExpression = aggOf(Sum(mvAttr(name)))
 
       // rewrite every result expression or give up
       val rewritten: Seq[Option[NamedExpression]] = resultExprs.map {
@@ -171,6 +185,22 @@ object MvRewrite {
             AggregateExpression(Sum(e, _), Complete, false, None, _), name) =>
           measureByNorm.get(normalize(e)).map { mvCol =>
             Alias(sumOf(mvCol), name)(exprId = al.exprId)
+          }
+        case al @ Alias(
+            AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate.Max(e),
+              Complete, false, None, _), name) =>
+          maxByNorm.get(normalize(e)).map { mvCol =>
+            Alias(aggOf(org.apache.spark.sql.catalyst.expressions.aggregate
+              .Max(mvAttr(mvCol))), name)(exprId = al.exprId)
+          }
+        case al @ Alias(
+            AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate.Min(e),
+              Complete, false, None, _), name) =>
+          minByNorm.get(normalize(e)).map { mvCol =>
+            Alias(aggOf(org.apache.spark.sql.catalyst.expressions.aggregate
+              .Min(mvAttr(mvCol))), name)(exprId = al.exprId)
           }
         case al @ Alias(
             AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
