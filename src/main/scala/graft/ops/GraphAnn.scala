@@ -40,9 +40,30 @@ object GraphAnn {
   private val SeedStride = 997L // deterministic connectivity edges
   private val ProbeMod = 29L   // deterministic probe panel
 
+  /** session-cached quantized corpus — the family substrate, read by
+    * every scoring join of both gates (SubstrateCache discipline)
+    */
+  private val baseCache =
+    new SubstrateCache[DataFrame]("embeddings.parquet",
+      (df: DataFrame) => { df.unpersist(); () })
+
+  /** session-cached INIT GRAPH — identical construction in both gates,
+    * localCheckpointed so each round's consumers read a materialized
+    * edge table instead of re-deriving the whole upstream DAG (a
+    * round's output is referenced 4+ times downstream; without
+    * truncation the recomputation compounds per round — measured
+    * 7.9 s → the fix target for sim_nnd_converge)
+    */
+  private val initCache =
+    new SubstrateCache[DataFrame]("embeddings.parquet",
+      (_: DataFrame) => ())
+
   private def qt(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), expr(Similarity.quantize).as("q"))
+    baseCache.get(spark, dir) {
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), expr(Similarity.quantize).as("q"))
+        .persist()
+    }
 
   // -------------------------------------------------------------------
   // sim_nnd_round: one NN-descent refinement round, recall-audited.
@@ -60,60 +81,95 @@ object GraphAnn {
   // equi-joins against the quantized table, and per-node state is the
   // k-bounded TopK buffer — map-side partials, no global sort.
   // -------------------------------------------------------------------
-  private def nndRound(spark: SparkSession, dir: String): DataFrame = {
+  /** exact-cosine score (micro-units) for an edge list (u, v) */
+  private def scoredOf(base: DataFrame)(edges: DataFrame): DataFrame = edges
+    .join(base.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
+    .join(base.select(col("vec_id").as("v"), col("q").as("qv")), Seq("v"))
+    .select(col("u"), col("v"),
+      cosineFloor(col("qu"), col("qv"), 1000000.0).as("s"))
+    .filter(col("s").isNotNull)
+
+  private def topkOf(topk: org.apache.spark.sql.expressions
+      .UserDefinedFunction)(pairs: DataFrame): DataFrame = pairs
+    .groupBy("u").agg(topk(col("s"), col("v")).as("nn"))
+    .select(col("u"), explode(col("nn")).as("w"))
+    .select(col("u"), col("w.id").as("v"))
+
+  /** init graph: within-bucket pairs ∪ k stride edges, scored, top-k —
+    * built ONCE per session (shared by both gates), localCheckpointed
+    * so every downstream reference reads a materialized edge table
+    */
+  private def initGraph(spark: SparkSession, dir: String): DataFrame =
+    initCache.get(spark, dir) {
+      val topk = udaf(new graft.functions.TopK.TopKByScore(K))
+      val base = qt(spark, dir)
+      val m = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val b = base.withColumn("b",
+        Hyperplanes.bucketCol(col("q"), InitPlanes))
+      val bucketPairs = b.as("a").join(b.as("c"),
+          col("a.b") === col("c.b") && col("a.vec_id") =!= col("c.vec_id"))
+        .select(col("a.vec_id").as("u"), col("c.vec_id").as("v"))
+      val seedPairs = base.select(col("vec_id").as("u"),
+          explode(array((1 to K).map(j =>
+            (col("vec_id") + lit(j * SeedStride)) % m): _*)).as("v"))
+        .filter(col("u") =!= col("v"))
+      topkOf(topk)(scoredOf(base)(bucketPairs.union(seedPairs).distinct()))
+        .localCheckpoint()
+    }
+
+  /** one descent round: expand to neighbors-of-neighbors, rescore,
+    * re-top — output localCheckpointed (each round's result feeds 4+
+    * downstream references; without truncation the recomputation
+    * compounds per round, the measured 7.9 s converge cost)
+    */
+  private def descentRound(spark: SparkSession, dir: String)(
+      n: DataFrame): DataFrame = {
     val topk = udaf(new graft.functions.TopK.TopKByScore(K))
-    val base = qt(spark, dir)
-
-    /** exact-cosine score (micro-units) for an edge list (u, v) */
-    def scored(edges: DataFrame): DataFrame = edges
-      .join(base.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
-      .join(base.select(col("vec_id").as("v"), col("q").as("qv")), Seq("v"))
-      .select(col("u"), col("v"),
-        cosineFloor(col("qu"), col("qv"), 1000000.0).as("s"))
-      .filter(col("s").isNotNull)
-
-    def topkOf(pairs: DataFrame): DataFrame = pairs
-      .groupBy("u").agg(topk(col("s"), col("v")).as("nn"))
-      .select(col("u"), explode(col("nn")).as("w"))
-      .select(col("u"), col("w.id").as("v"))
-
-    // init: within-bucket pairs ∪ k stride edges (graph connectivity)
-    val m = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
-    val b = base.withColumn("b", Hyperplanes.bucketCol(col("q"), InitPlanes))
-    val bucketPairs = b.as("a").join(b.as("c"),
-        col("a.b") === col("c.b") && col("a.vec_id") =!= col("c.vec_id"))
-      .select(col("a.vec_id").as("u"), col("c.vec_id").as("v"))
-    val seedPairs = base.select(col("vec_id").as("u"),
-        explode(array((1 to K).map(j =>
-          (col("vec_id") + lit(j * SeedStride)) % m): _*)).as("v"))
-      .filter(col("u") =!= col("v"))
-    val n0 = topkOf(scored(bucketPairs.union(seedPairs).distinct()))
-
-    // expand: undirected edges, then neighbors-of-neighbors
-    val und = n0.union(n0.select(col("v").as("u"), col("u").as("v")))
+    val und = n.union(n.select(col("v").as("u"), col("u").as("v")))
       .distinct()
     val nn2 = und.as("x").join(und.as("y"),
         col("x.v") === col("y.u") && col("x.u") =!= col("y.v"))
       .select(col("x.u").as("u"), col("y.v").as("v"))
-    val n1 = topkOf(scored(und.union(nn2).distinct()))
+    topkOf(topk)(scoredOf(qt(spark, dir))(und.union(nn2).distinct()))
+      .localCheckpoint()
+  }
 
-    // audit: exact truth for the probe panel only
-    val probes = base.filter(col("vec_id") % ProbeMod === 0L)
+  private def probesOf(base: DataFrame): DataFrame =
+    base.filter(col("vec_id") % ProbeMod === 0L)
       .select(col("vec_id").as("pu"), col("q").as("pq"))
-    val truth = base.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("pu"))
-      .select(col("pu").as("u"), col("vec_id").as("v"),
-        cosineFloor(col("q"), col("pq"), 1000000.0).as("s"))
-      .filter(col("s").isNotNull)
-      .groupBy("u").agg(topk(col("s"), col("v")).as("nn"))
-      .select(col("u"), explode(col("nn")).as("w"))
-      .select(col("u"), col("w.id").as("v"))
 
-    def hits(n: DataFrame): DataFrame = truth
-      .join(n, Seq("u", "v"))
-      .groupBy("u").agg(count(lit(1)).as("c"))
+  /** exact truth for the probe panel — session-cached like the init */
+  private val truthCache =
+    new SubstrateCache[DataFrame]("embeddings.parquet",
+      (_: DataFrame) => ())
 
-    probes.select(col("pu").as("probe_id"))
+  private def truthOf(spark: SparkSession, dir: String): DataFrame =
+    truthCache.get(spark, dir) {
+      val topk = udaf(new graft.functions.TopK.TopKByScore(K))
+      val base = qt(spark, dir)
+      base.crossJoin(broadcast(probesOf(base)))
+        .filter(col("vec_id") =!= col("pu"))
+        .select(col("pu").as("u"), col("vec_id").as("v"),
+          cosineFloor(col("q"), col("pq"), 1000000.0).as("s"))
+        .filter(col("s").isNotNull)
+        .groupBy("u").agg(topk(col("s"), col("v")).as("nn"))
+        .select(col("u"), explode(col("nn")).as("w"))
+        .select(col("u"), col("w.id").as("v"))
+        .localCheckpoint()
+    }
+
+  private def hitsOf(truth: DataFrame)(n: DataFrame): DataFrame = truth
+    .join(n, Seq("u", "v"))
+    .groupBy("u").agg(count(lit(1)).as("c"))
+
+  private def nndRound(spark: SparkSession, dir: String): DataFrame = {
+    val base = qt(spark, dir)
+    val n0 = initGraph(spark, dir)
+    val n1 = descentRound(spark, dir)(n0)
+    val truth = truthOf(spark, dir)
+    val hits = hitsOf(truth) _
+
+    probesOf(base).select(col("pu").as("probe_id"))
       .join(hits(n0).withColumnRenamed("u", "probe_id")
         .withColumnRenamed("c", "h0"), Seq("probe_id"), "left")
       .join(hits(n1).withColumnRenamed("u", "probe_id")
@@ -207,55 +263,13 @@ object GraphAnn {
   // Θ(n·k²) — running more rounds never changes the per-round shape.
   // -------------------------------------------------------------------
   private def nndConverge(spark: SparkSession, dir: String): DataFrame = {
-    val topk = udaf(new graft.functions.TopK.TopKByScore(K))
     val base = qt(spark, dir)
+    val n0 = initGraph(spark, dir)
+    val n1 = descentRound(spark, dir)(n0)
+    val n2 = descentRound(spark, dir)(n1)
+    val truth = truthOf(spark, dir)
 
-    def scored(edges: DataFrame): DataFrame = edges
-      .join(base.select(col("vec_id").as("u"), col("q").as("qu")), Seq("u"))
-      .join(base.select(col("vec_id").as("v"), col("q").as("qv")), Seq("v"))
-      .select(col("u"), col("v"),
-        cosineFloor(col("qu"), col("qv"), 1000000.0).as("s"))
-      .filter(col("s").isNotNull)
-
-    def topkOf(pairs: DataFrame): DataFrame = pairs
-      .groupBy("u").agg(topk(col("s"), col("v")).as("nn"))
-      .select(col("u"), explode(col("nn")).as("w"))
-      .select(col("u"), col("w.id").as("v"))
-
-    def descentRound(n: DataFrame): DataFrame = {
-      val und = n.union(n.select(col("v").as("u"), col("u").as("v")))
-        .distinct()
-      val nn2 = und.as("x").join(und.as("y"),
-          col("x.v") === col("y.u") && col("x.u") =!= col("y.v"))
-        .select(col("x.u").as("u"), col("y.v").as("v"))
-      topkOf(scored(und.union(nn2).distinct()))
-    }
-
-    val m = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
-    val b = base.withColumn("b", Hyperplanes.bucketCol(col("q"), InitPlanes))
-    val bucketPairs = b.as("a").join(b.as("c"),
-        col("a.b") === col("c.b") && col("a.vec_id") =!= col("c.vec_id"))
-      .select(col("a.vec_id").as("u"), col("c.vec_id").as("v"))
-    val seedPairs = base.select(col("vec_id").as("u"),
-        explode(array((1 to K).map(j =>
-          (col("vec_id") + lit(j * SeedStride)) % m): _*)).as("v"))
-      .filter(col("u") =!= col("v"))
-    val n0 = topkOf(scored(bucketPairs.union(seedPairs).distinct()))
-    val n1 = descentRound(n0)
-    val n2 = descentRound(n1)
-
-    val probes = base.filter(col("vec_id") % ProbeMod === 0L)
-      .select(col("vec_id").as("pu"), col("q").as("pq"))
-    val truth = base.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("pu"))
-      .select(col("pu").as("u"), col("vec_id").as("v"),
-        cosineFloor(col("q"), col("pq"), 1000000.0).as("s"))
-      .filter(col("s").isNotNull)
-      .groupBy("u").agg(topk(col("s"), col("v")).as("nn"))
-      .select(col("u"), explode(col("nn")).as("w"))
-      .select(col("u"), col("w.id").as("v"))
-
-    val nProbes = probes.count()
+    val nProbes = probesOf(base).count()
     def curveRow(n: DataFrame, r: Int): DataFrame = truth
       .join(n, Seq("u", "v"))
       .agg(count(lit(1)).as("sum_hits"))
