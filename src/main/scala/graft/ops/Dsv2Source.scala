@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object Dsv2Source {
 
   /** documents metadata as multi-file TSV, written once per SF */
-  private[ops] def tsvFixturePath(spark: SparkSession, dir: String): String = {
+  def tsvFixturePath(spark: SparkSession, dir: String): String = {
     val stamp =
       try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(dir, "documents.parquet")).toMillis

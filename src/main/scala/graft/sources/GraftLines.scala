@@ -53,10 +53,15 @@ class GraftLines extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftLinesTable(properties.get("path"))
+    new GraftLinesTable(properties.get("path"),
+      Option(properties.get("splitBytes")).map(_.toLong)
+        .getOrElse(GraftLines.DefaultSplitBytes))
 }
 
 object GraftLines {
+  /** target split size — a 10 GB file scans as ~320 parallel ranges */
+  val DefaultSplitBytes: Long = 32L * 1024 * 1024
+
   val Schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("lang", StringType, nullable = false),
@@ -67,10 +72,11 @@ object GraftLines {
     Schema.fieldNames.zipWithIndex.toMap
 }
 
-final class GraftLinesTable(path: String) extends Table
+final class GraftLinesTable(path: String, splitBytes: Long) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graftlines requires option(\"path\", ...)")
+  require(splitBytes > 0, "splitBytes must be positive")
 
   override def name(): String = s"graftlines($path)"
   override def schema(): StructType = GraftLines.Schema
@@ -80,7 +86,7 @@ final class GraftLinesTable(path: String) extends Table
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLinesScanBuilder(path)
+    new GraftLinesScanBuilder(path, splitBytes)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -88,7 +94,8 @@ final class GraftLinesTable(path: String) extends Table
     new GraftLinesWriteBuilder(path, info.schema())
 }
 
-final class GraftLinesScanBuilder(path: String) extends ScanBuilder
+final class GraftLinesScanBuilder(path: String, splitBytes: Long)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = GraftLines.Schema
@@ -116,7 +123,8 @@ final class GraftLinesScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftLinesScan(path, required, pushed)
+  override def build(): Scan =
+    new GraftLinesScan(path, splitBytes, required, pushed)
 }
 
 /** Hadoop `Configuration` is not Java-serializable; this 12-line
@@ -138,8 +146,8 @@ final class SerializableHadoopConf(
   }
 }
 
-final class GraftLinesScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+final class GraftLinesScan(path: String, splitBytes: Long,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -153,13 +161,25 @@ final class GraftLinesScan(path: String, required: StructType,
   private def driverConf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
 
+  /** one partition per byte range (Hadoop line-split semantics: a
+    * range owns every line that STARTS inside it, so ranges need no
+    * line alignment and a 10 GB file scans as ~len/splitBytes parallel
+    * tasks — whole-file partitions would serialize exactly the big
+    * files that matter)
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, driverConf)
     fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        s.getLen > 0)
       .sortBy(_.getPath.getName)
-      .map(s => GraftLinesPartition(s.getPath.toString): InputPartition)
+      .flatMap { s =>
+        (0L until s.getLen by splitBytes).map { start =>
+          GraftLinesPartition(s.getPath.toString, start,
+            math.min(start + splitBytes, s.getLen)): InputPartition
+        }
+      }
       .toArray
   }
 
@@ -168,7 +188,8 @@ final class GraftLinesScan(path: String, required: StructType,
       new SerializableHadoopConf(driverConf))
 }
 
-final case class GraftLinesPartition(file: String) extends InputPartition
+final case class GraftLinesPartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 final class GraftLinesReaderFactory(required: StructType,
     pushed: Array[Filter], conf: SerializableHadoopConf)
@@ -176,17 +197,43 @@ final class GraftLinesReaderFactory(required: StructType,
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new GraftLinesReader(
-      partition.asInstanceOf[GraftLinesPartition].file, required, pushed,
-      conf)
+      partition.asInstanceOf[GraftLinesPartition], required, pushed, conf)
 }
 
-final class GraftLinesReader(file: String, required: StructType,
-    pushed: Array[Filter], conf: SerializableHadoopConf)
+final class GraftLinesReader(part: GraftLinesPartition,
+    required: StructType, pushed: Array[Filter],
+    conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
-  private val p = new Path(file)
-  private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    FileSystem.get(p.toUri, conf.value).open(p), "UTF-8"))
+  // Hadoop line-split protocol: seek to the range start, discard the
+  // (possibly partial) line straddling it UNLESS this is offset 0, then
+  // own every line that STARTS at byte position <= end — the line
+  // straddling `end` belongs to THIS range, the next range discards it
+  // as its partial head. Byte positions are tracked by LineReader's
+  // consumed-byte counts (a char-level BufferedReader can't do this).
+  private val p = new Path(part.file)
+  private val stream = FileSystem.get(p.toUri, conf.value).open(p)
+  private var pos: Long = part.start
+  private val lines = {
+    stream.seek(part.start)
+    val lr = new org.apache.hadoop.util.LineReader(stream)
+    if (part.start > 0) {
+      pos += lr.readLine(new org.apache.hadoop.io.Text())
+    }
+    lr
+  }
+  private val text = new org.apache.hadoop.io.Text()
+
+  /** the next owned raw line, or null when the range is exhausted */
+  private def readOwnedLine(): String = {
+    if (pos > part.end) return null
+    val n = lines.readLine(text)
+    if (n == 0) null
+    else {
+      pos += n
+      text.toString
+    }
+  }
 
   private val outIdx: Array[Int] =
     required.fieldNames.map(GraftLines.FieldIndex)
@@ -213,7 +260,7 @@ final class GraftLinesReader(file: String, required: StructType,
     }
 
   override def next(): Boolean = {
-    var line = in.readLine()
+    var line = readOwnedLine()
     while (line != null) {
       val f = line.split("\t", -1)
       if (f.length == GraftLines.Schema.size && keep(f)) {
@@ -226,13 +273,16 @@ final class GraftLinesReader(file: String, required: StructType,
         row = InternalRow.fromSeq(values.toIndexedSeq)
         return true
       }
-      line = in.readLine()
+      line = readOwnedLine()
     }
     false
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    lines.close()
+    stream.close()
+  }
 }
 
 // ---------------------------------------------------------------------

@@ -27,10 +27,29 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"projection not pruned to the referenced columns:\n$p")
   }
 
-  test("one input partition per part file") {
+  test("one input partition per part file at the default split size") {
     val df = Dsv2Source.linesRead(spark, dir)
     assert(df.rdd.getNumPartitions == 4,
       "the 4-file fixture must scan as 4 partitions")
+  }
+
+  test("byte-range splits read every line exactly once") {
+    // force many small ranges; the Hadoop line-split protocol (a range
+    // owns every line that STARTS in it, first partial discarded) must
+    // lose nothing and double nothing at the split boundaries
+    val path = Dsv2Source.tsvFixturePath(spark, dir)
+    val whole = Dsv2Source.linesRead(spark, dir)
+    val split = spark.read
+      .format(classOf[GraftLines].getName)
+      .option("path", path)
+      .option("splitBytes", "512")
+      .load()
+    assert(split.rdd.getNumPartitions > 8,
+      "512-byte ranges must produce many partitions")
+    val a = whole.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = split.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.length == b.length && a.sameElements(b),
+      s"split read diverged: ${a.length} vs ${b.length} rows")
   }
 
   test("an unpushable predicate stays with Catalyst as a residual") {
