@@ -26,9 +26,6 @@ object TpchShapes2 {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** exact integer cents from a 2-decimal double price */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
-
   /** discounted line revenue in exact cents */
   private def discCents(): Column =
     round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)

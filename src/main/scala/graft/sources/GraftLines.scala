@@ -2,8 +2,6 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{
@@ -35,9 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   the partition reader BEFORE a row is built, and reported back so
   *   Catalyst drops its residual — the scan's description carries the
   *   pushed set for plan pins.
-  * - **Parallelism**: one InputPartition per data file (the fixture is
-  *   written as multiple part files), so the scan distributes exactly
-  *   like any file source.
+  * - **Parallelism**: one InputPartition per `splitBytes` byte range
+  *   under the Hadoop line-split protocol (a range owns every line
+  *   that starts in it), so one big file scans as many parallel tasks
+  *   exactly like any file source.
   *
   * Rows are `doc_id BIGINT \t lang \t source \t n_chars BIGINT`; the
   * format forbids tabs/newlines in field values by construction (the
