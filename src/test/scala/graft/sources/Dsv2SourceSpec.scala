@@ -89,6 +89,20 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(stray.isEmpty, s"uncommitted temp files visible: ${stray.toSeq}")
   }
 
+  test("a task abort deletes its staged file (the two-phase commit's other leg)") {
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = new java.io.File("target/dsv2_abort_stage").getAbsolutePath
+    val w = new GraftLinesWriter(stage, 0, 42L, conf)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      1L, org.apache.spark.unsafe.types.UTF8String.fromString("en"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("web"), 10L))
+    val staged = new java.io.File(s"$stage/part-0-42.tsv.tmp")
+    assert(staged.exists(), "the writer must stage before commit")
+    w.abort()
+    assert(!staged.exists(), "abort must delete the staged file")
+  }
+
   test("pushed predicates filter inside the reader, not just the plan") {
     val n = Dsv2Source.linesRead(spark, dir)
       .filter(col("n_chars") < 200L).count()
