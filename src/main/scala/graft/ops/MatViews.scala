@@ -77,8 +77,9 @@ object MatViews {
   private[ops] def serveFromMv(spark: SparkSession, dir: String): Unit = {
     val mvPath = mvLineitemPath(spark, dir)
     val base = s"$dir/lineitem.parquet"
+    val baseKey = MvRewrite.keyFor(spark, base)
     MvRewrite.register(
-      MvRewrite.keyFor(spark, base),
+      baseKey,
       MvRewrite.MvDef(
         dims = Seq("l_returnflag", "l_linestatus"),
         measures = Seq(
@@ -92,7 +93,8 @@ object MatViews {
         maxes = Seq("mv_max_qty" ->
           measureTemplate(spark, base, qtyLong(col("l_quantity")))),
         mins = Seq("mv_min_qty" ->
-          measureTemplate(spark, base, qtyLong(col("l_quantity"))))))
+          measureTemplate(spark, base, qtyLong(col("l_quantity")))),
+        baseStamp = MvRewrite.stampFor(baseKey)))
     MvRewrite.install(spark)
   }
 

@@ -65,7 +65,8 @@ object MvRewrite {
       countCol: String,
       mvPath: String,
       maxes: Seq[(String, Expression)] = Nil,
-      mins: Seq[(String, Expression)] = Nil)
+      mins: Seq[(String, Expression)] = Nil,
+      baseStamp: Long = 0L)
 
   /** Identity-erased form for cross-plan expression comparison: every
     * attribute reference is re-keyed by COLUMN NAME (exprId derived
@@ -98,6 +99,27 @@ object MvRewrite {
   def register(baseKey: String, mv: MvDef): Unit = catalog.put(baseKey, mv)
   def clear(): Unit = catalog.clear()
 
+  /** Freshness stamp for a base key (comma-joined root paths): the max
+    * modification time across the roots, 0 if unreachable. A served MV
+    * is only exact while its base is the one it was built from — the
+    * rule re-checks this stamp at MATCH time, so a base rewritten after
+    * registration fails the match and the query falls back to the raw
+    * scan (same mtime-generation discipline as FixtureCache). At
+    * cluster scale this is a catalog snapshot-version check; here the
+    * filesystem mtime is the version.
+    */
+  def stampFor(baseKey: String): Long = {
+    val conf = org.apache.spark.SparkContext.getOrCreate()
+      .hadoopConfiguration
+    baseKey.split(",").map { raw =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(raw)
+        org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
+          .getFileStatus(p).getModificationTime
+      } catch { case _: Exception => 0L }
+    }.max
+  }
+
   /** Idempotently install the rewrite rule on a session. */
   def install(spark: SparkSession): Unit = synchronized {
     val already = spark.experimental.extraOptimizations
@@ -118,7 +140,11 @@ object MvRewrite {
     case l: LogicalRelation => l.relation match {
       case fs: HadoopFsRelation =>
         val key = fs.location.rootPaths.map(_.toString).sorted.mkString(",")
-        Option(catalog.get(key)).map(mv => (mv, Nil))
+        Option(catalog.get(key))
+          // stale registration: base rewritten since the MV was built →
+          // the rollup no longer reflects the base; fail the match
+          .filter(mv => mv.baseStamp == 0L || stampFor(key) == mv.baseStamp)
+          .map(mv => (mv, Nil))
       case _ => None
     }
     case Project(projList, child)
@@ -126,7 +152,14 @@ object MvRewrite {
       matchBase(child)
     case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
       matchBase(child).flatMap { case (mv, conds) =>
-        val dimOnly = cond.references.forall(a => mv.dims.contains(a.name))
+        // dim-ONLY means: deterministic, references at least one column,
+        // and every referenced column is a grain column. A referenceless
+        // or nondeterministic predicate (rand() < p) selects RAW ROWS —
+        // remapping it onto the rollup would sample whole MV groups,
+        // silently changing results for any user query the installed
+        // rule sees, so it kills the match instead.
+        val dimOnly = cond.deterministic && cond.references.nonEmpty &&
+          cond.references.forall(a => mv.dims.contains(a.name))
         if (dimOnly) Some((mv, cond +: conds)) else None
       }
     case _ => None

@@ -255,7 +255,14 @@ final class GraftLinesReader(part: GraftLinesPartition,
         java.lang.Long.compare(f(GraftLines.FieldIndex(attr)).toLong,
           v.asInstanceOf[Number].longValue())
       case _ =>
-        f(GraftLines.FieldIndex(attr)).compareTo(v.toString)
+        // Spark orders strings by UTF-8 BYTE order (UTF8String), while
+        // java.lang.String.compareTo is UTF-16 code-unit order — the two
+        // disagree on supplementary code points (a 4-byte UTF-8 emoji
+        // sorts ABOVE U+FFFF in byte order but BELOW it in UTF-16). A
+        // fully-pushed filter gets no Catalyst residual, so the reader
+        // must reproduce Spark's order exactly.
+        UTF8String.fromString(f(GraftLines.FieldIndex(attr)))
+          .compareTo(UTF8String.fromString(v.toString))
     }
 
   override def next(): Boolean = {
@@ -350,7 +357,14 @@ final class GraftLinesBatchWrite(path: String, truncate: Boolean,
     }
     messages.foreach { case GraftLinesCommit(staged) =>
       val src = new Path(staged)
-      fs.rename(src, new Path(root, src.getName.stripSuffix(".tmp")))
+      val dst = new Path(root, src.getName.stripSuffix(".tmp"))
+      // a silent rename failure (pre-existing dst, missing parent, FS
+      // race) would drop this task's rows while the job still reports
+      // success — the exact partial-commit the 2PC protocol exists to
+      // prevent. Fail the JOB instead.
+      if (!fs.rename(src, dst))
+        sys.error(s"graftlines 2PC publish failed: rename $src -> $dst " +
+          "returned false; aborting commit")
     }
     fs.delete(new Path(stageDir), true)
   }

@@ -113,6 +113,66 @@ class MvRewriteSpec extends AnyFunSuite {
       s"delta slice filter not pushed to the fact scan:\n$p")
   }
 
+  test("a nondeterministic filter blocks the rewrite") {
+    gate()
+    // rand() < p is NONDETERMINISTIC and references no column —
+    // remapping it onto the rollup would sample whole MV groups instead
+    // of raw rows; the matcher must leave it alone. (An out-of-range
+    // constant like 2.0 won't do: Spark 4 folds that comparison away
+    // before the MV rule ever sees the filter.)
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(rand(7) < lit(0.5))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_lineitem"),
+      "a nondeterministic filter must not be remapped onto the rollup")
+  }
+
+  test("a rewritten base (stale registration) blocks the rewrite") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias => CAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Project => CProject}
+    val basePath = new java.io.File("target/mvfresh_base").getAbsolutePath
+    val mvPath = new java.io.File("target/mvfresh_mv").getAbsolutePath
+    try {
+      spark.read.parquet(s"$dir/lineitem.parquet").limit(500)
+        .write.mode("overwrite").parquet(basePath)
+      spark.read.parquet(basePath)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("long")).as("mv_q"),
+          count(lit(1)).as("mv_n"))
+        .write.mode("overwrite").parquet(mvPath)
+      val templ = {
+        val plan = spark.read.parquet(basePath)
+          .select(col("l_quantity").cast("long").as("m"))
+          .queryExecution.optimizedPlan
+        MvRewrite.normalize(plan.collectFirst {
+          case CProject(Seq(CAlias(child, _)), _) => child
+        }.get)
+      }
+      val key = MvRewrite.keyFor(spark, basePath)
+      MvRewrite.register(key, MvRewrite.MvDef(
+        dims = Seq("l_returnflag"), measures = Seq("mv_q" -> templ),
+        countCol = "mv_n", mvPath = mvPath,
+        baseStamp = MvRewrite.stampFor(key)))
+      MvRewrite.install(spark)
+      def q = spark.read.parquet(basePath)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      assert(planOf(q).contains("mvfresh_mv"),
+        s"fresh registration must serve from the MV:\n${planOf(q)}")
+      // rewrite the base AFTER registration: the stamp check must now
+      // fail the match — serving the old rollup would be silently stale
+      Thread.sleep(1200) // local FS mtimes can be coarse-grained
+      spark.read.parquet(s"$dir/lineitem.parquet").limit(400)
+        .write.mode("overwrite").parquet(basePath)
+      assert(!planOf(q).contains("mvfresh_mv"),
+        "a base rewritten after registration must fall back to the raw scan")
+    } finally {
+      MvRewrite.clear()
+      gate() // re-register the standard MV for later suites
+    }
+  }
+
   test("a measure the MV does not carry blocks the rewrite") {
     gate()
     val df = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -103,6 +103,54 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(!staged.exists(), "abort must delete the staged file")
   }
 
+  test("pushed string ranges use Spark's UTF-8 byte order, not UTF-16") {
+    // U+1F600 (4-byte UTF-8: F0 9F 98 80) sorts ABOVE U+FFFF (EF BF BF)
+    // in Spark's binary order but BELOW it in java.lang.String's UTF-16
+    // code-unit order — and a fully-pushed filter gets no residual, so
+    // a reader comparing with compareTo would silently drop the row
+    val dirF = new java.io.File("target/dsv2_utf8")
+    dirF.mkdirs()
+    val f = new java.io.File(dirF, "part-utf8.tsv")
+    val emoji = new String(Character.toChars(0x1F600))
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println(s"1\t$emoji\tweb\t10")
+    w.println(s"2\t￿\tweb\t20")
+    w.close()
+    val df = spark.read.format(classOf[GraftLines].getName)
+      .option("path", dirF.getAbsolutePath).load()
+      .filter(col("lang") > "￿")
+    val p = planOf(df)
+    assert(p.contains("GreaterThan(lang,"), s"range not pushed:\n$p")
+    val kept = df.collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L)),
+      s"UTF-8 byte order keeps only the supplementary row; got ${kept.toSeq}")
+  }
+
+  test("a failed publish rename aborts the commit instead of dropping rows") {
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.File("target/dsv2_rename_fail")
+    out.mkdirs()
+    val bw = new GraftLinesBatchWrite(out.getAbsolutePath,
+      truncate = false, conf)
+    // force the rename-returns-FALSE path (probed: on the local FS a
+    // rename whose destination is occupied by an incompatible entry
+    // returns false rather than throwing): stage a DIRECTORY and squat
+    // a plain file on its publish destination — before the fix the
+    // commit would return success while silently dropping the payload
+    val staging = new java.io.File(out, "_staging")
+    val staged = new java.io.File(staging, "blocked.tsv.tmp")
+    new java.io.File(staged, "payload").mkdirs()
+    new java.io.PrintWriter(new java.io.File(staged, "payload/x"))
+      .append("x").close()
+    val squatter = new java.io.File(out, "blocked.tsv")
+    new java.io.PrintWriter(squatter).append("old\n").close()
+    val e = intercept[RuntimeException] {
+      bw.commit(Array(GraftLinesCommit(staged.getAbsolutePath)))
+    }
+    assert(e.getMessage.contains("2PC publish failed"), e.getMessage)
+  }
+
   test("pushed predicates filter inside the reader, not just the plan") {
     val n = Dsv2Source.linesRead(spark, dir)
       .filter(col("n_chars") < 200L).count()
