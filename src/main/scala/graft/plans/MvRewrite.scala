@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, LogicalPlan, Project}
+  Aggregate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
@@ -81,9 +82,31 @@ object MvRewrite {
           exprId = ExprId(a.name.toLowerCase.hashCode.toLong & 0x7fffffffL))
     }.canonicalized
 
+  /** A rollup of an FK star join `fact ⋈ dim` at a grain drawn from
+    * EITHER side — the join-aware MV shape (an aggregate above a star
+    * join is the most common real-world MV serve). The registered join
+    * is pinned exactly: inner, single equi-pair `(joinFactCol =
+    * joinDimCol)`; a query joining on anything else must fall back.
+    * `serve` carries the grain/measures/rollup-path exactly like a
+    * single-table MV (its `baseStamp` is unused — star freshness is the
+    * PAIR of stamps, both bases can go stale independently).
+    */
+  final case class StarMvDef(
+      factKey: String,
+      dimKey: String,
+      joinFactCol: String,
+      joinDimCol: String,
+      serve: MvDef,
+      factStamp: Long = 0L,
+      dimStamp: Long = 0L)
+
   /** Base-path → MV registry, session-agnostic (paths are absolute). */
   private val catalog =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  /** (factKey, dimKey) → star-join MV registry. */
+  private val starCatalog =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StarMvDef]()
 
   /** The canonical root-path key Spark reports for a parquet scan. */
   def keyFor(spark: SparkSession, rawPath: String): String = {
@@ -97,7 +120,9 @@ object MvRewrite {
   }
 
   def register(baseKey: String, mv: MvDef): Unit = catalog.put(baseKey, mv)
-  def clear(): Unit = catalog.clear()
+  def registerStar(mv: StarMvDef): Unit =
+    starCatalog.put((mv.factKey, mv.dimKey), mv)
+  def clear(): Unit = { catalog.clear(); starCatalog.clear() }
 
   /** Freshness stamp for a base key (comma-joined root paths): the max
     * modification time across the roots, 0 if unreachable. A served MV
@@ -165,6 +190,91 @@ object MvRewrite {
     case _ => None
   }
 
+  /** The scan key at the bottom of a join BRANCH, plus the filter
+    * conjuncts collected on the way down (split on And; validated
+    * against the MV's grain by [[matchStar]] once the MV is known).
+    */
+  private def walkBranch(
+      plan: LogicalPlan): Option[(String, Seq[Expression])] = plan match {
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation =>
+        Some((fs.location.rootPaths.map(_.toString).sorted.mkString(","),
+          Nil))
+      case _ => None
+    }
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      walkBranch(child)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+      walkBranch(child).map { case (key, conds) =>
+        (key, splitAnd(cond) ++ conds)
+      }
+    case _ => None
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Match `Join(fact, dim)` (either order) under pruning Projects and
+    * Filters, against a registered star MV. The join must be INNER with
+    * exactly the registered single equi-pair; every filter conjunct
+    * anywhere in the tree must be either (a) an `IsNotNull` on a join
+    * key — implied by the inner join the MV already materialized, so it
+    * is absorbed — or (b) deterministic, column-referencing, and
+    * grain-only, in which case it remaps onto the rollup. Anything
+    * else (extra joins, residual predicates on measures, non-FK keys)
+    * fails the match and the query keeps its raw plan.
+    */
+  private def matchStar(
+      plan: LogicalPlan): Option[(StarMvDef, Seq[Expression])] = {
+
+    def go(p: LogicalPlan): Option[(StarMvDef, Seq[Expression])] = p match {
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        go(child)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        go(child).map { case (mv, conds) => (mv, splitAnd(cond) ++ conds) }
+      case Join(left, right, Inner, Some(cond), _) =>
+        for {
+          (lk, lf) <- walkBranch(left)
+          (rk, rf) <- walkBranch(right)
+          mv <- Option(starCatalog.get((lk, rk)))
+            .orElse(Option(starCatalog.get((rk, lk))))
+          keys <- cond match {
+            case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                a: AttributeReference, b: AttributeReference) =>
+              Some(Set(a.name, b.name))
+            case _ => None
+          }
+          if keys == Set(mv.joinFactCol, mv.joinDimCol)
+        } yield (mv, lf ++ rf)
+      case _ => None
+    }
+
+    go(plan).flatMap { case (mv, rawConds) =>
+      // freshness: EITHER base rewritten since registration → stale
+      val fresh =
+        (mv.factStamp == 0L || stampFor(mv.factKey) == mv.factStamp) &&
+          (mv.dimStamp == 0L || stampFor(mv.dimKey) == mv.dimStamp)
+      val joinKeys = Set(mv.joinFactCol, mv.joinDimCol)
+      val dimConds = Seq.newBuilder[Expression]
+      val ok = fresh && rawConds.forall {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) if joinKeys.contains(a.name) =>
+          true // implied by the materialized inner join; absorb
+        case c if c.deterministic && c.references.nonEmpty &&
+            c.references.forall(a => mv.serve.dims.contains(a.name)) =>
+          dimConds += c
+          true
+        case _ => false
+      }
+      if (ok) Some((mv, dimConds.result())) else None
+    }
+  }
+
   final case class RewriteAggToMv(spark: SparkSession)
       extends Rule[LogicalPlan] {
 
@@ -174,7 +284,13 @@ object MvRewrite {
           case Some((mv, dimFilters)) =>
             tryRewrite(groupingExprs, resultExprs, mv, dimFilters)
               .getOrElse(agg)
-          case None => agg
+          case None =>
+            matchStar(child) match {
+              case Some((star, dimFilters)) =>
+                tryRewrite(groupingExprs, resultExprs, star.serve,
+                  dimFilters).getOrElse(agg)
+              case None => agg
+            }
         }
     }
 

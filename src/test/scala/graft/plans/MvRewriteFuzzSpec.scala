@@ -62,6 +62,36 @@ class MvRewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("every legal STAR grain x measure combination rewrites and is exact") {
+    Extensions.queries("ax_mv_star")(spark, dir).collect() // register star
+    val rnd = new scala.util.Random(43)
+    def ord = spark.read.parquet(s"$dir/orders.parquet")
+    def joined = raw.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val grains = Seq(Seq("o_orderpriority"), Seq("l_returnflag"),
+      Seq("o_orderpriority", "l_returnflag"))
+    val measurePool = Seq("q" -> qty, "d" -> dc, "n" -> cnt)
+    for (grain <- grains; take <- 1 to 3) {
+      val ms = rnd.shuffle(measurePool).take(take)
+      val aggs = ms.map { case (tag, m) =>
+        m().as(s"s_${tag}_${rnd.nextInt(100)}")
+      }
+      val df = joined.groupBy(grain.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      val p = planOf(df)
+      assert(p.contains("mv_star") && !p.contains("lineitem.parquet"),
+        s"no star rewrite for grain=$grain measures=${ms.map(_._1)}:\n$p")
+      val served = collectSorted(df)
+      MvRewrite.clear()
+      try {
+        val again = joined.groupBy(grain.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        assert(!planOf(again).contains("mv_star"))
+        assert(served == collectSorted(again),
+          s"star served != raw for grain=$grain measures=${ms.map(_._1)}")
+      } finally Extensions.queries("ax_mv_star")(spark, dir).collect()
+    }
+  }
+
   test("near-miss shapes are all left alone") {
     install()
     val blocked = Seq[DataFrame](

@@ -173,6 +173,102 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  // ----- join-aware (star) MV serving ---------------------------------
+
+  private def li = spark.read.parquet(s"$dir/lineitem.parquet")
+  private def ord = spark.read.parquet(s"$dir/orders.parquet")
+
+  test("the star gate is served from the join rollup: zero fact/dim bytes") {
+    val df = Extensions.queries("ax_mv_star")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("mv_star"), s"star MV not in plan:\n$p")
+    assert(!p.contains("lineitem.parquet") && !p.contains("orders.parquet"),
+      s"raw scan survived the star rewrite:\n$p")
+    assert(!p.contains("Join"), s"a join survived the star rewrite:\n$p")
+  }
+
+  test("star serving is exact: equals the raw join recompute") {
+    val served = Extensions.queries("ax_mv_star")(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    MvRewrite.clear()
+    try {
+      val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("disc_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderpriority").asc)
+      assert(!planOf(raw).contains("mv_star"))
+      val expect = raw.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(served.sameElements(expect), "star MV answer diverged from raw")
+    } finally Extensions.queries("ax_mv_star")(spark, dir)
+  }
+
+  test("a non-registered join key blocks the star rewrite") {
+    Extensions.queries("ax_mv_star")(spark, dir)
+    // joining fact to dim on the WRONG columns must never be served
+    val df = li.join(ord, col("l_suppkey") === col("o_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_star"),
+      "a non-FK join must not be served from the star rollup")
+  }
+
+  test("a measure-column filter blocks the star rewrite") {
+    Extensions.queries("ax_mv_star")(spark, dir)
+    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_star"),
+      "a measure-filtered star query must not be served by the rollup")
+  }
+
+  test("a dim-table non-grain filter blocks the star rewrite") {
+    Extensions.queries("ax_mv_star")(spark, dir)
+    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_star"),
+      "o_orderstatus is not in the star grain")
+  }
+
+  test("a third join blocks the star rewrite") {
+    Extensions.queries("ax_mv_star")(spark, dir)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_star"),
+      "a query joining beyond the registered star must keep its raw plan")
+  }
+
+  test("an outer join blocks the star rewrite") {
+    Extensions.queries("ax_mv_star")(spark, dir)
+    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"),
+        "left_outer")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_star"),
+      "the MV materialized an INNER join; an outer join must not be served")
+  }
+
+  test("the coarser single-side grain is served from the star rollup") {
+    Extensions.queries("ax_mv_star")(spark, dir)
+    // group by the FACT-side grain column only, no filter, count(*) too
+    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        count(lit(1)).as("n"))
+    val p = planOf(df)
+    assert(p.contains("mv_star") && !p.contains("lineitem.parquet"),
+      s"coarser star grain not served:\n$p")
+  }
+
   test("a measure the MV does not carry blocks the rewrite") {
     gate()
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
