@@ -95,13 +95,47 @@ object Dsv2Source {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_dsv2_join: the connector as a JOIN side with no hint anywhere —
+  // the honest SupportsReportStatistics sizing is what lets Catalyst
+  // elect the connector side for broadcast (without it a V2 relation
+  // prices at defaultSizeInBytes and every join over the source pays a
+  // shuffle). The metadata TSV joins back to the documents parquet on
+  // doc_id and aggregates a parquet-side measure per connector-side
+  // key; Dsv2SourceSpec pins that the executed plan broadcasts the
+  // GraftLines scan, hint-free. At 100 TB: dims served through custom
+  // connectors still broadcast into fact scans — the sizing contract is
+  // what makes a source a first-class citizen of join planning.
+  // -------------------------------------------------------------------
+  private def dsv2Join(spark: SparkSession, dir: String): DataFrame = {
+    val meta = linesRead(spark, dir)
+      .filter(col("n_chars") >= 100L)
+      .select(col("doc_id"), col("lang"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("d_doc_id"), length(col("text")).as("n_text"))
+    meta.join(docs, col("doc_id") === col("d_doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_text").cast("long")).as("sum_text"))
+      .orderBy(col("lang").asc)
+  }
+
+  private val dsv2JoinSql =
+    """SELECT m.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(d.text)) AS BIGINT) AS sum_text
+      |FROM documents m JOIN documents d ON m.doc_id = d.doc_id
+      |WHERE m.n_chars >= 100
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_dsv2_pushdown"  -> (dsv2Pushdown _),
-    "ax_dsv2_roundtrip" -> (dsv2Roundtrip _)
+    "ax_dsv2_roundtrip" -> (dsv2Roundtrip _),
+    "ax_dsv2_join"      -> (dsv2Join _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "ax_dsv2_pushdown"  -> dsv2PushdownSql,
-    "ax_dsv2_roundtrip" -> dsv2RoundtripSql
+    "ax_dsv2_roundtrip" -> dsv2RoundtripSql,
+    "ax_dsv2_join"      -> dsv2JoinSql
   )
 }

@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.catalog.{
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  ScanBuilder, Statistics, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{
   EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan,
   LessThanOrEqual}
@@ -146,7 +147,8 @@ final class SerializableHadoopConf(
 }
 
 final class GraftLinesScan(path: String, splitBytes: Long,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
@@ -160,6 +162,40 @@ final class GraftLinesScan(path: String, splitBytes: Long,
   private def driverConf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
 
+  /** the data files under `path` (driver-side metadata listing, shared
+    * by partition planning and statistics)
+    */
+  private lazy val dataFiles: Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, driverConf)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        s.getLen > 0)
+      .sortBy(_.getPath.getName)
+  }
+
+  /** Honest size reporting (`SupportsReportStatistics`): without it,
+    * Catalyst prices a V2 relation at `defaultSizeInBytes` (effectively
+    * infinite), so a small side of a join is NEVER elected for
+    * broadcast and every join over the connector pays a shuffle. The
+    * estimate is the listed byte total, scaled by the fraction of
+    * columns the (already-pruned) read schema keeps — the same
+    * column-ratio heuristic Spark's own file sources apply. Row count
+    * is left empty: the format has no row-count metadata, and a made-up
+    * number would poison cardinality estimates downstream.
+    */
+  override def estimateStatistics(): Statistics = {
+    val total = dataFiles.map(_.getLen).sum
+    val scaled = math.max(1L,
+      total * math.max(1, required.size) / GraftLines.Schema.size)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
   /** one partition per byte range (Hadoop line-split semantics: a
     * range owns every line that STARTS inside it, so ranges need no
     * line alignment and a 10 GB file scans as ~len/splitBytes parallel
@@ -167,12 +203,7 @@ final class GraftLinesScan(path: String, splitBytes: Long,
     * files that matter)
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, driverConf)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        s.getLen > 0)
-      .sortBy(_.getPath.getName)
+    dataFiles
       .flatMap { s =>
         (0L until s.getLen by splitBytes).map { start =>
           GraftLinesPartition(s.getPath.toString, start,

@@ -151,6 +151,39 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2PC publish failed"), e.getMessage)
   }
 
+  test("reported statistics are the listed bytes, scaled by pruning") {
+    val path = Dsv2Source.tsvFixturePath(spark, dir)
+    val expectTotal = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.length > 0) // "." = FS checksum files
+      .map(_.length).sum
+    assert(expectTotal > 0, "fixture must have data files")
+    val full = Dsv2Source.linesRead(spark, dir)
+    val fullSize = full.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(fullSize == BigInt(expectTotal),
+      s"full-schema stats $fullSize != listed bytes $expectTotal")
+    // a two-column projection reports half the bytes (column-ratio scale)
+    val pruned = full.select(col("doc_id"), col("lang"))
+    val prunedSize = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(prunedSize < fullSize,
+      s"pruned stats $prunedSize must shrink below $fullSize")
+  }
+
+  test("honest stats elect the connector side for broadcast, hint-free") {
+    val p = planOf(Extensions.queries("ax_dsv2_join")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats-driven broadcast election did not fire:\n$p")
+    // the broadcast (build) side must be the connector scan, not parquet
+    val exch = p.indexOf("BroadcastExchange")
+    assert(exch >= 0, s"no broadcast exchange:\n$p")
+    val after = p.substring(exch)
+    val scanIdx = after.indexOf("GraftLines")
+    val parquetIdx = after.indexOf("Scan parquet")
+    assert(scanIdx >= 0 && (parquetIdx < 0 || scanIdx < parquetIdx),
+      s"the broadcast side is not the GraftLines scan:\n$p")
+  }
+
   test("pushed predicates filter inside the reader, not just the plan") {
     val n = Dsv2Source.linesRead(spark, dir)
       .filter(col("n_chars") < 200L).count()
