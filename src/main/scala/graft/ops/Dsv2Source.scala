@@ -127,15 +127,51 @@ object Dsv2Source {
       |WHERE m.n_chars >= 100
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // st_dsv2_stream: the connector's STREAMING leg — the metadata TSV
+  // read as a MicroBatchStream with byte-offset admission control (the
+  // cap sizes to ~4 triggers at EVERY SF, so multi-batch increments are
+  // the exercised path), aggregated statefully, memory sink. Offsets
+  // are per-file consumed-byte positions under the same line-split
+  // protocol as the batch scan, so any byte cut — including a cap cut
+  // mid-line — reads each row exactly once across batches; the
+  // checkpointed-restart replay is pinned in Dsv2SourceSpec. Oracle =
+  // the same aggregate over the documents parquet.
+  // -------------------------------------------------------------------
+  private def dsv2Stream(spark: SparkSession, dir: String): DataFrame = {
+    val path = tsvFixturePath(spark, dir)
+    val total = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.length > 0)
+      .map(_.length).sum
+    val src = spark.readStream
+      .format(classOf[graft.sources.GraftLines].getName)
+      .option("path", path)
+      .option("maxBytesPerTrigger", math.max(1L, total / 3).toString)
+      .load()
+    val agg = src.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    StreamingGate.runToTable(agg, "st_dsv2_stream_sink", "complete")(spark)
+      .orderBy(col("lang").asc)
+  }
+
+  private val dsv2StreamSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_dsv2_pushdown"  -> (dsv2Pushdown _),
     "ax_dsv2_roundtrip" -> (dsv2Roundtrip _),
-    "ax_dsv2_join"      -> (dsv2Join _)
+    "ax_dsv2_join"      -> (dsv2Join _),
+    "st_dsv2_stream"    -> (dsv2Stream _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "ax_dsv2_pushdown"  -> dsv2PushdownSql,
     "ax_dsv2_roundtrip" -> dsv2RoundtripSql,
-    "ax_dsv2_join"      -> dsv2JoinSql
+    "ax_dsv2_join"      -> dsv2JoinSql,
+    "st_dsv2_stream"    -> dsv2StreamSql
   )
 }

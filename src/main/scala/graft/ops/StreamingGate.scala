@@ -74,7 +74,7 @@ object StreamingGate {
     }
   }
 
-  private def runToTable(df: DataFrame, name: String, mode: String)(
+  private[ops] def runToTable(df: DataFrame, name: String, mode: String)(
       spark: SparkSession): DataFrame = {
     withGateShuffle(spark) {
       val q = df.writeStream

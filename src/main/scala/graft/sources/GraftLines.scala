@@ -82,11 +82,14 @@ final class GraftLinesTable(path: String, splitBytes: Long) extends Table
   override def schema(): StructType = GraftLines.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLinesScanBuilder(path, splitBytes)
+    new GraftLinesScanBuilder(path, splitBytes,
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+        .getOrElse(0L))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -94,7 +97,8 @@ final class GraftLinesTable(path: String, splitBytes: Long) extends Table
     new GraftLinesWriteBuilder(path, info.schema())
 }
 
-final class GraftLinesScanBuilder(path: String, splitBytes: Long)
+final class GraftLinesScanBuilder(path: String, splitBytes: Long,
+    maxBytesPerTrigger: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -124,7 +128,8 @@ final class GraftLinesScanBuilder(path: String, splitBytes: Long)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftLinesScan(path, splitBytes, required, pushed)
+    new GraftLinesScan(path, splitBytes, required, pushed,
+      maxBytesPerTrigger)
 }
 
 /** Hadoop `Configuration` is not Java-serializable; this 12-line
@@ -147,7 +152,8 @@ final class SerializableHadoopConf(
 }
 
 final class GraftLinesScan(path: String, splitBytes: Long,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    maxBytesPerTrigger: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -216,6 +222,129 @@ final class GraftLinesScan(path: String, splitBytes: Long,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLinesReaderFactory(required, pushed,
       new SerializableHadoopConf(driverConf))
+
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftLinesMicroBatchStream(path, splitBytes, required, pushed,
+      maxBytesPerTrigger, new SerializableHadoopConf(driverConf))
+}
+
+/** Streaming offset: how many bytes of each file have been consumed
+  * (file name → byte position). JSON is a sorted-key object so equal
+  * offsets serialize identically.
+  */
+final case class GraftLinesOffset(files: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + v
+      }
+      .mkString("{", ",", "}")
+}
+
+object GraftLinesOffset {
+  /** parse the json() form above (keys are part-file names — no
+    * unescaped quotes/braces by construction, but the parser honors
+    * the two escapes json() emits)
+    */
+  def fromJson(s: String): GraftLinesOffset = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}")
+    if (body.isEmpty) GraftLinesOffset(Map.empty)
+    else GraftLinesOffset(
+      // split on commas that separate "key":value pairs; keys are file
+      // names that contain no commas by construction (staged part files)
+      body.split(",").map { kv =>
+        val i = kv.lastIndexOf(':')
+        val key = kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")
+        key -> kv.substring(i + 1).trim.toLong
+      }.toMap)
+  }
+}
+
+/** The streaming leg of the connector — byte-offset micro-batching
+  * under the SAME line-split protocol as the batch scan: an offset is
+  * the per-file consumed-byte position, a micro-batch is the byte
+  * window (start, end] per file, and each window's reader discards the
+  * partial line straddling its start (unless 0) while owning the line
+  * straddling its end — so ANY byte cut (including an admission-cap
+  * cut mid-line) reads every line exactly once across batches, which
+  * Dsv2SourceSpec pins across checkpointed restarts. Admission control
+  * (`maxBytesPerTrigger`) bounds a trigger's window; files are
+  * processed in name order and growth (appended bytes, new files) is
+  * picked up on the next trigger.
+  */
+final class GraftLinesMicroBatchStream(path: String, splitBytes: Long,
+    required: StructType, pushed: Array[Filter],
+    maxBytesPerTrigger: Long, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => StreamOffset, ReadLimit}
+
+  private def listNow(): Seq[(String, Long)] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf.value)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        s.getLen > 0)
+      .map(s => (s.getPath.getName, s.getLen))
+      .sortBy(_._1)
+  }
+
+  override def initialOffset(): StreamOffset = GraftLinesOffset(Map.empty)
+
+  override def deserializeOffset(json: String): StreamOffset =
+    GraftLinesOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** admission-controlled advance: consume up to maxBytesPerTrigger
+    * new bytes (0 = unbounded) from the current listing, files in name
+    * order — the rate-limit contract that keeps a backlogged start
+    * from becoming one giant first batch
+    */
+  override def latestOffset(
+      start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val from = start.asInstanceOf[GraftLinesOffset].files
+    var budget =
+      if (maxBytesPerTrigger > 0) maxBytesPerTrigger else Long.MaxValue
+    val out = Map.newBuilder[String, Long]
+    listNow().foreach { case (name, len) =>
+      val already = from.getOrElse(name, 0L)
+      val take = math.min(math.max(0L, len - already), budget)
+      budget -= take
+      out += name -> (already + take)
+    }
+    GraftLinesOffset(out.result())
+  }
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry")
+
+  override def planInputPartitions(
+      start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftLinesOffset].files
+    val to = end.asInstanceOf[GraftLinesOffset].files
+    to.toSeq.sortBy(_._1).flatMap { case (name, endPos) =>
+      val startPos = from.getOrElse(name, 0L)
+      (startPos until endPos by splitBytes).map { s =>
+        GraftLinesPartition(s"$path/$name", s,
+          math.min(s + splitBytes, endPos)): InputPartition
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLinesReaderFactory(required, pushed, conf)
+
+  override def commit(end: StreamOffset): Unit = () // files are durable
+  override def stop(): Unit = ()
 }
 
 final case class GraftLinesPartition(file: String, start: Long, end: Long)

@@ -184,6 +184,66 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"the broadcast side is not the GraftLines scan:\n$p")
   }
 
+  test("the streaming leg is exactly-once across checkpointed restarts") {
+    import scala.jdk.CollectionConverters._
+    val path = Dsv2Source.tsvFixturePath(spark, dir)
+    val total = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.length > 0)
+      .map(_.length).sum
+    val ckpt = new java.io.File(
+      s"target/dsv2_stream_ckpt/${System.nanoTime()}").getAbsolutePath
+    // one Trigger.Once run = one admission-capped micro-batch, then the
+    // query STOPS; every rerun restores offsets from the checkpoint —
+    // each iteration exercises deserializeOffset + the replay contract
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, Array[org.apache.spark.sql.Row]]()
+    var runs = 0
+    var drained = false
+    while (!drained && runs < 12) {
+      val q = spark.readStream
+        .format(classOf[GraftLines].getName)
+        .option("path", path)
+        .option("maxBytesPerTrigger", math.max(1L, total / 3).toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          byBatch.put(id, df.collect()); ()
+        }
+        .start()
+      q.awaitTermination()
+      runs += 1
+      val sofar = byBatch.values.asScala.map(_.length).sum
+      drained = sofar >= spark.read
+        .format(classOf[GraftLines].getName)
+        .option("path", path).load().count()
+    }
+    assert(runs >= 3, s"the byte cap must force multiple restarts; got $runs")
+    val streamed = byBatch.values.asScala.flatten
+      .map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val batch = spark.read.format(classOf[GraftLines].getName)
+      .option("path", path).load()
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(streamed.length == batch.length,
+      s"exactly-once violated: ${streamed.length} streamed vs " +
+        s"${batch.length} batch rows across $runs restarts")
+    assert(streamed == batch, "streamed rows diverged from the batch read")
+  }
+
+  test("streaming admission cap yields multiple batches and matches batch agg") {
+    val df = Extensions.queries("st_dsv2_stream")(spark, dir)
+    val got = df.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val expect = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.sameElements(expect), "streaming aggregate != batch aggregate")
+  }
+
   test("pushed predicates filter inside the reader, not just the plan") {
     val n = Dsv2Source.linesRead(spark, dir)
       .filter(col("n_chars") < 200L).count()
