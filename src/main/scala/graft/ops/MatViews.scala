@@ -328,12 +328,169 @@ object MatViews {
       |  COUNT(*) AS n_lines
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_mv_cdc: MV UPKEEP UNDER A CHANGE LOG WITH DELETES — the verb
+  // ax_mv_delta (append-only) doesn't cover. The stored rollup is the
+  // pre-change snapshot of orders at the o_orderpriority grain (sum,
+  // count, max); the change log reuses ax_cdc_apply's deterministic
+  // derivation (updates +777 cents for k ≡ 1 mod 5; deletes for
+  // k ≡ 4 mod 11, restricted to priorities 1–3 so both repair paths
+  // below stay exercised at every SF), deletes carrying the KEY ONLY,
+  // the realistic CDC shape.
+  //
+  // The upkeep algebra, by aggregate class:
+  //  - sum/count are RETRACTABLE: each touched key contributes a
+  //    retraction of its old (grain, -cents, -1) and, unless deleted,
+  //    an addition of its new (grain, +new_cents, +1); the stored
+  //    rollup merges with the per-grain deltas by re-aggregation.
+  //    Work ∝ |log| + |MV| — old values come from ONE keyed equi-join
+  //    of the touched keys against the base (at 100 TB: a bucketed
+  //    point-join against the fact's key layout), never a fact rescan.
+  //  - max is distributive only UPWARD: an insert or an increasing
+  //    update merges as max(stored, new). A delete — or a DECREASING
+  //    update — can invalidate the stored max, and no rollup can
+  //    repair it (the second-largest was never kept): those grains
+  //    are RECOMPUTED from the post-change state, work ∝ affected
+  //    grain rows. This is the non-distributive case, priced and
+  //    isolated: unaffected grains never rescan.
+  // The gate's oracle is the FULL RECOMPUTE over the post-change
+  // state (the change log deletes current-max rows at every SF), so a
+  // wrong retraction, a missed delete-after-update overlap, or a
+  // stale max all land as value diffs.
+  // -------------------------------------------------------------------
+  private def ordersBase(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  private def mvCdcStoredPath(spark: SparkSession, dir: String): String = {
+    val stamp =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "orders.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val pathF = FixtureCache.dir("mv_orders_cdc", dir,
+      "grain" -> "pri", "v" -> 1, "src" -> stamp)
+    val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
+    if (!marker.exists()) {
+      ordersBase(spark, dir)
+        .groupBy(col("pri"))
+        .agg(sum(col("cents")).as("mv_cents"),
+          count(lit(1)).as("mv_n"),
+          max(col("cents")).as("mv_max"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(pathF.toString)
+      marker.createNewFile()
+    }
+    pathF.toString
+  }
+
+  /** the deterministic I/U/D log over orders (ax_cdc_apply's classes,
+    * deletes grain-restricted); deletes carry the key only. On top of
+    * the residue-class deletes, the log ALWAYS deletes each affected
+    * grain's current-max row (argmax by (cents, k)) — the adversarial
+    * case for rollup upkeep: the second-largest was never kept, so a
+    * decrement-style "repair" of the stored max would be silently
+    * wrong at every SF, not just when a residue delete happens to hit
+    * the top row.
+    */
+  private[ops] def cdcLog(base: DataFrame): DataFrame = {
+    val upd = base.filter(pmod(col("k"), lit(5)) === 1)
+      .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+        (col("cents") + 777L).as("new_cents"))
+    val del = base.filter(pmod(col("k"), lit(11)) === 4 &&
+        substring(col("pri"), 1, 1).isin("1", "2", "3"))
+      .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("long").as("new_cents"))
+    val delMax = base
+      .filter(substring(col("pri"), 1, 1).isin("1", "2", "3"))
+      .groupBy(col("pri"))
+      .agg(max(struct(col("cents"), col("k"))).as("m"))
+      .select(col("m.k").as("k"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("long").as("new_cents"))
+    upd.unionAll(del).unionAll(delMax)
+  }
+
+  private def mvCdc(spark: SparkSession, dir: String): DataFrame = {
+    val base = ordersBase(spark, dir)
+    val stored = spark.read.parquet(mvCdcStoredPath(spark, dir))
+    // net final verb per touched key: one argmax(seq) — no window
+    val fin = cdcLog(base).groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("new_cents"))).as("m"))
+      .select(col("k"), col("m.op").as("op"), col("m.new_cents").as("new_cents"))
+    // old contributions of touched keys: ONE keyed equi-join
+    val touched = base.join(fin, "k")
+    // ---- sum/count: retract old ∪ add new, merge with stored --------
+    val retract = touched.select(col("pri"),
+      (-col("cents")).as("d_cents"), lit(-1L).as("d_n"))
+    val addback = touched.filter(col("op") =!= "D")
+      .select(col("pri"), col("new_cents").as("d_cents"), lit(1L).as("d_n"))
+    val deltas = retract.unionAll(addback)
+      .groupBy(col("pri"))
+      .agg(sum(col("d_cents")).as("mv_cents"), sum(col("d_n")).as("mv_n"))
+    val mergedSums = stored.select(col("pri"), col("mv_cents"), col("mv_n"))
+      .unionAll(deltas)
+      .groupBy(col("pri"))
+      .agg(sum(col("mv_cents")).as("mv_cents"), sum(col("mv_n")).as("mv_n"))
+      .filter(col("mv_n") > 0) // a fully-emptied grain leaves the MV
+    // ---- max: upward merge where possible, recompute where not ------
+    // invalidating verbs: delete, or an update that DECREASES the value
+    val invalidGrains = touched
+      .filter(col("op") === "D" ||
+        (col("op") === "U" && col("new_cents") < col("cents")))
+      .select(col("pri")).distinct()
+    // affected grains: post-change state = base \ deletes, updates applied
+    val affectedMax = base
+      .join(broadcast(invalidGrains), Seq("pri"))
+      .join(fin, Seq("k"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("pri"), coalesce(col("new_cents"), col("cents")).as("c"))
+      .groupBy(col("pri")).agg(max(col("c")).as("mv_max"))
+    // unaffected grains: max(stored, increasing-update values) — merge
+    val updMax = touched.filter(col("op") === "U")
+      .groupBy(col("pri")).agg(max(col("new_cents")).as("u_max"))
+    val mergedMax = stored.select(col("pri"), col("mv_max"))
+      .join(broadcast(invalidGrains.withColumn("aff", lit(1))),
+        Seq("pri"), "left")
+      .filter(col("aff").isNull)
+      .join(updMax, Seq("pri"), "left")
+      .select(col("pri"),
+        greatest(col("mv_max"), coalesce(col("u_max"), col("mv_max")))
+          .as("mv_max"))
+      .unionAll(affectedMax)
+    mergedSums.join(mergedMax, "pri")
+      .select(col("pri").as("o_orderpriority"),
+        col("mv_cents"), col("mv_n"), col("mv_max"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  private val mvCdcSql =
+    """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |delmax AS (SELECT k FROM (
+      |    SELECT k, ROW_NUMBER() OVER (PARTITION BY pri
+      |      ORDER BY cents DESC, k DESC) AS rn
+      |    FROM o WHERE substr(pri, 1, 1) IN ('1','2','3')) WHERE rn = 1),
+      |fin AS (
+      |  SELECT pri,
+      |    CASE WHEN k % 5 = 1 THEN cents + 777 ELSE cents END AS c
+      |  FROM o
+      |  WHERE NOT (k % 11 = 4 AND substr(pri, 1, 1) IN ('1','2','3'))
+      |    AND k NOT IN (SELECT k FROM delmax))
+      |SELECT pri AS o_orderpriority,
+      |  CAST(SUM(c) AS BIGINT) AS mv_cents,
+      |  COUNT(*) AS mv_n,
+      |  CAST(MAX(c) AS BIGINT) AS mv_max
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_mv_rewrite" -> (mvRewrite _),
     "ax_mv_filter"  -> (mvFilter _),
     "ax_mv_minmax"  -> (mvMinMax _),
     "ax_mv_star"    -> (mvStar _),
-    "ax_mv_delta"   -> (mvDelta _)
+    "ax_mv_delta"   -> (mvDelta _),
+    "ax_mv_cdc"     -> (mvCdc _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -341,6 +498,7 @@ object MatViews {
     "ax_mv_filter"  -> mvFilterSql,
     "ax_mv_minmax"  -> mvMinMaxSql,
     "ax_mv_star"    -> mvStarSql,
-    "ax_mv_delta"   -> mvDeltaSql
+    "ax_mv_delta"   -> mvDeltaSql,
+    "ax_mv_cdc"     -> mvCdcSql
   )
 }
