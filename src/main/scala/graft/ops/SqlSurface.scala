@@ -342,7 +342,49 @@ object SqlSurface {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** The DSv2 connector through the SQL front door: the source is
+    * mounted as a temp view with `USING <provider>` and the pushdown
+    * aggregate is typed as SQL TEXT — same scan stack, same pushed
+    * filters, same pruned read schema as the DataFrame twin
+    * (PlanShapeSpec pins node-list equality), so surface choice does
+    * not decide whether a custom connector's contracts fire.
+    */
+  private def dsv2ViaSql(spark: SparkSession, dir: String): DataFrame = {
+    val path = Dsv2Source.tsvFixturePath(spark, dir)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_lines
+         |USING ${classOf[graft.sources.GraftLines].getName}
+         |OPTIONS (path '$path')""".stripMargin)
+    spark.sql(
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS sum_chars
+        |FROM graft_sql_lines
+        |WHERE lang = 'en' AND n_chars >= 200
+        |GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  /** ax_mv_minmax's min/max/sum/count rollup serve, typed as SQL text —
+    * the round-11 distributive-algebra tier gets its surface-neutrality
+    * twin like every other family (MvRewriteSpec pins the SQL plan
+    * reads the MV fixture).
+    */
+  private def mvMinMaxViaSql(spark: SparkSession, dir: String): DataFrame = {
+    MatViews.serveFromMv(spark, dir)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("graft_sql_lineitem")
+    spark.sql(
+      """SELECT l_linestatus,
+        |  MAX(CAST(l_quantity AS BIGINT)) AS max_qty,
+        |  MIN(CAST(l_quantity AS BIGINT)) AS min_qty,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM graft_sql_lineitem
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq_dsv2_sql"          -> (dsv2ViaSql _),
+    "sq_mv_minmax_sql"     -> (mvMinMaxViaSql _),
     "sq_mv_serve_sql"      -> (mvServeViaSql _),
     "sq_except_sql"        -> (exceptViaSql _),
     "sq_rollup_sql"        -> (rollupViaSql _),
@@ -358,6 +400,9 @@ object SqlSurface {
     "sq_unpivot_sql"       -> (unpivotViaSql _))
 
   val oracleSql: Map[String, String] = Map(
+    // the DataFrame twins' oracles, verbatim — one definition, two surfaces
+    "sq_dsv2_sql"          -> Dsv2Source.oracleSql("ax_dsv2_pushdown"),
+    "sq_mv_minmax_sql"     -> MatViews.oracleSql("ax_mv_minmax"),
     // the DataFrame twin's oracle, verbatim — one definition, two surfaces
     "sq_mv_serve_sql"      -> MatViews.oracleSql("ax_mv_rewrite"),
     "sq_except_sql"        -> exceptOracle,

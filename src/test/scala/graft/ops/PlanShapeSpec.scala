@@ -677,6 +677,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("sq_unpivot_sql").contains("Expand"))
   }
 
+  test("SQL-text DSv2 read plans identically to the DataFrame twin") {
+    def nodes(name: String): Seq[String] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.collect { case n => n.nodeName }
+    assert(nodes("sq_dsv2_sql") == nodes("ax_dsv2_pushdown"),
+      "USING-provider SQL must produce the same connector scan tree")
+    val p = plan("sq_dsv2_sql")
+    assert(p.contains("PushedFilters: [EqualTo(lang,en), " +
+      "GreaterThanOrEqual(n_chars,200)]"),
+      s"pushdown must fire through the SQL surface too:\n$p")
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+      s"pruning must fire through the SQL surface too:\n$p")
+  }
+
   test("winsorized mean is one fact scan; windows run over the histogram") {
     // the claimed shape: ONE corpus-proportional stage (the histogram
     // aggregate), thresholds as window aggregates over the KB-scale

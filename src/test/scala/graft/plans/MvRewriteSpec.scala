@@ -104,6 +104,14 @@ class MvRewriteSpec extends AnyFunSuite {
       s"raw fact scan survived the SQL-side rewrite:\n$p")
   }
 
+  test("the min/max SQL twin is served from the MV too") {
+    val p = planOf(Extensions.queries("sq_mv_minmax_sql")(spark, dir))
+    assert(p.contains("mv_lineitem"),
+      s"min/max SQL text not served from MV:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"raw fact scan survived the min/max SQL-side rewrite:\n$p")
+  }
+
   test("incremental upkeep reads the stored rollup and only the delta slice") {
     val df = Extensions.queries("ax_mv_delta")(spark, dir)
     val p = planOf(df)
