@@ -1,7 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, AttributeReference, Expression, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
 
@@ -61,6 +64,108 @@ object Lineage {
       .orderBy("out_column", "src_table", "src_column")
   }
 
+  /** Lineage with EDGE KINDS — the distinction a dataset card needs:
+    * a `value` edge means the source column's bytes can appear in the
+    * output (PII flows along value edges); a `control` edge means the
+    * source column only decides HOW rows combine — a window's
+    * partition/order keys, an aggregate's grouping keys as seen by its
+    * aggregate functions. row_number() carries NO value edges at all:
+    * its output is pure control (three control edges, zero value).
+    * Control is sticky along a path: a value edge downstream of a
+    * control edge is still control influence on the final output. The
+    * same (source, output) pair can legitimately carry BOTH kinds
+    * (lag(o_orderdate) ordered by o_orderdate) and then emits two rows.
+    */
+  def ofKinds(spark: SparkSession, df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    val leaf = scala.collection.mutable.Map[Long, (String, String)]()
+    val valueE = scala.collection.mutable.Map[Long, Set[Long]]()
+    val controlE = scala.collection.mutable.Map[Long, Set[Long]]()
+
+    /** (value refs, control refs) of an expression: window-function
+      * arguments are value, window partition/order keys are control;
+      * everything else descends generically
+      */
+    def splitRefs(e: Expression): (Set[Long], Set[Long]) = e match {
+      case a: AttributeReference => (Set(a.exprId.id), Set.empty)
+      case we: WindowExpression =>
+        val (v, cInner) = splitRefs(we.windowFunction)
+        val spec =
+          (we.windowSpec.partitionSpec.flatMap(_.references) ++
+            we.windowSpec.orderSpec.flatMap(_.references))
+            .map(_.exprId.id).toSet
+        (v, cInner ++ spec)
+      case other =>
+        other.children.map(splitRefs)
+          .foldLeft((Set.empty[Long], Set.empty[Long])) {
+            case ((va, ca), (v, c)) => (va ++ v, ca ++ c)
+          }
+    }
+
+    def record(al: Alias, extraControl: Set[Long]): Unit = {
+      val (v, c) = splitRefs(al.child)
+      valueE(al.exprId.id) = valueE.getOrElse(al.exprId.id, Set.empty) ++ v
+      controlE(al.exprId.id) =
+        controlE.getOrElse(al.exprId.id, Set.empty) ++ c ++ extraControl
+    }
+
+    plan.foreach {
+      case l: LogicalRelation =>
+        val table = l.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.headOption
+              .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+          case _ => "?"
+        }
+        l.output.foreach(a => leaf(a.exprId.id) = (table, a.name))
+      case agg: Aggregate =>
+        // grouping keys are control inputs to every AGGREGATED output
+        // (they decide the groups); a grouping key selected as itself
+        // stays a plain value pass-through
+        val groupCtrl = agg.groupingExpressions
+          .flatMap(_.references).map(_.exprId.id).toSet
+        agg.aggregateExpressions.foreach {
+          case al: Alias =>
+            val aggregated =
+              al.child.exists(_.isInstanceOf[AggregateExpression])
+            record(al, if (aggregated) groupCtrl else Set.empty)
+          case _ =>
+        }
+      case w: Window =>
+        w.windowExpressions.foreach {
+          case al: Alias => record(al, Set.empty)
+          case _ =>
+        }
+      case p =>
+        p.expressions.foreach(_.foreach {
+          case al: Alias => record(al, Set.empty)
+          case _ =>
+        })
+    }
+
+    def resolve(id: Long, viaControl: Boolean,
+        seen: Set[Long]): Set[(String, String, String)] =
+      if (seen(id)) Set.empty
+      else leaf.get(id) match {
+        case Some((t, c)) =>
+          Set((t, c, if (viaControl) "control" else "value"))
+        case None =>
+          val s = seen + id
+          valueE.getOrElse(id, Set.empty)
+            .flatMap(resolve(_, viaControl, s)) ++
+            controlE.getOrElse(id, Set.empty)
+              .flatMap(resolve(_, viaControl = true, s))
+      }
+
+    val rows = plan.output.flatMap { a =>
+      resolve(a.exprId.id, viaControl = false, Set.empty)
+        .map { case (t, c, k) => (a.name, t, c, k) }
+    }.distinct.sortBy(r => (r._1, r._2, r._3, r._4))
+    import spark.implicits._
+    rows.toDF("out_column", "src_table", "src_column", "edge_kind")
+      .orderBy("out_column", "src_table", "src_column", "edge_kind")
+  }
+
   // -------------------------------------------------------------------
   // ax_lineage: the lineage of the shipping-priority star join — three
   // output columns tracing through a group-by, a date_format alias,
@@ -81,11 +186,51 @@ object Lineage {
       |  AS t(out_column, src_table, src_column)
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_lineage_window: kinded lineage of the five-function window suite
+  // — row_number/ntile/cume_dist outputs are PURE CONTROL (no source
+  // byte can reach them), lag/lead arguments are value, and the shared
+  // (o_custkey | o_orderdate, o_orderkey) spec contributes three
+  // control edges to every windowed output. o_orderdate reaches
+  // gap_days as BOTH kinds (lag argument + order key) — the case that
+  // forces kinds to be edge properties, not column properties. The
+  // oracle is the hand-derived truth; plan-derived, identical at every
+  // SF.
+  // -------------------------------------------------------------------
+  private def lineageWindow(spark: SparkSession, dir: String): DataFrame =
+    ofKinds(spark, Extensions.queries("ax_window_suite")(spark, dir))
+
+  private val lineageWindowSql =
+    """SELECT * FROM (VALUES
+      |  ('cd_e6',            'orders', 'o_custkey',    'control'),
+      |  ('cd_e6',            'orders', 'o_orderdate',  'control'),
+      |  ('cd_e6',            'orders', 'o_orderkey',   'control'),
+      |  ('gap_days',         'orders', 'o_custkey',    'control'),
+      |  ('gap_days',         'orders', 'o_orderdate',  'control'),
+      |  ('gap_days',         'orders', 'o_orderdate',  'value'),
+      |  ('gap_days',         'orders', 'o_orderkey',   'control'),
+      |  ('next_price_cents', 'orders', 'o_custkey',    'control'),
+      |  ('next_price_cents', 'orders', 'o_orderdate',  'control'),
+      |  ('next_price_cents', 'orders', 'o_orderkey',   'control'),
+      |  ('next_price_cents', 'orders', 'o_totalprice', 'value'),
+      |  ('o_custkey',        'orders', 'o_custkey',    'value'),
+      |  ('o_orderkey',       'orders', 'o_orderkey',   'value'),
+      |  ('quartile',         'orders', 'o_custkey',    'control'),
+      |  ('quartile',         'orders', 'o_orderdate',  'control'),
+      |  ('quartile',         'orders', 'o_orderkey',   'control'),
+      |  ('seq',              'orders', 'o_custkey',    'control'),
+      |  ('seq',              'orders', 'o_orderdate',  'control'),
+      |  ('seq',              'orders', 'o_orderkey',   'control'))
+      |  AS t(out_column, src_table, src_column, edge_kind)
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ax_lineage" -> (lineage _)
+    "ax_lineage"        -> (lineage _),
+    "ax_lineage_window" -> (lineageWindow _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "ax_lineage" -> lineageSql
+    "ax_lineage"        -> lineageSql,
+    "ax_lineage_window" -> lineageWindowSql
   )
 }

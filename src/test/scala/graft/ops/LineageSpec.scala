@@ -48,6 +48,37 @@ class LineageSpec extends AnyFunSuite {
       "a window value depends on its partitioning")
   }
 
+  private def kinds(df: org.apache.spark.sql.DataFrame) =
+    Lineage.ofKinds(spark, df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+
+  test("kinded walk: grouping keys are control for aggregated outputs") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(kinds(df) == Set(
+      ("l_returnflag", "lineitem", "l_returnflag", "value"),
+      ("q", "lineitem", "l_quantity", "value"),
+      ("q", "lineitem", "l_returnflag", "control")),
+      s"got: ${kinds(df)}")
+  }
+
+  test("kinded walk: control is sticky through downstream value hops") {
+    // rank over a partition, then arithmetic on the rank: the source
+    // partition key must still reach the final output as CONTROL
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"),
+        row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderkey"))).as("rn"))
+      .select((col("rn") * 10).as("rn10"))
+    val k = kinds(df)
+    assert(k.contains(("rn10", "orders", "o_custkey", "control")))
+    assert(k.contains(("rn10", "orders", "o_orderkey", "control")))
+    assert(!k.exists(r => r._1 == "rn10" && r._4 == "value"),
+      s"row_number carries no value edges: $k")
+  }
+
   test("multi-hop alias chains resolve to the leaf") {
     val df = spark.read.parquet(s"$dir/orders.parquet")
       .select((col("o_totalprice") * 2).as("a"))
