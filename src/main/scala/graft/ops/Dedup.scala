@@ -1329,6 +1329,101 @@ object Dedup {
        |FROM hit""".stripMargin
 
   // -------------------------------------------------------------------
+  // dd_span_guarantee_s: the SAMPLED span-truth audit — the audit's own
+  // 100 TB story. The full stride-1 enumeration is ~6× the production
+  // pipeline's rows; affordable as a gate, an outage as a routine check
+  // on a corpus where the production scan itself is the budget. The
+  // standard answer is to audit a deterministic DOCUMENT sample: keep
+  // docs with portable_hash("spansample:" + doc_id) ≡ 0 (mod 4) — the
+  // hash is the md5-prefix twin both engines compute bit-identically,
+  // so the oracle reproduces the exact same sample — and run the SAME
+  // capped truth join on the sample, with found-pairs restricted to
+  // both-endpoints-sampled (pair rate p², uniform over pairs because
+  // doc membership is hash-independent of content). Work scales by p²
+  // on the quadratic stages and p on the linear ones. The estimate is
+  // honest about its variance: the row carries a 95% binomial CI
+  // half-width in permille, computed from BIGINT products through ONE
+  // double sqrt (identical operation order both engines — IEEE-
+  // deterministic); SpanFuzzSpec pins the sampled recall against the
+  // full audit's within that CI at the gate SF.
+  // -------------------------------------------------------------------
+  private val SpanSampleMod = 4L
+
+  private def spanSampleKeep(c: Column): Column =
+    pmod(PortableHash.hashCol(
+      concat(lit("spansample:"), c.cast("string"))),
+      lit(SpanSampleMod)) === 0L
+
+  private def spanSampleKeepSql(col: String): String =
+    s"${PortableHash.hashSql(s"'spansample:' || CAST($col AS VARCHAR)")}" +
+      s" % $SpanSampleMod = 0"
+
+  private[ops] def spanGuaranteeSampled(
+      spark: SparkSession, dir: String): DataFrame = {
+    val nd = spanDocsNorm(spark, dir)
+      .filter(length(col("norm")) >= SpanMinLen)
+      .filter(spanSampleKeep(col("doc_id")))
+    val found = spanPairs(spark, dir)
+      .filter(col("span_len") >= SpanMinLen)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+      .filter(spanSampleKeep(col("da")) && spanSampleKeep(col("db")))
+    val audit = spanGuaranteeOf(nd, found)
+    // 95% CI half-width in permille: 1960 * sqrt(r(1-r)/n) with
+    // r = hit/exact — BIGINT products, ONE double division, ONE sqrt,
+    // same order both engines; n = 0 degenerates to the full interval
+    audit.select(col("n_exact_pairs"), col("n_found_pairs"),
+      col("n_hit_pairs"), col("recall_pm"), col("n_windows_capped"),
+      when(col("n_exact_pairs") === 0, lit(1000L))
+        .otherwise(floor(lit(1960.0) * sqrt(
+          (col("n_hit_pairs") *
+            (col("n_exact_pairs") - col("n_hit_pairs"))).cast("double") /
+            (col("n_exact_pairs") * col("n_exact_pairs") *
+              col("n_exact_pairs")).cast("double"))).cast("long"))
+        .as("ci_halfwidth_pm"))
+  }
+
+  private val spanGuaranteeSampledSql =
+    s"""WITH $spanPairsCte,
+       |ndg AS (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
+       |  FROM documents),
+       |leg AS (SELECT * FROM ndg WHERE length(norm) >= $SpanMinLen
+       |  AND ${spanSampleKeepSql("doc_id")}),
+       |wins AS (SELECT DISTINCT doc_id,
+       |    substring(norm, CAST(i AS INT), $SpanMinLen) AS w
+       |  FROM leg, LATERAL unnest(range(1,
+       |    greatest(length(norm) - ${SpanMinLen - 1}, 0) + 1)) AS t(i)),
+       |occ AS (SELECT w, COUNT(DISTINCT doc_id) AS occ FROM wins
+       |  GROUP BY w),
+       |kept AS (SELECT doc_id, w FROM wins
+       |  JOIN occ USING (w) WHERE occ <= $SpanWinOccCap),
+       |exact AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id),
+       |found AS (SELECT doc_a AS da, doc_b AS db FROM best
+       |  WHERE span_len >= $SpanMinLen
+       |    AND ${spanSampleKeepSql("doc_a")}
+       |    AND ${spanSampleKeepSql("doc_b")}),
+       |hit AS (SELECT COUNT(*) AS n_hit_pairs
+       |  FROM exact JOIN found USING (da, db))
+       |SELECT
+       |  (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
+       |  (SELECT COUNT(*) FROM found) AS n_found_pairs,
+       |  n_hit_pairs,
+       |  CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1000
+       |    ELSE (1000 * n_hit_pairs) // (SELECT COUNT(*) FROM exact)
+       |  END AS BIGINT) AS recall_pm,
+       |  (SELECT COUNT(*) FROM occ WHERE occ > $SpanWinOccCap)
+       |    AS n_windows_capped,
+       |  CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1000
+       |    ELSE floor(1960.0 * sqrt(
+       |      CAST(n_hit_pairs * ((SELECT COUNT(*) FROM exact)
+       |        - n_hit_pairs) AS DOUBLE) /
+       |      CAST((SELECT COUNT(*) FROM exact)
+       |        * (SELECT COUNT(*) FROM exact)
+       |        * (SELECT COUNT(*) FROM exact) AS DOUBLE)))
+       |  END AS BIGINT) AS ci_halfwidth_pm
+       |FROM hit""".stripMargin
+
+  // -------------------------------------------------------------------
   // tx_span_dedup: corpus REWRITE by long-shared-span removal — the
   // ACTION Lee et al. actually take on what dd_substring_span only
   // reports: every verified shared run ≥ 50 chars keeps its globally-
@@ -3243,6 +3338,7 @@ object Dedup {
     "dd_substring_dup"  -> (substringDup _),
     "dd_substring_span" -> (substringSpan _),
     "dd_span_guarantee" -> (spanGuarantee _),
+    "dd_span_guarantee_s" -> (spanGuaranteeSampled _),
     "tx_span_dedup"     -> (spanDedupRewrite _),
     "dd_incremental_dup" -> (incrementalDup _),
     "dd_semdedup"       -> (semDedup _),
@@ -3286,6 +3382,7 @@ object Dedup {
     "dd_substring_span" -> substringSpanSql,
     "tx_span_dedup"     -> spanDedupSql,
     "dd_span_guarantee" -> spanGuaranteeSql,
+    "dd_span_guarantee_s" -> spanGuaranteeSampledSql,
     "dd_semdedup"       -> semDedupSql,
     "dd_semdedup_rep"   -> semDedupRepSql,
     "dd_minhash_est"    -> MinHashLsh.estimateOracleSql(wordShingleTokCte),

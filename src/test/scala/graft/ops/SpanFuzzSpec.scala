@@ -313,6 +313,27 @@ class SpanFuzzSpec extends AnyFunSuite {
 
   // ---- generative differential + LCS precision bound ---------------
 
+  test("sampled span audit agrees with the full audit within its own CI") {
+    val dir = "/root/testdata/sf0.001"
+    val full = Extensions.queries("dd_span_guarantee")(spark, dir)
+      .collect().head
+    val samp = Extensions.queries("dd_span_guarantee_s")(spark, dir)
+      .collect().head
+    val rFull = full.getLong(3) // recall_pm
+    val rSamp = samp.getLong(3)
+    val ci = samp.getLong(5) // ci_halfwidth_pm
+    assert(samp.getLong(0) > 0,
+      "the deterministic 1/4 doc sample must keep some exact pairs")
+    assert(samp.getLong(0) < full.getLong(0),
+      "the sample must be a strict subset of the full truth")
+    // everything here is deterministic (hash sample, fixed corpus), so
+    // this is a fixed-number pin, not a flaky statistical one; the CI
+    // is the operator's own honesty bound and the full audit must sit
+    // inside it (plus the 1-permille integer-floor slack)
+    assert(math.abs(rSamp - rFull) <= ci + 1,
+      s"sampled recall $rSamp vs full $rFull exceeds CI ±$ci")
+  }
+
   test("fuzz: engine equals reference on a tiny-alphabet corpus; spans never exceed the true LCS") {
     val rng = new scala.util.Random(42)
     val docs = (1L to 24L).map { id =>
