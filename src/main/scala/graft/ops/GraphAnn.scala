@@ -283,8 +283,16 @@ object GraphAnn {
   }
 
   private def nndConvergeSql: String = {
+    // every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, so und$i's two self-join legs would
+    // re-evaluate the ENTIRE n$i pipeline (scored (2k)^2-candidate
+    // expansion included) once per leg and compound per round — the
+    // measured >18 GB spill that made this oracle infeasible at sf1.
+    // Materialized, each round's expensive scoring runs exactly once
+    // (n=20k at sf1: ~5M scored pairs per round) and the 2-round
+    // replay fits comfortably; results are identical by definition.
     def roundCtes(i: Int): String =
-      s"""und$i AS (SELECT u, v FROM n${i - 1}
+      s"""und$i AS MATERIALIZED (SELECT u, v FROM n${i - 1}
          |  UNION SELECT v, u FROM n${i - 1}),
          |cand$i AS (SELECT u, v FROM und$i
          |  UNION
@@ -293,7 +301,7 @@ object GraphAnn {
          |sc$i AS (SELECT cand$i.u, cand$i.v, ${cosE6("qu.q", "qv.q")} AS s
          |       FROM cand$i JOIN qt qu ON cand$i.u = qu.vec_id
          |                   JOIN qt qv ON cand$i.v = qv.vec_id),
-         |n$i AS (SELECT u, v FROM (
+         |n$i AS MATERIALIZED (SELECT u, v FROM (
          |    SELECT u, v, ROW_NUMBER() OVER
          |      (PARTITION BY u ORDER BY s DESC, v) AS r
          |    FROM sc$i WHERE s IS NOT NULL)
@@ -302,7 +310,8 @@ object GraphAnn {
       s"""h$i AS (SELECT CAST($i AS BIGINT) AS round, COUNT(*) AS sum_hits
          |  FROM truth t JOIN n$i ON t.u = n$i.u AND t.v = n$i.v)"""
         .stripMargin
-    s"""WITH qt AS (SELECT vec_id, ${Similarity.quantizeDuck} AS q
+    s"""WITH qt AS MATERIALIZED (SELECT vec_id,
+       |              ${Similarity.quantizeDuck} AS q
        |            FROM embeddings),
        |mm AS (SELECT MAX(vec_id) + 1 AS m FROM qt),
        |b AS (SELECT vec_id, q,
@@ -317,20 +326,20 @@ object GraphAnn {
        |p0 AS (SELECT ic.u, ic.v, ${cosE6("qu.q", "qv.q")} AS s
        |       FROM ic JOIN qt qu ON ic.u = qu.vec_id
        |               JOIN qt qv ON ic.v = qv.vec_id),
-       |n0 AS (SELECT u, v FROM (
+       |n0 AS MATERIALIZED (SELECT u, v FROM (
        |    SELECT u, v, ROW_NUMBER() OVER
        |      (PARTITION BY u ORDER BY s DESC, v) AS r
        |    FROM p0 WHERE s IS NOT NULL)
        |  WHERE r <= $K),
        |${roundCtes(1)},
        |${roundCtes(2)},
-       |probes AS (SELECT vec_id AS pu, q AS pq FROM qt
+       |probes AS MATERIALIZED (SELECT vec_id AS pu, q AS pq FROM qt
        |           WHERE vec_id % $ProbeMod = 0),
        |np AS (SELECT COUNT(*) AS n FROM probes),
        |tp AS (SELECT p.pu AS u, t.vec_id AS v,
        |    ${cosE6("t.q", "p.pq")} AS s
        |  FROM qt t, probes p WHERE t.vec_id <> p.pu),
-       |truth AS (SELECT u, v FROM (
+       |truth AS MATERIALIZED (SELECT u, v FROM (
        |    SELECT u, v, ROW_NUMBER() OVER
        |      (PARTITION BY u ORDER BY s DESC, v) AS r
        |    FROM tp WHERE s IS NOT NULL)
