@@ -281,7 +281,9 @@ final class GraftLinesMicroBatchStream(path: String, splitBytes: Long,
     maxBytesPerTrigger: Long, conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
-      .SupportsAdmissionControl {
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{
     Offset => StreamOffset, ReadLimit}
@@ -296,6 +298,16 @@ final class GraftLinesMicroBatchStream(path: String, splitBytes: Long,
       .sortBy(_._1)
   }
 
+  /** Trigger.AvailableNow contract: the target is SNAPSHOTTED here, so
+    * the drain terminates even if the directory keeps growing — each
+    * trigger still advances by at most the admission cap, and the
+    * stream stops once the snapshot is consumed.
+    */
+  @volatile private var availableNowTarget: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(listNow().toMap)
+
   override def initialOffset(): StreamOffset = GraftLinesOffset(Map.empty)
 
   override def deserializeOffset(json: String): StreamOffset =
@@ -304,17 +316,22 @@ final class GraftLinesMicroBatchStream(path: String, splitBytes: Long,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** admission-controlled advance: consume up to maxBytesPerTrigger
-    * new bytes (0 = unbounded) from the current listing, files in name
-    * order — the rate-limit contract that keeps a backlogged start
-    * from becoming one giant first batch
+    * new bytes (0 = unbounded) from the current listing (or the
+    * AvailableNow snapshot), files in name order — the rate-limit
+    * contract that keeps a backlogged start from becoming one giant
+    * first batch
     */
   override def latestOffset(
       start: StreamOffset, limit: ReadLimit): StreamOffset = {
     val from = start.asInstanceOf[GraftLinesOffset].files
     var budget =
       if (maxBytesPerTrigger > 0) maxBytesPerTrigger else Long.MaxValue
+    val target = availableNowTarget match {
+      case Some(snap) => snap.toSeq.sortBy(_._1)
+      case None => listNow()
+    }
     val out = Map.newBuilder[String, Long]
-    listNow().foreach { case (name, len) =>
+    target.foreach { case (name, len) =>
       val already = from.getOrElse(name, 0L)
       val take = math.min(math.max(0L, len - already), budget)
       budget -= take

@@ -233,6 +233,38 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(streamed == batch, "streamed rows diverged from the batch read")
   }
 
+  test("Trigger.AvailableNow drains in capped batches and terminates") {
+    import scala.jdk.CollectionConverters._
+    val path = Dsv2Source.tsvFixturePath(spark, dir)
+    val total = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.length > 0)
+      .map(_.length).sum
+    val byBatch = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, Long]()
+    val q = spark.readStream
+      .format(classOf[GraftLines].getName)
+      .option("path", path)
+      .option("maxBytesPerTrigger", math.max(1L, total / 3).toString)
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        byBatch.put(id, df.count()); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must terminate once the snapshot is consumed")
+    assert(byBatch.size >= 3,
+      s"the byte cap must split the drain into batches: ${byBatch.asScala}")
+    val streamed = byBatch.values.asScala.map(_.toLong).sum
+    val batch = spark.read.format(classOf[GraftLines].getName)
+      .option("path", path).load().count()
+    assert(streamed == batch,
+      s"AvailableNow drain lost/duplicated rows: $streamed vs $batch")
+  }
+
   test("streaming admission cap yields multiple batches and matches batch agg") {
     val df = Extensions.queries("st_dsv2_stream")(spark, dir)
     val got = df.collect().map(_.toSeq).sortBy(_.mkString("|"))
