@@ -265,6 +265,81 @@ class MvRewriteSpec extends AnyFunSuite {
       "the MV materialized an INNER join; an outer join must not be served")
   }
 
+  test("the star rewrite fires through the SQL front door too") {
+    Extensions.queries("ax_mv_star")(spark, dir)
+    li.createOrReplaceTempView("mv_star_li")
+    ord.createOrReplaceTempView("mv_star_ord")
+    val df = spark.sql(
+      """SELECT o_orderpriority,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM mv_star_li JOIN mv_star_ord
+        |  ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    val p = planOf(df)
+    assert(p.contains("mv_star") && !p.contains("lineitem.parquet"),
+      s"SQL-text star aggregate not served from the join rollup:\n$p")
+  }
+
+  test("a rewritten DIM base makes the star registration stale") {
+    // the star's freshness is the PAIR of stamps: rewriting the dim
+    // alone must fail the match even though the fact is untouched
+    import org.apache.spark.sql.catalyst.expressions.{Alias => CAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Project => CProject}
+    val factPath = new java.io.File("target/mvstar_fact").getAbsolutePath
+    val dimPath = new java.io.File("target/mvstar_dim").getAbsolutePath
+    val mvPath = new java.io.File("target/mvstar_mini_mv").getAbsolutePath
+    try {
+      li.limit(500).write.mode("overwrite").parquet(factPath)
+      ord.select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(dimPath)
+      spark.read.parquet(factPath)
+        .join(spark.read.parquet(dimPath),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("long")).as("mv_q"),
+          count(lit(1)).as("mv_n"))
+        .write.mode("overwrite").parquet(mvPath)
+      val templ = {
+        val plan = spark.read.parquet(factPath)
+          .select(col("l_quantity").cast("long").as("m"))
+          .queryExecution.optimizedPlan
+        MvRewrite.normalize(plan.collectFirst {
+          case CProject(Seq(CAlias(child, _)), _) => child
+        }.get)
+      }
+      val factKey = MvRewrite.keyFor(spark, factPath)
+      val dimKey = MvRewrite.keyFor(spark, dimPath)
+      MvRewrite.registerStar(MvRewrite.StarMvDef(
+        factKey = factKey, dimKey = dimKey,
+        joinFactCol = "l_orderkey", joinDimCol = "o_orderkey",
+        serve = MvRewrite.MvDef(
+          dims = Seq("o_orderpriority"),
+          measures = Seq("mv_q" -> templ),
+          countCol = "mv_n", mvPath = mvPath),
+        factStamp = MvRewrite.stampFor(factKey),
+        dimStamp = MvRewrite.stampFor(dimKey)))
+      MvRewrite.install(spark)
+      def q = spark.read.parquet(factPath)
+        .join(spark.read.parquet(dimPath),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      assert(planOf(q).contains("mvstar_mini_mv"),
+        s"fresh star registration must serve:\n${planOf(q)}")
+      Thread.sleep(1200) // local FS mtimes can be coarse-grained
+      ord.select(col("o_orderkey"), col("o_orderpriority")).limit(400)
+        .write.mode("overwrite").parquet(dimPath)
+      assert(!planOf(q).contains("mvstar_mini_mv"),
+        "a dim rewritten after registration must fall back to the raw join")
+    } finally {
+      MvRewrite.clear()
+      Extensions.queries("ax_mv_star")(spark, dir)
+      gate()
+    }
+  }
+
   test("the coarser single-side grain is served from the star rollup") {
     Extensions.queries("ax_mv_star")(spark, dir)
     // group by the FACT-side grain column only, no filter, count(*) too

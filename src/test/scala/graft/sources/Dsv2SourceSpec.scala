@@ -265,6 +265,24 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"AvailableNow drain lost/duplicated rows: $streamed vs $batch")
   }
 
+  test("streaming offsets round-trip through their JSON form") {
+    val cases = Seq(
+      Map.empty[String, Long],
+      Map("part-00000.tsv" -> 0L),
+      Map("part-00000.tsv" -> 123L, "part-00001.tsv" -> 987654321L,
+        "z-last.tsv" -> 1L))
+    cases.foreach { m =>
+      val o = GraftLinesOffset(m)
+      assert(GraftLinesOffset.fromJson(o.json()).files == m,
+        s"offset round-trip broke for $m: ${o.json()}")
+    }
+    // equal offsets must serialize identically (sorted keys) — the
+    // engine compares offsets by their JSON
+    val a = GraftLinesOffset(Map("b.tsv" -> 2L, "a.tsv" -> 1L))
+    val b = GraftLinesOffset(Map("a.tsv" -> 1L, "b.tsv" -> 2L))
+    assert(a.json() == b.json())
+  }
+
   test("streaming admission cap yields multiple batches and matches batch agg") {
     val df = Extensions.queries("st_dsv2_stream")(spark, dir)
     val got = df.collect().map(_.toSeq).sortBy(_.mkString("|"))
