@@ -112,6 +112,16 @@ class MvRewriteSpec extends AnyFunSuite {
       s"raw fact scan survived the min/max SQL-side rewrite:\n$p")
   }
 
+  test("star upkeep reads the stored join rollup and joins only the delta slice") {
+    val df = Extensions.queries("ax_mv_star_delta")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("mv_star_pre"), s"stored star rollup not read:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"delta slice filter not pushed to the fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the delta must acquire its grain via a broadcast dim join:\n$p")
+  }
+
   test("incremental upkeep reads the stored rollup and only the delta slice") {
     val df = Extensions.queries("ax_mv_delta")(spark, dir)
     val p = planOf(df)
