@@ -1369,16 +1369,19 @@ object Dedup {
       .filter(spanSampleKeep(col("da")) && spanSampleKeep(col("db")))
     val audit = spanGuaranteeOf(nd, found)
     // 95% CI half-width in permille: 1960 * sqrt(r(1-r)/n) with
-    // r = hit/exact — BIGINT products, ONE double division, ONE sqrt,
-    // same order both engines; n = 0 degenerates to the full interval
+    // r = hit/exact — every factor cast to double BEFORE multiplying
+    // (a BIGINT cube overflows past n_exact ≈ 2.1M pairs; IEEE double
+    // products with identical order are bit-equal across engines);
+    // n = 0 degenerates to the full interval
     audit.select(col("n_exact_pairs"), col("n_found_pairs"),
       col("n_hit_pairs"), col("recall_pm"), col("n_windows_capped"),
       when(col("n_exact_pairs") === 0, lit(1000L))
         .otherwise(floor(lit(1960.0) * sqrt(
-          (col("n_hit_pairs") *
-            (col("n_exact_pairs") - col("n_hit_pairs"))).cast("double") /
-            (col("n_exact_pairs") * col("n_exact_pairs") *
-              col("n_exact_pairs")).cast("double"))).cast("long"))
+          (col("n_hit_pairs").cast("double") *
+            (col("n_exact_pairs") - col("n_hit_pairs")).cast("double")) /
+            (col("n_exact_pairs").cast("double") *
+              col("n_exact_pairs").cast("double") *
+              col("n_exact_pairs").cast("double")))).cast("long"))
         .as("ci_halfwidth_pm"))
   }
 
@@ -1415,11 +1418,12 @@ object Dedup {
        |    AS n_windows_capped,
        |  CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1000
        |    ELSE floor(1960.0 * sqrt(
-       |      CAST(n_hit_pairs * ((SELECT COUNT(*) FROM exact)
-       |        - n_hit_pairs) AS DOUBLE) /
-       |      CAST((SELECT COUNT(*) FROM exact)
-       |        * (SELECT COUNT(*) FROM exact)
-       |        * (SELECT COUNT(*) FROM exact) AS DOUBLE)))
+       |      (CAST(n_hit_pairs AS DOUBLE)
+       |        * CAST((SELECT COUNT(*) FROM exact)
+       |            - n_hit_pairs AS DOUBLE)) /
+       |      (CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+       |        * CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+       |        * CAST((SELECT COUNT(*) FROM exact) AS DOUBLE))))
        |  END AS BIGINT) AS ci_halfwidth_pm
        |FROM hit""".stripMargin
 

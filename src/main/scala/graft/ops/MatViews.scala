@@ -225,13 +225,20 @@ object MatViews {
   // conjuncts the optimizer infers — anything else falls back to raw.
   // The oracle computes the same answer from the raw join.
   // -------------------------------------------------------------------
+  /** mtime of one base table, 0 when unreadable — fixture keys must
+    * include EVERY base the fixture embeds (fact AND dim), or a
+    * regenerated dim silently serves stale attributes from the cache.
+    */
+  private def baseStamp(dir: String, table: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, table)).toMillis
+    catch { case _: Exception => 0L }
+
   private def mvStarPath(spark: SparkSession, dir: String): String = {
-    val stamp =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "lineitem.parquet")).toMillis
-      catch { case _: Exception => 0L }
     val pathF = FixtureCache.dir("mv_star", dir,
-      "grain" -> "op_rf", "v" -> 1, "src" -> stamp)
+      "grain" -> "op_rf", "v" -> 2,
+      "src" -> baseStamp(dir, "lineitem.parquet"),
+      "dim" -> baseStamp(dir, "orders.parquet"))
     val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
     if (!marker.exists()) {
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -316,12 +323,10 @@ object MatViews {
   // directly, proving the incremental path lands on the batch answer.
   // -------------------------------------------------------------------
   private def mvStarPrePath(spark: SparkSession, dir: String): String = {
-    val stamp =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "lineitem.parquet")).toMillis
-      catch { case _: Exception => 0L }
     val pathF = FixtureCache.dir("mv_star_pre", dir,
-      "grain" -> "op_rf", "cut" -> DeltaCut, "v" -> 1, "src" -> stamp)
+      "grain" -> "op_rf", "cut" -> DeltaCut, "v" -> 2,
+      "src" -> baseStamp(dir, "lineitem.parquet"),
+      "dim" -> baseStamp(dir, "orders.parquet"))
     val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
     if (!marker.exists()) {
       starRollup(spark, dir,

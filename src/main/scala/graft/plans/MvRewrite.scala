@@ -119,10 +119,18 @@ object MvRewrite {
     }.getOrElse(rawPath)
   }
 
-  def register(baseKey: String, mv: MvDef): Unit = catalog.put(baseKey, mv)
-  def registerStar(mv: StarMvDef): Unit =
+  def register(baseKey: String, mv: MvDef): Unit = {
+    stampCache.remove(baseKey) // a register follows a (re)build: re-stat
+    catalog.put(baseKey, mv)
+  }
+  def registerStar(mv: StarMvDef): Unit = {
+    stampCache.remove(mv.factKey)
+    stampCache.remove(mv.dimKey)
     starCatalog.put((mv.factKey, mv.dimKey), mv)
-  def clear(): Unit = { catalog.clear(); starCatalog.clear() }
+  }
+  def clear(): Unit = {
+    catalog.clear(); starCatalog.clear(); stampCache.clear()
+  }
 
   /** Freshness stamp for a base key (comma-joined root paths): the max
     * modification time across the roots, 0 if unreachable. A served MV
@@ -134,16 +142,32 @@ object MvRewrite {
     * filesystem mtime is the version.
     */
   def stampFor(baseKey: String): Long = {
-    val conf = org.apache.spark.SparkContext.getOrCreate()
-      .hadoopConfiguration
-    baseKey.split(",").map { raw =>
+    // matchBase/matchStar run once per Aggregate in EVERY optimized
+    // query once any MV is registered — a live getFileStatus per visit
+    // is per-query planning I/O. A short-TTL cache amortizes it to at
+    // most one stat per base per second while staying well inside the
+    // 1.2 s mtime granularity the staleness spec allows; the TTL entry
+    // (not an unbounded lifetime) is what keeps rewritten-base
+    // detection sound. SparkSession.active supplies the Hadoop conf
+    // (never SparkContext.getOrCreate, which can CONSTRUCT a context).
+    val now = System.nanoTime()
+    val cached = stampCache.get(baseKey)
+    if (cached != null && now - cached._1 <= StampTtlNanos) return cached._2
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val v = baseKey.split(",").map { raw =>
       try {
         val p = new org.apache.hadoop.fs.Path(raw)
         org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
           .getFileStatus(p).getModificationTime
       } catch { case _: Exception => 0L }
     }.max
+    stampCache.put(baseKey, (now, v))
+    v
   }
+
+  private val stampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private val StampTtlNanos = 1000L * 1000 * 1000
 
   /** Idempotently install the rewrite rule on a session. */
   def install(spark: SparkSession): Unit = synchronized {

@@ -250,17 +250,48 @@ object GraftLinesOffset {
     * the two escapes json() emits)
     */
   def fromJson(s: String): GraftLinesOffset = {
-    val body = s.trim.stripPrefix("{").stripSuffix("}")
-    if (body.isEmpty) GraftLinesOffset(Map.empty)
-    else GraftLinesOffset(
-      // split on commas that separate "key":value pairs; keys are file
-      // names that contain no commas by construction (staged part files)
-      body.split(",").map { kv =>
-        val i = kv.lastIndexOf(':')
-        val key = kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
-          .replace("\\\"", "\"").replace("\\\\", "\\")
-        key -> kv.substring(i + 1).trim.toLong
-      }.toMap)
+    // a real character-level parse of the json() emission above — NOT
+    // a split-on-comma heuristic: offsets come from checkpoints, so a
+    // mis-parse (e.g. a file name containing a comma or colon) would
+    // silently corrupt stream progress. Anything that isn't exactly
+    // the emitted shape fails the restart loudly instead.
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"malformed graftlines offset ($why): $s")
+    val t = s.trim
+    if (!(t.startsWith("{") && t.endsWith("}"))) fail("no object braces")
+    val body = t.substring(1, t.length - 1)
+    if (body.trim.isEmpty) return GraftLinesOffset(Map.empty)
+    val out = Map.newBuilder[String, Long]
+    var i = 0
+    val n = body.length
+    while (i < n) {
+      if (body.charAt(i) != '"') fail(s"expected key quote at $i")
+      i += 1
+      val key = new StringBuilder
+      var closed = false
+      while (i < n && !closed) body.charAt(i) match {
+        case '\\' =>
+          if (i + 1 >= n) fail("dangling escape")
+          key.append(body.charAt(i + 1)); i += 2
+        case '"' => closed = true; i += 1
+        case c => key.append(c); i += 1
+      }
+      if (!closed) fail("unterminated key")
+      if (i >= n || body.charAt(i) != ':') fail(s"expected ':' at $i")
+      i += 1
+      val numStart = i
+      while (i < n && body.charAt(i) != ',') i += 1
+      val num = body.substring(numStart, i)
+      val value =
+        try num.toLong
+        catch { case _: NumberFormatException => fail(s"bad value '$num'") }
+      out += key.result() -> value
+      if (i < n) { // consume the pair separator; trailing comma is malformed
+        i += 1
+        if (i >= n) fail("trailing comma")
+      }
+    }
+    GraftLinesOffset(out.result())
   }
 }
 
@@ -331,6 +362,12 @@ final class GraftLinesMicroBatchStream(path: String, splitBytes: Long,
       case None => listNow()
     }
     val out = Map.newBuilder[String, Long]
+    // carry forward every consumed position from the start offset,
+    // including files absent from the current listing — a file that
+    // disappears and later REAPPEARS must resume from its consumed
+    // position, not re-read from byte 0 (exactly-once would otherwise
+    // hold only while files are never removed and re-added)
+    out ++= from
     target.foreach { case (name, len) =>
       val already = from.getOrElse(name, 0L)
       val take = math.min(math.max(0L, len - already), budget)
