@@ -311,6 +311,95 @@ object MatViews {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_mv_star_attr: JOIN-BACK serving — the commonest star query of
+  // all groups by a dim ATTRIBUTE (TPC-H Q5/Q7/Q8/Q9 shapes), which no
+  // fixed (dim-attr, fact-attr) grain can anticipate. The registered
+  // rollup is at the fact's FK grain (one row per l_orderkey, built
+  // from the fact ALONE — no dim bytes embedded), which functionally
+  // determines EVERY dim attribute; the rule serves the query by
+  // re-joining the rollup to the live dim and re-aggregating at the
+  // requested attribute. At 100 TB: a fact scan + shuffle join becomes
+  // a |orders|-row rollup × broadcast dim — zero fact bytes at query
+  // time, and the one rollup answers every dim-attribute grouping.
+  // The negative pin (MvRewriteSpec): a grain WITHOUT the FK cannot
+  // determine dim attributes, so the same query with only the op_rf
+  // MV registered keeps its raw plan.
+  // -------------------------------------------------------------------
+  private def mvStarFkPath(spark: SparkSession, dir: String): String = {
+    // fact mtime only: the FK rollup reads ONLY lineitem (the dim is
+    // re-joined live at serve time, so dim regeneration never stales it)
+    val pathF = FixtureCache.dir("mv_star_fk", dir,
+      "grain" -> "okey", "v" -> 1,
+      "src" -> baseStamp(dir, "lineitem.parquet"))
+    val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
+    if (!marker.exists()) {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(qtyLong(col("l_quantity"))).as("mv_sum_qty"),
+          sum(discCents(col("l_extendedprice"), col("l_discount")))
+            .as("mv_disc_cents"),
+          count(lit(1)).as("mv_n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(pathF.toString)
+      marker.createNewFile()
+    }
+    pathF.toString
+  }
+
+  private[ops] def serveStarFkFromMv(
+      spark: SparkSession, dir: String): Unit = {
+    val mvPath = mvStarFkPath(spark, dir)
+    val fact = s"$dir/lineitem.parquet"
+    val dim = s"$dir/orders.parquet"
+    val factKey = MvRewrite.keyFor(spark, fact)
+    val dimKey = MvRewrite.keyFor(spark, dim)
+    MvRewrite.registerStar(MvRewrite.StarMvDef(
+      factKey = factKey,
+      dimKey = dimKey,
+      joinFactCol = "l_orderkey",
+      joinDimCol = "o_orderkey",
+      serve = MvRewrite.MvDef(
+        dims = Seq("l_orderkey"),
+        measures = Seq(
+          "mv_sum_qty" ->
+            measureTemplate(spark, fact, qtyLong(col("l_quantity"))),
+          "mv_disc_cents" ->
+            measureTemplate(spark, fact,
+              discCents(col("l_extendedprice"), col("l_discount")))),
+        countCol = "mv_n_rows",
+        mvPath = mvPath),
+      factStamp = MvRewrite.stampFor(factKey),
+      dimStamp = 0L)) // live-dim serving: dim freshness is a non-issue
+    MvRewrite.install(spark)
+  }
+
+  private def mvStarAttr(spark: SparkSession, dir: String): DataFrame = {
+    serveStarFkFromMv(spark, dir)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority") =!= "3-MEDIUM")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(qtyLong(col("l_quantity"))).as("sum_qty"),
+        sum(discCents(col("l_extendedprice"), col("l_discount")))
+          .as("disc_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus").asc)
+  }
+
+  private val mvStarAttrSql =
+    """SELECT o.o_orderstatus,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS disc_cents,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority <> '3-MEDIUM'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_mv_star_delta: INCREMENTAL upkeep of the JOIN-GRAIN rollup —
   // the production pattern for star MVs: fact partitions append (the
   // post-cut l_shipdate slice), each new fact row joins to the
@@ -565,6 +654,7 @@ object MatViews {
     "ax_mv_filter"  -> (mvFilter _),
     "ax_mv_minmax"  -> (mvMinMax _),
     "ax_mv_star"    -> (mvStar _),
+    "ax_mv_star_attr" -> (mvStarAttr _),
     "ax_mv_star_delta" -> (mvStarDelta _),
     "ax_mv_delta"   -> (mvDelta _),
     "ax_mv_cdc"     -> (mvCdc _)
@@ -575,6 +665,7 @@ object MatViews {
     "ax_mv_filter"  -> mvFilterSql,
     "ax_mv_minmax"  -> mvMinMaxSql,
     "ax_mv_star"    -> mvStarSql,
+    "ax_mv_star_attr" -> mvStarAttrSql,
     "ax_mv_star_delta" -> mvStarDeltaSql,
     "ax_mv_delta"   -> mvDeltaSql,
     "ax_mv_cdc"     -> mvCdcSql

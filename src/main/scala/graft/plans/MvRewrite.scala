@@ -104,9 +104,14 @@ object MvRewrite {
   private val catalog =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
 
-  /** (factKey, dimKey) → star-join MV registry. */
-  private val starCatalog =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), StarMvDef]()
+  /** (factKey, dimKey) → star-join MV registry. A pair can carry
+    * SEVERAL rollups at different grains (e.g. the (dim-attr, fact-attr)
+    * grain serving classic subsumption and the FK grain serving
+    * join-back); candidates are tried classic-first (zero join at serve
+    * time beats a rollup×dim join).
+    */
+  private val starCatalog = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), List[StarMvDef]]()
 
   /** The canonical root-path key Spark reports for a parquet scan. */
   def keyFor(spark: SparkSession, rawPath: String): String = {
@@ -126,7 +131,10 @@ object MvRewrite {
   def registerStar(mv: StarMvDef): Unit = {
     stampCache.remove(mv.factKey)
     stampCache.remove(mv.dimKey)
-    starCatalog.put((mv.factKey, mv.dimKey), mv)
+    starCatalog.compute((mv.factKey, mv.dimKey), (_, cur) =>
+      // re-registering the same grain replaces it; other grains persist
+      mv :: Option(cur).getOrElse(Nil)
+        .filterNot(_.serve.dims == mv.serve.dims))
   }
   def clear(): Unit = {
     catalog.clear(); starCatalog.clear(); stampCache.clear()
@@ -243,60 +251,72 @@ object MvRewrite {
   }
 
   /** Match `Join(fact, dim)` (either order) under pruning Projects and
-    * Filters, against a registered star MV. The join must be INNER with
-    * exactly the registered single equi-pair; every filter conjunct
-    * anywhere in the tree must be either (a) an `IsNotNull` on a join
-    * key — implied by the inner join the MV already materialized, so it
-    * is absorbed — or (b) deterministic, column-referencing, and
-    * grain-only, in which case it remaps onto the rollup. Anything
-    * else (extra joins, residual predicates on measures, non-FK keys)
-    * fails the match and the query keeps its raw plan.
+    * Filters, against the registered star MVs for the pair. The join
+    * must be INNER with exactly a registered single equi-pair. Returns
+    * the FRESH candidates (either base rewritten since registration →
+    * that candidate is dropped) plus the raw filter conjuncts collected
+    * anywhere in the tree — each serving strategy validates the
+    * conjuncts against its own capabilities.
     */
   private def matchStar(
-      plan: LogicalPlan): Option[(StarMvDef, Seq[Expression])] = {
+      plan: LogicalPlan): Option[(Seq[StarMvDef], Seq[Expression])] = {
 
-    def go(p: LogicalPlan): Option[(StarMvDef, Seq[Expression])] = p match {
-      case Project(projList, child)
-          if projList.forall(_.isInstanceOf[AttributeReference]) =>
-        go(child)
-      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
-        go(child).map { case (mv, conds) => (mv, splitAnd(cond) ++ conds) }
-      case Join(left, right, Inner, Some(cond), _) =>
-        for {
-          (lk, lf) <- walkBranch(left)
-          (rk, rf) <- walkBranch(right)
-          mv <- Option(starCatalog.get((lk, rk)))
-            .orElse(Option(starCatalog.get((rk, lk))))
-          keys <- cond match {
-            case org.apache.spark.sql.catalyst.expressions.EqualTo(
-                a: AttributeReference, b: AttributeReference) =>
-              Some(Set(a.name, b.name))
-            case _ => None
-          }
-          if keys == Set(mv.joinFactCol, mv.joinDimCol)
-        } yield (mv, lf ++ rf)
-      case _ => None
-    }
-
-    go(plan).flatMap { case (mv, rawConds) =>
-      // freshness: EITHER base rewritten since registration → stale
-      val fresh =
-        (mv.factStamp == 0L || stampFor(mv.factKey) == mv.factStamp) &&
-          (mv.dimStamp == 0L || stampFor(mv.dimKey) == mv.dimStamp)
-      val joinKeys = Set(mv.joinFactCol, mv.joinDimCol)
-      val dimConds = Seq.newBuilder[Expression]
-      val ok = fresh && rawConds.forall {
-        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            a: AttributeReference) if joinKeys.contains(a.name) =>
-          true // implied by the materialized inner join; absorb
-        case c if c.deterministic && c.references.nonEmpty &&
-            c.references.forall(a => mv.serve.dims.contains(a.name)) =>
-          dimConds += c
-          true
-        case _ => false
+    def go(p: LogicalPlan): Option[(Seq[StarMvDef], Seq[Expression])] =
+      p match {
+        case Project(projList, child)
+            if projList.forall(_.isInstanceOf[AttributeReference]) =>
+          go(child)
+        case org.apache.spark.sql.catalyst.plans.logical
+            .Filter(cond, child) =>
+          go(child).map { case (mv, conds) => (mv, splitAnd(cond) ++ conds) }
+        case Join(left, right, Inner, Some(cond), _) =>
+          for {
+            (lk, lf) <- walkBranch(left)
+            (rk, rf) <- walkBranch(right)
+            all = starCatalog.getOrDefault((lk, rk), Nil) ++
+              starCatalog.getOrDefault((rk, lk), Nil)
+            keys <- cond match {
+              case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                  a: AttributeReference, b: AttributeReference) =>
+                Some(Set(a.name, b.name))
+              case _ => None
+            }
+            cands = all.filter(mv =>
+              keys == Set(mv.joinFactCol, mv.joinDimCol))
+            if cands.nonEmpty
+          } yield (cands, lf ++ rf)
+        case _ => None
       }
-      if (ok) Some((mv, dimConds.result())) else None
+
+    go(plan).map { case (cands, rawConds) =>
+      (cands.filter(mv =>
+        (mv.factStamp == 0L || stampFor(mv.factKey) == mv.factStamp) &&
+          (mv.dimStamp == 0L || stampFor(mv.dimKey) == mv.dimStamp)),
+        rawConds)
+    }.filter(_._1.nonEmpty)
+  }
+
+  /** Classic star serving: every conjunct is either an absorbed
+    * `IsNotNull(join key)` (implied by the inner join the MV already
+    * materialized) or deterministic, column-referencing, and grain-only
+    * (selects whole MV groups → remaps onto the rollup). Returns the
+    * grain-mapped filter list, or None if any conjunct is out of reach.
+    */
+  private def classicStarConds(mv: StarMvDef,
+      rawConds: Seq[Expression]): Option[Seq[Expression]] = {
+    val joinKeys = Set(mv.joinFactCol, mv.joinDimCol)
+    val dimConds = Seq.newBuilder[Expression]
+    val ok = rawConds.forall {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: AttributeReference) if joinKeys.contains(a.name) =>
+        true
+      case c if c.deterministic && c.references.nonEmpty &&
+          c.references.forall(a => mv.serve.dims.contains(a.name)) =>
+        dimConds += c
+        true
+      case _ => false
     }
+    if (ok) Some(dimConds.result()) else None
   }
 
   final case class RewriteAggToMv(spark: SparkSession)
@@ -310,9 +330,17 @@ object MvRewrite {
               .getOrElse(agg)
           case None =>
             matchStar(child) match {
-              case Some((star, dimFilters)) =>
-                tryRewrite(groupingExprs, resultExprs, star.serve,
-                  dimFilters).getOrElse(agg)
+              case Some((cands, rawConds)) =>
+                // classic (zero-join) serving beats join-back; within a
+                // strategy, first registered grain that fits wins
+                cands.iterator.flatMap { star =>
+                  classicStarConds(star, rawConds).flatMap(f =>
+                    tryRewrite(groupingExprs, resultExprs, star.serve, f))
+                }.nextOption().orElse(
+                  cands.iterator.flatMap(star =>
+                    tryJoinBack(groupingExprs, resultExprs, star, rawConds))
+                    .nextOption())
+                  .getOrElse(agg)
               case None => agg
             }
         }
@@ -393,6 +421,161 @@ object MvRewrite {
           cond.transformUp {
             case a: AttributeReference => mvAttr(a.name)
           }, child)
+      }
+      Some(Aggregate(newGrouping, rewritten.map(_.get), newChild, None))
+    }
+
+    /** JOIN-BACK star serving — the rewrite for the commonest star
+      * query of all: `GROUP BY <dim attribute>` over `fact ⋈ dim`
+      * (TPC-H Q5/Q7/Q8/Q9 all group by a dim attribute). A rollup at a
+      * grain that CONTAINS the fact's join FK functionally determines
+      * every dim attribute (FK → one dim row, the registered PK-FK
+      * relationship), so the aggregate is served by re-joining the
+      * FK-grain rollup to the LIVE dim and re-aggregating at the
+      * requested attribute: rollup rows × dim join, ZERO fact bytes at
+      * query time. At 100 TB that replaces a fact scan + shuffle join
+      * with a |dim|-row join Spark will broadcast. A grain WITHOUT the
+      * FK cannot determine dim attributes → None (negative pin: the
+      * query keeps its raw plan). Filter conjuncts may touch any dim
+      * column (the live dim re-derives them) or any grain column;
+      * anything referencing a non-grain fact column is lost at the
+      * rollup → None. Column names must be disjoint across fact and
+      * dim (the TPC-H prefix convention) for name-keyed remapping to
+      * be unambiguous — same convention the classic star path assumes.
+      */
+    private def tryJoinBack(
+        groupingExprs: Seq[Expression],
+        resultExprs: Seq[NamedExpression],
+        star: StarMvDef,
+        rawConds: Seq[Expression]): Option[LogicalPlan] = {
+
+      val mv = star.serve
+      if (!mv.dims.contains(star.joinFactCol)) return None
+
+      val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+      val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+      if (!mv.dims.forall(mvAttr.contains) || !mvAttr.contains(mv.countCol) ||
+        !(mv.measures ++ mv.maxes ++ mv.mins)
+          .forall(m => mvAttr.contains(m._1))) return None
+
+      val dimPlan = spark.read
+        .parquet(star.dimKey.split(","): _*).queryExecution.analyzed
+      val dimAttr = dimPlan.output.map(a => a.name -> a).toMap
+      if (!dimAttr.contains(star.joinDimCol)) return None
+
+      // name → serving-side attribute: grain columns resolve to the
+      // rollup, anything else to the live dim (or fails)
+      def resolve(name: String)
+          : Option[org.apache.spark.sql.catalyst.expressions.Attribute] =
+        if (mv.dims.contains(name)) mvAttr.get(name) else dimAttr.get(name)
+
+      val groupOk = groupingExprs.nonEmpty && groupingExprs.forall {
+        case a: AttributeReference => resolve(a.name).isDefined
+        case _ => false
+      }
+      if (!groupOk) return None
+
+      val joinKeys = Set(star.joinFactCol, star.joinDimCol)
+      val keptConds = Seq.newBuilder[Expression]
+      val condsOk = rawConds.forall {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) if joinKeys.contains(a.name) =>
+          true // re-established by the join-back inner join
+        case c if c.deterministic && c.references.nonEmpty &&
+            c.references.forall(a => resolve(a.name).isDefined) =>
+          keptConds += c
+          true
+        case _ => false
+      }
+      if (!condsOk) return None
+
+      val measureByNorm = mv.measures.map(_.swap).toMap
+      val maxByNorm = mv.maxes.map(_.swap).toMap
+      val minByNorm = mv.mins.map(_.swap).toMap
+      def aggOf(f: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateFunction): AggregateExpression =
+        AggregateExpression(f, Complete, isDistinct = false)
+      def sumOf(name: String): AggregateExpression = aggOf(Sum(mvAttr(name)))
+
+      // max/min re-aggregate exactly here because grouping by a dim
+      // attribute PARTITIONS the FK groups (each FK maps to one dim row)
+      val rewritten: Seq[Option[NamedExpression]] = resultExprs.map {
+        case a: AttributeReference if resolve(a.name).isDefined =>
+          resolve(a.name).map(attr => Alias(attr, a.name)(exprId = a.exprId))
+        case al @ Alias(
+            AggregateExpression(Sum(e, _), Complete, false, None, _),
+            name) =>
+          measureByNorm.get(normalize(e)).map { mvCol =>
+            Alias(sumOf(mvCol), name)(exprId = al.exprId)
+          }
+        case al @ Alias(
+            AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate.Max(e),
+              Complete, false, None, _), name) =>
+          maxByNorm.get(normalize(e)).map { mvCol =>
+            Alias(aggOf(org.apache.spark.sql.catalyst.expressions.aggregate
+              .Max(mvAttr(mvCol))), name)(exprId = al.exprId)
+          }
+        case al @ Alias(
+            AggregateExpression(
+              org.apache.spark.sql.catalyst.expressions.aggregate.Min(e),
+              Complete, false, None, _), name) =>
+          minByNorm.get(normalize(e)).map { mvCol =>
+            Alias(aggOf(org.apache.spark.sql.catalyst.expressions.aggregate
+              .Min(mvAttr(mvCol))), name)(exprId = al.exprId)
+          }
+        case al @ Alias(
+            AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
+              None, _), name) =>
+          Some(Alias(sumOf(mv.countCol), name)(exprId = al.exprId))
+        case _ => None
+      }
+      if (rewritten.exists(_.isEmpty)) return None
+
+      // manual column pruning: extraOptimizations run AFTER the main
+      // optimizer batches, so Projects here are what keeps the physical
+      // scans narrow (FileSourceStrategy derives ReadSchema from them)
+      val conds = keptConds.result()
+      val neededNames: Set[String] =
+        groupingExprs.flatMap { case a: AttributeReference => Seq(a.name) }
+          .toSet ++ conds.flatMap(_.references.map(_.name))
+      val usedMvCols: Set[String] =
+        rewritten.flatMap(_.get.collect {
+          case a: AttributeReference => a.name
+        }).toSet
+      val dimPruned = Project(dimPlan.output.filter(a =>
+        a.name == star.joinDimCol || neededNames.contains(a.name)), dimPlan)
+      val mvPruned = Project(mvPlan.output.filter(a =>
+        a.name == star.joinFactCol || neededNames.contains(a.name) ||
+          usedMvCols.contains(a.name)), mvPlan)
+
+      // single-side conjuncts filter BELOW the join (this rule runs
+      // after the main optimizer's pushdown batches, so placement here
+      // is what gets them into the scans' PushedFilters); conjuncts
+      // spanning both sides stay above it
+      def remap(cond: Expression): Expression = cond.transformUp {
+        case a: AttributeReference => resolve(a.name).getOrElse(a)
+      }
+      def sideOf(cond: Expression): Int = {
+        val names = cond.references.map(_.name).toSet
+        if (names.forall(mv.dims.contains)) 0 // rollup side
+        else if (names.forall(n => !mv.dims.contains(n))) 1 // dim side
+        else 2
+      }
+      val bySide = conds.groupBy(sideOf)
+      def filtered(side: Int, base: LogicalPlan): LogicalPlan =
+        bySide.getOrElse(side, Nil).foldLeft(base) { (child, cond) =>
+          org.apache.spark.sql.catalyst.plans.logical.Filter(
+            remap(cond), child)
+        }
+      val joined: LogicalPlan = Join(
+        filtered(0, mvPruned), filtered(1, dimPruned), Inner,
+        Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+          mvAttr(star.joinFactCol), dimAttr(star.joinDimCol))),
+        org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      val newChild = filtered(2, joined)
+      val newGrouping = groupingExprs.map {
+        case a: AttributeReference => resolve(a.name).get
       }
       Some(Aggregate(newGrouping, rewritten.map(_.get), newChild, None))
     }

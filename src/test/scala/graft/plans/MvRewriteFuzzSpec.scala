@@ -92,6 +92,38 @@ class MvRewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("every JOIN-BACK dim-attribute grain rewrites and is exact") {
+    Extensions.queries("ax_mv_star_attr")(spark, dir).collect() // FK MV
+    val rnd = new scala.util.Random(47)
+    def ord = spark.read.parquet(s"$dir/orders.parquet")
+    def joined = raw.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // attributes no attribute-grain rollup anticipates, alone and mixed
+    val grains = Seq(Seq("o_orderstatus"), Seq("o_custkey"),
+      Seq("o_orderdate"), Seq("o_orderstatus", "o_custkey"))
+    val measurePool = Seq("q" -> qty, "d" -> dc, "n" -> cnt)
+    for (grain <- grains; take <- 1 to 3) {
+      val ms = rnd.shuffle(measurePool).take(take)
+      val aggs = ms.map { case (tag, m) =>
+        m().as(s"j_${tag}_${rnd.nextInt(100)}")
+      }
+      val df = joined.groupBy(grain.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      val p = planOf(df)
+      assert(p.contains("mv_star_fk") && !p.contains("lineitem.parquet"),
+        s"no join-back for grain=$grain measures=${ms.map(_._1)}:\n$p")
+      val served = collectSorted(df)
+      MvRewrite.clear()
+      try {
+        val again = joined.groupBy(grain.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        assert(!planOf(again).contains("mv_star_fk"))
+        assert(served == collectSorted(again),
+          s"join-back served != raw for grain=$grain " +
+            s"measures=${ms.map(_._1)}")
+      } finally Extensions.queries("ax_mv_star_attr")(spark, dir).collect()
+    }
+  }
+
   test("near-miss shapes are all left alone") {
     install()
     val blocked = Seq[DataFrame](

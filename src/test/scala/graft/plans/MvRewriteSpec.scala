@@ -245,13 +245,19 @@ class MvRewriteSpec extends AnyFunSuite {
   }
 
   test("a dim-table non-grain filter blocks the star rewrite") {
-    Extensions.queries("ax_mv_star")(spark, dir)
-    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("o_orderstatus") === "F")
-      .groupBy(col("o_orderpriority"))
-      .agg(sum(col("l_quantity").cast("long")).as("q"))
-    assert(!planOf(df).contains("mv_star"),
-      "o_orderstatus is not in the star grain")
+    // scoped to the attribute-grain MV ALONE: once an FK-grain rollup
+    // is also registered this exact query is legitimately served by
+    // join-back (pinned below), so the negative is "no FK grain"
+    MvRewrite.clear()
+    try {
+      Extensions.queries("ax_mv_star")(spark, dir)
+      val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      assert(!planOf(df).contains("mv_star"),
+        "o_orderstatus is not in the star grain")
+    } finally gate()
   }
 
   test("a third join blocks the star rewrite") {
@@ -369,5 +375,78 @@ class MvRewriteSpec extends AnyFunSuite {
       .agg(sum(col("l_tax").cast("long")).as("t"))
     assert(!planOf(df).contains("mv_lineitem"),
       "sum(l_tax) has no pre-summed MV column")
+  }
+
+  // ----- join-back (FK-grain) star serving ----------------------------
+
+  test("ax_mv_star_attr is served by join-back: rollup x dim, zero fact") {
+    val df = Extensions.queries("ax_mv_star_attr")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("mv_star_fk"), s"FK rollup not in plan:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"fact scan survived the join-back rewrite:\n$p")
+    assert(p.contains("orders.parquet"),
+      "join-back must read the LIVE dim to derive the attribute")
+  }
+
+  test("join-back serving is exact: equals the raw join recompute") {
+    val served = Extensions.queries("ax_mv_star_attr")(spark, dir).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    MvRewrite.clear()
+    try {
+      val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderpriority") =!= "3-MEDIUM")
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("disc_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderstatus").asc)
+      assert(!planOf(raw).contains("mv_star_fk"))
+      val expect = raw.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(served.sameElements(expect),
+        "join-back answer diverged from the raw join recompute")
+    } finally {
+      Extensions.queries("ax_mv_star_attr")(spark, dir)
+      gate()
+    }
+  }
+
+  test("ANY dim attribute is servable from the one FK-grain rollup") {
+    Extensions.queries("ax_mv_star_attr")(spark, dir)
+    // an attribute no registered attribute-grain anticipates
+    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        count(lit(1)).as("n"))
+    val p = planOf(df)
+    assert(p.contains("mv_star_fk") && !p.contains("lineitem.parquet"),
+      s"o_custkey grouping not served by join-back:\n$p")
+  }
+
+  test("a grain WITHOUT the FK cannot serve a dim attribute (negative)") {
+    MvRewrite.clear()
+    try {
+      Extensions.queries("ax_mv_star")(spark, dir) // op_rf grain only
+      val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      assert(!planOf(df).contains("mv_star"),
+        "o_orderstatus is not functionally determined by the op_rf grain")
+    } finally {
+      Extensions.queries("ax_mv_star_attr")(spark, dir)
+      gate()
+    }
+  }
+
+  test("a non-grain FACT filter blocks join-back too") {
+    Extensions.queries("ax_mv_star_attr")(spark, dir)
+    // l_returnflag is lost at the FK grain; the rollup cannot apply it
+    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_star_fk"),
+      "a fact filter below the FK grain must force the raw plan")
   }
 }
