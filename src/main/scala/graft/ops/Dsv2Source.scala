@@ -161,17 +161,77 @@ object Dsv2Source {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // st_dsv2_sink: the connector's STREAMING WRITE leg — the metadata
+  // stream (admission-capped to ~4 epochs at every SF) is written back
+  // through the epoch-keyed 2PC sink under Trigger.AvailableNow, then
+  // the SAME checkpoint is drained a second time (a restart): the
+  // `_committed-<epoch>` markers and replay-stable published names must
+  // make the second run add NOTHING — a duplicated or dropped epoch
+  // lands as an oracle hash mismatch on the batch read-back. Both
+  // sink directory and checkpoint are rebuilt every execution, so the
+  // protocol itself is what passes, never stale state.
+  // -------------------------------------------------------------------
+  private def dsv2Sink(spark: SparkSession, dir: String): DataFrame = {
+    val path = tsvFixturePath(spark, dir)
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val outF = new java.io.File(s"target/dsv2_stream_sink/$tag")
+    val cpF = new java.io.File(s"target/dsv2_stream_sink_cp/$tag")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(outF); rm(cpF)
+    val total = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.length > 0)
+      .map(_.length).sum
+    def drain(): Unit = {
+      val src = spark.readStream
+        .format(classOf[graft.sources.GraftLines].getName)
+        .option("path", path)
+        .option("maxBytesPerTrigger", math.max(1L, total / 3).toString)
+        .load()
+        .filter(col("n_chars") >= 100L)
+      val q = src.writeStream
+        .format(classOf[graft.sources.GraftLines].getName)
+        .option("path", outF.getAbsolutePath)
+        .option("checkpointLocation", cpF.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // the capped epochs publish exactly-once
+    drain() // restart over the same checkpoint: must add nothing
+    spark.read.format(classOf[graft.sources.GraftLines].getName)
+      .option("path", outF.getAbsolutePath)
+      .load()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc)
+  }
+
+  private val dsv2SinkSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars >= 100
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_dsv2_pushdown"  -> (dsv2Pushdown _),
     "ax_dsv2_roundtrip" -> (dsv2Roundtrip _),
     "ax_dsv2_join"      -> (dsv2Join _),
-    "st_dsv2_stream"    -> (dsv2Stream _)
+    "st_dsv2_stream"    -> (dsv2Stream _),
+    "st_dsv2_sink"      -> (dsv2Sink _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "ax_dsv2_pushdown"  -> dsv2PushdownSql,
     "ax_dsv2_roundtrip" -> dsv2RoundtripSql,
     "ax_dsv2_join"      -> dsv2JoinSql,
-    "st_dsv2_stream"    -> dsv2StreamSql
+    "st_dsv2_stream"    -> dsv2StreamSql,
+    "st_dsv2_sink"      -> dsv2SinkSql
   )
 }

@@ -83,7 +83,8 @@ final class GraftLinesTable(path: String, splitBytes: Long) extends Table
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -528,24 +529,45 @@ final class GraftLinesWriteBuilder(path: String,
     this
   }
 
+  private def checkSchema(): Unit =
+    require(schema.fieldNames.sameElements(
+      GraftLines.Schema.fieldNames),
+      s"graftlines writes exactly ${GraftLines.Schema.fieldNames
+        .mkString("(", ", ", ")")}; got ${schema.fieldNames
+        .mkString("(", ", ", ")")}")
+
+  private def hadoopConf(): SerializableHadoopConf =
+    new SerializableHadoopConf(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite = {
-        require(schema.fieldNames.sameElements(
-          GraftLines.Schema.fieldNames),
-          s"graftlines writes exactly ${GraftLines.Schema.fieldNames
-            .mkString("(", ", ", ")")}; got ${schema.fieldNames
-            .mkString("(", ", ", ")")}")
-        val conf = new SerializableHadoopConf(
-          org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
-        new GraftLinesBatchWrite(path, truncateMode, conf)
+        checkSchema()
+        new GraftLinesBatchWrite(path, truncateMode, hadoopConf())
+      }
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = {
+        checkSchema()
+        new GraftLinesStreamingWrite(path, hadoopConf())
       }
     }
 }
 
-final case class GraftLinesCommit(staged: String)
-    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+/** Task commit message: the hidden staged path, plus (streaming only)
+  * the deterministic published name. Batch leaves `dstName` empty and
+  * publishes under the staged name minus `.tmp`; streaming publishes
+  * under `part-e<epoch>-p<partition>.tsv` — a name REPLAY-STABLE across
+  * restarts (task ids are not), which is what makes a re-published
+  * epoch overwrite its own files instead of duplicating rows.
+  */
+final case class GraftLinesCommit(staged: String, dstName: String = "")
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage {
+  def publishedName: String =
+    if (dstName.nonEmpty) dstName
+    else new Path(staged).getName.stripSuffix(".tmp")
+}
 
 final class GraftLinesBatchWrite(path: String, truncate: Boolean,
     conf: SerializableHadoopConf)
@@ -569,9 +591,9 @@ final class GraftLinesBatchWrite(path: String, truncate: Boolean,
           fs.delete(s.getPath, false)
       }
     }
-    messages.foreach { case GraftLinesCommit(staged) =>
+    messages.foreach { case m @ GraftLinesCommit(staged, _) =>
       val src = new Path(staged)
-      val dst = new Path(root, src.getName.stripSuffix(".tmp"))
+      val dst = new Path(root, m.publishedName)
       // a silent rename failure (pre-existing dst, missing parent, FS
       // race) would drop this task's rows while the job still reports
       // success — the exact partial-commit the 2PC protocol exists to
@@ -599,9 +621,12 @@ final class GraftLinesWriterFactory(stageDir: String,
 }
 
 final class GraftLinesWriter(stageDir: String, partitionId: Int,
-    taskId: Long, conf: SerializableHadoopConf)
+    taskId: Long, conf: SerializableHadoopConf, dstName: String = "")
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
+  // the STAGED name keeps the task id (two speculative attempts of one
+  // partition must never collide mid-write); the PUBLISHED name is the
+  // driver's business (GraftLinesCommit.publishedName)
   private val staged =
     new Path(s"$stageDir/part-$partitionId-$taskId.tsv.tmp")
   private val fs = FileSystem.get(staged.toUri, conf.value)
@@ -617,7 +642,7 @@ final class GraftLinesWriter(stageDir: String, partitionId: Int,
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
-    GraftLinesCommit(staged.toString)
+    GraftLinesCommit(staged.toString, dstName)
   }
 
   override def abort(): Unit = {
@@ -626,4 +651,73 @@ final class GraftLinesWriter(stageDir: String, partitionId: Int,
   }
 
   override def close(): Unit = ()
+}
+
+// ---------------------------------------------------------------------
+// Streaming write — the same 2PC protocol, epoch-keyed for EXACTLY-ONCE
+// across restarts: each epoch stages into its own hidden directory and
+// publishes under replay-stable names (part-e<epoch>-p<partition>.tsv),
+// and a `_committed-<epoch>` marker records a fully-published epoch.
+// The streaming engine may re-run the last epoch after a restart whose
+// sink commit never reached the checkpoint log; the marker makes that
+// replay a no-op, and a crash BETWEEN renames re-publishes over the
+// same deterministic names (replay from the same offsets writes the
+// same bytes), so the visible directory converges instead of
+// duplicating. Readers skip '_'-prefixed entries, so markers and stage
+// dirs are invisible to both the batch scan and the stream source.
+// ---------------------------------------------------------------------
+
+final class GraftLinesStreamingWrite(path: String,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def stageDir(epochId: Long) =
+    new Path(path, s"_staging-epoch-$epochId")
+  private def marker(epochId: Long) =
+    new Path(path, s"_committed-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new GraftLinesStreamingWriterFactory(path, conf)
+
+  override def commit(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, conf.value)
+    if (fs.exists(marker(epochId))) {
+      // full-epoch replay after restart: already published exactly once
+      fs.delete(stageDir(epochId), true)
+      return
+    }
+    messages.foreach { case m @ GraftLinesCommit(staged, _) =>
+      val src = new Path(staged)
+      val dst = new Path(root, m.publishedName)
+      // re-publish after a mid-commit crash: same deterministic name,
+      // same replayed bytes — overwrite, don't duplicate
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(src, dst))
+        sys.error(s"graftlines streaming 2PC publish failed: rename " +
+          s"$src -> $dst returned false; aborting epoch $epochId")
+    }
+    fs.create(marker(epochId), true).close()
+    fs.delete(stageDir(epochId), true)
+  }
+
+  override def abort(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new Path(path).toUri, conf.value)
+    fs.delete(stageDir(epochId), true)
+  }
+}
+
+final class GraftLinesStreamingWriterFactory(path: String,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftLinesWriter(s"$path/_staging-epoch-$epochId", partitionId,
+      taskId, conf, dstName = s"part-e$epochId-p$partitionId.tsv")
 }

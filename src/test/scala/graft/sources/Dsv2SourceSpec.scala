@@ -301,4 +301,114 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .filter(col("n_chars") < 200L).count()
     assert(n == expect)
   }
+
+  // ----- streaming write (epoch-keyed 2PC) ----------------------------
+
+  private def internalRow(id: Long, lang: String, n: Long) =
+    org.apache.spark.sql.catalyst.InternalRow(id,
+      org.apache.spark.unsafe.types.UTF8String.fromString(lang),
+      org.apache.spark.unsafe.types.UTF8String.fromString("web"), n)
+
+  private def stageEpoch(sw: GraftLinesStreamingWrite, out: String,
+      epoch: Long, rows: Seq[(Long, String, Long)],
+      taskId: Long): GraftLinesCommit = {
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val w = new GraftLinesStreamingWriterFactory(out, conf)
+      .createWriter(0, taskId, epoch)
+    rows.foreach { case (id, lang, n) => w.write(internalRow(id, lang, n)) }
+    w.commit().asInstanceOf[GraftLinesCommit]
+  }
+
+  test("a replayed epoch is a no-op: the committed marker wins") {
+    val out = new java.io.File("target/dsv2_epoch_replay")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+    out.mkdirs()
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val sw = new GraftLinesStreamingWrite(out.getAbsolutePath, conf)
+    val m1 = stageEpoch(sw, out.getAbsolutePath, 7L,
+      Seq((1L, "en", 10L), (2L, "de", 20L)), taskId = 100L)
+    sw.commit(7L, Array(m1))
+    val published = new java.io.File(out, "part-e7-p0.tsv")
+    assert(published.exists(), "epoch 7 must publish its partition file")
+    val before = java.nio.file.Files.readAllBytes(published.toPath).toSeq
+    // restart replay: same epoch, different task id, same bytes —
+    // the marker must short-circuit the publish entirely
+    val m2 = stageEpoch(sw, out.getAbsolutePath, 7L,
+      Seq((1L, "en", 10L), (2L, "de", 20L)), taskId = 200L)
+    sw.commit(7L, Array(m2))
+    val after = java.nio.file.Files.readAllBytes(published.toPath).toSeq
+    assert(after == before, "replayed epoch must not rewrite the file")
+    val visible = Option(out.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) // Hadoop-local .crc shadows
+    assert(visible.length == 1,
+      s"replay duplicated the epoch: ${visible.map(_.getName).toSeq}")
+    assert(!new java.io.File(out, "_staging-epoch-7").exists(),
+      "the replay's stage dir must be cleaned")
+  }
+
+  test("a mid-commit crash converges: re-publish overwrites, not appends") {
+    val out = new java.io.File("target/dsv2_epoch_crash")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+    out.mkdirs()
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val sw = new GraftLinesStreamingWrite(out.getAbsolutePath, conf)
+    // simulate a crash AFTER one rename but BEFORE the marker: the dst
+    // exists, no _committed-3 — the retry must overwrite it in place
+    val crashLeftover = new java.io.File(out, "part-e3-p0.tsv")
+    new java.io.PrintWriter(crashLeftover).append("9\txx\tweb\t9\n").close()
+    val m = stageEpoch(sw, out.getAbsolutePath, 3L,
+      Seq((1L, "en", 10L)), taskId = 300L)
+    sw.commit(3L, Array(m))
+    val content = new String(
+      java.nio.file.Files.readAllBytes(crashLeftover.toPath), "UTF-8")
+    assert(content == "1\ten\tweb\t10\n",
+      s"re-publish must overwrite the crash leftover, got: $content")
+    assert(new java.io.File(out, "_committed-3").exists(),
+      "the converged epoch must carry its marker")
+  }
+
+  test("a streaming epoch abort deletes that epoch's stage only") {
+    val out = new java.io.File("target/dsv2_epoch_abort")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+    out.mkdirs()
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val sw = new GraftLinesStreamingWrite(out.getAbsolutePath, conf)
+    val m5 = stageEpoch(sw, out.getAbsolutePath, 5L,
+      Seq((1L, "en", 10L)), taskId = 400L)
+    val m6 = stageEpoch(sw, out.getAbsolutePath, 6L,
+      Seq((2L, "de", 20L)), taskId = 401L)
+    sw.abort(5L, Array(m5))
+    assert(!new java.io.File(out, "_staging-epoch-5").exists(),
+      "abort must remove the aborted epoch's stage dir")
+    assert(new java.io.File(out, "_staging-epoch-6").exists(),
+      "abort must not touch other epochs' stages")
+    sw.commit(6L, Array(m6))
+    assert(new java.io.File(out, "part-e6-p0.tsv").exists())
+  }
+
+  test("the sink gate leaves a clean directory: epochs, markers, no stage") {
+    Extensions.queries("st_dsv2_sink")(spark, dir).collect()
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val out = new java.io.File(s"target/dsv2_stream_sink/$tag")
+    val entries = Option(out.listFiles()).getOrElse(Array.empty)
+    assert(!entries.exists(_.getName.startsWith("_staging")),
+      "no epoch stage dir may survive the drain")
+    assert(!entries.exists(_.getName.endsWith(".tmp")),
+      "no uncommitted temp file may be visible")
+    val epochs = entries.filter(_.getName.startsWith("_committed-"))
+    assert(epochs.nonEmpty, "the drain must commit at least one epoch")
+    // every published file belongs to a committed epoch
+    val committed = epochs.map(_.getName.stripPrefix("_committed-")).toSet
+    val orphans = entries.filter(f => f.isFile &&
+      f.getName.startsWith("part-e")).filterNot(f =>
+      committed.contains(
+        f.getName.stripPrefix("part-e").takeWhile(_ != '-')))
+    assert(orphans.isEmpty,
+      s"published files without a committed epoch: ${orphans.toSeq}")
+  }
 }
