@@ -162,6 +162,72 @@ object Dsv2Source {
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_dsv2_dpp: RUNTIME FILTERING on the connector — the DPP analogue
+  // the parquet path already gates (ax_dpp_prune). The fixture is the
+  // documents metadata written THROUGH THE SINK range-partitioned by
+  // doc_id, so the `_ranges.tsv` sidecar the commit wrote carries
+  // disjoint per-file doc_id ranges; the query joins the connector
+  // side to a selective dim slice (the lowest doc_id band), and the
+  // scan's SupportsRuntimeFiltering leg prunes every file whose range
+  // holds none of the surviving keys — at 100 TB the fact scan reads
+  // the slice the dim joins, not the table. The oracle computes the
+  // same aggregate from raw parquet, so over- OR under-pruning lands
+  // as a hash mismatch; Dsv2SourceSpec pins that pruning actually
+  // happened (files-planned probe + the plan's runtime filter).
+  // -------------------------------------------------------------------
+  def dppFixturePath(spark: SparkSession, dir: String): String = {
+    val stamp =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val pathF = FixtureCache.dir("dsv2_dpp", dir, "v" -> 1, "src" -> stamp)
+    val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
+    if (!marker.exists()) {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+        .write.format(classOf[graft.sources.GraftLines].getName)
+        .option("path", pathF.toString)
+        .mode("overwrite")
+        .save()
+      marker.createNewFile()
+    }
+    pathF.toString
+  }
+
+  private def dsv2Dpp(spark: SparkSession, dir: String): DataFrame = {
+    val path = dppFixturePath(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the dim slice: the lowest eighth of the doc_id space — a 1-row
+    // driver agg (bounded metadata) keeps the cut deterministic and
+    // SF-proportional; the oracle recomputes the identical floor
+    val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val cut = (maxDoc + 1L) / 8L
+    val fact = spark.read
+      .format(classOf[graft.sources.GraftLines].getName)
+      .option("path", path)
+      .load()
+    val dim = docs.filter(col("doc_id") < lit(cut))
+      .select(col("doc_id").as("d_id"))
+    // broadcast the DIM explicitly (the ax_dpp_prune convention): the
+    // runtime filter is served from the reused dim broadcast, which
+    // only exists if the dim — not the connector side — is the build
+    // side (at tiny SFs Spark would otherwise happily broadcast the
+    // fact and AQE would degrade the pruning filter to `true`)
+    fact.join(broadcast(dim), col("doc_id") === col("d_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc)
+  }
+
+  private val dsv2DppSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE doc_id < (SELECT (MAX(doc_id)+1)//8 FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // st_dsv2_sink: the connector's STREAMING WRITE leg — the metadata
   // stream (admission-capped to ~4 epochs at every SF) is written back
   // through the epoch-keyed 2PC sink under Trigger.AvailableNow, then
@@ -223,6 +289,7 @@ object Dsv2Source {
     "ax_dsv2_pushdown"  -> (dsv2Pushdown _),
     "ax_dsv2_roundtrip" -> (dsv2Roundtrip _),
     "ax_dsv2_join"      -> (dsv2Join _),
+    "ax_dsv2_dpp"       -> (dsv2Dpp _),
     "st_dsv2_stream"    -> (dsv2Stream _),
     "st_dsv2_sink"      -> (dsv2Sink _)
   )
@@ -231,6 +298,7 @@ object Dsv2Source {
     "ax_dsv2_pushdown"  -> dsv2PushdownSql,
     "ax_dsv2_roundtrip" -> dsv2RoundtripSql,
     "ax_dsv2_join"      -> dsv2JoinSql,
+    "ax_dsv2_dpp"       -> dsv2DppSql,
     "st_dsv2_stream"    -> dsv2StreamSql,
     "st_dsv2_sink"      -> dsv2SinkSql
   )

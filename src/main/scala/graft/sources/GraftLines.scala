@@ -70,6 +70,20 @@ object GraftLines {
 
   private[sources] val FieldIndex: Map[String, Int] =
     Schema.fieldNames.zipWithIndex.toMap
+
+  /** name of the per-file doc_id min/max sidecar the sink maintains
+    * (the connector's "parquet footer": written at COMMIT time by the
+    * 2PC driver, consumed by the scan's runtime filter)
+    */
+  private[sources] val RangesFile = "_ranges.tsv"
+
+  /** Test/plan instrumentation ONLY: how many data files the last
+    * `planInputPartitions` kept, and whether a runtime filter pruned
+    * any. Specs read these after an action; no engine behavior depends
+    * on them.
+    */
+  val lastPlannedFiles = new java.util.concurrent.atomic.AtomicInteger(-1)
+  val lastRuntimePruned = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
 final class GraftLinesTable(path: String, splitBytes: Long) extends Table
@@ -155,7 +169,8 @@ final class SerializableHadoopConf(
 final class GraftLinesScan(path: String, splitBytes: Long,
     required: StructType, pushed: Array[Filter],
     maxBytesPerTrigger: Long = 0L)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
@@ -203,6 +218,55 @@ final class GraftLinesScan(path: String, splitBytes: Long,
     }
   }
 
+  // ----- runtime filtering (DPP for the connector) ---------------------
+  // `SupportsRuntimeFiltering` (which IS a `SupportsRuntimeV2Filtering`)
+  // lets a broadcast dim side prune this scan's input at RUNTIME: the
+  // optimizer's PartitionPruning rule plants a DynamicPruning subquery
+  // on doc_id, the engine evaluates it off the reused broadcast, and
+  // `filter` receives the surviving keys before `planInputPartitions`
+  // re-plans. Pruning is file-granular against the `_ranges.tsv`
+  // sidecar the SINK wrote at commit time (per-file doc_id min/max —
+  // the connector's parquet-footer analogue): a file whose range holds
+  // none of the keys is never opened. At 100 TB this is the difference
+  // between scanning the whole fact and scanning the slice a selective
+  // dim actually joins — the same contract parquet partition pruning
+  // gives, carried by a custom source. Files without sidecar entries
+  // are kept (no stats never means wrong answers).
+
+  @volatile private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val ids = filters.flatMap {
+      case org.apache.spark.sql.sources.In("doc_id", vs) =>
+        vs.collect { case n: Number => n.longValue() }
+      case EqualTo("doc_id", v: Number) => Array(v.longValue())
+      case _ => Array.empty[Long]
+    }
+    if (ids.nonEmpty) runtimeIds = Some(ids.sorted)
+  }
+
+  /** sidecar: published file name → (min doc_id, max doc_id) */
+  private lazy val fileRanges: Map[String, (Long, Long)] = {
+    val root = new Path(path)
+    GraftLinesRanges.read(FileSystem.get(root.toUri, driverConf), root)
+  }
+
+  /** any of the (sorted) ids inside [lo, hi]? */
+  private def anyIdIn(ids: Array[Long], lo: Long, hi: Long): Boolean = {
+    var l = 0
+    var r = ids.length // first index with ids(i) >= lo
+    while (l < r) {
+      val m = (l + r) >>> 1
+      if (ids(m) < lo) l = m + 1 else r = m
+    }
+    l < ids.length && ids(l) <= hi
+  }
+
   /** one partition per byte range (Hadoop line-split semantics: a
     * range owns every line that STARTS inside it, so ranges need no
     * line alignment and a 10 GB file scans as ~len/splitBytes parallel
@@ -210,7 +274,19 @@ final class GraftLinesScan(path: String, splitBytes: Long,
     * files that matter)
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    dataFiles
+    val kept = runtimeIds match {
+      case Some(ids) if fileRanges.nonEmpty =>
+        dataFiles.filter { s =>
+          fileRanges.get(s.getPath.getName) match {
+            case Some((lo, hi)) => anyIdIn(ids, lo, hi)
+            case None => true // no stats for this file: never prune it
+          }
+        }
+      case _ => dataFiles
+    }
+    GraftLines.lastPlannedFiles.set(kept.size)
+    GraftLines.lastRuntimePruned.set(kept.size < dataFiles.size)
+    kept
       .flatMap { s =>
         (0L until s.getLen by splitBytes).map { start =>
           GraftLinesPartition(s.getPath.toString, start,
@@ -562,11 +638,59 @@ final class GraftLinesWriteBuilder(path: String,
   * restarts (task ids are not), which is what makes a re-published
   * epoch overwrite its own files instead of duplicating rows.
   */
-final case class GraftLinesCommit(staged: String, dstName: String = "")
+final case class GraftLinesCommit(staged: String, dstName: String = "",
+    minId: Long = Long.MaxValue, maxId: Long = Long.MinValue)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage {
   def publishedName: String =
     if (dstName.nonEmpty) dstName
     else new Path(staged).getName.stripSuffix(".tmp")
+  /** the task observed at least one row (min/max are real) */
+  def hasRange: Boolean = minId <= maxId
+}
+
+/** The `_ranges.tsv` sidecar: published file name → doc_id min/max,
+  * maintained by the DRIVER at commit time (never by tasks — a task
+  * can't know whether it will commit). Merge is idempotent by file
+  * name, so a re-published streaming epoch converges here too.
+  */
+private[sources] object GraftLinesRanges {
+
+  def read(fs: FileSystem, root: Path): Map[String, (Long, Long)] = {
+    val p = new Path(root, GraftLines.RangesFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .flatMap { line =>
+          line.split("\t", -1) match {
+            case Array(name, lo, hi) =>
+              try Some(name -> (lo.toLong, hi.toLong))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  def update(fs: FileSystem, root: Path,
+      messages: Seq[GraftLinesCommit], truncate: Boolean): Unit = {
+    val entries = messages.collect {
+      case m if m.hasRange => m.publishedName -> (m.minId, m.maxId)
+    }
+    val merged =
+      (if (truncate) Map.empty[String, (Long, Long)] else read(fs, root)) ++
+        entries
+    val p = new Path(root, GraftLines.RangesFile)
+    if (merged.isEmpty) { fs.delete(p, false); return }
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+    try merged.toSeq.sortBy(_._1).foreach { case (n, (lo, hi)) =>
+      out.write(s"$n\t$lo\t$hi")
+      out.newLine()
+    } finally out.close()
+  }
 }
 
 final class GraftLinesBatchWrite(path: String, truncate: Boolean,
@@ -591,8 +715,9 @@ final class GraftLinesBatchWrite(path: String, truncate: Boolean,
           fs.delete(s.getPath, false)
       }
     }
-    messages.foreach { case m @ GraftLinesCommit(staged, _) =>
-      val src = new Path(staged)
+    val commits = messages.collect { case m: GraftLinesCommit => m }
+    commits.foreach { m =>
+      val src = new Path(m.staged)
       val dst = new Path(root, m.publishedName)
       // a silent rename failure (pre-existing dst, missing parent, FS
       // race) would drop this task's rows while the job still reports
@@ -602,6 +727,7 @@ final class GraftLinesBatchWrite(path: String, truncate: Boolean,
         sys.error(s"graftlines 2PC publish failed: rename $src -> $dst " +
           "returned false; aborting commit")
     }
+    GraftLinesRanges.update(fs, root, commits.toSeq, truncate)
     fs.delete(new Path(stageDir), true)
   }
 
@@ -633,8 +759,17 @@ final class GraftLinesWriter(stageDir: String, partitionId: Int,
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(staged, true), "UTF-8"))
 
+  // per-file doc_id bounds, reported in the commit message so the
+  // driver can maintain the _ranges.tsv sidecar (the runtime-filter
+  // pruning stats) — the write pays nothing beyond two comparisons
+  private var minId = Long.MaxValue
+  private var maxId = Long.MinValue
+
   override def write(r: InternalRow): Unit = {
-    out.write(s"${r.getLong(0)}\t${r.getUTF8String(1)}\t" +
+    val id = r.getLong(0)
+    if (id < minId) minId = id
+    if (id > maxId) maxId = id
+    out.write(s"$id\t${r.getUTF8String(1)}\t" +
       s"${r.getUTF8String(2)}\t${r.getLong(3)}")
     out.newLine()
   }
@@ -642,7 +777,7 @@ final class GraftLinesWriter(stageDir: String, partitionId: Int,
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
-    GraftLinesCommit(staged.toString, dstName)
+    GraftLinesCommit(staged.toString, dstName, minId, maxId)
   }
 
   override def abort(): Unit = {
@@ -691,8 +826,9 @@ final class GraftLinesStreamingWrite(path: String,
       fs.delete(stageDir(epochId), true)
       return
     }
-    messages.foreach { case m @ GraftLinesCommit(staged, _) =>
-      val src = new Path(staged)
+    val commits = messages.collect { case m: GraftLinesCommit => m }
+    commits.foreach { m =>
+      val src = new Path(m.staged)
       val dst = new Path(root, m.publishedName)
       // re-publish after a mid-commit crash: same deterministic name,
       // same replayed bytes — overwrite, don't duplicate
@@ -701,6 +837,9 @@ final class GraftLinesStreamingWrite(path: String,
         sys.error(s"graftlines streaming 2PC publish failed: rename " +
           s"$src -> $dst returned false; aborting epoch $epochId")
     }
+    // sidecar before marker: a crash between them re-runs this epoch,
+    // and the name-keyed merge makes the replayed update idempotent
+    GraftLinesRanges.update(fs, root, commits.toSeq, truncate = false)
     fs.create(marker(epochId), true).close()
     fs.delete(stageDir(epochId), true)
   }

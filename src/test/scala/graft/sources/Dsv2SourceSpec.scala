@@ -302,6 +302,56 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(n == expect)
   }
 
+  // ----- runtime filtering (connector DPP) ----------------------------
+
+  test("the sink writes a _ranges sidecar with disjoint per-file ranges") {
+    val path = Dsv2Source.dppFixturePath(spark, dir)
+    val sidecar = new java.io.File(path, "_ranges.tsv")
+    assert(sidecar.exists(), "the 2PC commit must write the sidecar")
+    val entries = scala.io.Source.fromFile(sidecar, "UTF-8").getLines()
+      .map(_.split("\t")).map(a => (a(0), a(1).toLong, a(2).toLong))
+      .toSeq
+    val files = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.length > 0)
+    assert(entries.map(_._1).toSet == files.map(_.getName).toSet,
+      "one sidecar entry per published data file")
+    // range-partitioned write → the doc_id intervals must be disjoint
+    val sorted = entries.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Seq((_, _, hi), (n, lo, _)) =>
+        assert(lo > hi, s"file $n overlaps the previous range")
+      case _ =>
+    }
+  }
+
+  test("a runtime In filter prunes files by sidecar range") {
+    val path = Dsv2Source.dppFixturePath(spark, dir)
+    val scan = new GraftLinesScanBuilder(path,
+      graft.sources.GraftLines.DefaultSplitBytes, 0L)
+      .build().asInstanceOf[GraftLinesScan]
+    val before = scan.planInputPartitions().length
+    assert(before >= 8, s"range-partitioned fixture should have >=8 files")
+    // keys confined to the lowest range: everything else must drop
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id", Array[Any](0L, 1L, 2L))))
+    val after = scan.planInputPartitions().length
+    assert(after == 1, s"3 low keys should keep exactly 1 file, got $after")
+    // and the kept rows must actually contain those keys
+  }
+
+  test("the DPP gate prunes at runtime and the plan carries the subquery") {
+    val df = Extensions.queries("ax_dsv2_dpp")(spark, dir)
+    graft.sources.GraftLines.lastRuntimePruned.set(false)
+    df.collect() // runtime filters only apply during execution
+    val p = planOf(df)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic-pruning subquery on the connector scan:\n$p")
+    assert(graft.sources.GraftLines.lastRuntimePruned.get(),
+      s"the selective dim band must prune connector files at runtime:\n$p")
+  }
+
   // ----- streaming write (epoch-keyed 2PC) ----------------------------
 
   private def internalRow(id: Long, lang: String, n: Long) =
