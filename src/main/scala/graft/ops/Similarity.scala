@@ -171,6 +171,226 @@ object Similarity {
        |ORDER BY probe_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // sim_pca_recall: ANISOTROPIC PROJECTION vs the variance cutoff —
+  // the follow-through on what sim_prune_recall measured (axis-aligned
+  // variance pruning keeps only ~30% of true neighbors on this
+  // near-isotropic corpus): does a LEARNED rotation beat axis-aligned
+  // dropping at the same 32-dim budget? Pipeline:
+  //  1. the 64×64 covariance sums in ONE triangular aggregate
+  //     (ax_corr_sums discipline: the double posexplode is MAP-LOCAL,
+  //     partial aggregation reduces n·2080 narrow rows to 2080 before
+  //     any exchange — covariance of a 100 TB corpus is one pass);
+  //  2. driver-side cyclic Jacobi eigendecomposition of the KB-scale
+  //     matrix (k-means-centroid discipline: 64×64 doubles cross the
+  //     driver, nothing else);
+  //  3. the top-32 eigenvector rows micro-quantized (round·1000) and
+  //     folded in as LITERAL arrays — projection is 32 native integer
+  //     dots per vector (codegen'd DotProductLong), no shuffle;
+  //  4. recall@10 of PCA-32 and variance-32 against the full-64 truth
+  //     from ONE scan (three bounded TopK buffers side by side, the
+  //     sim_mrl_recall single-pass shape), pca−var delta emitted.
+  // The oracle replays the DRIVER's eigen verbatim: the quantized
+  // projection rows are inlined into GENERATED DuckDB SQL when the
+  // query runs (Hyperplanes discipline, made data-dependent — Verify
+  // dumps oracle_sql.json only after all queries finish, so the
+  // registered SQL is this SF's). Everything after quantization is
+  // int64: |y_k| ≤ ‖p_k‖₂·‖q‖₂ ≤ 1010·8·10⁴ < 10⁸ ⇒ projected pair
+  // dots ≤ 32·10¹⁶ ≪ 2⁶³.
+  // -------------------------------------------------------------------
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric n×n matrix —
+    * driver-side, deterministic (fixed sweep order, fixed sweep
+    * count). Returns (eigenvalues, eigenvectors-as-rows), unsorted.
+    * 12 sweeps of a 64×64 matrix ≈ 1.5M flops: microseconds, KB.
+    */
+  private[ops] def jacobiEigen(m: Array[Array[Double]], sweeps: Int = 12)
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var s = 0
+    while (s < sweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              (if (theta >= 0) 1.0 else -1.0) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sn * vkq
+              v(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+    }
+    (Array.tabulate(n)(k => a(k)(k)),
+      Array.tabulate(n)(k => Array.tabulate(n)(d => v(d)(k))))
+  }
+
+  /** oracle SQL for sim_pca_recall, generated when the query runs
+    * (data-dependent projection literals); the placeholder is never
+    * compared — the compare only reads oracles for dumped results,
+    * and the dump ran the query first
+    */
+  private val pcaOracleSqlRef =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "SELECT CAST(1 AS BIGINT) AS pca_oracle_not_generated")
+
+  private def pcaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK.TopKByScore(10))
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+    // 1. triangular covariance sums — one aggregate, map-side reduced
+    val tri = e.select(col("q"), posexplode(col("q")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("xi") * col("xj")).as("sxy"),
+        sum(col("xi")).as("sxi"), sum(col("xj")).as("sxj"))
+      .collect() // 2080 rows of 6 longs — bounded metadata
+    val cov = Array.ofDim[Double](64, 64)
+    tri.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      // covariance numerator n·Σxy − Σx·Σy in doubles: driver-only
+      // math, never compared cross-engine (the oracle replays the
+      // RESULTING projection literals, not this computation)
+      val c = r.getLong(2).toDouble * r.getLong(3).toDouble -
+        r.getLong(4).toDouble * r.getLong(5).toDouble
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    // 2. driver eigen; 3. top-32 rows by (eigenvalue desc, index asc)
+    val (ev, evec) = jacobiEigen(cov)
+    val comps: Seq[Array[Long]] = (0 until 64)
+      .sortBy(k => (-ev(k), k)).take(32)
+      .map(k => evec(k).map(x => math.round(x * 1000.0)))
+    pcaOracleSqlRef.set(pcaRecallSqlFor(comps))
+    // variance-32 selection: same ranking as sim_prune_recall
+    val sel = dimVariance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+      .sortBy { case (d, v) => (-v, d) }
+      .take(32).map(_._1.toInt).sorted
+    val base = e.select(col("vec_id"), col("q"),
+      array(sel.map(i => col("q").getItem(i)): _*).as("qs"),
+      array(comps.map(row =>
+        dotLong(col("q"), typedLit(row.toSeq))): _*).as("y"))
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("qs").as("pqs"), col("y").as("py"))
+    val scored = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        dotLong(col("q"), col("pq")).as("d_full"),
+        dotLong(col("qs"), col("pqs")).as("d_var"),
+        dotLong(col("y"), col("py")).as("d_pca"))
+    // 4. all three top-10 lists from ONE pass (bounded TopK buffers)
+    val agg = scored.groupBy("probe_id")
+      .agg(topk(col("d_full"), col("vec_id")).as("nn_full"),
+        topk(col("d_var"), col("vec_id")).as("nn_var"),
+        topk(col("d_pca"), col("vec_id")).as("nn_pca"))
+    val guarded = probes.select(col("probe_id"))
+      .join(agg, Seq("probe_id"), "left")
+    def overlap(c: String) = expr(
+      s"CAST(coalesce(size(array_intersect(transform(nn_full, " +
+        s"w -> w.id), transform($c, w -> w.id))), 0) AS BIGINT)")
+    guarded.select(col("probe_id"),
+        overlap("nn_pca").as("n_overlap_pca"),
+        overlap("nn_var").as("n_overlap_var"))
+      .select(col("probe_id"), col("n_overlap_pca"), col("n_overlap_var"),
+        expr("(n_overlap_pca * 1000L) div 10").as("recall_pca_pm"),
+        expr("(n_overlap_var * 1000L) div 10").as("recall_var_pm"),
+        ((col("n_overlap_pca") - col("n_overlap_var")) * lit(100L))
+          .as("delta_pm"))
+      .orderBy("probe_id")
+  }
+
+  /** the generated oracle: projection rows inlined as integer literals */
+  private def pcaRecallSqlFor(comps: Seq[Array[Long]]): String = {
+    def yExpr(row: Array[Long]): String = {
+      val terms = row.zipWithIndex.collect {
+        case (w, d) if w != 0L => s"t.q[${d + 1}]*($w)"
+      }
+      if (terms.isEmpty) "CAST(0 AS BIGINT)"
+      else s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+    }
+    val yList = comps.map(yExpr).mkString("[", ", ", "]")
+    s"""WITH qt AS MATERIALIZED (
+       |  SELECT vec_id, $quantizeDuck AS q FROM embeddings),
+       |dv AS (SELECT i AS dim, COUNT(*) AS n, SUM(x) AS sx,
+       |    SUM(x * x) AS sxx
+       |  FROM (SELECT q[i + 1] AS x, i
+       |        FROM qt, (SELECT unnest(range(0, 64)) AS i) g)
+       |  GROUP BY 1),
+       |sel AS MATERIALIZED (SELECT dim FROM (
+       |    SELECT dim, ROW_NUMBER() OVER
+       |      (ORDER BY (n * sxx - sx * sx) DESC, dim) AS rn FROM dv)
+       |  WHERE rn <= 32),
+       |pr AS MATERIALIZED (SELECT t.vec_id, t.q, $yList AS y FROM qt t),
+       |probes AS MATERIALIZED (SELECT vec_id AS probe_id, q AS pq, y AS py
+       |  FROM pr WHERE vec_id < 10),
+       |pairsv AS (SELECT p.probe_id, t.vec_id,
+       |    SUM(t.q[i.i + 1] * p.pq[i.i + 1]) AS d_full,
+       |    SUM(CASE WHEN i.i IN (SELECT dim FROM sel)
+       |        THEN t.q[i.i + 1] * p.pq[i.i + 1] ELSE 0 END) AS d_var
+       |  FROM qt t, probes p, (SELECT unnest(range(0, 64)) AS i) i
+       |  WHERE t.vec_id <> p.probe_id GROUP BY 1, 2),
+       |pairsp AS (SELECT p.probe_id, t.vec_id,
+       |    ${PortableHash.dotSqlDuck("t.y", "p.py")} AS d_pca
+       |  FROM pr t, probes p WHERE t.vec_id <> p.probe_id),
+       |pairs AS MATERIALIZED (SELECT * FROM pairsv
+       |  JOIN pairsp USING (probe_id, vec_id)),
+       |rf AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY d_full DESC, vec_id) AS r
+       |  FROM pairs),
+       |rv AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY d_var DESC, vec_id) AS r
+       |  FROM pairs),
+       |rp AS (SELECT probe_id, vec_id, ROW_NUMBER() OVER
+       |    (PARTITION BY probe_id ORDER BY d_pca DESC, vec_id) AS r
+       |  FROM pairs),
+       |op AS (SELECT rf.probe_id, COUNT(*) AS n_overlap
+       |  FROM rf JOIN rp USING (probe_id, vec_id)
+       |  WHERE rf.r <= 10 AND rp.r <= 10 GROUP BY 1),
+       |ov AS (SELECT rf.probe_id, COUNT(*) AS n_overlap
+       |  FROM rf JOIN rv USING (probe_id, vec_id)
+       |  WHERE rf.r <= 10 AND rv.r <= 10 GROUP BY 1)
+       |SELECT p.probe_id,
+       |  CAST(COALESCE(op.n_overlap, 0) AS BIGINT) AS n_overlap_pca,
+       |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap_var,
+       |  CAST(COALESCE(op.n_overlap, 0) * 1000 // 10 AS BIGINT)
+       |    AS recall_pca_pm,
+       |  CAST(COALESCE(ov.n_overlap, 0) * 1000 // 10 AS BIGINT)
+       |    AS recall_var_pm,
+       |  CAST((COALESCE(op.n_overlap, 0) - COALESCE(ov.n_overlap, 0))
+       |    * 100 AS BIGINT) AS delta_pm
+       |FROM probes p LEFT JOIN op USING (probe_id)
+       |LEFT JOIN ov USING (probe_id)
+       |ORDER BY probe_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // sim_mrl_recall: MATRYOSHKA (prefix-truncation) recall curve —
   // recall@10 of searching with only the FIRST 8 / 16 / 32 of 64
   // dimensions, against the full-dimension ground truth, per probe.
@@ -2420,6 +2640,7 @@ object Similarity {
     "sim_inertia"        -> (inertia _),
     "sim_dim_variance"   -> (dimVariance _),
     "sim_prune_recall"   -> (pruneRecall _),
+    "sim_pca_recall"     -> (pcaRecall _),
     "sim_mrl_recall"     -> (mrlRecall _),
     "sim_rp_recall"      -> (rpRecall _),
     "sim_bucket_drift"   -> (bucketDrift _),
@@ -2446,7 +2667,10 @@ object Similarity {
     "sim_ivf_label"      -> (ivfLabel _)
   )
 
-  val oracleSql: Map[String, String] = Map(
+  // a def, not a val: sim_pca_recall's oracle is GENERATED when the
+  // query runs (driver-eigen literals), so the map must be re-read at
+  // dump time — Verify writes oracle_sql.json after all queries finish
+  def oracleSql: Map[String, String] = Map(
     "sim_mmr_select"     -> mmrSelectSql,
     "sim_label_knn_acc"  -> labelKnnAccSql,
     "sim_rrf_fusion"     -> rrfFusionSql,
@@ -2464,6 +2688,7 @@ object Similarity {
     "sim_quantize_audit" -> quantizeAuditSql,
     "sim_dim_variance"   -> dimVarianceSql,
     "sim_prune_recall"   -> pruneRecallSql,
+    "sim_pca_recall"     -> pcaOracleSqlRef.get(),
     "sim_mrl_recall"     -> mrlRecallSql,
     "sim_rp_recall"      -> rpRecallSql,
     "sim_bucket_drift"   -> bucketDriftSql,

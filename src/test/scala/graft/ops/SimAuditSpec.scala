@@ -128,4 +128,42 @@ class SimAuditSpec extends AnyFunSuite {
       assert(l1 === math.abs(p0 - p1))
     }
   }
+
+  test("jacobiEigen reconstructs a known symmetric matrix") {
+    // eigenpairs of [[2,1],[1,2]] are (3, [1,1]/√2) and (1, [1,-1]/√2)
+    val (ev2, vec2) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(ev2.sorted.zip(Array(1.0, 3.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    // and a random 16×16: V must be orthonormal and V·Λ·Vᵀ must
+    // reproduce A to near machine precision
+    val rnd = new scala.util.Random(7)
+    val half = Array.fill(16, 16)(rnd.nextDouble() - 0.5)
+    val a = Array.tabulate(16, 16)((i, j) => half(i)(j) + half(j)(i))
+    val (ev, rows) = Similarity.jacobiEigen(a)
+    for (i <- 0 until 16; j <- 0 until 16) {
+      val dot = (0 until 16).map(d => rows(i)(d) * rows(j)(d)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"eigenvector rows not orthonormal at ($i,$j): $dot")
+      val recon = (0 until 16).map(k => rows(k)(i) * ev(k) * rows(k)(j)).sum
+      assert(math.abs(recon - a(i)(j)) < 1e-8,
+        s"V·Λ·Vᵀ != A at ($i,$j): $recon vs ${a(i)(j)}")
+    }
+    assert(vec2.length == 2)
+  }
+
+  test("sim_pca_recall: PCA-32 beats the variance cutoff on this corpus") {
+    // deterministic data + deterministic eigen → a stable regression
+    // pin, not a hope: measured 500‰ vs 290‰ mean recall at sf0.001
+    val rows = Extensions.queries("sim_pca_recall")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) * 100, "recall_pca_pm formula")
+      assert(r.getLong(5) == (r.getLong(1) - r.getLong(2)) * 100, "delta")
+    }
+    val meanPca = rows.map(_.getLong(3)).sum / rows.length
+    val meanVar = rows.map(_.getLong(4)).sum / rows.length
+    assert(meanPca > meanVar,
+      s"anisotropic projection should beat axis dropping: $meanPca vs $meanVar")
+  }
 }
