@@ -64,6 +64,62 @@ object Lineage {
       .orderBy("out_column", "src_table", "src_column")
   }
 
+  /** Lineage of the plan AS EXECUTED — the walk [[of]] runs on the
+    * analyzed plan, which never sees optimizer rewrites; a dataset
+    * card citing it would record `lineitem` even though the query was
+    * actually served from a materialized rollup. This variant walks
+    * the OPTIMIZED plan (post-MV-rewrite) and, when a leaf scan is a
+    * registered rollup fixture, composes its edges through the
+    * MvDef/StarMvDef back to base-table columns — dims to their base
+    * table, measure columns to the template's inputs, the count column
+    * to nothing (count bytes come from no column). The result is the
+    * provenance record staying TRUE under serving: ofServed(MV-served
+    * plan) equals of(raw plan), pinned by LineageSpec.
+    */
+  def ofServed(spark: SparkSession, df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.optimizedPlan
+    val leaf = scala.collection.mutable.Map[Long, Seq[(String, String)]]()
+    val alias = scala.collection.mutable.Map[Long, Seq[Long]]()
+    plan.foreach {
+      case l: LogicalRelation =>
+        val (key, table) = l.relation match {
+          case fs: HadoopFsRelation =>
+            (fs.location.rootPaths.map(_.toString).sorted.mkString(","),
+              fs.location.rootPaths.headOption
+                .map(_.getName.stripSuffix(".parquet")).getOrElse("?"))
+          case _ => ("?", "?")
+        }
+        graft.plans.MvRewrite.mvColumnOrigins(spark, key) match {
+          case Some(origins) =>
+            l.output.foreach(a =>
+              leaf(a.exprId.id) = origins.getOrElse(a.name, Nil))
+          case None =>
+            l.output.foreach(a => leaf(a.exprId.id) = Seq((table, a.name)))
+        }
+      case p =>
+        p.expressions.foreach(_.foreach {
+          case al: Alias =>
+            alias(al.exprId.id) =
+              al.child.references.toSeq.map(_.exprId.id)
+          case _ =>
+        })
+    }
+    def resolve(id: Long, seen: Set[Long]): Seq[(String, String)] =
+      if (seen(id)) Nil
+      else leaf.get(id) match {
+        case Some(src) => src
+        case None => alias.get(id)
+          .map(_.flatMap(resolve(_, seen + id))).getOrElse(Nil)
+      }
+    val rows = plan.output.flatMap { a =>
+      resolve(a.exprId.id, Set.empty).distinct
+        .map { case (t, c) => (a.name, t, c) }
+    }.distinct.sortBy(r => (r._1, r._2, r._3))
+    import spark.implicits._
+    rows.toDF("out_column", "src_table", "src_column")
+      .orderBy("out_column", "src_table", "src_column")
+  }
+
   /** Lineage with EDGE KINDS — the distinction a dataset card needs:
     * a `value` edge means the source column's bytes can appear in the
     * output (PII flows along value edges); a `control` edge means the
@@ -224,13 +280,40 @@ object Lineage {
       |  AS t(out_column, src_table, src_column, edge_kind)
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_lineage_mv: lineage THROUGH the MV rewrite — ax_mv_star's query
+  // executes against the join-grain rollup fixture, and a naive walk of
+  // what ran would cite the fixture as the source. ofServed composes
+  // the rollup's registered definition back to base columns, so the
+  // provenance record reaches the true lineitem/orders leaves: the
+  // grain dim to orders, both measures to their lineitem inputs, and
+  // n_lines (count) to nothing — exactly the lineage the RAW plan
+  // carries, which is the invariant (serving must not change
+  // provenance). Oracle = the hand-derived truth.
+  // -------------------------------------------------------------------
+  private def lineageMv(spark: SparkSession, dir: String): DataFrame = {
+    val served = Extensions.queries("ax_mv_star")(spark, dir)
+    ofServed(spark, served)
+  }
+
+  private val lineageMvSql =
+    """SELECT * FROM (VALUES
+      |  ('disc_cents',      'lineitem', 'l_discount'),
+      |  ('disc_cents',      'lineitem', 'l_extendedprice'),
+      |  ('o_orderpriority', 'orders',   'o_orderpriority'),
+      |  ('sum_qty',         'lineitem', 'l_quantity'))
+      |  AS t(out_column, src_table, src_column)
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_lineage"        -> (lineage _),
-    "ax_lineage_window" -> (lineageWindow _)
+    "ax_lineage_window" -> (lineageWindow _),
+    "ax_lineage_mv"     -> (lineageMv _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "ax_lineage"        -> lineageSql,
-    "ax_lineage_window" -> lineageWindowSql
+    "ax_lineage_window" -> lineageWindowSql,
+    "ax_lineage_mv"     -> lineageMvSql
   )
 }

@@ -177,6 +177,59 @@ object MvRewrite {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   private val StampTtlNanos = 1000L * 1000 * 1000
 
+  /** Lineage support: for a scan whose root-path key is a REGISTERED
+    * rollup, the base origin of each MV column — so a lineage walk
+    * over the OPTIMIZED (MV-served) plan reaches the true base tables
+    * instead of stopping at the fixture. Dims resolve to whichever
+    * base table carries the column (fact first — star grains draw from
+    * both sides), measure columns to their template's referenced
+    * columns, and the count column to NO value source (a count's bytes
+    * come from no column — identical to count(*) lineage on the raw
+    * plan, which is what makes served and raw lineage agree exactly).
+    */
+  def mvColumnOrigins(spark: SparkSession, scanKey: String)
+      : Option[Map[String, Seq[(String, String)]]] = {
+    import scala.jdk.CollectionConverters._
+    def tableOf(key: String): String =
+      new org.apache.hadoop.fs.Path(key.split(",")(0))
+        .getName.stripSuffix(".parquet")
+    def colsOf(key: String, table: String): Seq[(String, String)] =
+      spark.read.parquet(key.split(","): _*).schema.fieldNames.toSeq
+        .map(c => (table, c))
+    // templates are name-normalized AND canonicalized — canonicalization
+    // erases attribute NAMES, but [[normalize]] derived each exprId from
+    // the lowercase name's hash, so the name is recovered by matching
+    // candidate base columns' hashes against the reference's id
+    def originsFor(mv: MvDef, candidates: Seq[(String, String)])
+        : Map[String, Seq[(String, String)]] = {
+      def byHash(refId: Long): Seq[(String, String)] =
+        candidates.filter { case (_, c) =>
+          (c.toLowerCase.hashCode.toLong & 0x7fffffffL) == refId
+        }
+      val dims = mv.dims.map(d =>
+        d -> candidates.filter(_._2 == d).take(1)).toMap
+      val meas = (mv.measures ++ mv.maxes ++ mv.mins).map {
+        case (mvCol, templ) =>
+          mvCol -> templ.references.toSeq
+            .flatMap(a => byHash(a.exprId.id))
+            .distinct.sortBy(identity)
+      }.toMap
+      dims ++ meas + (mv.countCol -> Nil)
+    }
+    val single = catalog.asScala.collectFirst {
+      case (baseKey, mv) if keyFor(spark, mv.mvPath) == scanKey =>
+        originsFor(mv, colsOf(baseKey, tableOf(baseKey)))
+    }
+    single.orElse(starCatalog.asScala.values.flatten.collectFirst {
+      case mv if keyFor(spark, mv.serve.mvPath) == scanKey =>
+        // fact columns first: star grains draw from both sides, and a
+        // measure template only ever references the fact
+        originsFor(mv.serve,
+          colsOf(mv.factKey, tableOf(mv.factKey)) ++
+            colsOf(mv.dimKey, tableOf(mv.dimKey)))
+    })
+  }
+
   /** Idempotently install the rewrite rule on a session. */
   def install(spark: SparkSession): Unit = synchronized {
     val already = spark.experimental.extraOptimizations

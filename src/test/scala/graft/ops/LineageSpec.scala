@@ -86,4 +86,58 @@ class LineageSpec extends AnyFunSuite {
       .select(col("b").as("c"))
     assert(rows(df) == Set(("c", "orders", "o_totalprice")))
   }
+
+  private def leafPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case _ => "?"
+        }
+    }
+
+  test("serving from an MV does not change provenance (the invariant)") {
+    val served = Extensions.queries("ax_mv_star")(spark, dir)
+    // the plan that executes reads the rollup fixture, not the bases
+    assert(leafPaths(served).exists(_.contains("mv_star")),
+      "precondition: the gate query must actually be MV-served")
+    val viaMv = Lineage.ofServed(spark, served).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    graft.plans.MvRewrite.clear()
+    try {
+      // the raw twin of the gate query, built WITHOUT re-registering
+      // (invoking the gate would re-install the MV)
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("disc_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderpriority").asc)
+      assert(!leafPaths(raw).exists(_.contains("mv_star")))
+      val viaRaw = Lineage.of(spark, raw).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(viaMv == viaRaw,
+        s"served lineage must equal raw lineage:\n$viaMv\nvs\n$viaRaw")
+      assert(viaMv.forall { case (_, t, _) =>
+        t == "lineitem" || t == "orders" },
+        s"served lineage must reach base tables only: $viaMv")
+    } finally Extensions.queries("ax_mv_rewrite")(spark, dir)
+  }
+
+  test("without origin composition the executed plan cites the fixture") {
+    // the negative that motivates ofServed: a naive walk of what ran
+    // stops at the rollup — exactly what a dataset card must not record
+    val served = Extensions.queries("ax_mv_star")(spark, dir)
+    val naiveLeaves = leafPaths(served)
+    assert(naiveLeaves.exists(_.contains("mv_star")),
+      "precondition: the executed plan's leaf is the fixture")
+    assert(!naiveLeaves.exists(_.contains("lineitem.parquet")),
+      "precondition: the fact is not in the executed plan at all")
+  }
 }
