@@ -1102,7 +1102,103 @@ object EventsOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ax_occ_commits: OPTIMISTIC-CONCURRENCY COMMIT VALIDATION — the
+  // write-side rule the table-format family (manifest prune/bloom,
+  // time travel, vacuum, partition evolution) was missing: given
+  // prospective commits all based on the SAME snapshot of the bucketed
+  // layout, classify each pair as safe-to-rebase vs conflicting from
+  // MANIFEST ROWS ONLY (the Iceberg validation semantics — nobody
+  // reads data to decide a commit). The law: two commits conflict iff
+  // their delete sets intersect, where a compaction's delete set is
+  // its rewritten inputs — which makes delete-vs-compaction-of-the-
+  // same-files a conflict, append-vs-anything safe, and disjoint
+  // deletes safely rebasable. Five prospective commits span the
+  // classes (two purges, two compactions, one append), their bucket
+  // ranges SF-proportional off the max bucket id; the ten pair
+  // dispositions are the emitted table. Driver-side cost: one
+  // directory listing (the manifest) — O(files) KBs at any table
+  // size, the ax_vacuum_plan discipline. The oracle replays the
+  // classification from the bucket definition.
+  // -------------------------------------------------------------------
+  private def occCommits(spark: SparkSession, dir: String): DataFrame = {
+    val path = bucketedEventsLayout(spark, dir)
+    // the manifest: bucket ids from the layout's partition directories
+    val buckets = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toLong).sorted
+    val bMax = buckets.max
+    val commits: Seq[(String, String, Set[Long])] = Seq(
+      ("c1_purge_low", "delete",
+        buckets.filter(_ <= bMax / 5).toSet),
+      ("c2_compact_low", "rewrite",
+        buckets.filter(_ <= bMax / 3).toSet),
+      ("c3_append", "append", Set.empty[Long]),
+      ("c4_purge_high", "delete",
+        buckets.filter(_ >= bMax - bMax / 5).toSet),
+      ("c5_compact_high", "rewrite",
+        buckets.filter(_ >= bMax - bMax / 3).toSet))
+    val rows = for {
+      (ca, opA, sa) <- commits
+      (cb, opB, sb) <- commits
+      if ca < cb
+    } yield {
+      val n = (sa & sb).size.toLong
+      val disposition = if (n > 0) "conflict" else "rebase"
+      val reason =
+        if (n == 0 && (opA == "append" || opB == "append")) "append-only"
+        else if (n == 0) "disjoint-deletes"
+        else if (opA == "rewrite" || opB == "rewrite")
+          "rewrite-overlaps-delete"
+        else "overlapping-deletes"
+      (ca, opA, cb, opB, n, disposition, reason)
+    }
+    import spark.implicits._
+    rows.toDF("commit_a", "op_a", "commit_b", "op_b", "n_overlap",
+        "disposition", "reason")
+      .orderBy("commit_a", "commit_b")
+  }
+
+  private val occCommitsSql =
+    """WITH b AS (SELECT DISTINCT user_id // 4 AS bk FROM events),
+      |mx AS (SELECT MAX(bk) AS B FROM b),
+      |sets AS (
+      |  SELECT 'c1_purge_low' AS cid, bk FROM b, mx WHERE bk <= B // 5
+      |  UNION ALL
+      |  SELECT 'c2_compact_low', bk FROM b, mx WHERE bk <= B // 3
+      |  UNION ALL
+      |  SELECT 'c4_purge_high', bk FROM b, mx WHERE bk >= B - (B // 5)
+      |  UNION ALL
+      |  SELECT 'c5_compact_high', bk FROM b, mx WHERE bk >= B - (B // 3)),
+      |ops AS (SELECT * FROM (VALUES
+      |  ('c1_purge_low', 'delete'), ('c2_compact_low', 'rewrite'),
+      |  ('c3_append', 'append'), ('c4_purge_high', 'delete'),
+      |  ('c5_compact_high', 'rewrite')) AS t(cid, op)),
+      |pairs AS (SELECT a.cid AS commit_a, a.op AS op_a,
+      |    bb.cid AS commit_b, bb.op AS op_b
+      |  FROM ops a JOIN ops bb ON a.cid < bb.cid),
+      |ov AS (SELECT s1.cid AS ca, s2.cid AS cb, COUNT(*) AS n
+      |  FROM sets s1 JOIN sets s2 ON s1.bk = s2.bk AND s1.cid < s2.cid
+      |  GROUP BY 1, 2)
+      |SELECT p.commit_a, p.op_a, p.commit_b, p.op_b,
+      |  CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+      |  CASE WHEN COALESCE(ov.n, 0) > 0 THEN 'conflict'
+      |       ELSE 'rebase' END AS disposition,
+      |  CASE WHEN COALESCE(ov.n, 0) = 0
+      |         AND (p.op_a = 'append' OR p.op_b = 'append')
+      |         THEN 'append-only'
+      |       WHEN COALESCE(ov.n, 0) = 0 THEN 'disjoint-deletes'
+      |       WHEN p.op_a = 'rewrite' OR p.op_b = 'rewrite'
+      |         THEN 'rewrite-overlaps-delete'
+      |       ELSE 'overlapping-deletes' END AS reason
+      |FROM pairs p LEFT JOIN ov
+      |  ON ov.ca = p.commit_a AND ov.cb = p.commit_b
+      |ORDER BY 1, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ax_occ_commits"     -> (occCommits _),
     "ax_ewma_smooth"      -> (ewmaSmooth _),
     "ax_ntile_bins"       -> (ntileBins _),
     "ax_ntile_approx"     -> (ntileApprox _),
@@ -1127,6 +1223,7 @@ object EventsOps {
     "ax_xml_roundtrip"   -> (xmlRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
+    "ax_occ_commits"     -> occCommitsSql,
     "ax_ewma_smooth"      -> ewmaSmoothSql,
     "ax_ntile_bins"       -> ntileBinsSql,
     "ax_ntile_approx"     -> ntileApproxSql,

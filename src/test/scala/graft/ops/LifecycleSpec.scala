@@ -117,4 +117,27 @@ class LifecycleSpec extends AnyFunSuite {
     assert(s.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in:\n$s")
   }
+
+  test("ax_occ_commits: the validation law holds on every emitted pair") {
+    val rows = Extensions.queries("ax_occ_commits")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getString(5), r.getString(6)))
+    assert(rows.length == 10, "5 prospective commits -> 10 pairs")
+    rows.foreach { case (ca, opA, cb, opB, n, disp, reason) =>
+      // the law: conflict iff the delete sets intersect
+      assert((n > 0) == (disp == "conflict"), s"$ca/$cb: n=$n disp=$disp")
+      // an append can never conflict (its delete set is empty)
+      if (opA == "append" || opB == "append")
+        assert(disp == "rebase" && reason == "append-only", s"$ca/$cb")
+      if (n > 0 && (opA == "rewrite" || opB == "rewrite"))
+        assert(reason == "rewrite-overlaps-delete", s"$ca/$cb")
+    }
+    // both classes must actually be exercised at every SF
+    assert(rows.exists(_._6 == "conflict"), "no conflicting pair emitted")
+    assert(rows.exists(_._6 == "rebase"), "no rebasable pair emitted")
+    // the two overlapping-range pairs are the conflicts, by construction
+    assert(rows.filter(_._6 == "conflict").map(r => (r._1, r._3)).toSet ==
+      Set(("c1_purge_low", "c2_compact_low"),
+        ("c4_purge_high", "c5_compact_high")))
+  }
 }
