@@ -242,21 +242,21 @@ private[ops] object MinHashLsh {
       s"SELECT doc_id, $bi AS band, ${PortableHash.hashSql(s"concat_ws(',', $slice)")} AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH $tokCte,
-       |hashed AS (SELECT doc_id, ${PortableHash.hashSql("feature")} AS h FROM tok),
-       |sig AS (SELECT doc_id,
+       |hashed AS MATERIALIZED (SELECT doc_id, ${PortableHash.hashSql("feature")} AS h FROM tok),
+       |sig AS MATERIALIZED (SELECT doc_id,
        |    $minCols,
        |    count(*) AS n
        |  FROM hashed GROUP BY doc_id),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  $bandSelects),
-       |idx AS (SELECT band, bh, doc_id AS b FROM (
+       |idx AS MATERIALIZED (SELECT band, bh, doc_id AS b FROM (
        |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bucket_n
        |    FROM banded WHERE NOT ($newPred)) c
        |  WHERE bucket_n <= $MaxBucket),
        |delta AS (SELECT band, bh, doc_id AS a FROM banded WHERE $newPred),
-       |cand AS (SELECT DISTINCT d.a, i.b
+       |cand AS MATERIALIZED (SELECT DISTINCT d.a, i.b
        |  FROM delta d JOIN idx i ON d.band = i.band AND d.bh = i.bh),
-       |inter AS (SELECT c.a, c.b, count(*) AS inter
+       |inter AS MATERIALIZED (SELECT c.a, c.b, count(*) AS inter
        |  FROM cand c
        |  JOIN hashed ta ON ta.doc_id = c.a
        |  JOIN hashed tb ON tb.doc_id = c.b AND tb.h = ta.h
@@ -298,22 +298,22 @@ private[ops] object MinHashLsh {
       s"SELECT doc_id, $bi AS band, ${PortableHash.hashSql(s"concat_ws(',', $slice)")} AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH $tokCte,
-       |hashed AS (SELECT DISTINCT doc_id, ${PortableHash.hashSql("feature")} AS h
+       |hashed AS MATERIALIZED (SELECT DISTINCT doc_id, ${PortableHash.hashSql("feature")} AS h
        |  FROM tok),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |    $minCols,
        |    count(*) AS n
        |  FROM hashed GROUP BY doc_id),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  $bandSelects),
-       |idx AS (SELECT band, bh, doc_id AS b FROM (
+       |idx AS MATERIALIZED (SELECT band, bh, doc_id AS b FROM (
        |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bucket_n
        |    FROM banded WHERE NOT ($newPred)) c
        |  WHERE bucket_n <= $MaxBucket),
        |delta AS (SELECT band, bh, doc_id AS a FROM banded WHERE $newPred),
-       |cand AS (SELECT DISTINCT d.a, i.b
+       |cand AS MATERIALIZED (SELECT DISTINCT d.a, i.b
        |  FROM delta d JOIN idx i ON d.band = i.band AND d.bh = i.bh),
-       |inter AS (SELECT c.a, c.b, count(*) AS inter
+       |inter AS MATERIALIZED (SELECT c.a, c.b, count(*) AS inter
        |  FROM cand c
        |  JOIN hashed ta ON ta.doc_id = c.a
        |  JOIN hashed tb ON tb.doc_id = c.b AND tb.h = ta.h
@@ -356,24 +356,24 @@ private[ops] object MinHashLsh {
       s"SELECT doc_id, $bi AS band, ${PortableHash.hashSql(s"concat_ws(',', $slice)")} AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""$tokCte,
-       |hashed AS (SELECT doc_id, ${PortableHash.hashSql("feature")} AS h FROM tok),
-       |sig AS (SELECT doc_id,
+       |hashed AS MATERIALIZED (SELECT doc_id, ${PortableHash.hashSql("feature")} AS h FROM tok),
+       |sig AS MATERIALIZED (SELECT doc_id,
        |    $minCols,
        |    count(*) AS n
        |  FROM hashed GROUP BY doc_id),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  $bandSelects)""".stripMargin
   }
 
   private def cteChain(tokCte: String): String = {
     s"""${bandedCte(tokCte)},
-       |capped AS (SELECT doc_id, band, bh FROM (
+       |capped AS MATERIALIZED (SELECT doc_id, band, bh FROM (
        |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bucket_n
        |    FROM banded) c
        |  WHERE bucket_n <= $MaxBucket),
-       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM capped x JOIN capped y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-       |inter AS (SELECT c.a, c.b, count(*) AS inter
+       |inter AS MATERIALIZED (SELECT c.a, c.b, count(*) AS inter
        |  FROM cand c
        |  JOIN hashed ta ON ta.doc_id = c.a
        |  JOIN hashed tb ON tb.doc_id = c.b AND tb.h = ta.h
@@ -1618,21 +1618,21 @@ object Dedup {
   private val lshRecallSql = {
     val h = PortableHash.hashSql("feature")
     val lsh = MinHashLsh.oracleSql(wordShingleTokCte)
-    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) >= 3
+    s"""WITH tokr AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) >= 3
        |    THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
        |    ELSE [array_to_string(ws, ' ')] END) AS feature
        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
        |        FROM documents WHERE doc_id % 2 = 0) w),
-       |hashed AS (SELECT doc_id, $h AS h FROM tok),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY 1),
-       |inter AS (
+       |hashedr AS MATERIALIZED (SELECT doc_id, $h AS h FROM tokr),
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM hashedr GROUP BY 1),
+       |interr AS (
        |  SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS i
-       |  FROM hashed t1 JOIN hashed t2 ON t1.h = t2.h AND t1.doc_id < t2.doc_id
+       |  FROM hashedr t1 JOIN hashedr t2 ON t1.h = t2.h AND t1.doc_id < t2.doc_id
        |  GROUP BY 1, 2),
        |truth AS (
-       |  SELECT a, b FROM inter
-       |  JOIN sizes sa ON inter.a = sa.doc_id
-       |  JOIN sizes sb ON inter.b = sb.doc_id
+       |  SELECT a, b FROM interr
+       |  JOIN sizes sa ON interr.a = sa.doc_id
+       |  JOIN sizes sb ON interr.b = sb.doc_id
        |  WHERE floor(i * 1000.0 / (sa.n + sb.n - i)) >= ${MinHashLsh.ThresholdPm}),
        |found AS (
        |  SELECT doc_a AS a, doc_b AS b, 1 AS hit FROM ($lsh) lsh
@@ -1730,10 +1730,10 @@ object Dedup {
        |bits AS (SELECT doc_id,
        |    $sums
        |  FROM hashed GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $assemble AS simhash FROM bits),
-       |banded AS (
+       |sig AS MATERIALIZED (SELECT doc_id, $assemble AS simhash FROM bits),
+       |banded AS MATERIALIZED (
        |  $bandSelects),
-       |capped AS (SELECT doc_id, simhash, band, bh FROM (
+       |capped AS MATERIALIZED (SELECT doc_id, simhash, band, bh FROM (
        |    SELECT doc_id, simhash, band, bh, count(*) OVER (PARTITION BY band, bh) AS bucket_n
        |    FROM banded) c
        |  WHERE bucket_n <= ${MinHashLsh.MaxBucket})
@@ -1793,7 +1793,7 @@ object Dedup {
        |  FROM embeddings),
        |sig AS (SELECT vec_id, q,
        |    ${Hyperplanes.bucketSqlDuck("q", Hyperplanes.Planes)} AS bucket FROM qt),
-       |capped AS (SELECT vec_id, q, bucket FROM (
+       |capped AS MATERIALIZED (SELECT vec_id, q, bucket FROM (
        |    SELECT vec_id, q, bucket, count(*) OVER (PARTITION BY bucket) AS bucket_n
        |    FROM sig) c
        |  WHERE bucket_n <= ${MinHashLsh.MaxBucket}),
