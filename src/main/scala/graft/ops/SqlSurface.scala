@@ -382,9 +382,40 @@ object SqlSurface {
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
   }
 
+  // sq_mv_attr_sql: the JOIN-BACK star rewrite through the SQL front
+  // door — GROUP BY a dim attribute over the textual fact⋈dim join
+  // with a dim filter, served from the FK-grain rollup re-joined to
+  // the live dim exactly like the DataFrame twin (ax_mv_star_attr);
+  // MvRewriteSpec pins the plan reads zero fact bytes on this surface
+  // too. One definition, two surfaces.
+  private def mvAttrViaSql(spark: SparkSession, dir: String): DataFrame = {
+    MatViews.serveStarFkFromMv(spark, dir)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("graft_sql_li_attr")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .createOrReplaceTempView("graft_sql_ord_attr")
+    spark.sql(
+      """SELECT o_orderstatus,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM graft_sql_li_attr JOIN graft_sql_ord_attr
+        |  ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority <> '3-MEDIUM'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val mvAttrOracle =
+    """SELECT o.o_orderstatus,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority <> '3-MEDIUM'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sq_dsv2_sql"          -> (dsv2ViaSql _),
     "sq_mv_minmax_sql"     -> (mvMinMaxViaSql _),
+    "sq_mv_attr_sql"       -> (mvAttrViaSql _),
     "sq_mv_serve_sql"      -> (mvServeViaSql _),
     "sq_except_sql"        -> (exceptViaSql _),
     "sq_rollup_sql"        -> (rollupViaSql _),
@@ -403,6 +434,7 @@ object SqlSurface {
     // the DataFrame twins' oracles, verbatim — one definition, two surfaces
     "sq_dsv2_sql"          -> Dsv2Source.oracleSql("ax_dsv2_pushdown"),
     "sq_mv_minmax_sql"     -> MatViews.oracleSql("ax_mv_minmax"),
+    "sq_mv_attr_sql"       -> mvAttrOracle,
     // the DataFrame twin's oracle, verbatim — one definition, two surfaces
     "sq_mv_serve_sql"      -> MatViews.oracleSql("ax_mv_rewrite"),
     "sq_except_sql"        -> exceptOracle,

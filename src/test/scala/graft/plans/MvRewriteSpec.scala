@@ -439,6 +439,13 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("join-back fires through the SQL front door too (zero fact bytes)") {
+    val df = Extensions.queries("sq_mv_attr_sql")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("mv_star_fk") && !p.contains("lineitem.parquet"),
+      s"SQL-text dim-attribute aggregate not served by join-back:\n$p")
+  }
+
   test("a non-grain FACT filter blocks join-back too") {
     Extensions.queries("ax_mv_star_attr")(spark, dir)
     // l_returnflag is lost at the FK grain; the rollup cannot apply it
