@@ -228,6 +228,44 @@ object Dsv2Source {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_dsv2_zonemap: STATIC zone-map pruning on the connector — the
+  // other half of the footer contract ax_dsv2_dpp started: there the
+  // pruning keys arrive at RUNTIME from a joined dim; here a plain
+  // pushed `doc_id` range predicate (no join anywhere) is folded into
+  // an interval and intersected with the `_ranges.tsv` sidecar BEFORE
+  // planInputPartitions emits splits, so files provably outside the
+  // range are never opened — exactly what parquet row-group min/max
+  // gives a static filter. The fixture is range-partitioned by doc_id
+  // (disjoint per-file ranges), so the lowest-quarter predicate must
+  // plan ~2 of 8 files; Dsv2SourceSpec pins the planned-file drop and
+  // the "no sidecar → no pruning" default. The oracle computes the
+  // same aggregate from raw parquet, so over-pruning (missing rows)
+  // lands as a hash mismatch.
+  // -------------------------------------------------------------------
+  private def dsv2Zonemap(spark: SparkSession, dir: String): DataFrame = {
+    val path = dppFixturePath(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val maxDoc = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val cut = (maxDoc + 1L) / 4L
+    spark.read
+      .format(classOf[graft.sources.GraftLines].getName)
+      .option("path", path)
+      .load()
+      .filter(col("doc_id") < lit(cut) && col("doc_id") >= lit(cut / 8L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc)
+  }
+
+  private val dsv2ZonemapSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE doc_id < (SELECT (MAX(doc_id)+1)//4 FROM documents)
+      |  AND doc_id >= (SELECT ((MAX(doc_id)+1)//4)//8 FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // st_dsv2_sink: the connector's STREAMING WRITE leg — the metadata
   // stream (admission-capped to ~4 epochs at every SF) is written back
   // through the epoch-keyed 2PC sink under Trigger.AvailableNow, then
@@ -290,6 +328,7 @@ object Dsv2Source {
     "ax_dsv2_roundtrip" -> (dsv2Roundtrip _),
     "ax_dsv2_join"      -> (dsv2Join _),
     "ax_dsv2_dpp"       -> (dsv2Dpp _),
+    "ax_dsv2_zonemap"   -> (dsv2Zonemap _),
     "st_dsv2_stream"    -> (dsv2Stream _),
     "st_dsv2_sink"      -> (dsv2Sink _)
   )
@@ -299,6 +338,7 @@ object Dsv2Source {
     "ax_dsv2_roundtrip" -> dsv2RoundtripSql,
     "ax_dsv2_join"      -> dsv2JoinSql,
     "ax_dsv2_dpp"       -> dsv2DppSql,
+    "ax_dsv2_zonemap"   -> dsv2ZonemapSql,
     "st_dsv2_stream"    -> dsv2StreamSql,
     "st_dsv2_sink"      -> dsv2SinkSql
   )

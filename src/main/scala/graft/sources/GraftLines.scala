@@ -84,6 +84,7 @@ object GraftLines {
     */
   val lastPlannedFiles = new java.util.concurrent.atomic.AtomicInteger(-1)
   val lastRuntimePruned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val lastStaticPruned = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
 final class GraftLinesTable(path: String, splitBytes: Long) extends Table
@@ -256,6 +257,43 @@ final class GraftLinesScan(path: String, splitBytes: Long,
     GraftLinesRanges.read(FileSystem.get(root.toUri, driverConf), root)
   }
 
+  // ----- static zone-map pruning off the same sidecar -----------------
+  // The runtime leg above prunes against join-produced keys; STATIC
+  // pushed doc_id comparisons (EqualTo/GreaterThan/...) are evaluated
+  // inside the readers, but without this leg every file is still
+  // OPENED. Folding the pushed comparisons into one inclusive interval
+  // and intersecting it with each file's sidecar range completes the
+  // parquet min/max footer contract: a file whose range misses the
+  // interval is never opened. Saturating arithmetic over-keeps at the
+  // Long extremes, and a file without a sidecar entry is always kept —
+  // pruning can only ever skip files proven empty of matches.
+
+  /** static doc_id interval [lo, hi] implied by the pushed filters */
+  private lazy val staticIdBounds: Option[(Long, Long)] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var any = false
+    pushed.foreach {
+      case EqualTo("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue())
+        any = true
+      case GreaterThan("doc_id", v: Number) =>
+        if (v.longValue() < Long.MaxValue) lo = math.max(lo, v.longValue() + 1)
+        else lo = Long.MaxValue // x > MaxValue is empty; over-keep is safe
+        any = true
+      case GreaterThanOrEqual("doc_id", v: Number) =>
+        lo = math.max(lo, v.longValue()); any = true
+      case LessThan("doc_id", v: Number) =>
+        if (v.longValue() > Long.MinValue) hi = math.min(hi, v.longValue() - 1)
+        else hi = Long.MinValue
+        any = true
+      case LessThanOrEqual("doc_id", v: Number) =>
+        hi = math.min(hi, v.longValue()); any = true
+      case _ =>
+    }
+    if (any) Some((lo, hi)) else None
+  }
+
   /** any of the (sorted) ids inside [lo, hi]? */
   private def anyIdIn(ids: Array[Long], lo: Long, hi: Long): Boolean = {
     var l = 0
@@ -274,7 +312,7 @@ final class GraftLinesScan(path: String, splitBytes: Long,
     * files that matter)
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept = runtimeIds match {
+    val afterRuntime = runtimeIds match {
       case Some(ids) if fileRanges.nonEmpty =>
         dataFiles.filter { s =>
           fileRanges.get(s.getPath.getName) match {
@@ -284,8 +322,19 @@ final class GraftLinesScan(path: String, splitBytes: Long,
         }
       case _ => dataFiles
     }
+    GraftLines.lastRuntimePruned.set(afterRuntime.size < dataFiles.size)
+    val kept = staticIdBounds match {
+      case Some((lo, hi)) if fileRanges.nonEmpty =>
+        afterRuntime.filter { s =>
+          fileRanges.get(s.getPath.getName) match {
+            case Some((flo, fhi)) => flo <= hi && fhi >= lo
+            case None => true // no stats for this file: never prune it
+          }
+        }
+      case _ => afterRuntime
+    }
+    GraftLines.lastStaticPruned.set(kept.size < afterRuntime.size)
     GraftLines.lastPlannedFiles.set(kept.size)
-    GraftLines.lastRuntimePruned.set(kept.size < dataFiles.size)
     kept
       .flatMap { s =>
         (0L until s.getLen by splitBytes).map { start =>
@@ -684,12 +733,23 @@ private[sources] object GraftLinesRanges {
         entries
     val p = new Path(root, GraftLines.RangesFile)
     if (merged.isEmpty) { fs.delete(p, false); return }
+    // publish atomically (stage + rename), never rewrite in place: a
+    // concurrent scan reads the sidecar lazily at plan time, and a torn
+    // read whose truncated line still parses as three longs would yield
+    // a wrong range and OVER-prune — silently missing rows. The rename
+    // window (old deleted, new not yet renamed) degrades to "no sidecar
+    // → keep every file": unpruned, never wrong.
+    val tmp = new Path(root, GraftLines.RangesFile + ".tmp")
     val out = new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+      new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
     try merged.toSeq.sortBy(_._1).foreach { case (n, (lo, hi)) =>
       out.write(s"$n\t$lo\t$hi")
       out.newLine()
     } finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      sys.error(s"graftlines sidecar publish failed: rename $tmp -> $p " +
+        "returned false")
   }
 }
 
@@ -836,6 +896,19 @@ final class GraftLinesStreamingWrite(path: String,
       if (!fs.rename(src, dst))
         sys.error(s"graftlines streaming 2PC publish failed: rename " +
           s"$src -> $dst returned false; aborting epoch $epochId")
+    }
+    // a crashed FIRST attempt may have published more partitions than
+    // this replay planned (source listing change, upstream shuffle
+    // nondeterminism): any part-e<epoch>-* file NOT in this commit's
+    // set is a first-attempt orphan and would duplicate rows — delete
+    // them before the marker seals the epoch. (Orphans are never in
+    // the sidecar: the crashed attempt died before its sidecar update.)
+    val published = commits.map(_.publishedName).toSet
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isFile && n.startsWith(s"part-e$epochId-") &&
+          !published.contains(n))
+        fs.delete(s.getPath, false)
     }
     // sidecar before marker: a crash between them re-runs this epoch,
     // and the name-keyed merge makes the replayed update idempotent

@@ -352,6 +352,50 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"the selective dim band must prune connector files at runtime:\n$p")
   }
 
+  // ----- static zone-map pruning ---------------------------------------
+
+  test("a static doc_id range prunes files off the sidecar zone map") {
+    val path = Dsv2Source.dppFixturePath(spark, dir)
+    val unfiltered = new GraftLinesScanBuilder(path,
+      graft.sources.GraftLines.DefaultSplitBytes, 0L)
+      .build().asInstanceOf[GraftLinesScan]
+    val allFiles = unfiltered.planInputPartitions().length
+    assert(allFiles >= 8)
+    val b = new GraftLinesScanBuilder(path,
+      graft.sources.GraftLines.DefaultSplitBytes, 0L)
+    b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan("doc_id", 3L)))
+    val pruned = b.build().asInstanceOf[GraftLinesScan]
+      .planInputPartitions().length
+    assert(pruned == 1,
+      s"doc_id < 3 is inside the lowest file's range; planned $pruned")
+    assert(graft.sources.GraftLines.lastStaticPruned.get())
+  }
+
+  test("the zonemap gate plans fewer files and no sidecar means no pruning") {
+    val df = Extensions.queries("ax_dsv2_zonemap")(spark, dir)
+    df.collect()
+    val path = Dsv2Source.dppFixturePath(spark, dir)
+    val totalFiles = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.length > 0)
+    val planned = graft.sources.GraftLines.lastPlannedFiles.get()
+    assert(planned < totalFiles,
+      s"static quarter-range predicate must prune: $planned/$totalFiles")
+    // no sidecar → never prune: same pushed range over the plain TSV
+    // fixture (written by .text(), no sidecar) must keep every file
+    val plain = Dsv2Source.tsvFixturePath(spark, dir)
+    assert(!new java.io.File(plain, "_ranges.tsv").exists())
+    val b = new GraftLinesScanBuilder(plain,
+      graft.sources.GraftLines.DefaultSplitBytes, 0L)
+    b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.LessThan("doc_id", 3L)))
+    b.build().asInstanceOf[GraftLinesScan].planInputPartitions()
+    assert(!graft.sources.GraftLines.lastStaticPruned.get(),
+      "a file without sidecar stats must never be pruned")
+  }
+
   // ----- streaming write (epoch-keyed 2PC) ----------------------------
 
   private def internalRow(id: Long, lang: String, n: Long) =
@@ -419,6 +463,35 @@ class Dsv2SourceSpec extends AnyFunSuite {
       s"re-publish must overwrite the crash leftover, got: $content")
     assert(new java.io.File(out, "_committed-3").exists(),
       "the converged epoch must carry its marker")
+  }
+
+  test("a replay with fewer partitions deletes the first attempt's orphans") {
+    val out = new java.io.File("target/dsv2_epoch_orphan")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+    out.mkdirs()
+    val conf = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val sw = new GraftLinesStreamingWrite(out.getAbsolutePath, conf)
+    // crashed first attempt published TWO partitions, no marker yet
+    new java.io.PrintWriter(new java.io.File(out, "part-e5-p0.tsv"))
+      .append("1\ten\tweb\t10\n").close()
+    new java.io.PrintWriter(new java.io.File(out, "part-e5-p1.tsv"))
+      .append("2\tde\tweb\t20\n").close()
+    // the replay plans only ONE partition (listing change upstream)
+    val m = stageEpoch(sw, out.getAbsolutePath, 5L,
+      Seq((1L, "en", 10L), (2L, "de", 20L)), taskId = 500L)
+    sw.commit(5L, Array(m))
+    assert(new java.io.File(out, "part-e5-p0.tsv").exists())
+    assert(!new java.io.File(out, "part-e5-p1.tsv").exists(),
+      "the first attempt's extra partition must not survive the commit")
+    // a neighbouring epoch's files are untouched
+    new java.io.PrintWriter(new java.io.File(out, "part-e6-p0.tsv"))
+      .append("3\tfr\tweb\t30\n").close()
+    val m7 = stageEpoch(sw, out.getAbsolutePath, 7L,
+      Seq((4L, "it", 40L)), taskId = 501L)
+    sw.commit(7L, Array(m7))
+    assert(new java.io.File(out, "part-e6-p0.tsv").exists(),
+      "orphan cleanup is scoped to the committing epoch")
   }
 
   test("a streaming epoch abort deletes that epoch's stage only") {
