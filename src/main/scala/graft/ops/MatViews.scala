@@ -62,16 +62,27 @@ object MatViews {
     * user plan (constant folding and implicit casts already applied),
     * with attribute identity erased by name (MvRewrite.normalize).
     */
-  private def measureTemplate(
+  private def measureRaw(
       spark: SparkSession, base: String, c: Column): Expression = {
     val plan = spark.read.parquet(base).select(c.as("m"))
       .queryExecution.optimizedPlan
-    val raw = plan.collectFirst {
+    plan.collectFirst {
       case Project(Seq(Alias(child, _)), _) => child
     }.getOrElse(sys.error(s"measure template did not optimize to a " +
       s"single-alias Project:\n$plan"))
-    MvRewrite.normalize(raw)
   }
+
+  private def measureTemplate(
+      spark: SparkSession, base: String, c: Column): Expression =
+    MvRewrite.normalize(measureRaw(spark, base, c))
+
+  /** the base column names a measure reads, recorded verbatim into
+    * MvDef.measureInputs at registration (lineage reads these instead
+    * of recovering names from the canonicalized template)
+    */
+  private def measureInputs(
+      spark: SparkSession, base: String, c: Column): Seq[String] =
+    measureRaw(spark, base, c).references.map(_.name).toSeq.distinct.sorted
 
   /** Build + register the MV for this dir and install the rule. */
   private[ops] def serveFromMv(spark: SparkSession, dir: String): Unit = {
@@ -94,7 +105,13 @@ object MatViews {
           measureTemplate(spark, base, qtyLong(col("l_quantity")))),
         mins = Seq("mv_min_qty" ->
           measureTemplate(spark, base, qtyLong(col("l_quantity")))),
-        baseStamp = MvRewrite.stampFor(baseKey)))
+        baseStamp = MvRewrite.stampFor(baseKey),
+        measureInputs = Map(
+          "mv_sum_qty" -> measureInputs(spark, base, qtyLong(col("l_quantity"))),
+          "mv_disc_cents" -> measureInputs(spark, base,
+            discCents(col("l_extendedprice"), col("l_discount"))),
+          "mv_max_qty" -> measureInputs(spark, base, qtyLong(col("l_quantity"))),
+          "mv_min_qty" -> measureInputs(spark, base, qtyLong(col("l_quantity"))))))
     MvRewrite.install(spark)
   }
 
@@ -279,7 +296,12 @@ object MatViews {
             measureTemplate(spark, fact,
               discCents(col("l_extendedprice"), col("l_discount")))),
         countCol = "mv_n_rows",
-        mvPath = mvPath),
+        mvPath = mvPath,
+        measureInputs = Map(
+          "mv_sum_qty" ->
+            measureInputs(spark, fact, qtyLong(col("l_quantity"))),
+          "mv_disc_cents" -> measureInputs(spark, fact,
+            discCents(col("l_extendedprice"), col("l_discount"))))),
       factStamp = MvRewrite.stampFor(factKey),
       dimStamp = MvRewrite.stampFor(dimKey)))
     MvRewrite.install(spark)
@@ -368,7 +390,12 @@ object MatViews {
             measureTemplate(spark, fact,
               discCents(col("l_extendedprice"), col("l_discount")))),
         countCol = "mv_n_rows",
-        mvPath = mvPath),
+        mvPath = mvPath,
+        measureInputs = Map(
+          "mv_sum_qty" ->
+            measureInputs(spark, fact, qtyLong(col("l_quantity"))),
+          "mv_disc_cents" -> measureInputs(spark, fact,
+            discCents(col("l_extendedprice"), col("l_discount"))))),
       factStamp = MvRewrite.stampFor(factKey),
       dimStamp = 0L)) // live-dim serving: dim freshness is a non-issue
     MvRewrite.install(spark)

@@ -60,6 +60,12 @@ object MvRewrite {
     * mins — max, min, sum and count are the distributive aggregates a
     * grain rollup can re-aggregate exactly).
     */
+  /** `measureInputs` carries each measure column's referenced BASE
+    * column names, recorded at registration (the template code sees the
+    * real columns there) — lineage composition reads these directly
+    * instead of reverse-engineering names from the canonicalized
+    * template's hash-derived exprIds, which was collision-brittle.
+    */
   final case class MvDef(
       dims: Seq[String],
       measures: Seq[(String, Expression)],
@@ -67,7 +73,8 @@ object MvRewrite {
       mvPath: String,
       maxes: Seq[(String, Expression)] = Nil,
       mins: Seq[(String, Expression)] = Nil,
-      baseStamp: Long = 0L)
+      baseStamp: Long = 0L,
+      measureInputs: Map[String, Seq[String]] = Map.empty)
 
   /** Identity-erased form for cross-plan expression comparison: every
     * attribute reference is re-keyed by COLUMN NAME (exprId derived
@@ -124,6 +131,13 @@ object MvRewrite {
     }.getOrElse(rawPath)
   }
 
+  /** NOTE on external writers: freshness is checked via [[stampFor]],
+    * whose 1 s TTL cache is invalidated here (a register follows a
+    * rebuild). A base rewritten by a process that never calls
+    * register() can be served a stale MV answer for up to the TTL
+    * after its rewrite — inside the documented 1.2 s mtime-granularity
+    * staleness window the freshness spec already allows.
+    */
   def register(baseKey: String, mv: MvDef): Unit = {
     stampCache.remove(baseKey) // a register follows a (re)build: re-stat
     catalog.put(baseKey, mv)
@@ -196,22 +210,18 @@ object MvRewrite {
     def colsOf(key: String, table: String): Seq[(String, String)] =
       spark.read.parquet(key.split(","): _*).schema.fieldNames.toSeq
         .map(c => (table, c))
-    // templates are name-normalized AND canonicalized — canonicalization
-    // erases attribute NAMES, but [[normalize]] derived each exprId from
-    // the lowercase name's hash, so the name is recovered by matching
-    // candidate base columns' hashes against the reference's id
+    // measure input-column names were recorded verbatim at registration
+    // (MvDef.measureInputs); candidates are ordered fact-first, so the
+    // first table carrying the name wins — a measure template only ever
+    // references the fact
     def originsFor(mv: MvDef, candidates: Seq[(String, String)])
         : Map[String, Seq[(String, String)]] = {
-      def byHash(refId: Long): Seq[(String, String)] =
-        candidates.filter { case (_, c) =>
-          (c.toLowerCase.hashCode.toLong & 0x7fffffffL) == refId
-        }
       val dims = mv.dims.map(d =>
         d -> candidates.filter(_._2 == d).take(1)).toMap
       val meas = (mv.measures ++ mv.maxes ++ mv.mins).map {
-        case (mvCol, templ) =>
-          mvCol -> templ.references.toSeq
-            .flatMap(a => byHash(a.exprId.id))
+        case (mvCol, _) =>
+          mvCol -> mv.measureInputs.getOrElse(mvCol, Nil)
+            .flatMap(n => candidates.filter(_._2 == n).take(1))
             .distinct.sortBy(identity)
       }.toMap
       dims ++ meas + (mv.countCol -> Nil)

@@ -130,6 +130,23 @@ class LineageSpec extends AnyFunSuite {
     } finally Extensions.queries("ax_mv_rewrite")(spark, dir)
   }
 
+  test("measure origins come from the carried input names, not recovery") {
+    // registration records each measure's base columns verbatim in
+    // MvDef.measureInputs; mvColumnOrigins must read exactly those — a
+    // def registered WITHOUT them yields empty measure origins (there
+    // is no hash-recovery fallback anymore)
+    Extensions.queries("ax_mv_star")(spark, dir).collect()
+    val mvKey = leafPaths(Extensions.queries("ax_mv_star")(spark, dir))
+      .find(_.contains("mv_star"))
+    assert(mvKey.isDefined)
+    val origins = graft.plans.MvRewrite.mvColumnOrigins(spark, mvKey.get)
+    assert(origins.isDefined)
+    assert(origins.get("mv_sum_qty") == Seq(("lineitem", "l_quantity")))
+    assert(origins.get("mv_disc_cents") ==
+      Seq(("lineitem", "l_discount"), ("lineitem", "l_extendedprice")))
+    assert(origins.get("mv_n_rows") == Nil)
+  }
+
   test("without origin composition the executed plan cites the fixture") {
     // the negative that motivates ofServed: a naive walk of what ran
     // stops at the rollup — exactly what a dataset card must not record
