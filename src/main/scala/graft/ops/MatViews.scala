@@ -427,6 +427,105 @@ object MatViews {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_mv_snowflake: MULTI-DIM JOIN-BACK — the TPC-H shapes the
+  // single-dim join-back (ax_mv_star_attr) cites as motivation
+  // (Q5/Q7/Q8) group by attributes of a SECOND dim or of TWO dims at
+  // once. One rollup at the COMPOSITE FK grain (l_orderkey, l_partkey)
+  // — built from the fact alone, no dim bytes — functionally
+  // determines every attribute of BOTH dims; the rule serves any
+  // grouping drawn from either or both dims by re-joining the rollup
+  // to the live orders AND part tables. At 100 TB: a fact scan + two
+  // shuffle joins become a FK-grain rollup × two broadcast dims, zero
+  // fact bytes, and the one rollup answers every (orders-attr ×
+  // part-attr) question. The negative pin (MvRewriteSpec): a grain
+  // missing either FK keeps the raw plan. Reference resolution is by
+  // side-of-origin (leaf exprIds), so same-named fact/dim columns can
+  // never silently remap.
+  // -------------------------------------------------------------------
+  private def mvSnowPath(spark: SparkSession, dir: String): String = {
+    // fact mtime only: the composite-FK rollup reads ONLY lineitem
+    val pathF = FixtureCache.dir("mv_snow_fk", dir,
+      "grain" -> "okey_pkey", "v" -> 1,
+      "src" -> baseStamp(dir, "lineitem.parquet"))
+    val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
+    if (!marker.exists()) {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"), col("l_partkey"))
+        .agg(
+          sum(qtyLong(col("l_quantity"))).as("mv_sum_qty"),
+          sum(discCents(col("l_extendedprice"), col("l_discount")))
+            .as("mv_disc_cents"),
+          count(lit(1)).as("mv_n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(pathF.toString)
+      marker.createNewFile()
+    }
+    pathF.toString
+  }
+
+  private[ops] def serveSnowFromMv(
+      spark: SparkSession, dir: String): Unit = {
+    val mvPath = mvSnowPath(spark, dir)
+    val fact = s"$dir/lineitem.parquet"
+    val factKey = MvRewrite.keyFor(spark, fact)
+    MvRewrite.registerSnow(MvRewrite.SnowMvDef(
+      factKey = factKey,
+      dims = Seq(
+        MvRewrite.DimRef(
+          MvRewrite.keyFor(spark, s"$dir/orders.parquet"),
+          "l_orderkey", "o_orderkey"),
+        MvRewrite.DimRef(
+          MvRewrite.keyFor(spark, s"$dir/part.parquet"),
+          "l_partkey", "p_partkey")),
+      serve = MvRewrite.MvDef(
+        dims = Seq("l_orderkey", "l_partkey"),
+        measures = Seq(
+          "mv_sum_qty" ->
+            measureTemplate(spark, fact, qtyLong(col("l_quantity"))),
+          "mv_disc_cents" ->
+            measureTemplate(spark, fact,
+              discCents(col("l_extendedprice"), col("l_discount")))),
+        countCol = "mv_n_rows",
+        mvPath = mvPath,
+        measureInputs = Map(
+          "mv_sum_qty" ->
+            measureInputs(spark, fact, qtyLong(col("l_quantity"))),
+          "mv_disc_cents" -> measureInputs(spark, fact,
+            discCents(col("l_extendedprice"), col("l_discount"))))),
+      factStamp = MvRewrite.stampFor(factKey)))
+    MvRewrite.install(spark)
+  }
+
+  private def mvSnowflake(spark: SparkSession, dir: String): DataFrame = {
+    serveSnowFromMv(spark, dir)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .filter(col("o_orderpriority") =!= "3-MEDIUM" && col("p_size") < 25)
+      .groupBy(col("o_orderstatus"), col("p_brand"))
+      .agg(
+        sum(qtyLong(col("l_quantity"))).as("sum_qty"),
+        sum(discCents(col("l_extendedprice"), col("l_discount")))
+          .as("disc_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus").asc, col("p_brand").asc)
+  }
+
+  private val mvSnowflakeSql =
+    """SELECT o.o_orderstatus, p.p_brand,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS disc_cents,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE o.o_orderpriority <> '3-MEDIUM' AND p.p_size < 25
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_mv_star_delta: INCREMENTAL upkeep of the JOIN-GRAIN rollup —
   // the production pattern for star MVs: fact partitions append (the
   // post-cut l_shipdate slice), each new fact row joins to the
@@ -682,6 +781,7 @@ object MatViews {
     "ax_mv_minmax"  -> (mvMinMax _),
     "ax_mv_star"    -> (mvStar _),
     "ax_mv_star_attr" -> (mvStarAttr _),
+    "ax_mv_snowflake" -> (mvSnowflake _),
     "ax_mv_star_delta" -> (mvStarDelta _),
     "ax_mv_delta"   -> (mvDelta _),
     "ax_mv_cdc"     -> (mvCdc _)
@@ -693,6 +793,7 @@ object MatViews {
     "ax_mv_minmax"  -> mvMinMaxSql,
     "ax_mv_star"    -> mvStarSql,
     "ax_mv_star_attr" -> mvStarAttrSql,
+    "ax_mv_snowflake" -> mvSnowflakeSql,
     "ax_mv_star_delta" -> mvStarDeltaSql,
     "ax_mv_delta"   -> mvDeltaSql,
     "ax_mv_cdc"     -> mvCdcSql

@@ -107,9 +107,36 @@ object MvRewrite {
       factStamp: Long = 0L,
       dimStamp: Long = 0L)
 
+  /** One dimension leg of a snowflake/multi-dim star MV: the dim's
+    * base key and the FK equi-pair joining it to the fact.
+    */
+  final case class DimRef(
+      dimKey: String,
+      joinFactCol: String,
+      joinDimCol: String,
+      dimStamp: Long = 0L)
+
+  /** A rollup serving aggregates over `fact ⋈ dim₁ ⋈ … ⋈ dimₙ` (TPC-H
+    * Q5/Q7/Q8 group by attributes of a SECOND dim or of two dims at
+    * once). The grain must contain EVERY fact-side FK (the composite
+    * FK grain functionally determines every attribute of every dim);
+    * serving re-joins the rollup to ALL the live dims — zero fact
+    * bytes, and one composite-grain rollup answers any grouping drawn
+    * from any combination of the dims' attributes.
+    */
+  final case class SnowMvDef(
+      factKey: String,
+      dims: Seq[DimRef],
+      serve: MvDef,
+      factStamp: Long = 0L)
+
   /** Base-path → MV registry, session-agnostic (paths are absolute). */
   private val catalog =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  /** factKey → snowflake MV registry (several grains may coexist). */
+  private val snowCatalog = new java.util.concurrent.ConcurrentHashMap[
+    String, List[SnowMvDef]]()
 
   /** (factKey, dimKey) → star-join MV registry. A pair can carry
     * SEVERAL rollups at different grains (e.g. the (dim-attr, fact-attr)
@@ -150,8 +177,16 @@ object MvRewrite {
       mv :: Option(cur).getOrElse(Nil)
         .filterNot(_.serve.dims == mv.serve.dims))
   }
+  def registerSnow(mv: SnowMvDef): Unit = {
+    stampCache.remove(mv.factKey)
+    mv.dims.foreach(d => stampCache.remove(d.dimKey))
+    snowCatalog.compute(mv.factKey, (_, cur) =>
+      mv :: Option(cur).getOrElse(Nil)
+        .filterNot(_.serve.dims == mv.serve.dims))
+  }
   def clear(): Unit = {
-    catalog.clear(); starCatalog.clear(); stampCache.clear()
+    catalog.clear(); starCatalog.clear(); snowCatalog.clear()
+    stampCache.clear()
   }
 
   /** Freshness stamp for a base key (comma-joined root paths): the max
@@ -237,6 +272,11 @@ object MvRewrite {
         originsFor(mv.serve,
           colsOf(mv.factKey, tableOf(mv.factKey)) ++
             colsOf(mv.dimKey, tableOf(mv.dimKey)))
+    }).orElse(snowCatalog.asScala.values.flatten.collectFirst {
+      case mv if keyFor(spark, mv.serve.mvPath) == scanKey =>
+        originsFor(mv.serve,
+          colsOf(mv.factKey, tableOf(mv.factKey)) ++
+            mv.dims.flatMap(d => colsOf(d.dimKey, tableOf(d.dimKey))))
     })
   }
 
@@ -287,22 +327,25 @@ object MvRewrite {
 
   /** The scan key at the bottom of a join BRANCH, plus the filter
     * conjuncts collected on the way down (split on And; validated
-    * against the MV's grain by [[matchStar]] once the MV is known).
+    * against the MV's grain by [[matchStar]] once the MV is known) and
+    * the leaf's output exprIds — the SIDE-OF-ORIGIN record that lets
+    * the join-back resolve each referenced attribute to the branch it
+    * actually came from instead of by name alone.
     */
-  private def walkBranch(
-      plan: LogicalPlan): Option[(String, Seq[Expression])] = plan match {
+  private def walkBranch(plan: LogicalPlan)
+      : Option[(String, Seq[Expression], Set[Long])] = plan match {
     case l: LogicalRelation => l.relation match {
       case fs: HadoopFsRelation =>
         Some((fs.location.rootPaths.map(_.toString).sorted.mkString(","),
-          Nil))
+          Nil, l.output.map(_.exprId.id).toSet))
       case _ => None
     }
     case Project(projList, child)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
       walkBranch(child)
     case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
-      walkBranch(child).map { case (key, conds) =>
-        (key, splitAnd(cond) ++ conds)
+      walkBranch(child).map { case (key, conds, ids) =>
+        (key, splitAnd(cond) ++ conds, ids)
       }
     case _ => None
   }
@@ -321,21 +364,25 @@ object MvRewrite {
     * anywhere in the tree — each serving strategy validates the
     * conjuncts against its own capabilities.
     */
-  private def matchStar(
-      plan: LogicalPlan): Option[(Seq[StarMvDef], Seq[Expression])] = {
+  private def matchStar(plan: LogicalPlan): Option[
+      (Seq[StarMvDef], Seq[Expression], Map[String, Set[Long]])] = {
 
-    def go(p: LogicalPlan): Option[(Seq[StarMvDef], Seq[Expression])] =
+    def go(p: LogicalPlan): Option[
+        (Seq[StarMvDef], Seq[Expression], Map[String, Set[Long]])] =
       p match {
         case Project(projList, child)
             if projList.forall(_.isInstanceOf[AttributeReference]) =>
           go(child)
         case org.apache.spark.sql.catalyst.plans.logical
             .Filter(cond, child) =>
-          go(child).map { case (mv, conds) => (mv, splitAnd(cond) ++ conds) }
+          go(child).map { case (mv, conds, ids) =>
+            (mv, splitAnd(cond) ++ conds, ids)
+          }
         case Join(left, right, Inner, Some(cond), _) =>
           for {
-            (lk, lf) <- walkBranch(left)
-            (rk, rf) <- walkBranch(right)
+            (lk, lf, lids) <- walkBranch(left)
+            (rk, rf, rids) <- walkBranch(right)
+            if lk != rk // self-joins are never a registered star
             all = starCatalog.getOrDefault((lk, rk), Nil) ++
               starCatalog.getOrDefault((rk, lk), Nil)
             keys <- cond match {
@@ -347,17 +394,84 @@ object MvRewrite {
             cands = all.filter(mv =>
               keys == Set(mv.joinFactCol, mv.joinDimCol))
             if cands.nonEmpty
-          } yield (cands, lf ++ rf)
+          } yield (cands, lf ++ rf, Map(lk -> lids, rk -> rids))
         case _ => None
       }
 
-    go(plan).map { case (cands, rawConds) =>
+    go(plan).map { case (cands, rawConds, ids) =>
       (cands.filter(mv =>
         (mv.factStamp == 0L || stampFor(mv.factKey) == mv.factStamp) &&
           (mv.dimStamp == 0L || stampFor(mv.dimKey) == mv.dimStamp)),
-        rawConds)
+        rawConds, ids)
     }.filter(_._1.nonEmpty)
   }
+
+  /** Flatten an arbitrary INNER-join tree under pruning Projects and
+    * Filters: the leaf scans (key + output exprIds), every filter
+    * conjunct found anywhere, and every join equi-pair (any join
+    * carrying a non-equi-pair conjunct kills the flatten — the
+    * registered shape is exact FK equi-joins only).
+    */
+  private def flattenJoin(plan: LogicalPlan): Option[
+      (Seq[(String, Set[Long])], Seq[Expression], Seq[Set[String]])] =
+    plan match {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          Some((Seq((
+            fs.location.rootPaths.map(_.toString).sorted.mkString(","),
+            l.output.map(_.exprId.id).toSet)), Nil, Nil))
+        case _ => None
+      }
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        flattenJoin(child)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        flattenJoin(child).map { case (ls, cs, ps) =>
+          (ls, splitAnd(cond) ++ cs, ps)
+        }
+      case Join(left, right, Inner, Some(cond), _) =>
+        for {
+          (ll, lc, lp) <- flattenJoin(left)
+          (rl, rc, rp) <- flattenJoin(right)
+          pairs <- {
+            val cj = splitAnd(cond).map {
+              case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                  a: AttributeReference, b: AttributeReference) =>
+                Some(Set(a.name, b.name))
+              case _ => None
+            }
+            if (cj.forall(_.isDefined)) Some(cj.map(_.get)) else None
+          }
+        } yield (ll ++ rl, lc ++ rc, lp ++ rp ++ pairs)
+      case _ => None
+    }
+
+  /** Match a ≥2-dim snowflake under the aggregate: the flattened leaf
+    * set must equal {fact} ∪ dims EXACTLY (each table once) and the
+    * flattened equi-pairs must equal the registered FK pairs — any
+    * extra table, missing dim, or differing join condition falls back.
+    */
+  private def matchSnow(plan: LogicalPlan): Option[
+      (Seq[SnowMvDef], Seq[Expression], Map[String, Set[Long]])] =
+    flattenJoin(plan).flatMap { case (leaves, conds, pairs) =>
+      val keys = leaves.map(_._1)
+      if (keys.size < 3 || keys.distinct.size != keys.size) None
+      else {
+        val pairSet = pairs.toSet
+        val sortedKeys = keys.sorted
+        val cands = keys.flatMap(k =>
+          snowCatalog.getOrDefault(k, Nil)).distinct.filter { mv =>
+          (mv.factKey +: mv.dims.map(_.dimKey)).sorted == sortedKeys &&
+            pairSet == mv.dims
+              .map(d => Set(d.joinFactCol, d.joinDimCol)).toSet &&
+            (mv.factStamp == 0L ||
+              stampFor(mv.factKey) == mv.factStamp) &&
+            mv.dims.forall(d =>
+              d.dimStamp == 0L || stampFor(d.dimKey) == d.dimStamp)
+        }
+        if (cands.isEmpty) None else Some((cands, conds, leaves.toMap))
+      }
+    }
 
   /** Classic star serving: every conjunct is either an absorbed
     * `IsNotNull(join key)` (implied by the inner join the MV already
@@ -393,7 +507,7 @@ object MvRewrite {
               .getOrElse(agg)
           case None =>
             matchStar(child) match {
-              case Some((cands, rawConds)) =>
+              case Some((cands, rawConds, idsByKey)) =>
                 // classic (zero-join) serving beats join-back; within a
                 // strategy, first registered grain that fits wins
                 cands.iterator.flatMap { star =>
@@ -401,10 +515,24 @@ object MvRewrite {
                     tryRewrite(groupingExprs, resultExprs, star.serve, f))
                 }.nextOption().orElse(
                   cands.iterator.flatMap(star =>
-                    tryJoinBack(groupingExprs, resultExprs, star, rawConds))
+                    tryJoinBackN(groupingExprs, resultExprs, star.serve,
+                      idsByKey(star.factKey),
+                      Seq((DimRef(star.dimKey, star.joinFactCol,
+                        star.joinDimCol), idsByKey(star.dimKey))),
+                      rawConds))
                     .nextOption())
                   .getOrElse(agg)
-              case None => agg
+              case None =>
+                matchSnow(child) match {
+                  case Some((cands, rawConds, idsByKey)) =>
+                    cands.iterator.flatMap(snow =>
+                      tryJoinBackN(groupingExprs, resultExprs, snow.serve,
+                        idsByKey(snow.factKey),
+                        snow.dims.map(d => (d, idsByKey(d.dimKey))),
+                        rawConds))
+                      .nextOption().getOrElse(agg)
+                  case None => agg
+                }
             }
         }
     }
@@ -488,32 +616,40 @@ object MvRewrite {
       Some(Aggregate(newGrouping, rewritten.map(_.get), newChild, None))
     }
 
-    /** JOIN-BACK star serving — the rewrite for the commonest star
-      * query of all: `GROUP BY <dim attribute>` over `fact ⋈ dim`
-      * (TPC-H Q5/Q7/Q8/Q9 all group by a dim attribute). A rollup at a
-      * grain that CONTAINS the fact's join FK functionally determines
-      * every dim attribute (FK → one dim row, the registered PK-FK
-      * relationship), so the aggregate is served by re-joining the
-      * FK-grain rollup to the LIVE dim and re-aggregating at the
-      * requested attribute: rollup rows × dim join, ZERO fact bytes at
-      * query time. At 100 TB that replaces a fact scan + shuffle join
-      * with a |dim|-row join Spark will broadcast. A grain WITHOUT the
-      * FK cannot determine dim attributes → None (negative pin: the
-      * query keeps its raw plan). Filter conjuncts may touch any dim
-      * column (the live dim re-derives them) or any grain column;
-      * anything referencing a non-grain fact column is lost at the
-      * rollup → None. Column names must be disjoint across fact and
-      * dim (the TPC-H prefix convention) for name-keyed remapping to
-      * be unambiguous — same convention the classic star path assumes.
+    /** JOIN-BACK serving, generalized over N dims — the rewrite for
+      * the commonest star query of all: `GROUP BY <dim attribute(s)>`
+      * over `fact ⋈ dim₁ ⋈ … ⋈ dimₙ` (TPC-H Q5/Q7/Q8/Q9 all group by
+      * dim attributes). A rollup whose grain CONTAINS every fact-side
+      * join FK functionally determines every attribute of every dim
+      * (FK → one dim row, the registered PK-FK relationship), so the
+      * aggregate is served by re-joining the FK-grain rollup to the
+      * LIVE dims and re-aggregating at the requested attributes:
+      * rollup rows × dim joins, ZERO fact bytes at query time. At
+      * 100 TB that replaces a fact scan + shuffle joins with a
+      * FK-grain rollup × broadcast dims. A grain missing any FK cannot
+      * determine that dim's attributes → None (negative pin: the
+      * query keeps its raw plan).
+      *
+      * References are resolved by SIDE OF ORIGIN — the leaf output
+      * exprIds the matcher collected per branch — never by name alone:
+      * a fact-origin reference is served only if its name is in the
+      * grain, and a dim-origin reference only from ITS dim, so a fact
+      * column sharing a name with a dim column falls back instead of
+      * silently remapping (the classic path needs no such care: it
+      * only ever touches grain-named columns, which are unambiguous by
+      * construction — a duplicate name would have made the rollup's
+      * own groupBy ambiguous at build time).
       */
-    private def tryJoinBack(
+    private def tryJoinBackN(
         groupingExprs: Seq[Expression],
         resultExprs: Seq[NamedExpression],
-        star: StarMvDef,
+        mv: MvDef,
+        factIds: Set[Long],
+        dims: Seq[(DimRef, Set[Long])],
         rawConds: Seq[Expression]): Option[LogicalPlan] = {
 
-      val mv = star.serve
-      if (!mv.dims.contains(star.joinFactCol)) return None
+      if (!dims.forall { case (d, _) => mv.dims.contains(d.joinFactCol) })
+        return None
 
       val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
       val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
@@ -521,31 +657,43 @@ object MvRewrite {
         !(mv.measures ++ mv.maxes ++ mv.mins)
           .forall(m => mvAttr.contains(m._1))) return None
 
-      val dimPlan = spark.read
-        .parquet(star.dimKey.split(","): _*).queryExecution.analyzed
-      val dimAttr = dimPlan.output.map(a => a.name -> a).toMap
-      if (!dimAttr.contains(star.joinDimCol)) return None
+      val dimPlans = dims.map { case (d, _) =>
+        spark.read.parquet(d.dimKey.split(","): _*).queryExecution.analyzed
+      }
+      val dimAttrs = dimPlans.map(_.output.map(a => a.name -> a).toMap)
+      if (!dims.zip(dimAttrs).forall { case ((d, _), m) =>
+        m.contains(d.joinDimCol) }) return None
 
-      // name → serving-side attribute: grain columns resolve to the
-      // rollup, anything else to the live dim (or fails)
-      def resolve(name: String)
+      // side-of-origin resolution: fact-origin references serve from
+      // the rollup iff grain-named; dim-origin references from their
+      // own dim's live plan
+      def resolveAttr(a: AttributeReference)
           : Option[org.apache.spark.sql.catalyst.expressions.Attribute] =
-        if (mv.dims.contains(name)) mvAttr.get(name) else dimAttr.get(name)
+        if (factIds.contains(a.exprId.id)) {
+          if (mv.dims.contains(a.name)) mvAttr.get(a.name) else None
+        } else dims.indices.collectFirst {
+          case i if dims(i)._2.contains(a.exprId.id) &&
+              dimAttrs(i).contains(a.name) => dimAttrs(i)(a.name)
+        }
 
       val groupOk = groupingExprs.nonEmpty && groupingExprs.forall {
-        case a: AttributeReference => resolve(a.name).isDefined
+        case a: AttributeReference => resolveAttr(a).isDefined
         case _ => false
       }
       if (!groupOk) return None
 
-      val joinKeys = Set(star.joinFactCol, star.joinDimCol)
+      val joinKeys: Set[String] = dims.flatMap { case (d, _) =>
+        Seq(d.joinFactCol, d.joinDimCol) }.toSet
       val keptConds = Seq.newBuilder[Expression]
       val condsOk = rawConds.forall {
         case org.apache.spark.sql.catalyst.expressions.IsNotNull(
             a: AttributeReference) if joinKeys.contains(a.name) =>
-          true // re-established by the join-back inner join
+          true // re-established by the join-back inner joins
         case c if c.deterministic && c.references.nonEmpty &&
-            c.references.forall(a => resolve(a.name).isDefined) =>
+            c.references.forall {
+              case a: AttributeReference => resolveAttr(a).isDefined
+              case _ => false
+            } =>
           keptConds += c
           true
         case _ => false
@@ -560,11 +708,13 @@ object MvRewrite {
         AggregateExpression(f, Complete, isDistinct = false)
       def sumOf(name: String): AggregateExpression = aggOf(Sum(mvAttr(name)))
 
-      // max/min re-aggregate exactly here because grouping by a dim
-      // attribute PARTITIONS the FK groups (each FK maps to one dim row)
+      // max/min re-aggregate exactly here because grouping by dim
+      // attributes PARTITIONS the FK groups (each FK combination maps
+      // to one row per dim)
       val rewritten: Seq[Option[NamedExpression]] = resultExprs.map {
-        case a: AttributeReference if resolve(a.name).isDefined =>
-          resolve(a.name).map(attr => Alias(attr, a.name)(exprId = a.exprId))
+        case a: AttributeReference if resolveAttr(a).isDefined =>
+          resolveAttr(a).map(attr =>
+            Alias(attr, a.name)(exprId = a.exprId))
         case al @ Alias(
             AggregateExpression(Sum(e, _), Complete, false, None, _),
             name) =>
@@ -599,46 +749,58 @@ object MvRewrite {
       // optimizer batches, so Projects here are what keeps the physical
       // scans narrow (FileSourceStrategy derives ReadSchema from them)
       val conds = keptConds.result()
-      val neededNames: Set[String] =
-        groupingExprs.flatMap { case a: AttributeReference => Seq(a.name) }
-          .toSet ++ conds.flatMap(_.references.map(_.name))
+      val neededAttrs
+          : Set[org.apache.spark.sql.catalyst.expressions.Attribute] =
+        (groupingExprs.collect {
+          case a: AttributeReference => resolveAttr(a)
+        }.flatten ++
+          conds.flatMap(_.references.collect {
+            case a: AttributeReference => resolveAttr(a)
+          }.flatten)).toSet
       val usedMvCols: Set[String] =
         rewritten.flatMap(_.get.collect {
           case a: AttributeReference => a.name
         }).toSet
-      val dimPruned = Project(dimPlan.output.filter(a =>
-        a.name == star.joinDimCol || neededNames.contains(a.name)), dimPlan)
       val mvPruned = Project(mvPlan.output.filter(a =>
-        a.name == star.joinFactCol || neededNames.contains(a.name) ||
-          usedMvCols.contains(a.name)), mvPlan)
+        dims.exists(_._1.joinFactCol == a.name) ||
+          neededAttrs.contains(a) || usedMvCols.contains(a.name)), mvPlan)
+      val dimPruneds = dims.zipWithIndex.map { case ((d, _), i) =>
+        Project(dimPlans(i).output.filter(a =>
+          a.name == d.joinDimCol || neededAttrs.contains(a)), dimPlans(i))
+      }
 
-      // single-side conjuncts filter BELOW the join (this rule runs
+      // single-side conjuncts filter BELOW the joins (this rule runs
       // after the main optimizer's pushdown batches, so placement here
       // is what gets them into the scans' PushedFilters); conjuncts
-      // spanning both sides stay above it
+      // spanning sides stay above
       def remap(cond: Expression): Expression = cond.transformUp {
-        case a: AttributeReference => resolve(a.name).getOrElse(a)
+        case a: AttributeReference => resolveAttr(a).getOrElse(a)
       }
-      def sideOf(cond: Expression): Int = {
-        val names = cond.references.map(_.name).toSet
-        if (names.forall(mv.dims.contains)) 0 // rollup side
-        else if (names.forall(n => !mv.dims.contains(n))) 1 // dim side
-        else 2
+      def sideOf(cond: Expression): Option[Int] = {
+        val sides = cond.references.toSeq.collect {
+          case a: AttributeReference =>
+            if (factIds.contains(a.exprId.id)) 0
+            else dims.indexWhere(_._2.contains(a.exprId.id)) + 1
+        }.toSet
+        if (sides.size == 1) Some(sides.head) else None
       }
       val bySide = conds.groupBy(sideOf)
-      def filtered(side: Int, base: LogicalPlan): LogicalPlan =
+      def filtered(side: Option[Int], base: LogicalPlan): LogicalPlan =
         bySide.getOrElse(side, Nil).foldLeft(base) { (child, cond) =>
           org.apache.spark.sql.catalyst.plans.logical.Filter(
             remap(cond), child)
         }
-      val joined: LogicalPlan = Join(
-        filtered(0, mvPruned), filtered(1, dimPruned), Inner,
-        Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
-          mvAttr(star.joinFactCol), dimAttr(star.joinDimCol))),
-        org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
-      val newChild = filtered(2, joined)
+      val joined = dims.indices.foldLeft(
+        filtered(Some(0), mvPruned): LogicalPlan) { (acc, i) =>
+        Join(acc, filtered(Some(i + 1), dimPruneds(i)), Inner,
+          Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+            mvAttr(dims(i)._1.joinFactCol),
+            dimAttrs(i)(dims(i)._1.joinDimCol))),
+          org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      }
+      val newChild = filtered(None, joined)
       val newGrouping = groupingExprs.map {
-        case a: AttributeReference => resolve(a.name).get
+        case a: AttributeReference => resolveAttr(a).get
       }
       Some(Aggregate(newGrouping, rewritten.map(_.get), newChild, None))
     }

@@ -124,6 +124,43 @@ class MvRewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("every SNOWFLAKE one- and two-dim grain rewrites and is exact") {
+    Extensions.queries("ax_mv_snowflake")(spark, dir).collect()
+    val rnd = new scala.util.Random(53)
+    def ord = spark.read.parquet(s"$dir/orders.parquet")
+    def part = spark.read.parquet(s"$dir/part.parquet")
+    def joined = raw.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+    // attributes of one dim, the other, and both at once
+    val grains = Seq(Seq("o_orderstatus"), Seq("p_brand"),
+      Seq("o_orderstatus", "p_brand"), Seq("o_orderpriority", "p_size"),
+      Seq("o_custkey", "p_brand"))
+    val measurePool = Seq("q" -> qty, "d" -> dc, "n" -> cnt)
+    for (grain <- grains; take <- 1 to 3) {
+      val ms = rnd.shuffle(measurePool).take(take)
+      val aggs = ms.map { case (tag, m) =>
+        m().as(s"w_${tag}_${rnd.nextInt(100)}")
+      }
+      val df = joined.groupBy(grain.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      val p = planOf(df)
+      assert(p.contains("mv_snow_fk") && !p.contains("lineitem.parquet"),
+        s"no snowflake rewrite for grain=$grain " +
+          s"measures=${ms.map(_._1)}:\n$p")
+      val served = collectSorted(df)
+      MvRewrite.clear()
+      try {
+        val again = joined.groupBy(grain.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        assert(!planOf(again).contains("mv_snow_fk"))
+        assert(served == collectSorted(again),
+          s"snowflake served != raw for grain=$grain " +
+            s"measures=${ms.map(_._1)}")
+      } finally
+        Extensions.queries("ax_mv_snowflake")(spark, dir).collect()
+    }
+  }
+
   test("near-miss shapes are all left alone") {
     install()
     val blocked = Seq[DataFrame](

@@ -456,4 +456,146 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(!planOf(df).contains("mv_star_fk"),
       "a fact filter below the FK grain must force the raw plan")
   }
+
+  // ----- snowflake (composite-FK, multi-dim) join-back -----------------
+
+  private def part = spark.read.parquet(s"$dir/part.parquet")
+  private def snowJoined =
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+
+  test("ax_mv_snowflake is served: rollup x two live dims, zero fact") {
+    val df = Extensions.queries("ax_mv_snowflake")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("mv_snow_fk"), s"composite rollup not in plan:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"fact scan survived the snowflake rewrite:\n$p")
+    assert(p.contains("orders.parquet") && p.contains("part.parquet"),
+      "both LIVE dims must be re-joined to derive their attributes")
+  }
+
+  test("snowflake serving is exact: equals the raw three-table recompute") {
+    val served = Extensions.queries("ax_mv_snowflake")(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    MvRewrite.clear()
+    try {
+      val raw = snowJoined
+        .filter(col("o_orderpriority") =!= "3-MEDIUM" && col("p_size") < 25)
+        .groupBy(col("o_orderstatus"), col("p_brand"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("disc_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderstatus").asc, col("p_brand").asc)
+      assert(!planOf(raw).contains("mv_snow_fk"))
+      val expect = raw.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(served.sameElements(expect),
+        "snowflake answer diverged from the raw recompute")
+    } finally {
+      Extensions.queries("ax_mv_snowflake")(spark, dir)
+      gate()
+    }
+  }
+
+  test("one-dim groupings over the three-table join serve from the composite rollup") {
+    Extensions.queries("ax_mv_snowflake")(spark, dir)
+    val byPart = snowJoined.groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val p = planOf(byPart)
+    assert(p.contains("mv_snow_fk") && !p.contains("lineitem.parquet"),
+      s"p_brand grouping not served from the composite grain:\n$p")
+  }
+
+  test("a composite grain missing one FK keeps the raw plan (negative)") {
+    Extensions.queries("ax_mv_snowflake")(spark, dir)
+    MvRewrite.clear()
+    try {
+      val factKey = MvRewrite.keyFor(spark, s"$dir/lineitem.parquet")
+      MvRewrite.registerSnow(MvRewrite.SnowMvDef(
+        factKey,
+        dims = Seq(
+          MvRewrite.DimRef(
+            MvRewrite.keyFor(spark, s"$dir/orders.parquet"),
+            "l_orderkey", "o_orderkey"),
+          MvRewrite.DimRef(
+            MvRewrite.keyFor(spark, s"$dir/part.parquet"),
+            "l_partkey", "p_partkey")),
+        serve = MvRewrite.MvDef(
+          dims = Seq("l_orderkey"), // l_partkey NOT in the grain
+          measures = Nil, countCol = "mv_n_rows",
+          mvPath = s"$dir/lineitem.parquet")))
+      MvRewrite.install(spark)
+      val df = snowJoined.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+      val p = planOf(df)
+      assert(p.contains("lineitem.parquet"),
+        s"a grain without l_partkey cannot determine part attributes:\n$p")
+    } finally {
+      MvRewrite.clear()
+      Extensions.queries("ax_mv_snowflake")(spark, dir)
+      gate()
+    }
+  }
+
+  test("a fourth table in the join blocks the snowflake rewrite") {
+    Extensions.queries("ax_mv_snowflake")(spark, dir)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val df = snowJoined
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_snow_fk"),
+      "an unregistered fourth table must fall back to raw")
+  }
+
+  test("same-named fact/dim columns resolve by side of origin, not name") {
+    // fact(fk, tag) ⋈ dim(pk, tag): grouping by the FACT's tag (lost at
+    // the FK grain) must keep the raw plan; grouping by the DIM's tag
+    // (same NAME, dim origin) must be served — the name-only resolver
+    // this pins against would have silently remapped the fact's tag to
+    // the dim and returned wrong results
+    import spark.implicits._
+    val base = new java.io.File("target/mv_dupname").getAbsoluteFile
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val factP = s"$base/fact.parquet"
+    val dimP = s"$base/dim.parquet"
+    val mvP = s"$base/mv.parquet"
+    Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "c"))
+      .toDF("fk", "tag").write.parquet(factP)
+    Seq((1L, "x"), (2L, "y"), (3L, "x"))
+      .toDF("pk", "tag").write.parquet(dimP)
+    spark.read.parquet(factP).groupBy(col("fk"))
+      .agg(count(lit(1)).as("mv_n_rows")).write.parquet(mvP)
+    MvRewrite.clear()
+    try {
+      MvRewrite.registerStar(MvRewrite.StarMvDef(
+        factKey = MvRewrite.keyFor(spark, factP),
+        dimKey = MvRewrite.keyFor(spark, dimP),
+        joinFactCol = "fk", joinDimCol = "pk",
+        serve = MvRewrite.MvDef(dims = Seq("fk"), measures = Nil,
+          countCol = "mv_n_rows", mvPath = mvP)))
+      MvRewrite.install(spark)
+      val fact = spark.read.parquet(factP)
+      val dim = spark.read.parquet(dimP)
+      val joined = fact.join(dim, col("fk") === col("pk"))
+      val byFactTag = joined.groupBy(fact("tag"))
+        .agg(count(lit(1)).as("n"))
+      assert(!planOf(byFactTag).contains("mv.parquet"),
+        "the fact's tag is not in the grain: must keep the raw plan")
+      assert(byFactTag.collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet ==
+        Set(("a", 2L), ("b", 1L), ("c", 1L)))
+      val byDimTag = joined.groupBy(dim("tag"))
+        .agg(count(lit(1)).as("n"))
+      val p = planOf(byDimTag)
+      assert(p.contains("mv.parquet") && !p.contains("fact.parquet"),
+        s"the dim's tag must be served by join-back:\n$p")
+      assert(byDimTag.collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet ==
+        Set(("x", 3L), ("y", 1L)))
+    } finally {
+      MvRewrite.clear()
+      gate()
+    }
+  }
 }
