@@ -595,6 +595,46 @@ object MatViews {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_mv_rollup_sets: GROUPING SETS served above the star — the
+  // reporting shape that amortizes ONE rollup across N grains at once:
+  // `GROUP BY ROLLUP (o_orderstatus, o_orderpriority)` over fact ⋈ dim
+  // compiles to Aggregate-over-Expand, and the rule rewrites the
+  // Expand's child onto the FK-grain rollup ⋈ live dim while keeping
+  // the Expand/gid structure intact — per grouping set the join-back
+  // argument applies verbatim (every set column is FK-determined; the
+  // grand-total set is the empty grouping). At 100 TB: a three-grain
+  // reporting rollup costs |orders|-rollup × broadcast dim ONCE
+  // instead of replicating the full fact once per grouping set. The
+  // negative pin (MvRewriteSpec): a set containing a non-determined
+  // fact column keeps the raw plan. Oracle = DuckDB's own GROUP BY
+  // ROLLUP over the raw join.
+  // -------------------------------------------------------------------
+  private def mvRollupSets(spark: SparkSession, dir: String): DataFrame = {
+    serveStarFkFromMv(spark, dir)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(qtyLong(col("l_quantity"))).as("sum_qty"),
+        sum(discCents(col("l_extendedprice"), col("l_discount")))
+          .as("disc_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  private val mvRollupSetsSql =
+    """SELECT o.o_orderstatus, o.o_orderpriority,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS disc_cents,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY ROLLUP (o.o_orderstatus, o.o_orderpriority)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
   // ax_mv_minmax: the full distributive-aggregate algebra served from
   // one rollup — max and min re-aggregate exactly like sum and count
   // (max of partial maxes), so the same grain answers range questions.
@@ -782,6 +822,7 @@ object MatViews {
     "ax_mv_star"    -> (mvStar _),
     "ax_mv_star_attr" -> (mvStarAttr _),
     "ax_mv_snowflake" -> (mvSnowflake _),
+    "ax_mv_rollup_sets" -> (mvRollupSets _),
     "ax_mv_star_delta" -> (mvStarDelta _),
     "ax_mv_delta"   -> (mvDelta _),
     "ax_mv_cdc"     -> (mvCdc _)
@@ -794,6 +835,7 @@ object MatViews {
     "ax_mv_star"    -> mvStarSql,
     "ax_mv_star_attr" -> mvStarAttrSql,
     "ax_mv_snowflake" -> mvSnowflakeSql,
+    "ax_mv_rollup_sets" -> mvRollupSetsSql,
     "ax_mv_star_delta" -> mvStarDeltaSql,
     "ax_mv_delta"   -> mvDeltaSql,
     "ax_mv_cdc"     -> mvCdcSql

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, ExprId, Expression, Literal, NamedExpression}
+  Alias, Attribute, AttributeReference, ExprId, Expression, Literal,
+  NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
@@ -500,6 +501,18 @@ object MvRewrite {
       extends Rule[LogicalPlan] {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      // grouping sets / ROLLUP / CUBE above a registered star or
+      // snowflake: Aggregate over Expand over the join
+      case agg @ Aggregate(groupingExprs, resultExprs,
+          org.apache.spark.sql.catalyst.plans.logical
+            .Expand(projections, expandOut, child), None) =>
+        starOrSnowServes(child).flatMap { case (serves, rawConds, ids) =>
+          serves.iterator.flatMap { case (mv, factKey, dimRefs) =>
+            serveCtx(mv, ids(factKey), dimRefs.map(d => (d, ids(d.dimKey))))
+              .flatMap(ctx => tryExpandJoinBack(groupingExprs, resultExprs,
+                projections, expandOut, ctx, rawConds))
+          }.nextOption()
+        }.getOrElse(agg)
       case agg @ Aggregate(groupingExprs, resultExprs, child, None) =>
         matchBase(child) match {
           case Some((mv, dimFilters)) =>
@@ -515,27 +528,40 @@ object MvRewrite {
                     tryRewrite(groupingExprs, resultExprs, star.serve, f))
                 }.nextOption().orElse(
                   cands.iterator.flatMap(star =>
-                    tryJoinBackN(groupingExprs, resultExprs, star.serve,
-                      idsByKey(star.factKey),
+                    serveCtx(star.serve, idsByKey(star.factKey),
                       Seq((DimRef(star.dimKey, star.joinFactCol,
-                        star.joinDimCol), idsByKey(star.dimKey))),
-                      rawConds))
+                        star.joinDimCol), idsByKey(star.dimKey))))
+                      .flatMap(ctx => tryJoinBackN(
+                        groupingExprs, resultExprs, ctx, rawConds)))
                     .nextOption())
                   .getOrElse(agg)
               case None =>
                 matchSnow(child) match {
                   case Some((cands, rawConds, idsByKey)) =>
                     cands.iterator.flatMap(snow =>
-                      tryJoinBackN(groupingExprs, resultExprs, snow.serve,
-                        idsByKey(snow.factKey),
-                        snow.dims.map(d => (d, idsByKey(d.dimKey))),
-                        rawConds))
+                      serveCtx(snow.serve, idsByKey(snow.factKey),
+                        snow.dims.map(d => (d, idsByKey(d.dimKey))))
+                        .flatMap(ctx => tryJoinBackN(
+                          groupingExprs, resultExprs, ctx, rawConds)))
                       .nextOption().getOrElse(agg)
                   case None => agg
                 }
             }
         }
     }
+
+    /** star and snowflake candidates in one uniform
+      * (serve, factKey, dimRefs) shape for the Expand path
+      */
+    private def starOrSnowServes(child: LogicalPlan): Option[(
+        Seq[(MvDef, String, Seq[DimRef])], Seq[Expression],
+        Map[String, Set[Long]])] =
+      matchStar(child).map { case (cands, conds, ids) =>
+        (cands.map(s => (s.serve, s.factKey,
+          Seq(DimRef(s.dimKey, s.joinFactCol, s.joinDimCol)))), conds, ids)
+      }.orElse(matchSnow(child).map { case (cands, conds, ids) =>
+        (cands.map(s => (s.serve, s.factKey, s.dims)), conds, ids)
+      })
 
     private def tryRewrite(
         groupingExprs: Seq[Expression],
@@ -616,6 +642,180 @@ object MvRewrite {
       Some(Aggregate(newGrouping, rewritten.map(_.get), newChild, None))
     }
 
+    /** Serving context for join-back rewrites: the rollup and the
+      * live dims resolved and validated (every registered column
+      * present — a stale registration fails the match, never throws).
+      * Shared by the flat and the grouping-sets (Expand) paths.
+      */
+    private final case class ServeCtx(
+        mv: MvDef,
+        factIds: Set[Long],
+        dims: Seq[(DimRef, Set[Long])],
+        mvPlan: LogicalPlan,
+        mvAttr: Map[String, Attribute],
+        dimPlans: Seq[LogicalPlan],
+        dimAttrs: Seq[Map[String, Attribute]]) {
+
+      /** side-of-origin resolution: fact-origin references serve from
+        * the rollup iff grain-named; dim-origin references from their
+        * own dim's live plan — a fact column sharing a name with a dim
+        * column can never silently remap (it falls back instead)
+        */
+      def resolveAttr(a: AttributeReference): Option[Attribute] =
+        if (factIds.contains(a.exprId.id)) {
+          if (mv.dims.contains(a.name)) mvAttr.get(a.name) else None
+        } else dims.indices.collectFirst {
+          case i if dims(i)._2.contains(a.exprId.id) &&
+              dimAttrs(i).contains(a.name) => dimAttrs(i)(a.name)
+        }
+
+      private val joinKeys: Set[String] = dims.flatMap { case (d, _) =>
+        Seq(d.joinFactCol, d.joinDimCol) }.toSet
+
+      /** IsNotNull(join key) conjuncts are absorbed (re-established by
+        * the join-back inner joins); everything else must be
+        * deterministic and fully resolvable. None = unservable.
+        */
+      def splitConds(rawConds: Seq[Expression]): Option[Seq[Expression]] = {
+        val kept = Seq.newBuilder[Expression]
+        val ok = rawConds.forall {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+              a: AttributeReference) if joinKeys.contains(a.name) =>
+            true
+          case c if c.deterministic && c.references.nonEmpty &&
+              c.references.forall {
+                case a: AttributeReference => resolveAttr(a).isDefined
+                case _ => false
+              } =>
+            kept += c
+            true
+          case _ => false
+        }
+        if (ok) Some(kept.result()) else None
+      }
+
+      private def aggOf(f: org.apache.spark.sql.catalyst.expressions
+          .aggregate.AggregateFunction): AggregateExpression =
+        AggregateExpression(f, Complete, isDistinct = false)
+      private def sumOf(name: String): AggregateExpression =
+        aggOf(Sum(mvAttr(name)))
+
+      private val measureByNorm = mv.measures.map(_.swap).toMap
+      private val maxByNorm = mv.maxes.map(_.swap).toMap
+      private val minByNorm = mv.mins.map(_.swap).toMap
+
+      /** Rewrite one aggregate output column onto the rollup: sum →
+        * sum of partial sums, count(*) → sum of the count column, and
+        * max/min → max/min of partial maxes/mins — exact because
+        * grouping by dim attributes PARTITIONS the FK groups (each FK
+        * combination maps to one row per dim).
+        */
+      def rewriteAgg(ne: NamedExpression): Option[NamedExpression] =
+        ne match {
+          case al @ Alias(
+              AggregateExpression(Sum(e, _), Complete, false, None, _),
+              name) =>
+            measureByNorm.get(normalize(e)).map { mvCol =>
+              Alias(sumOf(mvCol), name)(exprId = al.exprId)
+            }
+          case al @ Alias(
+              AggregateExpression(
+                org.apache.spark.sql.catalyst.expressions.aggregate.Max(e),
+                Complete, false, None, _), name) =>
+            maxByNorm.get(normalize(e)).map { mvCol =>
+              Alias(aggOf(org.apache.spark.sql.catalyst.expressions
+                .aggregate.Max(mvAttr(mvCol))), name)(exprId = al.exprId)
+            }
+          case al @ Alias(
+              AggregateExpression(
+                org.apache.spark.sql.catalyst.expressions.aggregate.Min(e),
+                Complete, false, None, _), name) =>
+            minByNorm.get(normalize(e)).map { mvCol =>
+              Alias(aggOf(org.apache.spark.sql.catalyst.expressions
+                .aggregate.Min(mvAttr(mvCol))), name)(exprId = al.exprId)
+            }
+          case al @ Alias(
+              AggregateExpression(Count(Seq(Literal(1, _))), Complete,
+                false, None, _), name) =>
+            Some(Alias(sumOf(mv.countCol), name)(exprId = al.exprId))
+          case _ => None
+        }
+
+      /** the serving attrs a set of ORIGINAL conjuncts reads after
+        * remapping */
+      def condAttrs(conds: Seq[Expression]): Set[Attribute] =
+        conds.flatMap(_.references.toSeq.collect {
+          case a: AttributeReference => resolveAttr(a)
+        }.flatten).toSet
+
+      /** The pruned, filtered `rollup ⋈ dim₁ ⋈ … ⋈ dimₙ` serving join.
+        * Manual column pruning: extraOptimizations run AFTER the main
+        * optimizer batches, so the Projects here are what keeps the
+        * physical scans narrow (FileSourceStrategy derives ReadSchema
+        * from them). Single-side conjuncts filter BELOW the joins for
+        * the same reason (placement here is what gets them into the
+        * scans' PushedFilters); conjuncts spanning sides stay above.
+        */
+      def servedJoin(conds: Seq[Expression], needed: Set[Attribute],
+          usedMvCols: Set[String]): LogicalPlan = {
+        val mvPruned = Project(mvPlan.output.filter(a =>
+          dims.exists(_._1.joinFactCol == a.name) ||
+            needed.contains(a) || usedMvCols.contains(a.name)), mvPlan)
+        val dimPruneds = dims.zipWithIndex.map { case ((d, _), i) =>
+          Project(dimPlans(i).output.filter(a =>
+            a.name == d.joinDimCol || needed.contains(a)), dimPlans(i))
+        }
+        def remap(cond: Expression): Expression = cond.transformUp {
+          case a: AttributeReference => resolveAttr(a).getOrElse(a)
+        }
+        def sideOf(cond: Expression): Option[Int] = {
+          val sides = cond.references.toSeq.collect {
+            case a: AttributeReference =>
+              if (factIds.contains(a.exprId.id)) 0
+              else dims.indexWhere(_._2.contains(a.exprId.id)) + 1
+          }.toSet
+          if (sides.size == 1) Some(sides.head) else None
+        }
+        val bySide = conds.groupBy(sideOf)
+        def filtered(side: Option[Int], base: LogicalPlan): LogicalPlan =
+          bySide.getOrElse(side, Nil).foldLeft(base) { (child, cond) =>
+            org.apache.spark.sql.catalyst.plans.logical.Filter(
+              remap(cond), child)
+          }
+        val joined = dims.indices.foldLeft(
+          filtered(Some(0), mvPruned): LogicalPlan) { (acc, i) =>
+          Join(acc, filtered(Some(i + 1), dimPruneds(i)), Inner,
+            Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+              mvAttr(dims(i)._1.joinFactCol),
+              dimAttrs(i)(dims(i)._1.joinDimCol))),
+            org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+        }
+        filtered(None, joined)
+      }
+    }
+
+    /** build a ServeCtx, or None when any FK is missing from the grain
+      * (a grain without the FK cannot determine that dim's attributes
+      * — the negative pin) or any registered column is absent
+      */
+    private def serveCtx(mv: MvDef, factIds: Set[Long],
+        dims: Seq[(DimRef, Set[Long])]): Option[ServeCtx] = {
+      if (!dims.forall { case (d, _) => mv.dims.contains(d.joinFactCol) })
+        return None
+      val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+      val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+      if (!mv.dims.forall(mvAttr.contains) || !mvAttr.contains(mv.countCol) ||
+        !(mv.measures ++ mv.maxes ++ mv.mins)
+          .forall(m => mvAttr.contains(m._1))) return None
+      val dimPlans = dims.map { case (d, _) =>
+        spark.read.parquet(d.dimKey.split(","): _*).queryExecution.analyzed
+      }
+      val dimAttrs = dimPlans.map(_.output.map(a => a.name -> a).toMap)
+      if (!dims.zip(dimAttrs).forall { case ((d, _), m) =>
+        m.contains(d.joinDimCol) }) return None
+      Some(ServeCtx(mv, factIds, dims, mvPlan, mvAttr, dimPlans, dimAttrs))
+    }
+
     /** JOIN-BACK serving, generalized over N dims — the rewrite for
       * the commonest star query of all: `GROUP BY <dim attribute(s)>`
       * over `fact ⋈ dim₁ ⋈ … ⋈ dimₙ` (TPC-H Q5/Q7/Q8/Q9 all group by
@@ -626,183 +826,123 @@ object MvRewrite {
       * LIVE dims and re-aggregating at the requested attributes:
       * rollup rows × dim joins, ZERO fact bytes at query time. At
       * 100 TB that replaces a fact scan + shuffle joins with a
-      * FK-grain rollup × broadcast dims. A grain missing any FK cannot
-      * determine that dim's attributes → None (negative pin: the
-      * query keeps its raw plan).
-      *
-      * References are resolved by SIDE OF ORIGIN — the leaf output
-      * exprIds the matcher collected per branch — never by name alone:
-      * a fact-origin reference is served only if its name is in the
-      * grain, and a dim-origin reference only from ITS dim, so a fact
-      * column sharing a name with a dim column falls back instead of
-      * silently remapping (the classic path needs no such care: it
-      * only ever touches grain-named columns, which are unambiguous by
-      * construction — a duplicate name would have made the rollup's
-      * own groupBy ambiguous at build time).
+      * FK-grain rollup × broadcast dims.
       */
     private def tryJoinBackN(
         groupingExprs: Seq[Expression],
         resultExprs: Seq[NamedExpression],
-        mv: MvDef,
-        factIds: Set[Long],
-        dims: Seq[(DimRef, Set[Long])],
+        ctx: ServeCtx,
         rawConds: Seq[Expression]): Option[LogicalPlan] = {
-
-      if (!dims.forall { case (d, _) => mv.dims.contains(d.joinFactCol) })
-        return None
-
-      val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
-      val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
-      if (!mv.dims.forall(mvAttr.contains) || !mvAttr.contains(mv.countCol) ||
-        !(mv.measures ++ mv.maxes ++ mv.mins)
-          .forall(m => mvAttr.contains(m._1))) return None
-
-      val dimPlans = dims.map { case (d, _) =>
-        spark.read.parquet(d.dimKey.split(","): _*).queryExecution.analyzed
-      }
-      val dimAttrs = dimPlans.map(_.output.map(a => a.name -> a).toMap)
-      if (!dims.zip(dimAttrs).forall { case ((d, _), m) =>
-        m.contains(d.joinDimCol) }) return None
-
-      // side-of-origin resolution: fact-origin references serve from
-      // the rollup iff grain-named; dim-origin references from their
-      // own dim's live plan
-      def resolveAttr(a: AttributeReference)
-          : Option[org.apache.spark.sql.catalyst.expressions.Attribute] =
-        if (factIds.contains(a.exprId.id)) {
-          if (mv.dims.contains(a.name)) mvAttr.get(a.name) else None
-        } else dims.indices.collectFirst {
-          case i if dims(i)._2.contains(a.exprId.id) &&
-              dimAttrs(i).contains(a.name) => dimAttrs(i)(a.name)
-        }
-
       val groupOk = groupingExprs.nonEmpty && groupingExprs.forall {
-        case a: AttributeReference => resolveAttr(a).isDefined
+        case a: AttributeReference => ctx.resolveAttr(a).isDefined
         case _ => false
       }
       if (!groupOk) return None
-
-      val joinKeys: Set[String] = dims.flatMap { case (d, _) =>
-        Seq(d.joinFactCol, d.joinDimCol) }.toSet
-      val keptConds = Seq.newBuilder[Expression]
-      val condsOk = rawConds.forall {
-        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            a: AttributeReference) if joinKeys.contains(a.name) =>
-          true // re-established by the join-back inner joins
-        case c if c.deterministic && c.references.nonEmpty &&
-            c.references.forall {
-              case a: AttributeReference => resolveAttr(a).isDefined
-              case _ => false
-            } =>
-          keptConds += c
-          true
-        case _ => false
-      }
-      if (!condsOk) return None
-
-      val measureByNorm = mv.measures.map(_.swap).toMap
-      val maxByNorm = mv.maxes.map(_.swap).toMap
-      val minByNorm = mv.mins.map(_.swap).toMap
-      def aggOf(f: org.apache.spark.sql.catalyst.expressions.aggregate
-          .AggregateFunction): AggregateExpression =
-        AggregateExpression(f, Complete, isDistinct = false)
-      def sumOf(name: String): AggregateExpression = aggOf(Sum(mvAttr(name)))
-
-      // max/min re-aggregate exactly here because grouping by dim
-      // attributes PARTITIONS the FK groups (each FK combination maps
-      // to one row per dim)
+      val conds = ctx.splitConds(rawConds).getOrElse(return None)
       val rewritten: Seq[Option[NamedExpression]] = resultExprs.map {
-        case a: AttributeReference if resolveAttr(a).isDefined =>
-          resolveAttr(a).map(attr =>
+        case a: AttributeReference if ctx.resolveAttr(a).isDefined =>
+          ctx.resolveAttr(a).map(attr =>
             Alias(attr, a.name)(exprId = a.exprId))
-        case al @ Alias(
-            AggregateExpression(Sum(e, _), Complete, false, None, _),
-            name) =>
-          measureByNorm.get(normalize(e)).map { mvCol =>
-            Alias(sumOf(mvCol), name)(exprId = al.exprId)
-          }
-        case al @ Alias(
-            AggregateExpression(
-              org.apache.spark.sql.catalyst.expressions.aggregate.Max(e),
-              Complete, false, None, _), name) =>
-          maxByNorm.get(normalize(e)).map { mvCol =>
-            Alias(aggOf(org.apache.spark.sql.catalyst.expressions.aggregate
-              .Max(mvAttr(mvCol))), name)(exprId = al.exprId)
-          }
-        case al @ Alias(
-            AggregateExpression(
-              org.apache.spark.sql.catalyst.expressions.aggregate.Min(e),
-              Complete, false, None, _), name) =>
-          minByNorm.get(normalize(e)).map { mvCol =>
-            Alias(aggOf(org.apache.spark.sql.catalyst.expressions.aggregate
-              .Min(mvAttr(mvCol))), name)(exprId = al.exprId)
-          }
-        case al @ Alias(
-            AggregateExpression(Count(Seq(Literal(1, _))), Complete, false,
-              None, _), name) =>
-          Some(Alias(sumOf(mv.countCol), name)(exprId = al.exprId))
-        case _ => None
+        case ne => ctx.rewriteAgg(ne)
       }
       if (rewritten.exists(_.isEmpty)) return None
-
-      // manual column pruning: extraOptimizations run AFTER the main
-      // optimizer batches, so Projects here are what keeps the physical
-      // scans narrow (FileSourceStrategy derives ReadSchema from them)
-      val conds = keptConds.result()
-      val neededAttrs
-          : Set[org.apache.spark.sql.catalyst.expressions.Attribute] =
-        (groupingExprs.collect {
-          case a: AttributeReference => resolveAttr(a)
-        }.flatten ++
-          conds.flatMap(_.references.collect {
-            case a: AttributeReference => resolveAttr(a)
-          }.flatten)).toSet
+      val needed: Set[Attribute] =
+        groupingExprs.collect {
+          case a: AttributeReference => ctx.resolveAttr(a)
+        }.flatten.toSet ++ ctx.condAttrs(conds)
       val usedMvCols: Set[String] =
         rewritten.flatMap(_.get.collect {
           case a: AttributeReference => a.name
         }).toSet
-      val mvPruned = Project(mvPlan.output.filter(a =>
-        dims.exists(_._1.joinFactCol == a.name) ||
-          neededAttrs.contains(a) || usedMvCols.contains(a.name)), mvPlan)
-      val dimPruneds = dims.zipWithIndex.map { case ((d, _), i) =>
-        Project(dimPlans(i).output.filter(a =>
-          a.name == d.joinDimCol || neededAttrs.contains(a)), dimPlans(i))
-      }
-
-      // single-side conjuncts filter BELOW the joins (this rule runs
-      // after the main optimizer's pushdown batches, so placement here
-      // is what gets them into the scans' PushedFilters); conjuncts
-      // spanning sides stay above
-      def remap(cond: Expression): Expression = cond.transformUp {
-        case a: AttributeReference => resolveAttr(a).getOrElse(a)
-      }
-      def sideOf(cond: Expression): Option[Int] = {
-        val sides = cond.references.toSeq.collect {
-          case a: AttributeReference =>
-            if (factIds.contains(a.exprId.id)) 0
-            else dims.indexWhere(_._2.contains(a.exprId.id)) + 1
-        }.toSet
-        if (sides.size == 1) Some(sides.head) else None
-      }
-      val bySide = conds.groupBy(sideOf)
-      def filtered(side: Option[Int], base: LogicalPlan): LogicalPlan =
-        bySide.getOrElse(side, Nil).foldLeft(base) { (child, cond) =>
-          org.apache.spark.sql.catalyst.plans.logical.Filter(
-            remap(cond), child)
-        }
-      val joined = dims.indices.foldLeft(
-        filtered(Some(0), mvPruned): LogicalPlan) { (acc, i) =>
-        Join(acc, filtered(Some(i + 1), dimPruneds(i)), Inner,
-          Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
-            mvAttr(dims(i)._1.joinFactCol),
-            dimAttrs(i)(dims(i)._1.joinDimCol))),
-          org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
-      }
-      val newChild = filtered(None, joined)
+      val newChild = ctx.servedJoin(conds, needed, usedMvCols)
       val newGrouping = groupingExprs.map {
-        case a: AttributeReference => resolveAttr(a).get
+        case a: AttributeReference => ctx.resolveAttr(a).get
       }
       Some(Aggregate(newGrouping, rewritten.map(_.get), newChild, None))
+    }
+
+    /** GROUPING-SETS join-back: `Aggregate(…gid…, aggs, Expand(projs,
+      * out, fact ⋈ dims))` — the shape ROLLUP/CUBE/GROUPING SETS
+      * compile to. Expand replicates each input row once per grouping
+      * set and the Aggregate groups by (set cols…, gid); within one
+      * gid every grouping column is either a null literal (constant in
+      * that set) or resolves via FK determination (dim attrs, grain
+      * cols), so PER GID the flat join-back argument applies verbatim
+      * — including the grand-total set (all nulls). The rewrite keeps
+      * the Aggregate and the Expand structure intact (same output ids,
+      * same gid literals), remaps the kept projection columns onto the
+      * serving join, appends the rollup's pre-aggregated columns as
+      * the new pass-throughs, and rewrites sum/count/max/min exactly
+      * like the flat path. One FK-grain rollup thus amortizes across
+      * ALL the requested grains at once — at 100 TB a reporting ROLLUP
+      * costs |rollup| × broadcast dims instead of replicating the full
+      * fact once per grouping set.
+      */
+    private def tryExpandJoinBack(
+        groupingExprs: Seq[Expression],
+        resultExprs: Seq[NamedExpression],
+        projections: Seq[Seq[Expression]],
+        expandOut: Seq[Attribute],
+        ctx: ServeCtx,
+        rawConds: Seq[Expression]): Option[LogicalPlan] = {
+
+      val conds = ctx.splitConds(rawConds).getOrElse(return None)
+
+      // references NOT under an aggregate function: the grouping-set
+      // columns + gid the new Expand must keep producing
+      def refsOutsideAgg(e: Expression): Seq[Long] = e match {
+        case _: AggregateExpression => Nil
+        case a: AttributeReference => Seq(a.exprId.id)
+        case other => other.children.flatMap(refsOutsideAgg)
+      }
+      val keepIds: Set[Long] =
+        (groupingExprs.flatMap(refsOutsideAgg) ++
+          resultExprs.flatMap(refsOutsideAgg)).toSet
+      if (!keepIds.subsetOf(expandOut.map(_.exprId.id).toSet)) return None
+      val keptIdx = expandOut.indices.filter(j =>
+        keepIds.contains(expandOut(j).exprId.id))
+
+      // each kept projection cell: a null/gid literal stays, a column
+      // remaps by side of origin, anything else is unservable
+      val remappedRows: Seq[Option[Seq[Expression]]] = projections.map {
+        row =>
+          val cells = keptIdx.map { j =>
+            row(j) match {
+              case a: AttributeReference =>
+                ctx.resolveAttr(a): Option[Expression]
+              case l: Literal => Some(l): Option[Expression]
+              case _ => None
+            }
+          }
+          if (cells.forall(_.isDefined)) Some(cells.map(_.get)) else None
+      }
+      if (remappedRows.exists(_.isEmpty)) return None
+
+      val rewritten: Seq[Option[NamedExpression]] = resultExprs.map {
+        case ne if ne.exists(_.isInstanceOf[AggregateExpression]) =>
+          ctx.rewriteAgg(ne)
+        case ne if refsOutsideAgg(ne).forall(keepIds.contains) =>
+          Some(ne) // pure grouping-set pass-through: kept output ids
+        case _ => None
+      }
+      if (rewritten.exists(_.isEmpty)) return None
+
+      // rollup columns the rewritten aggregates read — the new Expand
+      // passes them through in every grouping-set row
+      val usedMvAttrs = rewritten.flatMap(_.get.collect {
+        case a: AttributeReference
+            if ctx.mvAttr.get(a.name).exists(_.exprId == a.exprId) => a
+      }).distinct
+      val newOut = keptIdx.map(expandOut) ++ usedMvAttrs
+      val newProjs = remappedRows.map(_.get ++ usedMvAttrs)
+      val needed: Set[Attribute] = newProjs.flatMap(_.collect {
+        case a: AttributeReference => a
+      }).toSet ++ ctx.condAttrs(conds)
+      val child = ctx.servedJoin(conds, needed,
+        usedMvAttrs.map(_.name).toSet)
+      Some(Aggregate(groupingExprs, rewritten.map(_.get),
+        org.apache.spark.sql.catalyst.plans.logical.Expand(
+          newProjs, newOut, child), None))
     }
   }
 }

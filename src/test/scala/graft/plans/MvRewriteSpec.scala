@@ -548,6 +548,72 @@ class MvRewriteSpec extends AnyFunSuite {
       "an unregistered fourth table must fall back to raw")
   }
 
+  // ----- grouping sets above the star (Aggregate over Expand) ----------
+
+  test("ax_mv_rollup_sets is served: ROLLUP over the star, zero fact") {
+    val df = Extensions.queries("ax_mv_rollup_sets")(spark, dir)
+    val p = planOf(df)
+    assert(p.contains("mv_star_fk"), s"FK rollup not in plan:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"fact scan survived the grouping-sets rewrite:\n$p")
+    assert(p.contains("Expand"),
+      "the grouping-sets structure must be preserved, not unrolled")
+  }
+
+  test("grouping-sets serving is exact, including the grand total") {
+    val served = Extensions.queries("ax_mv_rollup_sets")(spark, dir)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    MvRewrite.clear()
+    try {
+      val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("disc_cents"),
+          count(lit(1)).as("n_lines"))
+      assert(!planOf(raw).contains("mv_star_fk"))
+      val expect = raw.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(served.sameElements(expect),
+        "grouping-sets answer diverged from the raw recompute")
+    } finally {
+      Extensions.queries("ax_mv_rollup_sets")(spark, dir)
+      gate()
+    }
+  }
+
+  test("a grouping set with a non-determined fact column keeps raw") {
+    Extensions.queries("ax_mv_rollup_sets")(spark, dir)
+    // l_returnflag is lost at the FK grain: no set containing it can
+    // be derived from the rollup
+    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .rollup(col("o_orderstatus"), col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(!planOf(df).contains("mv_star_fk"),
+      "a non-grain fact column in a grouping set must force raw")
+  }
+
+  test("CUBE and grouping_id() are served through the same path") {
+    Extensions.queries("ax_mv_rollup_sets")(spark, dir)
+    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    val p = planOf(df)
+    assert(p.contains("mv_star_fk") && !p.contains("lineitem.parquet"),
+      s"CUBE not served:\n$p")
+    val served = df.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    MvRewrite.clear()
+    try {
+      val raw = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(served.sameElements(raw), "CUBE served != raw")
+    } finally {
+      Extensions.queries("ax_mv_rollup_sets")(spark, dir)
+      gate()
+    }
+  }
+
   test("same-named fact/dim columns resolve by side of origin, not name") {
     // fact(fk, tag) ⋈ dim(pk, tag): grouping by the FACT's tag (lost at
     // the FK grain) must keep the raw plan; grouping by the DIM's tag
