@@ -1,12 +1,15 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, AttributeReference, Expression, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{
+  DataSourceV2Relation, DataSourceV2ScanRelation}
 
 /** Column-level lineage extraction — the governance answer to "which
   * source columns can influence this output column's VALUE", derived
@@ -26,6 +29,22 @@ import org.apache.spark.sql.execution.datasources.{
   */
 object Lineage {
 
+  /** Table identity of a DataSource V2 leaf: connectors name
+    * themselves `format(path)` (GraftLinesTable.name()), so the last
+    * path segment is the stable table identity a dataset card cites —
+    * the same basename convention the parquet leaves use. A name with
+    * no path parentheses is used as-is.
+    */
+  private def v2TableName(
+      t: org.apache.spark.sql.connector.catalog.Table): String = {
+    val n = t.name()
+    val inner =
+      if (n.endsWith(")") && n.contains("("))
+        n.substring(n.indexOf('(') + 1, n.length - 1)
+      else n
+    new org.apache.hadoop.fs.Path(inner).getName
+  }
+
   /** (out_column, src_table, src_column) rows for a DataFrame. */
   def of(spark: SparkSession, df: DataFrame): DataFrame = {
     val plan = df.queryExecution.analyzed
@@ -40,6 +59,9 @@ object Lineage {
           case _ => "?"
         }
         l.output.foreach(a => leaf(a.exprId.id) = (table, a.name))
+      case d: DataSourceV2Relation =>
+        val table = v2TableName(d.table)
+        d.output.foreach(a => leaf(a.exprId.id) = (table, a.name))
       case p =>
         p.expressions.foreach(_.foreach {
           case al: Alias =>
@@ -96,6 +118,14 @@ object Lineage {
           case None =>
             l.output.foreach(a => leaf(a.exprId.id) = Seq((table, a.name)))
         }
+      // the OPTIMIZED plan's V2 leaf: pushdown has already turned the
+      // relation into a scan — name it through the underlying table
+      case s: DataSourceV2ScanRelation =>
+        val table = v2TableName(s.relation.table)
+        s.output.foreach(a => leaf(a.exprId.id) = Seq((table, a.name)))
+      case d: DataSourceV2Relation =>
+        val table = v2TableName(d.table)
+        d.output.foreach(a => leaf(a.exprId.id) = Seq((table, a.name)))
       case p =>
         p.expressions.foreach(_.foreach {
           case al: Alias =>
@@ -174,6 +204,9 @@ object Lineage {
           case _ => "?"
         }
         l.output.foreach(a => leaf(a.exprId.id) = (table, a.name))
+      case d: DataSourceV2Relation =>
+        val table = v2TableName(d.table)
+        d.output.foreach(a => leaf(a.exprId.id) = (table, a.name))
       case agg: Aggregate =>
         // grouping keys are control inputs to every AGGREGATED output
         // (they decide the groups); a grouping key selected as itself
@@ -305,15 +338,73 @@ object Lineage {
       |  AS t(out_column, src_table, src_column)
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_lineage_dsv2: lineage THROUGH the custom connector — a
+  // DataSource V2 read is a DataSourceV2Relation leaf (a
+  // DataSourceV2ScanRelation once optimized), which the walk previously
+  // could not resolve: a dataset card over connector-ingested data lost
+  // its source. The leaf now names the connector's table (the path
+  // basename of `graftlines(<path>)`), so provenance survives custom
+  // sources exactly like parquet scans. The fixture writes the
+  // documents metadata under a STABLE basename (`docs_meta`); the
+  // lineage is plan-derived and identical at every SF — oracle = the
+  // hand-derived truth (n_docs is a count: no value source, no rows).
+  // -------------------------------------------------------------------
+  private def dsv2LineageFixture(
+      spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.concat_ws
+    val stamp =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    val root = FixtureCache.dir("dsv2_lineage", dir,
+      "v" -> 1, "src" -> stamp)
+    val pathF = new java.io.File(root.toString, "docs_meta")
+    val marker = new java.io.File(root.toString, "_GRAFT_SUCCESS")
+    if (!marker.exists()) {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(concat_ws("\t", col("doc_id"), col("lang"),
+          col("source"), col("n_chars")).as("value"))
+        .repartition(2)
+        .write.mode("overwrite").text(pathF.toString)
+      marker.createNewFile()
+    }
+    pathF.toString
+  }
+
+  private[ops] def dsv2LineageQuery(
+      spark: SparkSession, dir: String): DataFrame = {
+    val path = dsv2LineageFixture(spark, dir)
+    spark.read.format(classOf[graft.sources.GraftLines].getName)
+      .option("path", path)
+      .load()
+      .filter(col("n_chars") >= 100L)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("sum_chars"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  private def lineageDsv2(spark: SparkSession, dir: String): DataFrame =
+    of(spark, dsv2LineageQuery(spark, dir))
+
+  private val lineageDsv2Sql =
+    """SELECT * FROM (VALUES
+      |  ('lang',      'docs_meta', 'lang'),
+      |  ('sum_chars', 'docs_meta', 'n_chars'))
+      |  AS t(out_column, src_table, src_column)
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_lineage"        -> (lineage _),
     "ax_lineage_window" -> (lineageWindow _),
-    "ax_lineage_mv"     -> (lineageMv _)
+    "ax_lineage_mv"     -> (lineageMv _),
+    "ax_lineage_dsv2"   -> (lineageDsv2 _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "ax_lineage"        -> lineageSql,
     "ax_lineage_window" -> lineageWindowSql,
-    "ax_lineage_mv"     -> lineageMvSql
+    "ax_lineage_mv"     -> lineageMvSql,
+    "ax_lineage_dsv2"   -> lineageDsv2Sql
   )
 }

@@ -130,6 +130,23 @@ class LineageSpec extends AnyFunSuite {
     } finally Extensions.queries("ax_mv_rewrite")(spark, dir)
   }
 
+  test("ofServed resolves a DSv2 scan leaf in the optimized plan") {
+    // the optimized plan of a connector read is a
+    // DataSourceV2ScanRelation (pushdown already ran) — the walk must
+    // name the connector's table, not drop the leaf
+    val q = Lineage.dsv2LineageQuery(spark, dir)
+    val served = Lineage.ofServed(spark, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(served == Set(
+      ("lang", "docs_meta", "lang"),
+      ("sum_chars", "docs_meta", "n_chars")),
+      s"dsv2 served lineage wrong: $served")
+    // and the analyzed-plan walk agrees (of == ofServed for this query)
+    val analyzed = Lineage.of(spark, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(analyzed == served)
+  }
+
   test("measure origins come from the carried input names, not recovery") {
     // registration records each measure's base columns verbatim in
     // MvDef.measureInputs; mvColumnOrigins must read exactly those — a
