@@ -1121,16 +1121,22 @@ object EventsOps {
   // size, the ax_vacuum_plan discipline. The oracle replays the
   // classification from the bucket definition.
   // -------------------------------------------------------------------
-  private def occCommits(spark: SparkSession, dir: String): DataFrame = {
-    val path = bucketedEventsLayout(spark, dir)
-    // the manifest: bucket ids from the layout's partition directories
-    val buckets = Option(new java.io.File(path).listFiles())
+  /** the manifest: bucket ids from the layout's partition directories */
+  private def occBuckets(path: String): Seq[Long] =
+    Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty)
       .filter(_.isDirectory).map(_.getName)
       .filter(_.startsWith("bucket="))
-      .map(_.stripPrefix("bucket=").toLong).sorted
+      .map(_.stripPrefix("bucket=").toLong).sorted.toSeq
+
+  /** the five prospective commits spanning the OCC classes, bucket
+    * ranges SF-proportional off the max bucket id (shared by the
+    * classification gate and the rebase executor — one source of truth)
+    */
+  private def occCommitDefs(
+      buckets: Seq[Long]): Seq[(String, String, Set[Long])] = {
     val bMax = buckets.max
-    val commits: Seq[(String, String, Set[Long])] = Seq(
+    Seq(
       ("c1_purge_low", "delete",
         buckets.filter(_ <= bMax / 5).toSet),
       ("c2_compact_low", "rewrite",
@@ -1140,6 +1146,12 @@ object EventsOps {
         buckets.filter(_ >= bMax - bMax / 5).toSet),
       ("c5_compact_high", "rewrite",
         buckets.filter(_ >= bMax - bMax / 3).toSet))
+  }
+
+  private def occCommits(spark: SparkSession, dir: String): DataFrame = {
+    val path = bucketedEventsLayout(spark, dir)
+    val buckets = occBuckets(path)
+    val commits = occCommitDefs(buckets)
     val rows = for {
       (ca, opA, sa) <- commits
       (cb, opB, sb) <- commits
@@ -1197,8 +1209,93 @@ object EventsOps {
       |  ON ov.ca = p.commit_a AND ov.cb = p.commit_b
       |ORDER BY 1, 3""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ax_occ_rebase: OCC REBASE EXECUTION — ax_occ_commits classifies;
+  // this is the verb that APPLIES a safe schedule: validate every pair
+  // (delete sets must be disjoint — the same law the classifier
+  // emits), then rebase the commits onto each other in commit order
+  // against the base manifest and MATERIALIZE the resulting manifest.
+  // Because validation guarantees no commit touches files another
+  // commit delete-claims, the rebased result is identical to serial
+  // application — which is exactly what the oracle recomputes
+  // independently from the bucket definition. A schedule containing a
+  // conflicting pair must RAISE rather than rebase (LifecycleSpec pins
+  // the raise and its message). Like the classifier, the whole verb is
+  // O(manifest) driver-side — bucket ids from one directory listing,
+  // never data.
+  //
+  // The applied schedule (c2_compact_low, c3_append, c4_purge_high)
+  // exercises all three verbs: the low third compacts into one file,
+  // an append lands past the max bucket, and the high band's original
+  // files are purged — the compacted file's coverage is untouched by
+  // the purge (disjointness is what the validation proved).
+  // -------------------------------------------------------------------
+  private[ops] def occRebaseApply(
+      buckets: Seq[Long],
+      defs: Seq[(String, String, Set[Long])],
+      schedule: Seq[String]): Seq[(String, Long, Long, String)] = {
+    val byId = defs.map(d => d._1 -> d).toMap
+    val picked = schedule.map(byId)
+    for {
+      i <- picked.indices
+      j <- (i + 1) until picked.size
+    } {
+      val (ca, _, sa) = picked(i)
+      val (cb, _, sb) = picked(j)
+      val ov = sa & sb
+      if (ov.nonEmpty) throw new IllegalStateException(
+        s"OCC rebase refused: $ca and $cb conflict on ${ov.size} " +
+          "overlapping delete buckets")
+    }
+    val maxB = buckets.max
+    var manifest: Vector[(String, Long, Long, String)] =
+      buckets.sorted.map(b => (s"bucket=$b", b, b, "base")).toVector
+    picked.foreach { case (cid, op, s) =>
+      op match {
+        case "delete" =>
+          manifest = manifest.filterNot(e =>
+            e._4 == "base" && s.contains(e._2))
+        case "rewrite" =>
+          manifest = manifest.filterNot(e =>
+            e._4 == "base" && s.contains(e._2)) :+
+            ((s"compact-$cid", s.min, s.max, cid))
+        case "append" =>
+          manifest = manifest :+ ((s"append-$cid", maxB + 1, maxB + 1, cid))
+      }
+    }
+    manifest.sortBy(_._1)
+  }
+
+  private def occRebase(spark: SparkSession, dir: String): DataFrame = {
+    val path = bucketedEventsLayout(spark, dir)
+    val buckets = occBuckets(path)
+    val rows = occRebaseApply(buckets, occCommitDefs(buckets),
+      Seq("c2_compact_low", "c3_append", "c4_purge_high"))
+    import spark.implicits._
+    rows.toDF("file", "bucket_lo", "bucket_hi", "origin")
+      .orderBy("file")
+  }
+
+  private val occRebaseSql =
+    """WITH b AS (SELECT DISTINCT user_id // 4 AS bk FROM events),
+      |mx AS (SELECT MAX(bk) AS B FROM b)
+      |SELECT * FROM (
+      |  SELECT 'bucket=' || CAST(bk AS VARCHAR) AS file,
+      |    bk AS bucket_lo, bk AS bucket_hi, 'base' AS origin
+      |  FROM b, mx
+      |  WHERE NOT (bk <= B // 3) AND NOT (bk >= B - (B // 5))
+      |  UNION ALL
+      |  SELECT 'compact-c2_compact_low',
+      |    CAST(MIN(bk) AS BIGINT), CAST(MAX(bk) AS BIGINT),
+      |    'c2_compact_low'
+      |  FROM b, mx WHERE bk <= B // 3
+      |  UNION ALL
+      |  SELECT 'append-c3_append', B + 1, B + 1, 'c3_append' FROM mx)
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ax_occ_commits"     -> (occCommits _),
+    "ax_occ_rebase"      -> (occRebase _),
     "ax_ewma_smooth"      -> (ewmaSmooth _),
     "ax_ntile_bins"       -> (ntileBins _),
     "ax_ntile_approx"     -> (ntileApprox _),
@@ -1224,6 +1321,7 @@ object EventsOps {
 
   val oracleSql: Map[String, String] = Map(
     "ax_occ_commits"     -> occCommitsSql,
+    "ax_occ_rebase"      -> occRebaseSql,
     "ax_ewma_smooth"      -> ewmaSmoothSql,
     "ax_ntile_bins"       -> ntileBinsSql,
     "ax_ntile_approx"     -> ntileApproxSql,

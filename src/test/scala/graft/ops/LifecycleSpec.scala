@@ -140,4 +140,32 @@ class LifecycleSpec extends AnyFunSuite {
       Set(("c1_purge_low", "c2_compact_low"),
         ("c4_purge_high", "c5_compact_high")))
   }
+
+  test("OCC rebase applies a disjoint schedule; a conflicting pair raises") {
+    val buckets = (0L to 9L).toSeq
+    val defs = Seq(
+      ("c1_purge_low", "delete", Set(0L, 1L)),
+      ("c2_compact_low", "rewrite", Set(0L, 1L, 2L, 3L)),
+      ("c3_append", "append", Set.empty[Long]),
+      ("c4_purge_high", "delete", Set(8L, 9L)))
+    // disjoint schedule: compaction + append + high purge
+    val out = EventsOps.occRebaseApply(buckets, defs,
+      Seq("c2_compact_low", "c3_append", "c4_purge_high"))
+    assert(out.toSet == Set(
+      ("bucket=4", 4L, 4L, "base"), ("bucket=5", 5L, 5L, "base"),
+      ("bucket=6", 6L, 6L, "base"), ("bucket=7", 7L, 7L, "base"),
+      ("compact-c2_compact_low", 0L, 3L, "c2_compact_low"),
+      ("append-c3_append", 10L, 10L, "c3_append")))
+    // rebase result == serial application in the same order (the
+    // validated schedule makes them identical by construction)
+    val serial = EventsOps.occRebaseApply(buckets, defs,
+      Seq("c2_compact_low"))
+    assert(serial.exists(_._1 == "compact-c2_compact_low"))
+    // a conflicting pair must raise, never rebase
+    val ex = intercept[IllegalStateException] {
+      EventsOps.occRebaseApply(buckets, defs,
+        Seq("c1_purge_low", "c2_compact_low"))
+    }
+    assert(ex.getMessage.contains("conflict"))
+  }
 }
