@@ -980,10 +980,10 @@ object Dedup {
   /** shared DuckDB replay of the seed-and-extend pipeline, ending in a
     * `best(doc_a, doc_b, span_len, n_diagonals)` CTE
     */
-  private val spanPairsCte: String = {
+  private def spanPairsCte(ndWhere: String = ""): String = {
     val h8 = PortableHash.hashSql("substring(norm, CAST(i AS INT), 8)")
     s"""nd AS (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
-       |  FROM documents),
+       |  FROM documents$ndWhere),
        |le AS (SELECT * FROM nd WHERE length(norm) >= $SpanSeedLen),
        |anchors0 AS (
        |  SELECT doc_id, i AS pos,
@@ -1044,7 +1044,7 @@ object Dedup {
   }
 
   private val substringSpanSql =
-    s"""WITH $spanPairsCte
+    s"""WITH ${spanPairsCte()}
        |SELECT doc_a, doc_b, CAST(span_len AS BIGINT) AS span_len,
        |  n_diagonals
        |FROM best WHERE span_len >= $SpanMinLen
@@ -1078,7 +1078,8 @@ object Dedup {
     * bounded by the INDEX side's per-seed cap), per-delta-doc best
     * match by maximal verified span.
     */
-  private[ops] def spanProbeOracleSql: String = {
+  private[ops] def spanProbeOracleSql(extraPred: String = "TRUE")
+      : String = {
     val h8 = PortableHash.hashSql("substring(norm, CAST(i AS INT), 8)")
     s"""WITH nd AS (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
        |  FROM documents),
@@ -1088,7 +1089,8 @@ object Dedup {
        |    md5(substring(norm, CAST(i AS INT), $SpanSeedLen)) AS seed
        |  FROM le, LATERAL unnest(range(1,
        |    greatest(length(norm) - ${SpanSeedLen - 1}, 0) + 1)) AS t(i)
-       |  WHERE $h8 % $SpanAnchorMod = 0 AND NOT ($NewDocPredSql)),
+       |  WHERE $h8 % $SpanAnchorMod = 0 AND NOT ($NewDocPredSql)
+       |    AND $extraPred),
        |canchors AS (
        |  SELECT doc_id, pos, seed FROM (
        |    SELECT doc_id, pos, seed,
@@ -1104,7 +1106,8 @@ object Dedup {
        |    md5(substring(norm, CAST(i AS INT), $SpanSeedLen)) AS seed
        |  FROM le, LATERAL unnest(range(1,
        |    greatest(length(norm) - ${SpanSeedLen - 1}, 0) + 1)) AS t(i)
-       |  WHERE $h8 % $SpanAnchorMod = 0 AND ($NewDocPredSql)),
+       |  WHERE $h8 % $SpanAnchorMod = 0 AND ($NewDocPredSql)
+       |    AND $extraPred),
        |cand AS (
        |  SELECT d.doc_id AS a, c.doc_id AS b, d.pos - c.pos AS diag,
        |    MIN(d.pos) AS pa
@@ -1149,7 +1152,8 @@ object Dedup {
        |  CAST(COALESCE(r.b, -1) AS BIGINT) AS best_match,
        |  CAST(COALESCE(r.span_len, 0) AS BIGINT) AS best_span_len,
        |  CAST(COALESCE(r.span_len, 0) >= $SpanMinLen AS BIGINT) AS is_dup
-       |FROM (SELECT doc_id FROM documents WHERE $NewDocPredSql) s
+       |FROM (SELECT doc_id FROM documents
+       |  WHERE ($NewDocPredSql) AND $extraPred) s
        |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.a = s.doc_id
        |ORDER BY new_doc""".stripMargin
   }
@@ -1299,7 +1303,7 @@ object Dedup {
         .select(col("doc_a").as("da"), col("doc_b").as("db")))
 
   private val spanGuaranteeSql =
-    s"""WITH $spanPairsCte,
+    s"""WITH ${spanPairsCte()},
        |ndg AS (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
        |  FROM documents),
        |leg AS (SELECT * FROM ndg WHERE length(norm) >= $SpanMinLen),
@@ -1349,12 +1353,12 @@ object Dedup {
   // -------------------------------------------------------------------
   private val SpanSampleMod = 4L
 
-  private def spanSampleKeep(c: Column): Column =
+  private[ops] def spanSampleKeep(c: Column): Column =
     pmod(PortableHash.hashCol(
       concat(lit("spansample:"), c.cast("string"))),
       lit(SpanSampleMod)) === 0L
 
-  private def spanSampleKeepSql(col: String): String =
+  private[ops] def spanSampleKeepSql(col: String): String =
     s"${PortableHash.hashSql(s"'spansample:' || CAST($col AS VARCHAR)")}" +
       s" % $SpanSampleMod = 0"
 
@@ -1386,7 +1390,7 @@ object Dedup {
   }
 
   private val spanGuaranteeSampledSql =
-    s"""WITH $spanPairsCte,
+    s"""WITH ${spanPairsCte()},
        |ndg AS (SELECT doc_id, ${TextAnalysis.normSqlDef} AS norm
        |  FROM documents),
        |leg AS (SELECT * FROM ndg WHERE length(norm) >= $SpanMinLen
@@ -1519,7 +1523,99 @@ object Dedup {
       spanDiagonals(spark, dir))
 
   private val spanDedupSql =
-    s"""WITH $spanPairsCte,
+    s"""WITH ${spanPairsCte()},
+       |cruns AS (
+       |  SELECT DISTINCT db AS doc_id,
+       |    off_b + bnd[k] AS s,
+       |    off_b + bnd[k + 1] - 2 AS e
+       |  FROM bnds, LATERAL unnest(range(1, len(bnd))) AS t(k)
+       |  WHERE bnd[k + 1] - bnd[k] - 1 >= $SpanMinLen),
+       |cg AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) THEN 1 ELSE 0 END AS brk
+       |  FROM cruns),
+       |cgi AS (
+       |  SELECT doc_id, s, e, SUM(brk) OVER (PARTITION BY doc_id
+       |    ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS gid
+       |  FROM cg),
+       |mi AS (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+       |  FROM cgi GROUP BY 1, 2),
+       |sent AS (
+       |  SELECT doc_id, CAST(length(norm) + 1 AS BIGINT) AS ms,
+       |    CAST(length(norm) AS BIGINT) AS me FROM nd
+       |  UNION ALL SELECT doc_id, ms, me FROM mi),
+       |segs AS (
+       |  SELECT doc_id,
+       |    COALESCE(LAG(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) + 1
+       |      AS ss,
+       |    ms - 1 AS se
+       |  FROM sent),
+       |cl AS (
+       |  SELECT s.doc_id,
+       |    md5(COALESCE(string_agg(substring(n.norm, CAST(ss AS INT),
+       |      CAST(greatest(se - ss + 1, 0) AS INT)), '' ORDER BY ss), ''))
+       |      AS clean_hash
+       |  FROM segs s JOIN nd n ON n.doc_id = s.doc_id GROUP BY 1),
+       |cstats AS (
+       |  SELECT doc_id, COUNT(*) AS n_cut_spans,
+       |    CAST(SUM(me - ms + 1) AS BIGINT) AS chars_removed
+       |  FROM mi GROUP BY 1)
+       |SELECT n.doc_id,
+       |  COALESCE(cs.n_cut_spans, 0) AS n_cut_spans,
+       |  COALESCE(cs.chars_removed, 0) AS chars_removed,
+       |  CAST(length(n.norm) - COALESCE(cs.chars_removed, 0) AS BIGINT)
+       |    AS clean_len,
+       |  cl.clean_hash
+       |FROM nd n LEFT JOIN cstats cs ON cs.doc_id = n.doc_id
+       |JOIN cl ON cl.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dd_substring_span_s / tx_span_dedup_s: the SAMPLED twins of the
+  // two batch span gates — the span family's sf1 (and 100 TB) ORACLE
+  // story. The full DuckDB replay of seed-and-extend priced out at sf1
+  // (~50 M window rows whether materialized or recomputed, round-13
+  // evidence); the dd_span_guarantee_s answer generalizes: keep docs
+  // with portable_hash("spansample:" + doc_id) ≡ 0 (mod 4) — both
+  // engines compute the hash bit-identically, so the oracle reproduces
+  // the exact same corpus — and run the IDENTICAL pipeline over the
+  // sample in both engines. Pair-stage cost scales by p², linear
+  // stages by p, so the cross-engine exactness evidence the family was
+  // missing at sf1 is affordable while the full-corpus gates keep
+  // running Spark-side at every SF. (These twins pin EXACTNESS on the
+  // sampled corpus; the recall-vs-truth estimate with its binomial CI
+  // is dd_span_guarantee_s's job.)
+  // -------------------------------------------------------------------
+  private def spanSampleWhere: String =
+    s" WHERE ${spanSampleKeepSql("doc_id")}"
+
+  private def substringSpanSampled(
+      spark: SparkSession, dir: String): DataFrame =
+    spanPairsOf(spanDocsNorm(spark, dir)
+      .filter(spanSampleKeep(col("doc_id"))))
+      .filter(col("span_len") >= SpanMinLen)
+      .orderBy(col("span_len").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(20)
+
+  private val substringSpanSampledSql =
+    s"""WITH ${spanPairsCte(spanSampleWhere)}
+       |SELECT doc_a, doc_b, CAST(span_len AS BIGINT) AS span_len,
+       |  n_diagonals
+       |FROM best WHERE span_len >= $SpanMinLen
+       |ORDER BY span_len DESC, doc_a, doc_b LIMIT 20""".stripMargin
+
+  private def spanDedupSampled(
+      spark: SparkSession, dir: String): DataFrame = {
+    val sampleNorm = docs(spark, dir)
+      .select(col("doc_id"), TextAnalysis.normCol.as("norm"))
+      .filter(spanSampleKeep(col("doc_id")))
+    spanDedupOf(sampleNorm, spanDiagonalsOf(sampleNorm))
+  }
+
+  private val spanDedupSampledSql =
+    s"""WITH ${spanPairsCte(spanSampleWhere)},
        |cruns AS (
        |  SELECT DISTINCT db AS doc_id,
        |    off_b + bnd[k] AS s,
@@ -3341,9 +3437,11 @@ object Dedup {
     "dd_lsh_recall"     -> (lshRecall _),
     "dd_substring_dup"  -> (substringDup _),
     "dd_substring_span" -> (substringSpan _),
+    "dd_substring_span_s" -> (substringSpanSampled _),
     "dd_span_guarantee" -> (spanGuarantee _),
     "dd_span_guarantee_s" -> (spanGuaranteeSampled _),
     "tx_span_dedup"     -> (spanDedupRewrite _),
+    "tx_span_dedup_s"   -> (spanDedupSampled _),
     "dd_incremental_dup" -> (incrementalDup _),
     "dd_semdedup"       -> (semDedup _),
     "dd_semdedup_rep"   -> (semDedupRep _),
@@ -3384,7 +3482,9 @@ object Dedup {
     "dd_lsh_recall"     -> lshRecallSql,
     "dd_substring_dup"  -> substringDupSql,
     "dd_substring_span" -> substringSpanSql,
+    "dd_substring_span_s" -> substringSpanSampledSql,
     "tx_span_dedup"     -> spanDedupSql,
+    "tx_span_dedup_s"   -> spanDedupSampledSql,
     "dd_span_guarantee" -> spanGuaranteeSql,
     "dd_span_guarantee_s" -> spanGuaranteeSampledSql,
     "dd_semdedup"       -> semDedupSql,

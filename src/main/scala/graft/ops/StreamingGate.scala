@@ -1265,10 +1265,28 @@ object StreamingGate {
   // bound comes from the index cap. The oracle replays the identical
   // asymmetric pipeline in DuckDB.
   // -------------------------------------------------------------------
-  private def spanProbeStreamed(spark: SparkSession, dir: String): DataFrame = {
+  private def spanProbeStreamed(spark: SparkSession, dir: String): DataFrame =
+    spanProbeStreamedCore(spark, dir, sampled = false)
+
+  /** st_span_probe_s: the probe's SAMPLED twin — same machinery, the
+    * frozen index and the delta both restricted to the deterministic
+    * portable-hash document sample (Dedup.spanSampleKeep), so the
+    * DuckDB oracle replay scales by p² on the pair stages and the
+    * streaming span gate carries cross-engine sf1 evidence like its
+    * batch siblings (dd_substring_span_s / tx_span_dedup_s).
+    */
+  private def spanProbeStreamedSampled(
+      spark: SparkSession, dir: String): DataFrame =
+    spanProbeStreamedCore(spark, dir, sampled = true)
+
+  private def spanProbeStreamedCore(spark: SparkSession, dir: String,
+      sampled: Boolean): DataFrame = {
+    val sfx = if (sampled) "_s" else ""
+    val keep = (c: org.apache.spark.sql.Column) =>
+      if (sampled) Dedup.spanSampleKeep(c) else lit(true)
     val tag = new java.io.File(dir).getName.replace('.', '_')
-    val stage = s"target/stream_span/stage_$tag"
-    val input = s"target/stream_span/input_$tag"
+    val stage = s"target/stream_span$sfx/stage_$tag"
+    val input = s"target/stream_span$sfx/input_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     Seq(stage, input).foreach(p =>
@@ -1277,13 +1295,24 @@ object StreamingGate {
 
     def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(10)) === 9
 
-    val (idx, corpusNorms) = Dedup.spanFrozenIndex(spark, dir)
+    val (idx, corpusNorms) =
+      if (!sampled) Dedup.spanFrozenIndex(spark, dir)
+      else {
+        // the sampled frozen index is built fresh (its cost is p of
+        // the full one); the full index keeps its session cache
+        val corpus = Dedup.spanDocsNorm(spark, dir)
+          .filter(!isNew(col("doc_id")))
+          .filter(keep(col("doc_id")))
+          .repartition(col("doc_id"))
+          .localCheckpoint()
+        (Dedup.spanCappedAnchorsOf(corpus).localCheckpoint(), corpus)
+      }
     val idxSide = idx.select(
       col("seed"), col("doc_id").as("b"), col("pos").as("pb"))
 
     val writeOne = stageSlice(fs, stage, input) _
     val delta = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(isNew(col("doc_id")))
+      .filter(isNew(col("doc_id")) && keep(col("doc_id")))
       .select(col("doc_id"), col("text"))
     val now = System.currentTimeMillis() - 600000L
     Seq(9L, 19L, 29L).zipWithIndex.foreach { case (r, i) =>
@@ -1308,7 +1337,8 @@ object StreamingGate {
       .join(idxSide, Seq("seed"))
       .groupBy(col("a"), col("b"), (col("pa") - col("pb")).as("diag"))
       .agg(min(col("pa")).as("pa"))
-    val sunk = runToTable(diag, "st_span_probe_sink", "complete")(spark)
+    val sunk = runToTable(diag, s"st_span_probe${sfx}_sink",
+      "complete")(spark)
 
     val deltaNorms = delta
       .select(col("doc_id").as("a"), TextAnalysis.normCol.as("norm_a"))
@@ -1448,6 +1478,7 @@ object StreamingGate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_mv_upkeep"         -> (mvUpkeepStreamed _),
     "st_span_probe"        -> (spanProbeStreamed _),
+    "st_span_probe_s"      -> (spanProbeStreamedSampled _),
     "st_dedup_probe"       -> (dedupProbeStreamed _),
     "st_ivf_assign"        -> (ivfAssignStreamed _),
     "st_cdc_sink"          -> (cdcSinkStreamed _),
@@ -1480,7 +1511,9 @@ object StreamingGate {
     "st_mv_upkeep"         -> mvUpkeepStreamedSql,
     "st_ivf_assign"        -> ivfAssignStreamedSql,
     "st_dedup_probe"       -> Dedup.streamProbeOracleSql,
-    "st_span_probe"        -> Dedup.spanProbeOracleSql,
+    "st_span_probe"        -> Dedup.spanProbeOracleSql(),
+    "st_span_probe_s"      ->
+      Dedup.spanProbeOracleSql("(" + Dedup.spanSampleKeepSql("doc_id") + ")"),
     "st_late_drop"         -> lateDropStreamedSql,
     "st_union_sources"     -> Analytics.oracleSql("ax_events_hourly"),
     "st_timer_sessions"    -> sessionsStreamedSql,
