@@ -412,7 +412,72 @@ object SqlSurface {
       |WHERE o.o_orderpriority <> '3-MEDIUM'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // sq_mv_snow_sql: the SNOWFLAKE join-back through the SQL front door
+  // — GROUP BY attributes of TWO dims over the textual three-table
+  // join, served from the composite-FK rollup re-joined to both live
+  // dims exactly like the DataFrame twin (ax_mv_snowflake);
+  // MvRewriteSpec pins zero fact bytes on this surface too.
+  private def mvSnowViaSql(spark: SparkSession, dir: String): DataFrame = {
+    MatViews.serveSnowFromMv(spark, dir)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("graft_sql_li_snow")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .createOrReplaceTempView("graft_sql_ord_snow")
+    spark.read.parquet(s"$dir/part.parquet")
+      .createOrReplaceTempView("graft_sql_part_snow")
+    spark.sql(
+      """SELECT o_orderstatus, p_brand,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM graft_sql_li_snow
+        |JOIN graft_sql_ord_snow ON l_orderkey = o_orderkey
+        |JOIN graft_sql_part_snow ON l_partkey = p_partkey
+        |WHERE p_size < 25
+        |GROUP BY o_orderstatus, p_brand
+        |ORDER BY o_orderstatus, p_brand""".stripMargin)
+  }
+
+  private val mvSnowOracle =
+    """SELECT o.o_orderstatus, p.p_brand,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_size < 25
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // sq_mv_sets_sql: GROUP BY ROLLUP through the SQL front door, served
+  // from the FK-grain rollup like the DataFrame twin
+  // (ax_mv_rollup_sets) — the Expand structure survives SQL parsing
+  // identically, so one rewrite covers both surfaces.
+  private def mvSetsViaSql(spark: SparkSession, dir: String): DataFrame = {
+    MatViews.serveStarFkFromMv(spark, dir)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("graft_sql_li_sets")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .createOrReplaceTempView("graft_sql_ord_sets")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM graft_sql_li_sets JOIN graft_sql_ord_sets
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin)
+  }
+
+  private val mvSetsOracle =
+    """SELECT o.o_orderstatus, o.o_orderpriority,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY ROLLUP (o.o_orderstatus, o.o_orderpriority)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq_mv_snow_sql"       -> (mvSnowViaSql _),
+    "sq_mv_sets_sql"       -> (mvSetsViaSql _),
     "sq_dsv2_sql"          -> (dsv2ViaSql _),
     "sq_mv_minmax_sql"     -> (mvMinMaxViaSql _),
     "sq_mv_attr_sql"       -> (mvAttrViaSql _),
@@ -431,6 +496,8 @@ object SqlSurface {
     "sq_unpivot_sql"       -> (unpivotViaSql _))
 
   val oracleSql: Map[String, String] = Map(
+    "sq_mv_snow_sql"       -> mvSnowOracle,
+    "sq_mv_sets_sql"       -> mvSetsOracle,
     // the DataFrame twins' oracles, verbatim — one definition, two surfaces
     "sq_dsv2_sql"          -> Dsv2Source.oracleSql("ax_dsv2_pushdown"),
     "sq_mv_minmax_sql"     -> MatViews.oracleSql("ax_mv_minmax"),

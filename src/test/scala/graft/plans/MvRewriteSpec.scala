@@ -614,6 +614,18 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("snowflake and grouping-sets rewrites fire through the SQL front door") {
+    val snow = Extensions.queries("sq_mv_snow_sql")(spark, dir)
+    val ps = planOf(snow)
+    assert(ps.contains("mv_snow_fk") && !ps.contains("lineitem.parquet"),
+      s"SQL-text snowflake aggregate not served:\n$ps")
+    val sets = Extensions.queries("sq_mv_sets_sql")(spark, dir)
+    val pr = planOf(sets)
+    assert(pr.contains("mv_star_fk") && !pr.contains("lineitem.parquet"),
+      s"SQL-text ROLLUP not served:\n$pr")
+    assert(pr.contains("Expand"))
+  }
+
   test("same-named fact/dim columns resolve by side of origin, not name") {
     // fact(fk, tag) ⋈ dim(pk, tag): grouping by the FACT's tag (lost at
     // the FK grain) must keep the raw plan; grouping by the DIM's tag
