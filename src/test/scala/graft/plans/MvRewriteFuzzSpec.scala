@@ -161,6 +161,27 @@ class MvRewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("ROLLUP over the SNOWFLAKE serves from the composite rollup") {
+    Extensions.queries("ax_mv_snowflake")(spark, dir).collect()
+    def ord = spark.read.parquet(s"$dir/orders.parquet")
+    def part = spark.read.parquet(s"$dir/part.parquet")
+    def joined = raw.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+    def q = joined.rollup(col("o_orderstatus"), col("p_brand"))
+      .agg(qty().as("q"), cnt().as("n"))
+    val p = planOf(q)
+    assert(p.contains("mv_snow_fk") && !p.contains("lineitem.parquet"),
+      s"two-dim ROLLUP not served from the composite grain:\n$p")
+    val served = collectSorted(q)
+    MvRewrite.clear()
+    try {
+      assert(!planOf(q).contains("mv_snow_fk"))
+      assert(served == collectSorted(q),
+        "snowflake ROLLUP served != raw")
+    } finally
+      Extensions.queries("ax_mv_snowflake")(spark, dir).collect()
+  }
+
   test("near-miss shapes are all left alone") {
     install()
     val blocked = Seq[DataFrame](
