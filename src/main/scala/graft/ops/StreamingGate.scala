@@ -1296,17 +1296,8 @@ object StreamingGate {
     def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(10)) === 9
 
     val (idx, corpusNorms) =
-      if (!sampled) Dedup.spanFrozenIndex(spark, dir)
-      else {
-        // the sampled frozen index is built fresh (its cost is p of
-        // the full one); the full index keeps its session cache
-        val corpus = Dedup.spanDocsNorm(spark, dir)
-          .filter(!isNew(col("doc_id")))
-          .filter(keep(col("doc_id")))
-          .repartition(col("doc_id"))
-          .localCheckpoint()
-        (Dedup.spanCappedAnchorsOf(corpus).localCheckpoint(), corpus)
-      }
+      if (sampled) Dedup.spanFrozenIndexSampled(spark, dir)
+      else Dedup.spanFrozenIndex(spark, dir)
     val idxSide = idx.select(
       col("seed"), col("doc_id").as("b"), col("pos").as("pb"))
 
