@@ -180,7 +180,8 @@ object Dsv2Source {
       try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(dir, "documents.parquet")).toMillis
       catch { case _: Exception => 0L }
-    val pathF = FixtureCache.dir("dsv2_dpp", dir, "v" -> 1, "src" -> stamp)
+    // v2: the sidecar carries row counts (aggregate pushdown needs them)
+    val pathF = FixtureCache.dir("dsv2_dpp", dir, "v" -> 2, "src" -> stamp)
     val marker = new java.io.File(pathF, "_GRAFT_SUCCESS")
     if (!marker.exists()) {
       spark.read.parquet(s"$dir/documents.parquet")
@@ -266,6 +267,37 @@ object Dsv2Source {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // ax_dsv2_agg_push: AGGREGATE PUSHDOWN on the connector — the
+  // metadata-only-query contract parquet footers give (`SELECT
+  // count(*) FROM t` never scans data), completed for the custom
+  // source: COUNT(*) / MIN(doc_id) / MAX(doc_id) with no grouping and
+  // no predicates are answered from the `_ranges.tsv` sidecar ALONE
+  // (the sink records per-file row counts at commit), ZERO file opens
+  // — Dsv2SourceSpec pins files-planned == 0 and the PushedAggregation
+  // marker in the scan description, plus the refusals: any predicate,
+  // any grouping, any file without a full sidecar entry falls back to
+  // the scan (stats prune work, never change answers). At 100 TB this
+  // is the difference between a catalog lookup and a full-table scan
+  // for the commonest audit query there is.
+  // -------------------------------------------------------------------
+  private def dsv2AggPush(spark: SparkSession, dir: String): DataFrame = {
+    val path = dppFixturePath(spark, dir)
+    spark.read
+      .format(classOf[graft.sources.GraftLines].getName)
+      .option("path", path)
+      .load()
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
+  private val dsv2AggPushSql =
+    """SELECT COUNT(*) AS n_docs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------------
   // st_dsv2_sink: the connector's STREAMING WRITE leg — the metadata
   // stream (admission-capped to ~4 epochs at every SF) is written back
   // through the epoch-keyed 2PC sink under Trigger.AvailableNow, then
@@ -329,6 +361,7 @@ object Dsv2Source {
     "ax_dsv2_join"      -> (dsv2Join _),
     "ax_dsv2_dpp"       -> (dsv2Dpp _),
     "ax_dsv2_zonemap"   -> (dsv2Zonemap _),
+    "ax_dsv2_agg_push"  -> (dsv2AggPush _),
     "st_dsv2_stream"    -> (dsv2Stream _),
     "st_dsv2_sink"      -> (dsv2Sink _)
   )
@@ -339,6 +372,7 @@ object Dsv2Source {
     "ax_dsv2_join"      -> dsv2JoinSql,
     "ax_dsv2_dpp"       -> dsv2DppSql,
     "ax_dsv2_zonemap"   -> dsv2ZonemapSql,
+    "ax_dsv2_agg_push"  -> dsv2AggPushSql,
     "st_dsv2_stream"    -> dsv2StreamSql,
     "st_dsv2_sink"      -> dsv2SinkSql
   )

@@ -116,10 +116,12 @@ final class GraftLinesTable(path: String, splitBytes: Long) extends Table
 final class GraftLinesScanBuilder(path: String, splitBytes: Long,
     maxBytesPerTrigger: Long = 0L)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = GraftLines.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggKinds: Option[Seq[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -143,9 +145,58 @@ final class GraftLinesScanBuilder(path: String, splitBytes: Long,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ----- aggregate pushdown (metadata-only queries) --------------------
+  // COUNT(*) / MIN(doc_id) / MAX(doc_id) with no grouping and no
+  // pushed predicates are answered from the `_ranges.tsv` sidecar
+  // ALONE — zero file opens, the metadata-only-query contract parquet
+  // footers give (`SELECT count(*) FROM t` never scans data). Pushdown
+  // is accepted only when EVERY data file carries a full sidecar entry
+  // (range + row count): a missing or pre-row-count entry refuses the
+  // pushdown and the query scans — stats can prune work, never change
+  // answers. Partial pushdown (supportCompletePushDown = false): the
+  // scan emits one partial row, Spark's final aggregate folds it.
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{
+      CountStar, Max, Min}
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    def isDocId(
+        e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+          f.fieldNames.toSeq == Seq("doc_id")
+        case _ => false
+      }
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if isDocId(m.column) => Some("min")
+      case m: Max if isDocId(m.column) => Some("max")
+      case _ => None
+    }
+    if (kinds.isEmpty || kinds.exists(_.isEmpty)) return false
+    // the sidecar must fully cover the current data files
+    val conf = org.apache.spark.SparkContext.getOrCreate()
+      .hadoopConfiguration
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, conf)
+    val stats = GraftLinesRanges.read(fs, root)
+    val files = fs.listStatus(root).toSeq.filter(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") && s.getLen > 0)
+    if (!files.forall(f =>
+      stats.get(f.getPath.getName).exists(_.rows >= 0))) return false
+    aggKinds = Some(kinds.map(_.get))
+    true
+  }
+
   override def build(): Scan =
     new GraftLinesScan(path, splitBytes, required, pushed,
-      maxBytesPerTrigger)
+      maxBytesPerTrigger, aggKinds)
 }
 
 /** Hadoop `Configuration` is not Java-serializable; this 12-line
@@ -169,15 +220,28 @@ final class SerializableHadoopConf(
 
 final class GraftLinesScan(path: String, splitBytes: Long,
     required: StructType, pushed: Array[Filter],
-    maxBytesPerTrigger: Long = 0L)
+    maxBytesPerTrigger: Long = 0L,
+    aggKinds: Option[Seq[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
-  override def readSchema(): StructType = required
+  /** partial-aggregation output schema when an aggregate was pushed:
+    * one column per pushed function, positional (Spark maps by index);
+    * count is never null, min/max are null on an empty table
+    */
+  private def aggSchema(kinds: Seq[String]): StructType =
+    StructType(kinds.zipWithIndex.map { case (k, i) =>
+      StructField(s"agg_${k}_$i", LongType, nullable = k != "count")
+    })
+
+  override def readSchema(): StructType =
+    aggKinds.map(aggSchema).getOrElse(required)
 
   override def description(): String =
     s"GraftLines path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      aggKinds.map(k =>
+        s"PushedAggregation: [${k.mkString(", ")}], ").getOrElse("") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   override def toBatch: Batch = this
 
@@ -238,7 +302,9 @@ final class GraftLinesScan(path: String, splitBytes: Long,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
+    if (aggKinds.isDefined)
+      Array.empty // a metadata-answered aggregate has no scan to prune
+    else Array(org.apache.spark.sql.connector.expressions.Expressions
       .column("doc_id"))
 
   override def filter(filters: Array[Filter]): Unit = {
@@ -251,8 +317,8 @@ final class GraftLinesScan(path: String, splitBytes: Long,
     if (ids.nonEmpty) runtimeIds = Some(ids.sorted)
   }
 
-  /** sidecar: published file name → (min doc_id, max doc_id) */
-  private lazy val fileRanges: Map[String, (Long, Long)] = {
+  /** sidecar: published file name → doc_id min/max + row count */
+  private lazy val fileRanges: Map[String, GraftFileStat] = {
     val root = new Path(path)
     GraftLinesRanges.read(FileSystem.get(root.toUri, driverConf), root)
   }
@@ -312,11 +378,35 @@ final class GraftLinesScan(path: String, splitBytes: Long,
     * files that matter)
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    aggKinds.foreach { kinds =>
+      // metadata-only answer: the sidecar covered every data file when
+      // the pushdown was ACCEPTED; a file added since would make the
+      // stats answer wrong, so that race fails loudly instead
+      val stats = fileRanges
+      val files = dataFiles.map(_.getPath.getName)
+      val missing = files.filterNot(f => stats.get(f).exists(_.rows >= 0))
+      if (missing.nonEmpty) sys.error(
+        s"graftlines aggregate pushdown planned against a sidecar that " +
+          s"no longer covers: ${missing.mkString(", ")}")
+      val sts = files.map(stats)
+      val n = sts.map(_.rows).sum
+      val values: Array[Long] = kinds.map {
+        case "count" => n
+        case "min" => if (sts.isEmpty) 0L else sts.map(_.lo).min
+        case "max" => if (sts.isEmpty) 0L else sts.map(_.hi).max
+      }.toArray
+      val nulls: Array[Boolean] =
+        kinds.map(k => k != "count" && sts.isEmpty).toArray
+      GraftLines.lastPlannedFiles.set(0)
+      GraftLines.lastStaticPruned.set(false)
+      GraftLines.lastRuntimePruned.set(false)
+      return Array(GraftLinesAggPartition(values, nulls))
+    }
     val afterRuntime = runtimeIds match {
       case Some(ids) if fileRanges.nonEmpty =>
         dataFiles.filter { s =>
           fileRanges.get(s.getPath.getName) match {
-            case Some((lo, hi)) => anyIdIn(ids, lo, hi)
+            case Some(st) => anyIdIn(ids, st.lo, st.hi)
             case None => true // no stats for this file: never prune it
           }
         }
@@ -327,7 +417,7 @@ final class GraftLinesScan(path: String, splitBytes: Long,
       case Some((lo, hi)) if fileRanges.nonEmpty =>
         afterRuntime.filter { s =>
           fileRanges.get(s.getPath.getName) match {
-            case Some((flo, fhi)) => flo <= hi && fhi >= lo
+            case Some(st) => st.lo <= hi && st.hi >= lo
             case None => true // no stats for this file: never prune it
           }
         }
@@ -530,13 +620,34 @@ final class GraftLinesMicroBatchStream(path: String, splitBytes: Long,
 final case class GraftLinesPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
+/** the single metadata-answer partition of a pushed aggregation: the
+  * driver already computed the partial values off the sidecar; the
+  * reader just emits one row (positional, nulls for min/max of an
+  * empty table)
+  */
+final case class GraftLinesAggPartition(
+    values: Array[Long], nulls: Array[Boolean]) extends InputPartition
+
 final class GraftLinesReaderFactory(required: StructType,
     pushed: Array[Filter], conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftLinesReader(
-      partition.asInstanceOf[GraftLinesPartition], required, pushed, conf)
+    partition match {
+      case agg: GraftLinesAggPartition =>
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(agg.values.toIndexedSeq
+              .zip(agg.nulls.toIndexedSeq)
+              .map { case (v, isNull) => if (isNull) null else (v: Any) })
+          override def close(): Unit = ()
+        }
+      case p: GraftLinesPartition =>
+        new GraftLinesReader(p, required, pushed, conf)
+    }
 }
 
 final class GraftLinesReader(part: GraftLinesPartition,
@@ -688,7 +799,8 @@ final class GraftLinesWriteBuilder(path: String,
   * epoch overwrite its own files instead of duplicating rows.
   */
 final case class GraftLinesCommit(staged: String, dstName: String = "",
-    minId: Long = Long.MaxValue, maxId: Long = Long.MinValue)
+    minId: Long = Long.MaxValue, maxId: Long = Long.MinValue,
+    rowCount: Long = 0L)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage {
   def publishedName: String =
     if (dstName.nonEmpty) dstName
@@ -697,6 +809,12 @@ final case class GraftLinesCommit(staged: String, dstName: String = "",
   def hasRange: Boolean = minId <= maxId
 }
 
+/** Per-file sidecar statistics: doc_id min/max plus the exact row
+  * count (`rows` = -1 when the entry predates row counting — range
+  * pruning still works, aggregate pushdown refuses).
+  */
+final case class GraftFileStat(lo: Long, hi: Long, rows: Long)
+
 /** The `_ranges.tsv` sidecar: published file name → doc_id min/max,
   * maintained by the DRIVER at commit time (never by tasks — a task
   * can't know whether it will commit). Merge is idempotent by file
@@ -704,7 +822,7 @@ final case class GraftLinesCommit(staged: String, dstName: String = "",
   */
 private[sources] object GraftLinesRanges {
 
-  def read(fs: FileSystem, root: Path): Map[String, (Long, Long)] = {
+  def read(fs: FileSystem, root: Path): Map[String, GraftFileStat] = {
     val p = new Path(root, GraftLines.RangesFile)
     if (!fs.exists(p)) Map.empty
     else {
@@ -713,8 +831,11 @@ private[sources] object GraftLinesRanges {
       try Iterator.continually(in.readLine()).takeWhile(_ != null)
         .flatMap { line =>
           line.split("\t", -1) match {
-            case Array(name, lo, hi) =>
-              try Some(name -> (lo.toLong, hi.toLong))
+            case Array(name, lo, hi) => // v1 entry: no row count
+              try Some(name -> GraftFileStat(lo.toLong, hi.toLong, -1L))
+              catch { case _: NumberFormatException => None }
+            case Array(name, lo, hi, n) =>
+              try Some(name -> GraftFileStat(lo.toLong, hi.toLong, n.toLong))
               catch { case _: NumberFormatException => None }
             case _ => None
           }
@@ -726,10 +847,11 @@ private[sources] object GraftLinesRanges {
   def update(fs: FileSystem, root: Path,
       messages: Seq[GraftLinesCommit], truncate: Boolean): Unit = {
     val entries = messages.collect {
-      case m if m.hasRange => m.publishedName -> (m.minId, m.maxId)
+      case m if m.hasRange =>
+        m.publishedName -> GraftFileStat(m.minId, m.maxId, m.rowCount)
     }
     val merged =
-      (if (truncate) Map.empty[String, (Long, Long)] else read(fs, root)) ++
+      (if (truncate) Map.empty[String, GraftFileStat] else read(fs, root)) ++
         entries
     val p = new Path(root, GraftLines.RangesFile)
     if (merged.isEmpty) { fs.delete(p, false); return }
@@ -742,8 +864,8 @@ private[sources] object GraftLinesRanges {
     val tmp = new Path(root, GraftLines.RangesFile + ".tmp")
     val out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"))
-    try merged.toSeq.sortBy(_._1).foreach { case (n, (lo, hi)) =>
-      out.write(s"$n\t$lo\t$hi")
+    try merged.toSeq.sortBy(_._1).foreach { case (n, st) =>
+      out.write(s"$n\t${st.lo}\t${st.hi}\t${st.rows}")
       out.newLine()
     } finally out.close()
     fs.delete(p, false)
@@ -824,11 +946,13 @@ final class GraftLinesWriter(stageDir: String, partitionId: Int,
   // pruning stats) — the write pays nothing beyond two comparisons
   private var minId = Long.MaxValue
   private var maxId = Long.MinValue
+  private var nRows = 0L
 
   override def write(r: InternalRow): Unit = {
     val id = r.getLong(0)
     if (id < minId) minId = id
     if (id > maxId) maxId = id
+    nRows += 1
     out.write(s"$id\t${r.getUTF8String(1)}\t" +
       s"${r.getUTF8String(2)}\t${r.getLong(3)}")
     out.newLine()
@@ -837,7 +961,7 @@ final class GraftLinesWriter(stageDir: String, partitionId: Int,
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
     out.close()
-    GraftLinesCommit(staged.toString, dstName, minId, maxId)
+    GraftLinesCommit(staged.toString, dstName, minId, maxId, nRows)
   }
 
   override def abort(): Unit = {

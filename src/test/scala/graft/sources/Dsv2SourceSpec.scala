@@ -396,6 +396,48 @@ class Dsv2SourceSpec extends AnyFunSuite {
       "a file without sidecar stats must never be pruned")
   }
 
+  // ----- aggregate pushdown (metadata-only queries) --------------------
+
+  test("count/min/max are answered from the sidecar: zero files opened") {
+    val df = Extensions.queries("ax_dsv2_agg_push")(spark, dir)
+    graft.sources.GraftLines.lastPlannedFiles.set(-1)
+    val r = df.collect()(0)
+    assert(graft.sources.GraftLines.lastPlannedFiles.get() == 0,
+      "a pushed aggregate must plan zero data files")
+    assert(planOf(df).contains("PushedAggregation"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head
+    assert(r.getLong(0) == docs.getLong(0))
+    assert(r.getLong(1) == docs.getLong(1))
+    assert(r.getLong(2) == docs.getLong(2))
+  }
+
+  test("aggregate pushdown refuses whenever it cannot be exact") {
+    val path = Dsv2Source.dppFixturePath(spark, dir)
+    def rd = spark.read
+      .format(classOf[graft.sources.GraftLines].getName)
+      .option("path", path).load()
+    // a predicate: the sidecar cannot apply it — scan instead
+    val filtered = rd.filter(col("n_chars") >= 100L)
+      .agg(count(lit(1)).as("n"))
+    assert(!planOf(filtered).contains("PushedAggregation"))
+    val expect = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars") >= 100L).count()
+    assert(filtered.head.getLong(0) == expect)
+    // a grouping: per-group counts are not in the sidecar
+    val grouped = rd.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(!planOf(grouped).contains("PushedAggregation"))
+    // a directory without a sidecar: no stats, no pushdown
+    val plain = Dsv2Source.tsvFixturePath(spark, dir)
+    val noSidecar = spark.read
+      .format(classOf[graft.sources.GraftLines].getName)
+      .option("path", plain).load()
+      .agg(count(lit(1)).as("n"))
+    assert(!planOf(noSidecar).contains("PushedAggregation"))
+    assert(noSidecar.head.getLong(0) ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
   // ----- streaming write (epoch-keyed 2PC) ----------------------------
 
   private def internalRow(id: Long, lang: String, n: Long) =
