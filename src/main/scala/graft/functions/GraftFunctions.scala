@@ -80,6 +80,16 @@ object GraftFunctions {
   def hash60(c: Column): Column =
     Interop.column(Md5Hash60(Interop.expression(c)))
 
+  /** one-pass array of [[hash60]] over every `win`-codepoint window of
+    * a string column — element-for-element equal to
+    * `transform(sequence(1, greatest(length(c) - win + 1, 1)),
+    * i -> hash60(substring(c, i, win)))`, short-string fallback
+    * included (see [[org.apache.spark.sql.graft.Hash60Windows]])
+    */
+  def hash60Windows(c: Column, win: Int): Column =
+    Interop.column(org.apache.spark.sql.graft.Hash60Windows(
+      Interop.expression(c), win))
+
   /** one-pass mismatch-boundary scan of a shared-substring diagonal —
     * the seed-and-extend verification kernel (see [[org.apache.spark.sql.graft.DiagonalBoundaries]])
     */

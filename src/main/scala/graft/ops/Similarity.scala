@@ -2082,11 +2082,29 @@ object Similarity {
   // twin's full-corpus reassignment is the measured cost being
   // avoided, not part of the ingest path.
   // -------------------------------------------------------------------
+  /** The quantized + 3-plane-bucketed corpus as a SESSION SUBSTRATE.
+    * ivfDelta's plan referenced this projection from EIGHT subtrees
+    * (base/full centroids, four assignments, query, brute truth) —
+    * each re-running the 64-element quantization and three 64-dot
+    * bucket hashes over the corpus scan; the un-materialized plan was
+    * 236 KB of repeated subtrees (round-14 plan audit). One persisted
+    * 20k-row table collapses all of them to in-memory scans. At scale
+    * this is the index-build discipline: quantize + coarse-bucket once
+    * per corpus version, every maintenance question reads the table.
+    */
+  private val ivfDeltaBaseCache = SubstrateCache.frame("embeddings.parquet")
+
+  private def ivfDeltaBase(spark: SparkSession, dir: String): DataFrame =
+    ivfDeltaBaseCache.get(spark, dir) {
+      emb(spark, dir).withColumn("q", expr(quantize))
+        .withColumn("bkt", Hyperplanes.bucketCol(col("q"), 3))
+        .persist()
+    }
+
   private def ivfDelta(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GraftFunctions.l2sqLong
-    val e = emb(spark, dir).withColumn("q", expr(quantize))
-      .withColumn("bkt", Hyperplanes.bucketCol(col("q"), 3))
+    val e = ivfDeltaBase(spark, dir)
     val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
     val delta = e.filter(pmod(col("vec_id"), lit(10)) === 7)
     def centroids(src: DataFrame) = src.groupBy(col("bkt").as("cell"))

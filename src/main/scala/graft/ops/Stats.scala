@@ -726,13 +726,54 @@ object Stats {
   private[ops] def exactPercentileOf(c: DataFrame, targetsPm: Seq[Long],
       recurseAbove: Long): DataFrame = {
     histCollectProbe.set(0)
-    val mm = probedCollect(c.agg(min(col("v")).as("lo"),
+    // materialize the value column ONCE: the min/max pre-pass, the
+    // histogram pass and every per-target bucket probe previously each
+    // re-ran the scan+projection (round-14 measurement: 7 full passes
+    // for 3 targets — guide §1.2, don't recompute what you throw away)
+    val cc = c.localCheckpoint(true)
+    val mm = probedCollect(cc.agg(min(col("v")).as("lo"),
       max(col("v")).as("hi"), count(lit(1)).as("n")))(0)
     val (lo, hi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
-    val parts = targetsPm.map { q =>
-      val k = (q * n + 999) / 1000
-      resolveRank(c, lo, hi, k, recurseAbove, q, k)
-    }
+    // ONE first-level histogram SHARED by every target: all targets
+    // start from the identical [lo, hi] range, so the three histogram
+    // collects of round 13 were byte-identical work ×3. Each target
+    // walks the shared counts to its own bucket and only diverges in
+    // the (tiny) per-bucket refinement.
+    val parts =
+      if (BigInt(hi) - BigInt(lo) >= (BigInt(1) << 62))
+        // ultra-wide range: keep the per-target halving recursion
+        targetsPm.map { q =>
+          val k = (q * n + 999) / 1000
+          resolveRank(cc, lo, hi, k, recurseAbove, q, k)
+        }
+      else {
+        val d = (hi - lo) / PctBucket + 1
+        val hist = probedCollect(
+          cc.select((col("v") - lit(lo)).as("vv"))
+            .groupBy(expr(s"vv div ${d}L").as("b"))
+            .agg(count(lit(1)).as("cnt")))
+          .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        targetsPm.map { q =>
+          val k = (q * n + 999) / 1000
+          var cum = 0L
+          var bi = 0
+          while (cum + hist(bi)._2 < k) { cum += hist(bi)._2; bi += 1 }
+          val (b, occ) = hist(bi)
+          val m2 = k - cum
+          val bLo = lo + b * d
+          val bHiBig = BigInt(lo) + (BigInt(b) + 1) * d - 1
+          val bHi = if (bHiBig > hi) hi else bHiBig.toLong
+          if (d == 1L)
+            cc.sparkSession.range(1).select(lit(q).as("q_pm"),
+              lit(k).as("k"), lit(bLo).as("value"))
+          else if (occ <= recurseAbove)
+            cc.filter(col("v").between(bLo, bHi))
+              .orderBy(col("v").asc).limit(m2.toInt)
+              .agg(max(col("v")).as("value"))
+              .select(lit(q).as("q_pm"), lit(k).as("k"), col("value"))
+          else resolveRank(cc, bLo, bHi, m2, recurseAbove, q, k)
+        }
+      }
     parts.reduce(_ unionAll _).orderBy("q_pm")
   }
 
@@ -898,8 +939,12 @@ object Stats {
     * would overflow `v - lo` (≥ 2^62) skip the joint pass and go
     * straight to resolveRank, which halves ranges safely.
     */
-  private[ops] def groupPercentileOf(c: DataFrame): DataFrame = {
+  private[ops] def groupPercentileOf(c0: DataFrame): DataFrame = {
     histCollectProbe.set(0)
+    // one materialization serves the stats pass, the joint histogram
+    // and every per-(group, target) probe scan — the exactPercentileOf
+    // fix, grouped form (round-14: ~12 scan jobs per call before)
+    val c = c0.localCheckpoint(true)
     val spark = c.sparkSession
     import spark.implicits._
     val stats = probedCollect(c.groupBy(col("event_type"))

@@ -1317,11 +1317,14 @@ object StreamingGate {
       .parquet(input)
       .withColumn("norm", TextAnalysis.normCol)
       .filter(length(col("norm")) >= Dedup.SpanSeedLen)
+      // native one-pass 8-gram windows hash for the in-row anchor
+      // featurization (same values — Hash60Spec; the per-position
+      // md5-of-substring lambda was the per-trigger hotspot)
+      .withColumn("h8",
+        graft.functions.GraftFunctions.hash60Windows(col("norm"), 8))
       .select(col("doc_id").as("a"), col("norm"), explode(filter(
         sequence(lit(1), length(col("norm")) - (Dedup.SpanSeedLen - 1)),
-        i => PortableHash.hashCol(
-          col("norm").substr(i.cast("int"), lit(8)))
-          % Dedup.SpanAnchorMod === 0)).as("pa"))
+        i => element_at(col("h8"), i) % Dedup.SpanAnchorMod === 0)).as("pa"))
       .select(col("a"), col("pa"),
         md5(expr(s"substring(norm, CAST(pa AS INT), ${Dedup.SpanSeedLen})"))
           .as("seed"))
