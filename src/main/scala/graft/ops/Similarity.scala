@@ -2082,29 +2082,16 @@ object Similarity {
   // twin's full-corpus reassignment is the measured cost being
   // avoided, not part of the ingest path.
   // -------------------------------------------------------------------
-  /** The quantized + 3-plane-bucketed corpus as a SESSION SUBSTRATE.
-    * ivfDelta's plan referenced this projection from EIGHT subtrees
-    * (base/full centroids, four assignments, query, brute truth) —
-    * each re-running the 64-element quantization and three 64-dot
-    * bucket hashes over the corpus scan; the un-materialized plan was
-    * 236 KB of repeated subtrees (round-14 plan audit). One persisted
-    * 20k-row table collapses all of them to in-memory scans. At scale
-    * this is the index-build discipline: quantize + coarse-bucket once
-    * per corpus version, every maintenance question reads the table.
-    */
-  private val ivfDeltaBaseCache = SubstrateCache.frame("embeddings.parquet")
-
-  private def ivfDeltaBase(spark: SparkSession, dir: String): DataFrame =
-    ivfDeltaBaseCache.get(spark, dir) {
-      emb(spark, dir).withColumn("q", expr(quantize))
-        .withColumn("bkt", Hyperplanes.bucketCol(col("q"), 3))
-        .persist()
-    }
-
+  // Round-14 note: materializing this projection (persist AND
+  // localCheckpoint both tried) measured SLOWER than letting each
+  // consumer re-run the codegen'd quantize over the 800 KB parquet
+  // scan — the cached 64-long arrays cost more to rehydrate per
+  // reference than the arithmetic they save. Left as-is, measured.
   private def ivfDelta(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GraftFunctions.l2sqLong
-    val e = ivfDeltaBase(spark, dir)
+    val e = emb(spark, dir).withColumn("q", expr(quantize))
+      .withColumn("bkt", Hyperplanes.bucketCol(col("q"), 3))
     val base = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
     val delta = e.filter(pmod(col("vec_id"), lit(10)) === 7)
     def centroids(src: DataFrame) = src.groupBy(col("bkt").as("cell"))
@@ -2317,8 +2304,26 @@ object Similarity {
 
   /** Fusion substrate shared by sim_rrf_fusion and sim_rrf_recall:
     * (probed panel, IVF-tier ranks, LSH-tier ranks, fused scores).
+    * SESSION-CACHED with the tier rank tables materialized: the tiers
+    * are panel-bounded (≤ |panel|·20 rows), but un-materialized they
+    * replanned the whole corpus-scan + candidate-join + window
+    * pipeline once per downstream reference — sim_rrf_recall's plan
+    * repeated each tier ~4× (47 KB, 21 exchanges, round-14 audit).
     */
+  private val rrfTiersCache =
+    new SubstrateCache[(DataFrame, DataFrame, DataFrame, DataFrame)](
+      "embeddings.parquet", (_: (DataFrame, DataFrame, DataFrame, DataFrame)) => ())
+
   private def rrfTiers(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    rrfTiersCache.get(spark, dir) {
+      val (probed, tierIvf, tierLsh, fused) = rrfTiersBuild(spark, dir)
+      val ti = tierIvf.localCheckpoint()
+      val tl = tierLsh.localCheckpoint()
+      (probed, ti, tl, fusedOf(ti, tl))
+    }
+
+  private def rrfTiersBuild(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir).withColumn("q", expr(quantize))
@@ -2366,7 +2371,14 @@ object Similarity {
       .filter(col("rank_b") <= RrfDepth)
       .select(col("qid").as("qid_b"), col("vec_id").as("vec_id_b"),
         col("rank_b"))
-    val fused = tierIvf
+    (probed, tierIvf, tierLsh, fusedOf(tierIvf, tierLsh))
+  }
+
+  /** RRF score join over the two tier rank tables (each ≤ |panel|·20
+    * rows) — kept lazy; the tiers it reads are materialized.
+    */
+  private def fusedOf(tierIvf: DataFrame, tierLsh: DataFrame): DataFrame =
+    tierIvf
       .join(tierLsh, col("qid") === col("qid_b") &&
         col("vec_id") === col("vec_id_b"), "full_outer")
       .select(coalesce(col("qid"), col("qid_b")).as("qid"),
@@ -2374,8 +2386,6 @@ object Similarity {
         (coalesce(expr(s"1000000000 div ($RrfK + rank_a)"), lit(0L)) +
           coalesce(expr(s"1000000000 div ($RrfK + rank_b)"), lit(0L)))
           .as("rrf"))
-    (probed, tierIvf, tierLsh, fused)
-  }
 
   /** fused top-5 per query with the (rrf desc, vec_id) total order */
   private def rrfTop5(fused: DataFrame): DataFrame = {
