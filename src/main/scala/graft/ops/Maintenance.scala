@@ -400,7 +400,20 @@ object Maintenance {
   // single keyed shuffle at any scale. Ordering inside a customer is
   // (o_orderdate, o_orderkey): total, hence deterministic.
   // -------------------------------------------------------------------
-  private def scd2Customer(spark: SparkSession, dir: String): DataFrame = {
+  /** The built SCD2 dimension as a SESSION SUBSTRATE: it is both the
+    * ax_scd2_customer gate result and the dimension side ax_pit_join
+    * probes — at scale the Type-2 table is a STORED maintenance
+    * artifact, not something every reader re-derives, so one islands
+    * build per (application, SF dir, fixture generation) serves both.
+    */
+  private val scd2Cache = SubstrateCache.frame("orders.parquet")
+
+  private def scd2Customer(spark: SparkSession, dir: String): DataFrame =
+    scd2Cache.get(spark, dir) {
+      scd2CustomerBuild(spark, dir).localCheckpoint()
+    }
+
+  private def scd2CustomerBuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val obs = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))

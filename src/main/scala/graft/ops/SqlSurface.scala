@@ -148,10 +148,50 @@ object SqlSurface {
        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The successor-edge prefix of [[recursiveTemplate]] as standalone
+    * SQL text — the NON-recursive half of the walk.
+    */
+  private def succSql(orders: String): String =
+    s"""SELECT o_custkey AS c, o_orderkey AS k,
+       |  lead(o_orderkey) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey) AS nk,
+       |  CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+       |  row_number() OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey) AS rn
+       |FROM $orders""".stripMargin
+
+  /** The recursive walk over a prebuilt successor view — the recursion
+    * operator half of [[recursiveTemplate]], same text shape.
+    */
+  private def walkSql(succ: String): String =
+    s"""WITH RECURSIVE
+       |walk(c, k, nk, cents, depth) AS (
+       |  SELECT c, k, nk, cents, 0 FROM $succ WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.c, s.k, s.nk, s.cents, w.depth + 1
+       |  FROM walk w JOIN $succ s ON s.c = w.c AND s.k = w.nk
+       |  WHERE w.depth < 4)
+       |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_orders,
+       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def recursiveReachViaSql(spark: SparkSession, dir: String): DataFrame = {
     spark.read.parquet(s"$dir/orders.parquet")
       .createOrReplaceTempView("graft_sql_orders")
-    spark.sql(recursiveTemplate("graft_sql_orders"))
+    // Round-14 measurement: Spark 4's recursion operator re-plans and
+    // RE-EXECUTES every plain CTE referenced inside the recursive step
+    // once per iteration — five full window-sort passes over orders
+    // for a successor table that never changes (3.3 s at sf0.1).
+    // Materialize the non-recursive prefix ONCE (still pure SQL text)
+    // and let the recursion operator walk the materialized view: the
+    // same fix DuckDB applies via AS MATERIALIZED in the kcore/LSH
+    // oracles, applied to the Spark side. The walk itself — the
+    // operator this gate exists to exercise — is unchanged SQL text
+    // through UnionLoop; the oracle keeps the original single-text
+    // form, and results are identical (succ is deterministic).
+    spark.sql(succSql("graft_sql_orders")).localCheckpoint()
+      .createOrReplaceTempView("graft_sql_succ")
+    spark.sql(walkSql("graft_sql_succ"))
   }
 
   /** SQL PIVOT syntax — the reshape operator as TEXT (the DataFrame
