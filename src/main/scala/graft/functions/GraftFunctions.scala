@@ -90,6 +90,17 @@ object GraftFunctions {
     Interop.column(org.apache.spark.sql.graft.Hash60Windows(
       Interop.expression(c), win))
 
+  /** one-pass k-permutation MinHash mins over an array<bigint> of
+    * hashed tokens — element-for-element equal to
+    * `array(array_min(transform(c, h -> (a(s)*(h%p)+b(s))%p)) for s)`
+    * (see [[org.apache.spark.sql.graft.MinHashMins]]); NULL for an
+    * empty/NULL input array, matching array_min-of-empty per slot
+    */
+  def minHashMins(c: Column, a: Array[Long], b: Array[Long],
+      p: Long): Column =
+    Interop.column(org.apache.spark.sql.graft.MinHashMins(
+      Interop.expression(c), a, b, p))
+
   /** one-pass mismatch-boundary scan of a shared-substring diagonal —
     * the seed-and-extend verification kernel (see [[org.apache.spark.sql.graft.DiagonalBoundaries]])
     */

@@ -1241,7 +1241,16 @@ object Dedup {
     val bytes =
       try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
-      catch { case _: Exception => 0L }
+      catch { case e: Exception =>
+        // Loud fallback (round-14 advice): on a large corpus where the
+        // size lookup fails (permissions, object-store quirk, renamed
+        // fixture) this silently collapses to the session floor and the
+        // ~35 MB/task design degrades to multi-GB tasks — warn so the
+        // degradation is attributable.
+        System.err.println(s"[graft] spanTruthPartsFor: size lookup of $p " +
+          s"failed (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+          "falling back to the session shuffle-partition floor")
+        0L }
     val n = spark.sessionState.conf.numShufflePartitions
     math.max(n,
       math.min(SpanTruthMaxParts, bytes / sampleInv / SpanTruthBytesPerPart)

@@ -745,12 +745,21 @@ object MatViews {
   private def mvCdc(spark: SparkSession, dir: String): DataFrame = {
     val base = ordersBase(spark, dir)
     val stored = spark.read.parquet(mvCdcStoredPath(spark, dir))
-    // net final verb per touched key: one argmax(seq) — no window
+    // net final verb per touched key: one argmax(seq) — no window.
+    // MATERIALIZED per call (round-15, guide §3 "materialising an
+    // intermediate truncates the plan"): `fin` feeds the touched join
+    // AND the affected-grain recompute, and `touched` below feeds FOUR
+    // consumers (retract, addback, invalidGrains, updMax) — lazily,
+    // each consumer replanned the whole 3-scan change-log derivation,
+    // the measured 212-operator plan. Both tables are |log|-bounded
+    // (the operator's own work ∝ |log| + |MV| contract), so the
+    // checkpoint is metadata-scale at any corpus size.
     val fin = cdcLog(base).groupBy(col("k"))
       .agg(max(struct(col("seq"), col("op"), col("new_cents"))).as("m"))
       .select(col("k"), col("m.op").as("op"), col("m.new_cents").as("new_cents"))
+      .localCheckpoint()
     // old contributions of touched keys: ONE keyed equi-join
-    val touched = base.join(fin, "k")
+    val touched = base.join(fin, "k").localCheckpoint()
     // ---- sum/count: retract old ∪ add new, merge with stored --------
     val retract = touched.select(col("pri"),
       (-col("cents")).as("d_cents"), lit(-1L).as("d_n"))

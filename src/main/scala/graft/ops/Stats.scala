@@ -629,9 +629,19 @@ object Stats {
   // map-side-combined groupBy whose result is domain/4096 rows, KBs),
   // the driver walks the cumulative counts to locate each target
   // rank's bucket (metadata-scale work); pass 2 reads ONLY that
-  // bucket's rows (a pushed-down range predicate — under a sorted/
-  // zone-mapped layout the scan prunes to the bucket's file span) and
-  // takes the remaining rank via per-partition top-m heaps
+  // bucket's rows and takes the remaining rank via per-partition top-m
+  // heaps. IMPLEMENTATION NOTE (round 14, guide §1.2): the value
+  // column is materialized ONCE per call (localCheckpoint) and every
+  // pass — min/max, the shared histogram, each bucket probe — reads
+  // the materialized column; measured 7 full scan+projection passes
+  // collapsed to 1 + bounded probes. The tradeoff vs the pure
+  // pushdown story: bucket probes filter the checkpointed RDD instead
+  // of range-pruning a zone-mapped parquet layout (pruning cannot
+  // reach through a checkpoint), and localCheckpoint output is not
+  // recoverable on executor loss — at cluster scale with a sorted
+  // layout, persist(DISK_ONLY) or re-reading the source with the
+  // range predicate restores both properties at the cost of the extra
+  // scans. ax_dsv2_zonemap exercises the pushdown path proper;
   // (TakeOrderedAndProject — m ≤ bucket occupancy, never a full
   // partition sort). k = ⌈q·n⌉ (the percentile_disc convention,
   // stated as exact integer arithmetic). Under pathological skew (one

@@ -1189,12 +1189,17 @@ object StreamingGate {
         s"d$i", now + i * 60000L)
     }
 
-    val minExprs = (0 until NumHashes).map(s => expr(
-      s"array_min(transform(ha, h -> (${coefA(s)} * (h % $P) + ${coefB(s)}) % $P))")
-      .as(s"m$s"))
+    // one fused native pass for all NumHashes affine mins (guide §4):
+    // the per-s `array_min(transform(ha, ...))` formulation ran 32
+    // interpreted higher-order lambdas per document per trigger, each
+    // allocating an intermediate array; MinHashMins reduces h%P once
+    // per element and folds every permutation in one loop — values
+    // pinned identical by MinHashMinsSpec
+    val minsCol = graft.functions.GraftFunctions
+      .minHashMins(col("ha"), coefA, coefB, P)
     val bandCols = (0 until Bands).map { bi =>
       val slice = (0 until RowsPerBand)
-        .map(r => col(s"m${bi * RowsPerBand + r}"))
+        .map(r => col("mins").getItem(bi * RowsPerBand + r))
       PortableHash.hashCol(concat_ws(",", slice: _*))
     }
     val sch = stagedSchema(spark, fs, input)
@@ -1210,7 +1215,8 @@ object StreamingGate {
       .withColumn("ha", array_distinct(
         transform(col("feats"), f => PortableHash.hashCol(f))))
       .withColumn("na", size(col("ha")).cast("long"))
-      .select(Seq(col("doc_id").as("a"), col("ha"), col("na")) ++ minExprs: _*)
+      .select(col("doc_id").as("a"), col("ha"), col("na"),
+        minsCol.as("mins"))
       .select(col("a"), col("ha"), col("na"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
       .join(idx, Seq("band", "bh"))

@@ -32,10 +32,19 @@ private[ops] final class SubstrateCache[V](fixture: String,
 
   private val m = new java.util.concurrent.ConcurrentHashMap[String, V]
 
-  private def stamp(dir: String): String =
-    try java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(dir, fixture)).toMillis.toString
-    catch { case _: Exception => "absent" }
+  /** Generation stamp via the SAME Hadoop FileSystem the operators use
+    * for sizing (round-14 advice): java.nio only resolves local paths,
+    * so on object-store dirs every generation stamped "absent" and
+    * stale substrates survived fixture regeneration. Hadoop local-FS
+    * mtimes are the identical epoch millis, so local keys are
+    * unchanged.
+    */
+  private def stamp(spark: SparkSession, dir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, fixture)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime.toString
+    } catch { case _: Exception => "absent" }
 
   /** Evict-stale-then-compute. `build` runs at most once per key
     * (ConcurrentHashMap.computeIfAbsent); concurrent callers of a
@@ -45,7 +54,7 @@ private[ops] final class SubstrateCache[V](fixture: String,
     */
   def get(spark: SparkSession, dir: String)(build: => V): V = {
     val prefix = s"${spark.sparkContext.applicationId}#$dir@"
-    val key = prefix + stamp(dir)
+    val key = prefix + stamp(spark, dir)
     m.forEach { (k, v) =>
       if (k != key && k.startsWith(prefix) && m.remove(k, v)) release(v)
     }
