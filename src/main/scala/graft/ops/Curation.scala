@@ -309,9 +309,9 @@ object Curation {
   // text. Exact integer ppm output.
   // -------------------------------------------------------------------
   private def dupNgramRate(spark: SparkSession, dir: String): DataFrame = {
-    val occ = docs(spark, dir)
+    val occ = TextAnalysis.normDocs(spark, dir)
       .select(col("doc_id"), col("source"),
-        split(TextAnalysis.normCol, " ").as("w"))
+        split(col("norm"), " ").as("w"))
       .select(col("doc_id"), col("source"),
         explode(expr(gramsExpr)).as("gram"))
     val docf = occ.select(col("gram"), col("doc_id")).distinct()

@@ -3280,8 +3280,7 @@ object Dedup {
     val sized = clusterAssign(spark, dir)
       .withColumn("csize",
         count(lit(1)).over(Window.partitionBy("cluster")))
-    val qual = docs(spark, dir)
-      .withColumn("norm", TextAnalysis.normCol)
+    val qual = TextAnalysis.normDocs(spark, dir)
       .select(col("doc_id"), TextAnalysis.qualityScoreOnNorm.as("quality"))
     qual.join(sized, "doc_id")
       .groupBy("quality")
@@ -3408,8 +3407,40 @@ object Dedup {
       |              WHERE length(trim(regexp_replace(lower(text),
       |                '\s+', ' ', 'g'))) > 0) d) x)""".stripMargin
 
-  private def setjoinExact(spark: SparkSession, dir: String): DataFrame =
-    setjoinFrame(paraTok(spark, dir))
+  /** Paragraph-token substrate shared by the two exact set-similarity
+    * gates (dd_setjoin_exact, dd_containment): the token table plus
+    * its two deterministic derivatives — the per-feature document
+    * frequency (the prefix filter's rarity source) and the per-doc
+    * sorted feature array + size (the verify side). All three are
+    * corpus-determined; each gate's own prefix selection, candidate
+    * join and verification still run per call (different thresholds,
+    * different join shapes). At 100 TB this is the persisted
+    * (feature → df) vocabulary and the doc-keyed set table a
+    * production PPJoin maintains alongside the corpus.
+    */
+  private val paraTokCache = SubstrateCache.frame("documents.parquet")
+  private val paraAuxCache = SubstrateCache.framePair("documents.parquet")
+
+  private def paraToks(spark: SparkSession, dir: String): DataFrame =
+    paraTokCache.get(spark, dir) { paraTok(spark, dir).localCheckpoint() }
+
+  /** (tokdf, sets) of the paragraph-token substrate */
+  private def paraAux(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    paraAuxCache.get(spark, dir) {
+      val toks = paraToks(spark, dir)
+      (toks.groupBy("feature").agg(count(lit(1)).as("tokdf"))
+        .localCheckpoint(),
+        toks.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("feature"))).as("ts"),
+            count(lit(1)).as("sz"))
+          .localCheckpoint())
+    }
+
+  private def setjoinExact(spark: SparkSession, dir: String): DataFrame = {
+    val (tokdf, sets) = paraAux(spark, dir)
+    setjoinFrameFrom(paraToks(spark, dir), tokdf, sets)
+  }
 
   /** The prefix-filtered exact set-similarity join over any
     * (doc_id, feature) frame — exposed so SetJoinFuzzSpec can prove
@@ -3417,9 +3448,16 @@ object Dedup {
     * on adversarial token distributions (uniform df, identical sets,
     * singleton sets) the fixture never produces.
     */
-  private[graft] def setjoinFrame(toks: DataFrame): DataFrame = {
+  private[graft] def setjoinFrame(toks: DataFrame): DataFrame =
+    setjoinFrameFrom(toks,
+      toks.groupBy("feature").agg(count(lit(1)).as("tokdf")),
+      toks.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("feature"))).as("ts"),
+          count(lit(1)).as("sz")))
+
+  private def setjoinFrameFrom(toks: DataFrame, tokdf: DataFrame,
+      sets: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokdf = toks.groupBy("feature").agg(count(lit(1)).as("tokdf"))
     val byDoc = Window.partitionBy("doc_id")
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("tokdf").asc, col("feature").asc)
@@ -3433,9 +3471,6 @@ object Dedup {
         Seq("feature"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sets = toks.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("feature"))).as("ts"),
-        count(lit(1)).as("sz"))
     cand
       .join(sets.select(col("doc_id").as("a"), col("ts").as("ta"),
         col("sz").as("sza")), "a")
@@ -3476,15 +3511,24 @@ object Dedup {
   // the retention rule downstream (keep the superset doc) consumes
   // the direction.
   // -------------------------------------------------------------------
-  private def containment(spark: SparkSession, dir: String): DataFrame =
-    containmentFrame(paraTok(spark, dir))
+  private def containment(spark: SparkSession, dir: String): DataFrame = {
+    val (tokdf, sets) = paraAux(spark, dir)
+    containmentFrameFrom(paraToks(spark, dir), tokdf, sets)
+  }
 
   /** The probe-prefix containment join over any (doc_id, feature)
     * frame — fuzz hook, same rationale as [[setjoinFrame]].
     */
-  private[graft] def containmentFrame(toks: DataFrame): DataFrame = {
+  private[graft] def containmentFrame(toks: DataFrame): DataFrame =
+    containmentFrameFrom(toks,
+      toks.groupBy("feature").agg(count(lit(1)).as("tokdf")),
+      toks.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("feature"))).as("ts"),
+          count(lit(1)).as("sz")))
+
+  private def containmentFrameFrom(toks: DataFrame, tokdf: DataFrame,
+      sets: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokdf = toks.groupBy("feature").agg(count(lit(1)).as("tokdf"))
     val byDoc = Window.partitionBy("doc_id")
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("tokdf").asc, col("feature").asc)
@@ -3499,9 +3543,6 @@ object Dedup {
         Seq("feature"))
       .filter(col("a") =!= col("b"))
       .select("a", "b").distinct()
-    val sets = toks.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("feature"))).as("ts"),
-        count(lit(1)).as("sz"))
     cand
       .join(sets.select(col("doc_id").as("a"), col("ts").as("ta"),
         col("sz").as("sza")), "a")

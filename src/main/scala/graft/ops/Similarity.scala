@@ -1601,10 +1601,41 @@ object Similarity {
     */
   private val PqCand = 100
 
+  /** The exact squared-L2 top-20 of the query vector — the ground-truth
+    * panel BOTH recall gates (sim_pq_recall, sim_ivfpq_recall) audit
+    * against, session-cached like GraphAnn's truth panel: 20 rows of
+    * corpus-determined metadata, one brute-force pass per (application,
+    * SF dir, fixture generation) instead of one per gate call.
+    */
+  private val exactTop20Cache = SubstrateCache.frame("embeddings.parquet")
+
+  private def exactTop20(spark: SparkSession, dir: String): DataFrame =
+    exactTop20Cache.get(spark, dir) {
+      val e = emb(spark, dir).withColumn("q", expr(quantize))
+        .select("vec_id", "q")
+      exactL2Topk(spark, e).localCheckpoint()
+    }
+
+  /** Per-cell IVF centroids (floor(avg) per dimension) — the K-row
+    * trained-index metadata shared by sim_ivf_sweep and
+    * sim_ivfpq_recall (identical construction in both), session-cached:
+    * one corpus aggregate per generation, K×64 ints.
+    */
+  private val ivfCentCache = SubstrateCache.frame("embeddings.parquet")
+
+  private[ops] def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    ivfCentCache.get(spark, dir) {
+      emb(spark, dir).withColumn("q", expr(quantize))
+        .groupBy("label")
+        .agg(array((0 until 64).map(d =>
+          floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
+        .localCheckpoint()
+    }
+
   private def pqRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("q", expr(quantize))
       .select("vec_id", "q").persist()
-    val exact = exactL2Topk(spark, e).persist()
+    val exact = exactTop20(spark, dir) // session substrate (truth panel)
     val cand = pqCandidates(spark, dir) // session substrate, stays cached
     val pq = cand.limit(20).select(col("vec_id"))
     // true distances: the regret term, and the re-rank scorer — at
@@ -1630,7 +1661,7 @@ object Similarity {
         (col("hits_rerank") * 50).cast("long").as("recall_rerank_pm"),
         col("sum_exact_d"), col("sum_adc_d"))
       .localCheckpoint()
-    exact.unpersist(); e.unpersist()
+    e.unpersist() // exact is the session substrate — never released here
     out
   }
 
@@ -1687,46 +1718,70 @@ object Similarity {
   // bit-for-bit.
   // -------------------------------------------------------------------
   private def ivfpqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir).withColumn("q", expr(quantize))
-      .select("vec_id", "label", "q").persist()
+    import org.apache.spark.sql.expressions.Window
     // ADC distance of EVERY corpus vector, tagged with its IVF cell —
     // the persisted index image (8 code bytes/row at scale; raw vectors
-    // are read only by the exact ground truth below), built ONCE per
-    // session by the adcAllOf substrate
+    // are read only by the exact ground-truth substrate), built ONCE
+    // per session by the adcAllOf substrate. Round-15 restructure
+    // (guide §1.2): the per-np branch fan-out evaluated the candidate
+    // subtree ~3× per probe point and ran ~12 separate aggregate jobs
+    // per call; the three probe points now share ONE ranked-cell
+    // attach, per-np counts come from the 8-row per-cell count table,
+    // and the hit audits run over the UNIONED top-20s — a single query
+    // tree. The centroid table and the exact ground truth moved to
+    // session substrates (each also serves another gate). The final
+    // localCheckpoint is gone, so plan audits see the real tree, not a
+    // checkpoint stub.
     val adcAll = adcAllOf(spark, dir)
-    val query = e.filter(col("vec_id") === 0).select(col("q").as("qq"))
-    val exact = exactL2Topk(spark, e).select("vec_id")
+    val query = emb(spark, dir).filter(col("vec_id") === 0)
+      .select(expr(quantize).as("qq"))
+    val exact = exactTop20(spark, dir).select("vec_id")
     val adcFull20 = adcAll.orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(20).select("vec_id")
-    // cell ranking: centroid = per-dimension floor(avg) over the cell
-    // (the sim_ivf_sweep construction), ranked by squared L2 ascending
-    val cent = e.groupBy("label")
-      .agg(array((0 until 64).map(d =>
-        floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
-    val ranked = cent.crossJoin(broadcast(query))
+    // cell ranking: centroid substrate (shared with sim_ivf_sweep),
+    // ranked by squared L2 ascending; rk over K rows (a single-partition
+    // window over index METADATA, never corpus rows)
+    val ranked = ivfCentroids(spark, dir).crossJoin(broadcast(query))
       .withColumn("cd",
         dotLong(col("centroid"), col("centroid")) -
           lit(2) * dotLong(col("centroid"), col("qq")) +
           dotLong(col("qq"), col("qq")))
-    val out = IvfProbes.map { np =>
-      val probed = ranked.orderBy(col("cd").asc, col("label").asc)
-        .limit(np).select(col("label").as("probe_label"))
-      val cand = adcAll.join(broadcast(probed), col("label") === col("probe_label"))
-      val top = cand.orderBy(col("adc_dist").asc, col("vec_id").asc)
-        .limit(20).select("vec_id")
-      val scanned = cand.agg(count(lit(1)).as("n_scanned"))
-      val hitsExact = top.join(exact, Seq("vec_id"), "left_semi")
-        .agg(count(lit(1)).as("hits_exact"))
-      val hitsAdc = top.join(adcFull20, Seq("vec_id"), "left_semi")
-        .agg(count(lit(1)).as("hits_vs_adc"))
-      scanned.crossJoin(broadcast(hitsExact)).crossJoin(broadcast(hitsAdc))
-        .select(lit(np.toLong).as("nprobe"), col("n_scanned"),
-          col("hits_exact"),
-          expr("(1000 * hits_exact) div 20").as("recall_pm"),
-          col("hits_vs_adc"))
-    }.reduce(_ unionAll _).orderBy("nprobe").localCheckpoint()
-    e.unpersist() // adcAll is the session substrate — never released here
-    out
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cd").asc, col("label").asc)))
+      .select(col("label").as("probe_label"), col("rk"))
+    val adcR = adcAll.join(broadcast(ranked),
+      col("label") === col("probe_label"))
+    // one probe-point axis to left-join per-np facts onto (a missing
+    // group — e.g. zero hits — must still produce its row)
+    import spark.implicits._
+    val nps = IvfProbes.map(_.toLong).toDF("nprobe")
+    // n_scanned for every np from ONE corpus pass: per-cell-rank counts
+    // (≤ K rows), then the cumulative count per probe point
+    val cellCounts = adcR.groupBy("rk").agg(count(lit(1)).as("cn"))
+    val scanned = nps.join(broadcast(cellCounts),
+        col("rk") <= col("nprobe"), "left")
+      .groupBy("nprobe").agg(sum(col("cn")).as("n_scanned"))
+    // per-np ADC top-20 (bounded heaps over the in-memory index image),
+    // unioned so each hit audit is ONE join + aggregate
+    val tops = IvfProbes.map { np =>
+      adcR.filter(col("rk") <= np)
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(20).select(lit(np.toLong).as("nprobe"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    val hitsExact = tops.join(exact, Seq("vec_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("he"))
+    val hitsAdc = tops.join(adcFull20, Seq("vec_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("ha"))
+    scanned
+      .join(hitsExact, Seq("nprobe"), "left")
+      .join(hitsAdc, Seq("nprobe"), "left")
+      .select(col("nprobe"), col("n_scanned"),
+        coalesce(col("he"), lit(0L)).as("hits_exact"),
+        coalesce(col("ha"), lit(0L)).as("hits_vs_adc"))
+      .select(col("nprobe"), col("n_scanned"), col("hits_exact"),
+        expr("(1000 * hits_exact) div 20").as("recall_pm"),
+        col("hits_vs_adc"))
+      .orderBy("nprobe")
   }
 
   // lazy: references IvfProbes, declared further down with sim_ivf_sweep
@@ -1900,9 +1955,7 @@ object Similarity {
 
   private def ivfSweep(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("q", expr(quantize))
-    val cent = e.groupBy("label")
-      .agg(array((0 until 64).map(d =>
-        floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
+    val cent = ivfCentroids(spark, dir) // session substrate (K rows)
     val query = e.filter(col("vec_id") === 0).select(col("q").as("query_q"))
     val ranked = cent.crossJoin(broadcast(query))
       .withColumn("cdot", dotLong(col("centroid"), col("query_q")))

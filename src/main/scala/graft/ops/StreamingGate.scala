@@ -54,7 +54,8 @@ object StreamingGate {
   private def withGateShuffle[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
     try body finally spark.conf.set(key, prev)
   }
 
