@@ -87,6 +87,44 @@ object TextAnalysis {
         .localCheckpoint()
     }
 
+  private val bigramPairsCache = SubstrateCache.frame("documents.parquet")
+
+  /** (doc_id, w1, w2) — every adjacent word-pair OCCURRENCE of the
+    * normalized corpus (the zip_with-inside-the-array idiom, one
+    * explode); serves tx_bigram_surprisal (which references the
+    * occurrence stream twice: the rank model and the per-doc join)
+    * and tx_bigrams
+    */
+  private[ops] def bigramPairs(spark: SparkSession, dir: String): DataFrame =
+    bigramPairsCache.get(spark, dir) {
+      normDocs(spark, dir)
+        .select(col("doc_id"), split(col("norm"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
+            |         slice(w, 2, greatest(size(w)-1, 0)),
+            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .localCheckpoint()
+    }
+
+  private val bigramDocTermsCache = SubstrateCache.frame("documents.parquet")
+
+  /** (doc_id, term) — per-doc-DISTINCT word bigrams (array_distinct
+    * BEFORE the explode — map-side dedup, nothing wide shuffles);
+    * serves tx_inverted_index (two references) and tx_vocab_growth
+    */
+  private[ops] def bigramDocTerms(spark: SparkSession,
+      dir: String): DataFrame =
+    bigramDocTermsCache.get(spark, dir) {
+      normDocs(spark, dir)
+        .select(col("doc_id"), split(col("norm"), " ").as("w"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
+            |         slice(w, 2, greatest(size(w)-1, 0)),
+            |         (a, b) -> concat(a, ' ', b))""".stripMargin))).as("term"))
+        .localCheckpoint()
+    }
+
   // ---------------------------------------------------------------
   // tx_stats: per-document statistics. Oracle-backed.
   // ---------------------------------------------------------------
@@ -531,12 +569,8 @@ object TextAnalysis {
   // on (doc, pos); this shape shuffles once on the bigram key.
   // ---------------------------------------------------------------
   private def bigrams(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(split(normCol, " ").as("w"))
-      .select(explode(expr(
-        """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
-          |         slice(w, 2, greatest(size(w)-1, 0)),
-          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bigram"))
+    bigramPairs(spark, dir)
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
@@ -611,13 +645,7 @@ object TextAnalysis {
   // ---------------------------------------------------------------
   private def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bg = docs(spark, dir)
-      .select(col("doc_id"), split(normCol, " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
-          |         slice(w, 2, greatest(size(w)-1, 0)),
-          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = bigramPairs(spark, dir) // substrate: referenced twice below
     val ranks = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("w1").orderBy(col("c").desc, col("w2").asc)))
@@ -693,12 +721,7 @@ object TextAnalysis {
   private def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, 0)
-    docs(spark, dir)
-      .select(col("doc_id"), split(normCol, " ").as("w"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
-          |         slice(w, 2, greatest(size(w)-1, 0)),
-          |         (a, b) -> concat(a, ' ', b))""".stripMargin))).as("term"))
+    bigramDocTerms(spark, dir)
       .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
       .select(expr("first_doc div 25").as("block"))
       .groupBy("block").agg(count(lit(1)).as("new_terms"))
@@ -815,12 +838,7 @@ object TextAnalysis {
   // the numerically-sorted comma-joined list (identical cross-engine).
   // ---------------------------------------------------------------
   private def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir)
-      .select(col("doc_id"), split(normCol, " ").as("w"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """zip_with(slice(w, 1, greatest(size(w)-1, 0)),
-          |         slice(w, 2, greatest(size(w)-1, 0)),
-          |         (a, b) -> concat(a, ' ', b))""".stripMargin))).as("term"))
+    val tok = bigramDocTerms(spark, dir) // substrate: referenced twice
     val keep = tok.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df").between(3, 60))
     tok.join(broadcast(keep), "term")
